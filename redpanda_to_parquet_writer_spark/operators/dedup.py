@@ -1,0 +1,81 @@
+"""Deduplication operators.
+
+Reference parity:
+  - J1/J2 anti-join key dedup on ``(kafka_partition, kafka_offset)``
+    (collector:741-758, 1003-1010) -> broadcast left-anti join.
+  - D2 content-hash dedup keep-FIRST (reader:653-710): Polars
+    ``unique(keep="first")`` depends on file row order; we sharpen it to a
+    deterministic rule — keep the row with the smallest order key
+    (offset order) — via a window ``row_number``.
+
+Scale notes:
+  - The anti-join's right side (already-persisted keys for one
+    topic/date) is small relative to the batch -> broadcast hint avoids a
+    shuffle of the big side entirely.
+  - Window dedup shuffles once on the hash; with AQE skew-join/partition
+    coalescing this holds at 100 TB because hash keys are uniform by
+    construction.
+  - `exact_dedup_min_key` is the groupBy formulation (map-side partial
+    aggregation) — cheaper than a window when only the surviving keys are
+    needed, because partial min() collapses duplicates before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from redpanda_to_parquet_writer_spark.functions.hashing import content_columns, content_hash
+
+DEDUP_KEY = ("kafka_partition", "kafka_offset")
+
+
+def anti_join_dedup(
+    new_df: DataFrame,
+    existing_df: DataFrame,
+    keys: tuple[str, ...] = DEDUP_KEY,
+    broadcast_existing: bool = True,
+) -> DataFrame:
+    """Drop rows of `new_df` whose composite key already exists (J1/J2).
+
+    Set difference by key as a left-anti equi-join; the existing key set
+    is projected to the key columns only (column pruning, S7) and
+    broadcast when small (the per-topic/date key set always is).
+    """
+    existing_keys = existing_df.select(*keys).dropDuplicates(list(keys))
+    if broadcast_existing:
+        existing_keys = F.broadcast(existing_keys)
+    return new_df.join(existing_keys, on=list(keys), how="left_anti")
+
+
+def content_dedup_keep_first(
+    df: DataFrame,
+    content_cols: list[str] | None = None,
+    order_cols: tuple[str, ...] = DEDUP_KEY,
+) -> DataFrame:
+    """Content-hash dedup keeping the first row in `order_cols` order (D2).
+
+    Hash all non-kafka columns (F4, reader:596-618), keep the row with the
+    lowest (partition, offset) — a deterministic sharpening of Polars'
+    row-order-dependent keep="first" (SURVEY 7.3 risk 3).
+    """
+    hashed = df.withColumn("_content_hash", content_hash(df, content_cols))
+    w = Window.partitionBy("_content_hash").orderBy(*[F.col(c).asc() for c in order_cols])
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_content_hash", "_rn")
+    )
+
+
+def exact_dedup_min_key(
+    df: DataFrame, content_cols: list[str] | None = None, order_col: str = "kafka_offset"
+) -> DataFrame:
+    """Keys of surviving rows after exact-content dedup (groupBy form).
+
+    Returns one row per distinct content with the minimal `order_col`.
+    Cheaper than the window when downstream only needs the keys: the
+    map-side partial min() collapses duplicates before the shuffle.
+    """
+    cols = content_cols or content_columns(df)
+    return df.groupBy(*cols).agg(F.min(order_col).alias(order_col))

@@ -1,0 +1,166 @@
+"""Embedding similarity search (ANN) and vector ops.
+
+Training-data-pipeline operators over an `array<float>` embedding column:
+  - brute-force cosine top-k (the exact baseline)
+  - LSH-bucketed ANN via random-hyperplane signatures (the scale path:
+    collapses the O(n*q) pair space to per-bucket joins)
+  - embedding-cosine near-duplicate pairs
+  - per-group vector norm statistics
+
+All dot products / norms are built-in higher-order functions
+(`zip_with` + `aggregate`) — JVM-side, codegen'd, no Python in the hot
+path. Arrays are cast to double before accumulating so results are
+reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def brute_force_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Exact cosine top-k per query vector (the ANN correctness baseline).
+
+    Broadcast the (small) query set against the full corpus, rank with a
+    window per query. One shuffle (rank partitioning by query id); the
+    corpus side streams — at 100 TB this is the plan you want when the
+    query set fits in memory, otherwise use `lsh_bucketed_topk`.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = df.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), on=F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+def random_hyperplane_signature(
+    vec: Column, planes: list[list[float]]
+) -> Column:
+    """Sign-of-dot-product LSH signature as a bit string, e.g. '0110...'.
+
+    `planes` are fixed (seeded driver-side) hyperplane normals; cosine-
+    similar vectors agree on most bits, so bucketing on the signature
+    prefix groups likely neighbors.
+    """
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(float(x)) for x in p])) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucketed_neighbors(
+    df: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_sim: float = 0.0,
+) -> DataFrame:
+    """ANN scale path: bucket by hyperplane signature, join within bucket.
+
+    Recall is tunable by number of planes (fewer planes -> bigger buckets
+    -> higher recall, more compute). Returns candidate pairs with exact
+    cosine, filtered to `min_sim`.
+    """
+    sig = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", random_hyperplane_signature(F.col("v"), planes))
+    left = sig.alias("l")
+    right = sig.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .withColumn("sim", cosine(F.col("l.v"), F.col("r.v")))
+        .filter(F.col("sim") >= min_sim)
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact embedding near-dup pairs: all (a < b) with cosine >= threshold.
+
+    The exact quadratic formulation — correctness oracle for the LSH
+    path; at corpus scale use `lsh_bucketed_neighbors` instead.
+    """
+    v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    n = v.withColumn("norm", norm(F.col("v")))
+    left, right = n.alias("l"), n.alias("r")
+    sim = dot(F.col("l.v"), F.col("r.v")) / (F.col("l.norm") * F.col("r.norm"))
+    return (
+        left.join(right, on=F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
+def norm_stats_by_label(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label vector-norm profile (n, avg/min/max norm)."""
+    with_norm = df.select(
+        F.col(label_col), norm(_as_double(F.col(vec_col))).alias("nrm")
+    )
+    return with_norm.groupBy(label_col).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )

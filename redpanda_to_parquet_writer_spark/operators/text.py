@@ -1,0 +1,280 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond the reference's surface (which has no text ops), these are the
+standard large-corpus curation primitives: tokenization, quality/stopword
+scoring, language-ID heuristics, n-gram shingling, MinHash-LSH and SimHash
+near-dup detection, document fingerprinting.
+
+Design rules:
+  - Everything is built-in `pyspark.sql.functions` expressions — no
+    Python UDFs anywhere in this module, so the whole pipeline stays in
+    whole-stage codegen and scales linearly with executors.
+  - Hashes use md5 hex strings (engine-portable, deterministic) where
+    results must be reproducible outside Spark; xxhash64 where only
+    within-job grouping is needed.
+  - Shingling/minhash are per-row array ops (narrow, no shuffle); only
+    the candidate-pair join shuffles, keyed on band buckets whose
+    cardinality grows with the corpus — exactly what you want at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: default English-ish stopword markers present in the synthetic corpus
+STOPWORDS = ("the", "a")
+
+#: language marker tokens for the n-gram/stopword language-ID heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "la", "y", "los"),
+    "zh": (),  # no-latin-marker fallback
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization -> array<string>."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def with_ngrams(df: DataFrame, text_col: str, n: int, out: str = "ngrams") -> DataFrame:
+    """Word n-gram shingles from whitespace tokens, space-joined.
+
+    Pure array expression (transform over an index sequence) — no UDF,
+    no explode until the caller wants one.
+    """
+    joined = ", ".join(f"__toks[i + {i}]" for i in range(n))
+    # guard: sequence(0, negative) would DESCEND in Spark, so short docs
+    # (< n tokens) must yield an empty shingle set explicitly
+    gram_expr = F.expr(
+        f"CASE WHEN size(__toks) >= {n} "
+        f"THEN transform(sequence(0, size(__toks) - {n}), i -> concat_ws(' ', {joined})) "
+        f"ELSE array() END"
+    )
+    return (
+        df.withColumn("__toks", tokens(text_col))
+        .withColumn(out, gram_expr)
+        .drop("__toks")
+    )
+
+
+def exact_dedup_hash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: md5(text) groups, keep the smallest id (keep-first).
+
+    groupBy formulation — map-side partial min collapses duplicates
+    before the shuffle (cheaper than a window at scale).
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document token stats: n_tokens, avg token length, n_chars."""
+    t = F.col(text_col)
+    n_tokens = token_count(text_col)
+    # single-space corpus: chars-without-spaces / n_tokens == avg token len
+    compact_len = F.length(F.regexp_replace(t, r"\s+", ""))
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(compact_len.cast("double") / n_tokens, 6).alias("avg_token_len"),
+    )
+
+
+def stopword_stats(
+    df: DataFrame, text_col: str, id_col: str, stopwords: tuple[str, ...] = STOPWORDS
+) -> DataFrame:
+    """Stopword count/ratio per doc — a core quality-scoring signal.
+
+    Array expression (filter + size), no explode: stays narrow.
+    """
+    sw_array = F.array(*[F.lit(w) for w in stopwords])
+    toks = tokens(text_col)
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw_array, x)))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        F.round(n_stop.cast("double") / F.size(toks), 6).alias("stopword_ratio"),
+    )
+
+
+def language_id(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    markers: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """Marker-token language-ID heuristic.
+
+    Scores each language by its marker-token count in the document; the
+    argmax (ties broken by language code order) is the prediction, with
+    'und' (undetermined) when no marker hits. Deterministic, pure column
+    expressions.
+    """
+    markers = markers or LANG_MARKERS
+    toks = tokens(text_col)
+    scored = df.select(F.col(id_col), toks.alias("__toks"))
+    langs = sorted(lang for lang, words in markers.items() if words)
+    def _in_markers(words):
+        # single-arg lambda: a 2-arg signature would make Spark pass the
+        # array index as the second argument
+        return lambda x: F.array_contains(words, x)
+
+    for lang in langs:
+        words = F.array(*[F.lit(w) for w in markers[lang]])
+        scored = scored.withColumn(
+            f"__score_{lang}", F.size(F.filter(F.col("__toks"), _in_markers(words)))
+        )
+    best = F.greatest(*[F.col(f"__score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # reversed so the FIRST lang in sorted order wins ties
+    for lang in reversed(langs):
+        pred = F.when(
+            (F.col(f"__score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return scored.select(F.col(id_col), pred.alias("predicted_lang"))
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, ngram_col: str, num_hashes: int = 12
+) -> DataFrame:
+    """MinHash signature: per hash function i, min over shingles of
+    md5(i || ':' || shingle).
+
+    md5-hex lexicographic min is engine-portable (same result in any
+    SQL engine) and needs no integer-overflow care. Per-row array
+    expression — no shuffle, no UDF.
+    """
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col(ngram_col), lambda g, i=i: F.md5(F.concat(F.lit(f"{i}:"), g))
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, num_hashes: int = 12, band_size: int = 3
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature are candidates.
+
+    Scale path for near-dup detection: the O(n^2) pair space collapses to
+    a groupBy on (band_index, band_key) — a single shuffle keyed on
+    content, then tiny per-bucket self-joins.
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col("minhash")[b * band_size + j] for j in range(band_size)]
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sig_df.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.key") == F.col("r.key"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, ngram_col: str, threshold: float
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all doc pairs above threshold.
+
+    Inverted-index join: explode distinct shingles, self-join on shingle,
+    count co-occurrences, |A∪B| = |A| + |B| - |A∩B|. The shingle join is
+    the scalable formulation (no cross join); pair blowup is bounded by
+    shingle-bucket sizes, and in production this runs AFTER LSH banding
+    restricts the pair space.
+    """
+    shingles = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(F.col(ngram_col))).alias("g"))
+    )
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
+    inter = (
+        shingles.alias("l")
+        .join(
+            shingles.alias("r"),
+            on=[
+                F.col("l.g") == F.col("r.g"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash32(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """32-bit SimHash over whitespace tokens.
+
+    Token hash = first 8 hex chars of md5 (engine-portable); per bit,
+    +1/-1 vote weighted by token multiplicity; simhash bit b set when the
+    vote is positive. Pure aggregate expressions over an exploded token
+    frame — one shuffle on id.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    hashed = toks.select(F.col(id_col), h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"bit{b}")
+        for b in range(32)
+    ]
+    agg = hashed.groupBy(id_col).agg(*votes)
+    simhash = None
+    for b in range(32):
+        term = F.when(F.col(f"bit{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        simhash = term if simhash is None else simhash + term
+    return agg.select(F.col(id_col), simhash.alias("simhash"))

@@ -1,0 +1,28 @@
+"""Named query plans + DuckDB oracle SQL.
+
+Each plan module exposes `QUERIES: dict[str, (spark, sf_dir) -> DataFrame]`
+and `ORACLES: dict[str, str]` (ANSI SQL DuckDB can run on the same parquet
+tables). Column names/aliases match exactly between the two — the driver
+sorts columns by name and hash-compares values.
+
+Floating-point convention: any column produced by arithmetic/aggregation
+is `round()`ed to a fixed scale on BOTH sides, so double summation-order
+differences between engines can't flip the hash. Columns that merely copy
+stored values stay exact.
+"""
+
+from redpanda_to_parquet_writer_spark.plans import relational, text_queries, vector_queries
+
+QUERIES = {
+    **relational.QUERIES,
+    **text_queries.QUERIES,
+    **vector_queries.QUERIES,
+}
+
+ORACLES = {
+    **relational.ORACLES,
+    **text_queries.ORACLES,
+    **vector_queries.ORACLES,
+}
+
+__all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,466 @@
+"""Reference-parity relational plans (SURVEY.md section 2) over the
+synthetic tables, each paired with a DuckDB oracle.
+
+The `events` table stands in for the Kafka envelope (FIXTURES.md section
+5): `event_id` ~ kafka_offset, `user_id % 8` ~ kafka_partition, `ts` ~
+kafka_timestamp, `props` ~ the JSON payload.
+
+Plan-quality notes (verified via .explain):
+  - small-dimension joins (region/nation/customer/part) broadcast — no
+    shuffle of the fact side;
+  - top-k plans become TakeOrderedAndProject (no global sort);
+  - aggregates run partial (map-side) before the single shuffle;
+  - filters/projections push into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from redpanda_to_parquet_writer_spark.functions.dates import date_path
+from redpanda_to_parquet_writer_spark.operators.dedup import anti_join_dedup
+from redpanda_to_parquet_writer_spark.sources.parquet import load_table
+
+
+def _partition(col: str = "user_id") -> F.Column:
+    """Synthetic kafka_partition: user_id mod 8 (FIXTURES section 1)."""
+    return F.pmod(F.col(col), F.lit(8)).cast("long")
+
+
+# --- A8 / O3: aggregate + top-k (the reader's documented analytics query,
+#     PARQUET_READER_README.md:417-424) -------------------------------------
+
+def topk_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.max("value").alias("max_value"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy(F.col("total_value").desc(), F.col("event_type").asc())
+        .limit(10)
+    )
+
+
+# --- A1: per-partition max offset (offset recovery, collector:468-530) -----
+
+def offset_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(_partition().alias("kafka_partition"), F.col("event_id"))
+        .groupBy("kafka_partition")
+        .agg(F.max("event_id").alias("max_offset"))
+    )
+
+
+# --- A2: per-partition counts (validation, collector:1456-1461) ------------
+
+def partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(_partition().alias("kafka_partition"))
+        .groupBy("kafka_partition")
+        .agg(F.count("*").alias("n_records"))
+    )
+
+
+# --- A5: distinct values (reader:336) --------------------------------------
+
+def distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select("event_type").distinct()
+
+
+# --- A6: numeric profile (reader:406-443) ----------------------------------
+
+def numeric_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    rows = []
+    for c in ("event_id", "user_id", "value"):
+        rows.append(
+            events.agg(
+                F.lit(c).alias("column"),
+                F.min(F.col(c).cast("double")).alias("min"),
+                F.max(F.col(c).cast("double")).alias("max"),
+                F.round(F.avg(c), 6).alias("mean"),
+                F.round(F.stddev(c), 6).alias("std"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# --- A7: per-column null counts (reader:394-396) ---------------------------
+
+def null_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        *[
+            F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"nulls_{c}")
+            for c in events.columns
+        ]
+    )
+
+
+# --- J1/D1: anti-join key dedup (collector:741-758) ------------------------
+
+def dedup_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        _partition().alias("kafka_partition"),
+        F.col("event_id").alias("kafka_offset"),
+        "event_type",
+    )
+    # "already persisted" keys: every offset with offset % 10 < 3
+    existing = events.filter(F.col("kafka_offset") % 10 < 3)
+    return anti_join_dedup(events, existing).select(
+        "kafka_partition", "kafka_offset", "event_type"
+    )
+
+
+# --- D2: content dedup keep-first (reader:653-710) -------------------------
+
+def dedup_content_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type", "value", "props").orderBy(
+        F.col("event_id").asc()
+    )
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_id", "user_id", "event_type", "value", "props")
+    )
+
+
+# --- P1/P2 flavor: JSON payload extraction + aggregation -------------------
+
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("null_k"),
+        )
+    )
+
+
+# --- F1/T4: event-time date partitioning (collector:863-867) ---------------
+
+def date_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # events.ts reads as epoch-NANOS long (see sources.parquet); the
+    # collector's chain is epoch-ms -> yyyy/MM/dd (collector:863-867)
+    epoch_ms = F.expr("CAST(ts DIV 1000000 AS BIGINT)")
+    return (
+        events.select(date_path(epoch_ms).alias("date_path"), "event_id")
+        .groupBy("date_path")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("event_id").alias("first_offset"),
+            F.max("event_id").alias("last_offset"),
+        )
+    )
+
+
+# --- U1/D1: union + distinct (collector:504-1296 concat usage) -------------
+
+def union_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    a = events.filter(F.col("event_id") % 3 != 0)
+    b = events.filter(F.col("event_id") % 2 == 0)
+    return (
+        a.unionByName(b)
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- TPC-H-style plans over the star schema (generic operator coverage) ----
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan -> filter -> agg -> sort. The flagship."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way join with broadcast dims: region -> nation -> customer -> orders."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on both sides of a 3-way join,
+    then top-10 revenue — plans as broadcast joins + TakeOrderedAndProject."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def top_brands_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("p_brand").asc())
+        .limit(10)
+    )
+
+
+def global_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregates (A3/A4) — exercises parquet aggregate pushdown
+    for count/min/max."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_orderkey").alias("min_orderkey"),
+        F.max("l_orderkey").alias("max_orderkey"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+def running_max_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window extension (SURVEY 2.10): per-user running max over event time."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id", "user_id", F.max("value").over(w).alias("running_max")
+    )
+
+
+QUERIES = {
+    "topk_events_by_type": topk_events_by_type,
+    "offset_recovery": offset_recovery,
+    "partition_counts": partition_counts,
+    "distinct_event_types": distinct_event_types,
+    "numeric_profile_events": numeric_profile_events,
+    "null_counts_events": null_counts_events,
+    "dedup_anti_join": dedup_anti_join,
+    "dedup_content_keep_first": dedup_content_keep_first,
+    "json_extract_props": json_extract_props,
+    "date_partition_counts": date_partition_counts,
+    "union_dedup_count": union_dedup_count,
+    "pricing_summary": pricing_summary,
+    "revenue_by_region": revenue_by_region,
+    "shipping_priority": shipping_priority,
+    "top_brands_by_revenue": top_brands_by_revenue,
+    "global_stats_lineitem": global_stats_lineitem,
+    "running_max_value": running_max_value,
+}
+
+
+ORACLES = {
+    "topk_events_by_type": """
+        SELECT event_type,
+               round(sum(value), 2) AS total_value,
+               round(avg(value), 6) AS avg_value,
+               max(value) AS max_value,
+               count(*) AS n_events
+        FROM events
+        GROUP BY event_type
+        ORDER BY total_value DESC, event_type ASC
+        LIMIT 10
+    """,
+    "offset_recovery": """
+        SELECT user_id % 8 AS kafka_partition, max(event_id) AS max_offset
+        FROM events GROUP BY user_id % 8
+    """,
+    "partition_counts": """
+        SELECT user_id % 8 AS kafka_partition, count(*) AS n_records
+        FROM events GROUP BY user_id % 8
+    """,
+    "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+    "numeric_profile_events": """
+        SELECT 'event_id' AS "column", min(CAST(event_id AS DOUBLE)) AS min,
+               max(CAST(event_id AS DOUBLE)) AS max,
+               round(avg(event_id), 6) AS mean, round(stddev(event_id), 6) AS std
+        FROM events
+        UNION ALL
+        SELECT 'user_id', min(CAST(user_id AS DOUBLE)), max(CAST(user_id AS DOUBLE)),
+               round(avg(user_id), 6), round(stddev(user_id), 6)
+        FROM events
+        UNION ALL
+        SELECT 'value', min(value), max(value),
+               round(avg(value), 6), round(stddev(value), 6)
+        FROM events
+    """,
+    "null_counts_events": """
+        SELECT count(*) FILTER (event_id IS NULL) AS nulls_event_id,
+               count(*) FILTER (ts IS NULL) AS nulls_ts,
+               count(*) FILTER (user_id IS NULL) AS nulls_user_id,
+               count(*) FILTER (event_type IS NULL) AS nulls_event_type,
+               count(*) FILTER (value IS NULL) AS nulls_value,
+               count(*) FILTER (props IS NULL) AS nulls_props
+        FROM events
+    """,
+    "dedup_anti_join": """
+        WITH keyed AS (
+          SELECT user_id % 8 AS kafka_partition, event_id AS kafka_offset, event_type
+          FROM events
+        )
+        SELECT kafka_partition, kafka_offset, event_type
+        FROM keyed k
+        WHERE NOT EXISTS (
+          SELECT 1 FROM keyed e
+          WHERE e.kafka_offset % 10 < 3
+            AND e.kafka_partition = k.kafka_partition
+            AND e.kafka_offset = k.kafka_offset
+        )
+    """,
+    "dedup_content_keep_first": """
+        SELECT event_id, user_id, event_type, value, props
+        FROM events
+        QUALIFY row_number() OVER (
+          PARTITION BY user_id, event_type, value, props ORDER BY event_id ASC
+        ) = 1
+    """,
+    "json_extract_props": """
+        SELECT event_type,
+               sum(k) AS sum_k,
+               round(avg(k), 6) AS avg_k,
+               count(*) FILTER (k IS NULL) AS null_k
+        FROM (
+          SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events
+        )
+        GROUP BY event_type
+    """,
+    "date_partition_counts": """
+        SELECT strftime(ts, '%Y/%m/%d') AS date_path,
+               count(*) AS n,
+               min(event_id) AS first_offset,
+               max(event_id) AS last_offset
+        FROM events GROUP BY 1
+    """,
+    "union_dedup_count": """
+        WITH unioned AS (
+          SELECT event_id, event_type FROM events WHERE event_id % 3 != 0
+          UNION ALL
+          SELECT event_id, event_type FROM events WHERE event_id % 2 = 0
+        )
+        SELECT event_type, count(*) AS n
+        FROM (SELECT DISTINCT event_id, event_type FROM unioned)
+        GROUP BY event_type
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "revenue_by_region": """
+        SELECT r_name,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "shipping_priority": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "top_brands_by_revenue": """
+        SELECT p_brand,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(sum(l_quantity), 2) AS total_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+        ORDER BY revenue DESC, p_brand ASC
+        LIMIT 10
+    """,
+    "global_stats_lineitem": """
+        SELECT count(*) AS n_rows,
+               min(l_orderkey) AS min_orderkey,
+               max(l_orderkey) AS max_orderkey,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(DISTINCT l_partkey) AS n_parts
+        FROM lineitem
+    """,
+    "running_max_value": """
+        SELECT event_id, user_id,
+               max(value) OVER (
+                 PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS running_max
+        FROM events
+    """,
+}

@@ -1,0 +1,196 @@
+"""Text / document-curation plans over the `documents` table, paired with
+DuckDB oracles.
+
+These are the training-data-pipeline operators (exact dedup, MinHash-LSH,
+n-gram Jaccard, SimHash, token/quality stats, language-ID) expressed as
+portable deterministic pipelines: every hash is md5-based so the DuckDB
+oracle reproduces Spark's results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from redpanda_to_parquet_writer_spark.operators import text as T
+from redpanda_to_parquet_writer_spark.sources.parquet import load_table
+
+NGRAM_N = 3
+NUM_HASHES = 12
+BAND_SIZE = 3
+JACCARD_THRESHOLD = 0.4
+
+
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.exact_dedup_hash(docs, "text", "doc_id")
+
+
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.token_stats(docs, "text", "doc_id")
+
+
+def docs_stopword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.stopword_stats(docs, "text", "doc_id")
+
+
+def docs_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.language_id(docs, "text", "doc_id")
+
+
+def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = T.with_ngrams(docs, "text", NGRAM_N)
+    sig = T.minhash_signature(grams, "doc_id", "ngrams", NUM_HASHES)
+    return T.lsh_candidate_pairs(sig, "doc_id", NUM_HASHES, BAND_SIZE)
+
+
+def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = T.with_ngrams(docs, "text", NGRAM_N)
+    return T.jaccard_pairs(grams, "doc_id", "ngrams", JACCARD_THRESHOLD)
+
+
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.simhash32(docs, "text", "doc_id")
+
+
+QUERIES = {
+    "docs_exact_dedup": docs_exact_dedup,
+    "docs_token_stats": docs_token_stats,
+    "docs_stopword_stats": docs_stopword_stats,
+    "docs_language_id": docs_language_id,
+    "docs_minhash_lsh_pairs": docs_minhash_lsh_pairs,
+    "docs_jaccard_pairs": docs_jaccard_pairs,
+    "docs_simhash": docs_simhash,
+}
+
+# Shared SQL fragments for the oracles. DuckDB list indexing is 1-based
+# (Spark's element_at-style bracket on transform(sequence...) below is
+# 0-based via the generated index), so the gram builder uses i..i+2 over
+# generate_series(1, len-2).
+_GRAMS_CTE = f"""
+  grams AS (
+    SELECT doc_id,
+           list_transform(
+             generate_series(1, len(toks) - {NGRAM_N - 1}),
+             i -> concat_ws(' ', {", ".join(f"toks[i + {j}]" for j in range(NGRAM_N))})
+           ) AS ngrams
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+  )
+"""
+
+_SIG_CTE = f"""
+  sig AS (
+    SELECT doc_id,
+           [{", ".join(f"list_min(list_transform(ngrams, g -> md5('{i}:' || g)))" for i in range(NUM_HASHES))}] AS minhash
+    FROM grams
+  )
+"""
+
+_N_BANDS = NUM_HASHES // BAND_SIZE
+
+ORACLES = {
+    "docs_exact_dedup": """
+        SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
+        FROM documents GROUP BY md5(text)
+    """,
+    "docs_token_stats": """
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               round(
+                 CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                 / len(string_split_regex(trim(text), '\\s+')), 6
+               ) AS avg_token_len
+        FROM documents
+    """,
+    "docs_stopword_stats": """
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stopwords,
+               round(CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+                     / len(toks), 6) AS stopword_ratio
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+    """,
+    "docs_language_id": """
+        WITH scored AS (
+          SELECT doc_id,
+                 len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) AS s_en,
+                 len(list_filter(toks, x -> x IN ('der', 'die', 'und', 'das'))) AS s_de,
+                 len(list_filter(toks, x -> x IN ('le', 'la', 'et', 'les'))) AS s_fr,
+                 len(list_filter(toks, x -> x IN ('el', 'la', 'y', 'los'))) AS s_es
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+        )
+        SELECT doc_id,
+               CASE
+                 WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                 WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                 WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                 WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                 ELSE 'fr'
+               END AS predicted_lang
+        FROM scored
+    """,
+    "docs_minhash_lsh_pairs": f"""
+        WITH {_GRAMS_CTE}, {_SIG_CTE},
+        bands AS (
+          SELECT doc_id, b.band, b.key
+          FROM sig, LATERAL unnest([
+            {", ".join(
+                "{'band': %d, 'key': concat_ws('|', %s)}" % (
+                    b, ", ".join(f"minhash[{b * BAND_SIZE + j + 1}]" for j in range(BAND_SIZE))
+                )
+                for b in range(_N_BANDS)
+            )}
+          ]) t(b)
+        )
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    """,
+    "docs_jaccard_pairs": f"""
+        WITH {_GRAMS_CTE},
+        shingles AS (
+          SELECT DISTINCT doc_id, g
+          FROM grams, LATERAL unnest(ngrams) t(g)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+          SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS common
+          FROM shingles l JOIN shingles r ON l.g = r.g AND l.doc_id < r.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= {JACCARD_THRESHOLD}
+    """,
+    "docs_simhash": f"""
+        WITH toks AS (
+          SELECT doc_id, CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) AS h
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+               LATERAL unnest(t) u(tok)
+        ),
+        votes AS (
+          SELECT doc_id,
+                 {", ".join(
+                     f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS bit{b}"
+                     for b in range(32)
+                 )}
+          FROM toks GROUP BY doc_id
+        )
+        SELECT doc_id,
+               {" + ".join(
+                   f"(CASE WHEN bit{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END)"
+                   for b in range(32)
+               )} AS simhash
+        FROM votes
+    """,
+}

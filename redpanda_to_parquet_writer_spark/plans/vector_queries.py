@@ -1,0 +1,109 @@
+"""Embedding similarity plans over the `embeddings` table, paired with
+DuckDB oracles.
+
+Floating-point discipline: embeddings are float32 on disk; both engines
+cast to double BEFORE any arithmetic and results round to 6 decimals, so
+summation-order differences can't flip the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from redpanda_to_parquet_writer_spark.operators import similarity as S
+from redpanda_to_parquet_writer_spark.sources.parquet import load_table
+
+TOPK_K = 3
+N_QUERY_VECS = 5
+NEARDUP_THRESHOLD = 0.2
+
+# DuckDB-side exact dot/norm over DOUBLE[] (explicit lambda arithmetic
+# rather than list_cosine_similarity, which computes in float32)
+_DOT = (
+    "list_sum(list_transform(generate_series(1, len(av)), i -> av[i] * bv[i]))"
+)
+_NORM_A = "sqrt(list_sum(list_transform(av, x -> x * x)))"
+_NORM_B = "sqrt(list_sum(list_transform(bv, x -> x * x)))"
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return S.brute_force_topk(emb, queries, "vec_id", "embedding", TOPK_K)
+
+
+def embeddings_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # restrict the exact-quadratic check to one label's vectors: the
+    # realistic shape (LSH/bucketed prefilter, then exact verify)
+    subset = emb.filter(F.col("label") == 0)
+    return S.cosine_neardup_pairs(subset, "vec_id", "embedding", NEARDUP_THRESHOLD)
+
+
+def embeddings_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.norm_stats_by_label(emb, "label", "embedding")
+
+
+QUERIES = {
+    "ann_cosine_topk": ann_cosine_topk,
+    "embeddings_neardup_pairs": embeddings_neardup_pairs,
+    "embeddings_norm_stats": embeddings_norm_stats,
+}
+
+ORACLES = {
+    "ann_cosine_topk": f"""
+        WITH pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 CAST(q.embedding AS DOUBLE[]) AS av,
+                 CAST(c.embedding AS DOUBLE[]) AS bv
+          FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+          WHERE q.vec_id < {N_QUERY_VECS}
+        ),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 {_DOT} / ({_NORM_A} * {_NORM_B}) AS sim
+          FROM pairs
+        )
+        SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
+        FROM (
+          SELECT query_id, neighbor_id, sim,
+                 row_number() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+                 ) AS rank
+          FROM scored
+        )
+        WHERE rank <= {TOPK_K}
+    """,
+    "embeddings_neardup_pairs": f"""
+        WITH vecs AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE label = 0
+        ),
+        pairs AS (
+          SELECT l.vec_id AS id_a, r.vec_id AS id_b, l.v AS av, r.v AS bv
+          FROM vecs l JOIN vecs r ON l.vec_id < r.vec_id
+        )
+        SELECT id_a, id_b, round(sim, 6) AS sim
+        FROM (
+          SELECT id_a, id_b,
+                 {_DOT} / ({_NORM_A} * {_NORM_B}) AS sim
+          FROM pairs
+        )
+        WHERE sim >= {NEARDUP_THRESHOLD}
+    """,
+    "embeddings_norm_stats": """
+        SELECT label,
+               count(*) AS n,
+               round(avg(nrm), 6) AS avg_norm,
+               round(min(nrm), 6) AS min_norm,
+               round(max(nrm), 6) AS max_norm
+        FROM (
+          SELECT label,
+                 sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+          FROM embeddings
+        )
+        GROUP BY label
+    """,
+}

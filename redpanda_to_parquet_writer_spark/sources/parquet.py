@@ -1,0 +1,88 @@
+"""Parquet table access.
+
+Covers the reference reader's scan surface (SURVEY.md section 2.1):
+  - S6 full scan            -> spark.read.parquet(path)
+  - S7 projected scan       -> .select(cols): Catalyst prunes columns down
+                               to the parquet reader (ReadSchema)
+  - S8 schema-only scan     -> .schema (footer-only, no data read)
+  - S9 recursive discovery  -> glob paths / recursiveFileLookup
+  - P9 date partition prune -> filter on partition column, pruned by
+                               Catalyst without touching data files
+
+Reference citations: parquet_to_polars.py:288-302 (load_parquet),
+redpanda_to_parquet_collector.py:496-550 (projected offset-recovery reads),
+collector:448 (schema-only read).
+
+At 100 TB the same calls hold: a projected + filtered read of a
+hive-partitioned table prunes partitions at planning time and row groups
+via parquet min/max stats, so "read two columns of one day" never scans
+the other 364 days.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver-generated synthetic tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _ensure_parquet_confs(spark: SparkSession) -> None:
+    # events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
+    # the legacy flag reads it as LongType (epoch nanoseconds). Set at
+    # runtime so it also holds under externally-created sessions.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Full scan of one synthetic table (S6)."""
+    _ensure_parquet_confs(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES) -> None:
+    """Register each table as a temp view for spark.sql() plans."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_schema(spark: SparkSession, path: str):
+    """Schema-only read (S8) — parquet footer metadata, no data IO."""
+    return spark.read.parquet(path).schema
+
+
+def read_partitioned(
+    spark: SparkSession,
+    root: str,
+    columns: list[str] | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Read a partitioned table root (S9/S10 layout), optionally projected
+    (S7) and with schema merging across versioned writes (SURVEY 1.4).
+    """
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(root)
+    if columns:
+        df = df.select(*columns)
+    return df
