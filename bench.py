@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query executes its full plan via the `noop` sink (runs every stage,
+skips result serialization to the driver) so timings measure the engine,
+not collect().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from redpanda_to_parquet_writer_spark.config import EngineConfig
+from redpanda_to_parquet_writer_spark.plans import QUERIES
+from redpanda_to_parquet_writer_spark.session import get_spark
+
+#: headline set: reference-parity pipeline shapes + the scale-relevant
+#: training-data ops (quadratic "oracle"-shaped variants excluded — their
+#: scale path is the LSH one, which IS included)
+HEADLINE = [
+    "pricing_summary",
+    "topk_events_by_type",
+    "offset_recovery",
+    "date_partition_counts",
+    "json_extract_props",
+    "dedup_anti_join",
+    "dedup_content_keep_first",
+    "union_dedup_count",
+    "revenue_by_region",
+    "shipping_priority",
+    "top_brands_by_revenue",
+    "global_stats_lineitem",
+    "running_max_value",
+    "docs_exact_dedup",
+    "docs_token_stats",
+    "docs_minhash_lsh_pairs",
+    "docs_simhash",
+    "ann_cosine_topk",
+    "embeddings_norm_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    cfg = EngineConfig(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark = get_spark(cfg, app_name="bench")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = QUERIES[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()  # warm (JIT + IO cache)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

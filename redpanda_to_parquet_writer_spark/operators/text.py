@@ -158,15 +158,14 @@ def minhash_signature(
     SQL engine) and needs no integer-overflow care. Per-row array
     expression — no shuffle, no UDF.
     """
+    def _hash_i(i):
+        return lambda g: F.md5(F.concat(F.lit(f"{i}:"), g))
+
+    # min over the shingle SET == min over the multiset, so dedupe first:
+    # saves num_hashes * (dup factor) md5 calls per row
+    distinct_grams = F.array_distinct(F.col(ngram_col))
     sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col(ngram_col), lambda g, i=i: F.md5(F.concat(F.lit(f"{i}:"), g))
-                )
-            )
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(distinct_grams, _hash_i(i))) for i in range(num_hashes)]
     )
     return df.select(F.col(id_col), sig.alias("minhash"))
 

@@ -70,6 +70,24 @@ def read_schema(spark: SparkSession, path: str):
     return spark.read.parquet(path).schema
 
 
+def read_versioned_union(spark: SparkSession, root: str) -> DataFrame:
+    """Union a base table with its schema-version siblings (`<root>_v*`).
+
+    The read-side counterpart of the sink's drift routing (SURVEY 1.4):
+    versions are separate partitioned roots, so each is read with its own
+    partition discovery and the results union by name with missing
+    columns nulled (U1 semantics).
+    """
+    import glob as _glob
+
+    paths = [root] + sorted(_glob.glob(f"{root}_v*"))
+    dfs = [spark.read.parquet(p) for p in paths]
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
 def read_partitioned(
     spark: SparkSession,
     root: str,

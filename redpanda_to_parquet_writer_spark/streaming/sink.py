@@ -1,0 +1,103 @@
+"""Date-partitioned Parquet sink + offset recovery.
+
+Reference parity (SURVEY 2.1/2.9):
+  - S10 date-partitioned sink: one partition per event-time date
+    (collector:636-841, 863-867). We use hive layout
+    `topic=<t>/date=YYYY-MM-DD/` so Catalyst prunes partitions natively
+    (SURVEY 4: prefer hive layout over bare YYYY/MM/DD dirs).
+  - S11 parallel partition writes: free — Spark writes all partitions as
+    parallel tasks of one job.
+  - S12 atomic write: free — the file-commit protocol stages task output
+    and renames on commit.
+  - O1 clustered storage: sortWithinPartitions(partition, offset) orders
+    rows inside each file without a global sort.
+  - T1 offset recovery: `existing_max_offsets` re-derives per-partition
+    resume offsets by scanning ONLY the key columns of the output
+    (projected read, S7 — Catalyst prunes to 2 columns), exactly the
+    reference's `get_existing_max_offsets` (collector:468-530). Used as
+    the cross-run backstop when no checkpoint exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from redpanda_to_parquet_writer_spark.config import EngineConfig
+from redpanda_to_parquet_writer_spark.functions.dates import event_date
+from redpanda_to_parquet_writer_spark.operators.dedup import anti_join_dedup
+
+
+def with_event_date(df: DataFrame, ts_col: str = "kafka_timestamp") -> DataFrame:
+    """Attach the event-time date partition column (F1/T4).
+
+    Null-timestamp rows are dropped first, as the collector does before
+    writing (P5, collector:1299).
+    """
+    return df.filter(F.col(ts_col).isNotNull()).withColumn("date", event_date(ts_col))
+
+
+def write_date_partitioned(
+    df: DataFrame,
+    root: str,
+    cfg: EngineConfig | None = None,
+    mode: str = "append",
+) -> None:
+    """Write a prepared (date-columned) frame as hive-partitioned Parquet.
+
+    zstd + large row groups per the reference's compression findings
+    (collector:97-99); clustered by (partition, offset) inside each file
+    (O1, collector:858-860).
+    """
+    cfg = cfg or EngineConfig()
+    sort_cols = [c for c in ("kafka_topic", "kafka_partition", "kafka_offset") if c in df.columns]
+    out = df.sortWithinPartitions(*sort_cols) if sort_cols else df
+    (
+        out.write.partitionBy("date")
+        .option("compression", cfg.compression)
+        .option("parquet.block.size", str(cfg.parquet_block_bytes))
+        .mode(mode)
+        .parquet(root)
+    )
+
+
+def existing_max_offsets(spark: SparkSession, root: str) -> dict[int, int]:
+    """Per-partition max persisted offset from the sink itself (T1).
+
+    Projected scan of 2 columns + group-by-max (A1) — the reference's
+    resume recovery (collector:468-530), kept as the backstop for
+    checkpoint loss (SURVEY 7.3 risk 2).
+    """
+    try:
+        df = spark.read.parquet(root)
+    except Exception:
+        return {}
+    rows = (
+        df.select("kafka_partition", "kafka_offset")
+        .groupBy("kafka_partition")
+        .agg(F.max("kafka_offset").alias("max_offset"))
+        .collect()
+    )
+    return {int(r["kafka_partition"]): int(r["max_offset"]) for r in rows}
+
+
+def merge_dedup_append(
+    spark: SparkSession,
+    new_df: DataFrame,
+    root: str,
+    keys: tuple[str, ...] = ("kafka_partition", "kafka_offset"),
+    cfg: EngineConfig | None = None,
+) -> None:
+    """Idempotent append: anti-join new rows against persisted keys (J2).
+
+    The merge-phase dedup (collector:1003-1010) — run inside foreachBatch
+    or as the batch-mode write path when SKIP_DEDUPLICATION=false. The
+    existing side reads ONLY the key columns (projected scan) and is
+    broadcast.
+    """
+    try:
+        existing = spark.read.parquet(root).select(*keys)
+        deduped = anti_join_dedup(new_df, existing, keys)
+    except Exception:
+        deduped = new_df  # first write: nothing to dedup against
+    write_date_partitioned(deduped, root, cfg, mode="append")
