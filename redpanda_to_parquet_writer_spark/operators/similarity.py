@@ -90,37 +90,66 @@ def random_hyperplane_signature(
 
 def lsh_bucketed_neighbors(
     df: DataFrame,
-    planes: list[list[float]],
+    planes: list[list[float]] | list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_sim: float = 0.0,
 ) -> DataFrame:
-    """ANN scale path: bucket by hyperplane signature, join within bucket.
+    """ANN scale path: multi-table random-hyperplane LSH.
 
-    Recall is tunable by number of planes (fewer planes -> bigger buckets
-    -> higher recall, more compute). Returns candidate pairs with exact
-    cosine, filtered to `min_sim`.
+    `planes` is either one table (list of hyperplanes) or L tables (list
+    of lists of hyperplanes). Candidates = pairs sharing a bucket in ANY
+    table (recall = 1-(1-p^k)^L: k planes per table sets precision, L
+    tables sets recall); every candidate is then verified with exact
+    cosine and filtered to `min_sim`, so precision is exact.
+
+    Shuffle profile: one explode (L rows per vector) + one shuffle keyed
+    on (table, bucket) + per-bucket joins — the O(n^2) pair space never
+    materializes, which is the whole point at corpus scale.
     """
-    sig = df.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", random_hyperplane_signature(F.col("v"), planes))
+    if planes and isinstance(planes[0][0], (int, float)):
+        tables: list[list[list[float]]] = [planes]  # single table
+    else:
+        tables = planes
+    base = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    sig = base.select(
+        id_col,
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        random_hyperplane_signature(F.col("v"), tbl).alias("bucket"),
+                    )
+                    for t, tbl in enumerate(tables)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "v", F.col("b.table").alias("table"), F.col("b.bucket").alias("bucket"))
     left = sig.alias("l")
     right = sig.alias("r")
-    return (
+    candidates = (
         left.join(
             right,
             on=[
+                F.col("l.table") == F.col("r.table"),
                 F.col("l.bucket") == F.col("r.bucket"),
                 F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
             ],
         )
-        .withColumn("sim", cosine(F.col("l.v"), F.col("r.v")))
-        .filter(F.col("sim") >= min_sim)
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.round("sim", 6).alias("sim"),
+            F.col("l.v").alias("av"),
+            F.col("r.v").alias("bv"),
         )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        candidates.withColumn("sim", cosine(F.col("av"), F.col("bv")))
+        .filter(F.col("sim") >= min_sim)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
     )
 
 

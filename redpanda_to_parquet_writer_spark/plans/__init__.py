@@ -11,18 +11,25 @@ differences between engines can't flip the hash. Columns that merely copy
 stored values stay exact.
 """
 
-from redpanda_to_parquet_writer_spark.plans import relational, text_queries, vector_queries
+from redpanda_to_parquet_writer_spark.plans import (
+    multimodal_queries,
+    relational,
+    text_queries,
+    vector_queries,
+)
 
 QUERIES = {
     **relational.QUERIES,
     **text_queries.QUERIES,
     **vector_queries.QUERIES,
+    **multimodal_queries.QUERIES,
 }
 
 ORACLES = {
     **relational.ORACLES,
     **text_queries.ORACLES,
     **vector_queries.ORACLES,
+    **multimodal_queries.ORACLES,
 }
 
 __all__ = ["QUERIES", "ORACLES"]

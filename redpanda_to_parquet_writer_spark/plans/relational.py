@@ -275,6 +275,51 @@ def global_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join, customer and supplier co-located in
+    the same nation, revenue per nation within one region. Dims broadcast;
+    the lineitem<->orders join is the only shuffle."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(
+            F.broadcast(customer),
+            (orders.o_custkey == customer.c_custkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    )
+
+
+def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregate (the T9 extension): batch
+    form of the streaming windowed agg, on the event timestamp."""
+    events = load_table(spark, sf_dir, "events")
+    ts = F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+    return (
+        events.select(F.window(ts, "1 hour").alias("w"), "value")
+        .groupBy(F.col("w.start").alias("window_start"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
 def running_max_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window extension (SURVEY 2.10): per-user running max over event time."""
     events = load_table(spark, sf_dir, "events")
@@ -305,6 +350,8 @@ QUERIES = {
     "shipping_priority": shipping_priority,
     "top_brands_by_revenue": top_brands_by_revenue,
     "global_stats_lineitem": global_stats_lineitem,
+    "local_supplier_volume": local_supplier_volume,
+    "hourly_event_stats": hourly_event_stats,
     "running_max_value": running_max_value,
 }
 
@@ -454,6 +501,27 @@ ORACLES = {
                round(sum(l_quantity), 2) AS sum_qty,
                count(DISTINCT l_partkey) AS n_parts
         FROM lineitem
+    """,
+    "local_supplier_volume": """
+        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name
+    """,
+    "hourly_event_stats": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value,
+               round(avg(value), 6) AS avg_value
+        FROM events
+        GROUP BY 1
     """,
     "running_max_value": """
         SELECT event_id, user_id,

@@ -1,0 +1,128 @@
+"""Reader API + validation + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from redpanda_to_parquet_writer_spark.config import EngineConfig
+from redpanda_to_parquet_writer_spark.operators.multimodal import (
+    MEDIA_META_SCHEMA,
+    DECODED_IMAGE_SCHEMA,
+    fake_image_codec,
+    map_media_batches,
+    with_media_metadata,
+)
+from redpanda_to_parquet_writer_spark.operators.validate import (
+    ERROR,
+    PASS,
+    WARNING,
+    external_completeness,
+    internal_consistency,
+)
+from redpanda_to_parquet_writer_spark import reader as R
+
+
+@pytest.fixture
+def table_base(spark, tmp_path):
+    """Two topic tables with date partitions, built through the sink."""
+    from tests.test_streaming_ingest import _envelope_df, flatten_via_pipeline
+    from redpanda_to_parquet_writer_spark.streaming.sink import (
+        with_event_date,
+        write_date_partitioned,
+    )
+
+    base = tmp_path / "tables"
+    for topic in ("spx_index", "es_futures"):
+        df = with_event_date(flatten_via_pipeline(spark, _envelope_df(spark, n=48)))
+        write_date_partitioned(df, str(base / topic), EngineConfig())
+    return str(base)
+
+
+def test_discovery_and_batch_load(spark, table_base):
+    assert R.get_available_topics(table_base) == ["es_futures", "spx_index"]
+    dates = R.get_available_dates(table_base)
+    assert "2024-01-01" in dates and len(dates) >= 2
+    assert R.get_topics_for_date(table_base, "2024-01-01") == ["es_futures", "spx_index"]
+
+    bundles = R.load_topics_batch(spark, table_base, date="2024-01-01")
+    assert set(bundles) == {"es_futures", "spx_index"}
+    assert bundles["spx_index"].sec_type == "IND"
+    assert bundles["es_futures"].sec_type == "FUT"
+    # date pruning: only 2024-01-01 rows (first 24 hourly offsets)
+    assert bundles["spx_index"].dataframe.count() == 24
+
+
+def test_date_prune_plan(spark, table_base):
+    """P9: the date filter must prune partitions, not scan-and-filter."""
+    df = R.load_topic(spark, table_base, "spx_index", "2024-01-01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(date" in plan, plan[:2000]
+
+
+def test_analyze_table(spark, table_base):
+    df = R.load_topic(spark, table_base, "spx_index")
+    s = R.analyze_table(df)
+    assert s.n_rows == 48
+    assert ("symbol", "string") in s.columns
+    assert s.null_counts["symbol"] == 0
+    profiled = {p["column"] for p in s.numeric_profile}
+    assert "price" in profiled and "kafka_offset" in profiled
+    assert len(s.preview) == 5
+
+
+def test_deduplicate_table_snapshot(spark, table_base, tmp_path):
+    # duplicate content at different offsets -> keep-first removes them
+    topic_dir = f"{table_base}/spx_index"
+    df = spark.read.parquet(topic_dir)
+    dup = df.limit(10).withColumn("kafka_offset", F.col("kafka_offset") + 1000)
+    dup.write.partitionBy("date").mode("append").parquet(topic_dir)
+
+    result = R.deduplicate_table(spark, table_base, "spx_index")
+    assert result == {"before": 58, "after": 48, "removed": 10}
+    # original untouched (backup semantics)
+    assert spark.read.parquet(topic_dir).count() == 58
+
+
+def test_internal_consistency(spark, table_base):
+    root = f"{table_base}/spx_index"
+    assert internal_consistency(spark, root, 48).status == PASS
+    assert internal_consistency(spark, root, 50).status == ERROR
+    assert internal_consistency(spark, root, 40).status == WARNING
+
+
+def test_external_completeness(spark, table_base):
+    root = f"{table_base}/spx_index"
+    # offsets 0..47 round-robin over 4 partitions -> 12 rows each
+    report = external_completeness(spark, root, {0: 12, 1: 12, 2: 13, 3: 11})
+    rows = {r["kafka_partition"]: r for r in report.collect()}
+    assert rows[0]["status"] == PASS
+    assert rows[2]["status"] == ERROR and rows[2]["missing"] == 1
+    assert rows[3]["status"] == WARNING
+
+
+def test_multimodal_metadata_and_codec(spark):
+    rows = [
+        (1, bytes([0xFF, 0xD8, 0xFF, 0xE0]) + b"jpegdata"),
+        (2, bytes([0x89, 0x50, 0x4E, 0x47]) + b"pngdata"),
+        (3, b"\x00\x01plainbytes"),
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    meta = with_media_metadata(df, "blob").select("id", "media_meta.*")
+    got = {r["id"]: r for r in meta.collect()}
+    assert got[1]["format"] == "jpeg" and got[2]["format"] == "png"
+    assert got[3]["format"] == "unknown"
+    assert got[1]["n_bytes"] == 12
+    assert len(got[1]["content_hash"]) == 32
+
+    decoded = map_media_batches(df, "blob", DECODED_IMAGE_SCHEMA, codec=fake_image_codec)
+    out = {r["id"]: r for r in decoded.collect()}
+    assert set(decoded.columns) == {"id", "width", "height", "channels"}
+    assert out[1]["width"] == 1 + 0xFF % 64 and out[1]["channels"] == 3
+
+
+def test_multimodal_stub_raises_cleanly(spark):
+    df = spark.createDataFrame([(1, b"x")], "id long, blob binary")
+    decoded = map_media_batches(df, "blob", DECODED_IMAGE_SCHEMA)  # stub codec
+    with pytest.raises(Exception, match="imaging library"):
+        decoded.collect()

@@ -1,0 +1,55 @@
+"""Similarity-search operators: LSH scale path vs brute-force baseline."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from redpanda_to_parquet_writer_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_neardup_pairs,
+    lsh_bucketed_neighbors,
+)
+from redpanda_to_parquet_writer_spark.sources.parquet import load_table
+
+
+def _planes(n_planes: int, dim: int, seed: int = 7):
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _tables(n_tables: int, n_planes: int, dim: int, seed: int = 7):
+    return [_planes(n_planes, dim, seed + t) for t in range(n_tables)]
+
+
+def test_lsh_pairs_subset_of_exact_and_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_pairs(emb, threshold=0.2).collect()
+    }
+    assert exact, "fixture should contain some similar pairs at 0.2"
+    # L=8 tables of k=2 planes: recall = 1-(1-p^2)^8, ~0.95 at cos 0.2
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_bucketed_neighbors(emb, _tables(8, 2, 64), min_sim=0.2).collect()
+    }
+    assert lsh <= exact  # candidates are verified with exact cosine
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.8, f"recall {recall} too low for 8x2 LSH tables"
+
+
+def test_brute_force_topk_sane(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    top = brute_force_topk(emb, queries, k=5).collect()
+    assert len(top) == 15
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        sims = [r["sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rows)
