@@ -151,23 +151,35 @@ def language_id(
 def minhash_signature(
     df: DataFrame, id_col: str, ngram_col: str, num_hashes: int = 12
 ) -> DataFrame:
-    """MinHash signature: per hash function i, min over shingles of
-    md5(i || ':' || shingle).
+    """MinHash signature via double hashing: one md5 per shingle yields
+    two 32-bit values (h1, h2); hash function i is h1 + i*h2
+    (Kirsch-Mitzenmacher), so k functions cost ONE digest + k adds
+    instead of k digests — ~10x less CPU on the corpus-size hot path.
 
-    md5-hex lexicographic min is engine-portable (same result in any
-    SQL engine) and needs no integer-overflow care. Per-row array
-    expression — no shuffle, no UDF.
+    Engine-portable (md5 hex + integer arithmetic reproduce exactly in
+    any SQL engine). Per-row array expressions — no shuffle, no UDF; min
+    over the shingle SET equals min over the multiset, so dedupe first.
     """
-    def _hash_i(i):
-        return lambda g: F.md5(F.concat(F.lit(f"{i}:"), g))
-
-    # min over the shingle SET == min over the multiset, so dedupe first:
-    # saves num_hashes * (dup factor) md5 calls per row
-    distinct_grams = F.array_distinct(F.col(ngram_col))
-    sig = F.array(
-        *[F.array_min(F.transform(distinct_grams, _hash_i(i))) for i in range(num_hashes)]
+    digests = F.transform(F.array_distinct(F.col(ngram_col)), lambda g: F.md5(g))
+    pairs = F.transform(
+        digests,
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
+        ),
     )
-    return df.select(F.col(id_col), sig.alias("minhash"))
+    tmp = df.select(F.col(id_col), pairs.alias("__hp"))
+
+    def _minhash_i(i):
+        return lambda p: p["h1"] + F.lit(i) * p["h2"]
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("__hp"), _minhash_i(i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return tmp.select(F.col(id_col), sig.alias("minhash"))
 
 
 def lsh_candidate_pairs(

@@ -333,6 +333,54 @@ def running_max_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation (ROLLUP): per (type, partition), per type,
+    and grand total in one pass — Spark expands grouping sets, one
+    shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select("event_type", _partition().alias("kafka_partition"), "value")
+        .rollup("event_type", "kafka_partition")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type to columns (counts per user bucket)."""
+    events = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.select(F.pmod("user_id", F.lit(10)).cast("long").alias("user_bucket"), "event_type")
+        .groupBy("user_bucket")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
+def events_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-set EXCEPT/INTERSECT (U-extension): ids in the high-value set
+    but not the error set, unioned with ids in both click and view."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    high = events.filter(F.col("value") > 50).select("event_id")
+    errors = events.filter(F.col("event_type") == "error").select("event_id")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.pmod("event_id", F.lit(1000)).alias("bucket")
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.pmod("event_id", F.lit(1000)).alias("bucket")
+    )
+    a = high.exceptAll(errors).select(F.col("event_id").alias("id")).withColumn(
+        "src", F.lit("high_not_error")
+    )
+    b = (
+        clicks.intersect(views)
+        .select(F.col("bucket").alias("id"))
+        .withColumn("src", F.lit("click_and_view_bucket"))
+    )
+    return a.unionByName(b)
+
+
 QUERIES = {
     "topk_events_by_type": topk_events_by_type,
     "offset_recovery": offset_recovery,
@@ -353,6 +401,9 @@ QUERIES = {
     "local_supplier_volume": local_supplier_volume,
     "hourly_event_stats": hourly_event_stats,
     "running_max_value": running_max_value,
+    "events_rollup": events_rollup,
+    "events_pivot": events_pivot,
+    "events_except_intersect": events_except_intersect,
 }
 
 
@@ -530,5 +581,34 @@ ORACLES = {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS running_max
         FROM events
+    """,
+    "events_rollup": """
+        SELECT event_type, user_id % 8 AS kafka_partition,
+               count(*) AS n, round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY ROLLUP (event_type, user_id % 8)
+    """,
+    "events_pivot": """
+        SELECT user_id % 10 AS user_bucket,
+               count(*) FILTER (event_type = 'click') AS click,
+               count(*) FILTER (event_type = 'error') AS error,
+               count(*) FILTER (event_type = 'purchase') AS purchase,
+               count(*) FILTER (event_type = 'signup') AS signup,
+               count(*) FILTER (event_type = 'view') AS view
+        FROM events
+        GROUP BY 1
+    """,
+    "events_except_intersect": """
+        SELECT id, 'high_not_error' AS src FROM (
+          SELECT event_id AS id FROM events WHERE value > 50
+          EXCEPT ALL
+          SELECT event_id FROM events WHERE event_type = 'error'
+        )
+        UNION ALL
+        SELECT id, 'click_and_view_bucket' AS src FROM (
+          SELECT event_id % 1000 AS id FROM events WHERE event_type = 'click'
+          INTERSECT
+          SELECT event_id % 1000 FROM events WHERE event_type = 'view'
+        )
     """,
 }

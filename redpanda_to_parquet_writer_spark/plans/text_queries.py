@@ -59,6 +59,21 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.simhash32(docs, "text", "doc_id")
 
 
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: lexicographic min/max md5 over word-5-gram
+    shingles (a winnowing-style content signature — stable under
+    reordering of unrelated docs, shifts only when content shifts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = T.with_ngrams(docs, "text", 5)
+    hashed = F.transform(F.array_distinct(F.col("ngrams")), lambda g: F.md5(g))
+    return grams.select(
+        "doc_id",
+        F.array_min(hashed).alias("fp_min"),
+        F.array_max(hashed).alias("fp_max"),
+        F.size(F.array_distinct(F.col("ngrams"))).alias("n_shingles"),
+    )
+
+
 QUERIES = {
     "docs_exact_dedup": docs_exact_dedup,
     "docs_token_stats": docs_token_stats,
@@ -67,6 +82,7 @@ QUERIES = {
     "docs_minhash_lsh_pairs": docs_minhash_lsh_pairs,
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_simhash": docs_simhash,
+    "docs_fingerprint": docs_fingerprint,
 }
 
 # Shared SQL fragments for the oracles. DuckDB list indexing is 1-based
@@ -84,11 +100,24 @@ _GRAMS_CTE = f"""
   )
 """
 
+# double hashing (Kirsch-Mitzenmacher), mirroring minhash_signature:
+# one md5 per distinct shingle -> (h1, h2) 32-bit ints -> min(h1 + i*h2)
 _SIG_CTE = f"""
+  hp AS (
+    SELECT doc_id,
+           list_transform(
+             list_distinct(ngrams),
+             g -> struct_pack(
+               h1 := CAST(concat('0x', substring(md5(g), 1, 8)) AS BIGINT),
+               h2 := CAST(concat('0x', substring(md5(g), 9, 8)) AS BIGINT)
+             )
+           ) AS hs
+    FROM grams
+  ),
   sig AS (
     SELECT doc_id,
-           [{", ".join(f"list_min(list_transform(ngrams, g -> md5('{i}:' || g)))" for i in range(NUM_HASHES))}] AS minhash
-    FROM grams
+           [{", ".join(f"list_min(list_transform(hs, p -> p.h1 + {i} * p.h2))" for i in range(NUM_HASHES))}] AS minhash
+    FROM hp
   )
 """
 
@@ -171,6 +200,21 @@ ORACLES = {
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= {JACCARD_THRESHOLD}
+    """,
+    "docs_fingerprint": """
+        WITH grams AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(toks) - 4),
+                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])
+                 )) AS ngrams
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+        )
+        SELECT doc_id,
+               list_min(list_transform(ngrams, g -> md5(g))) AS fp_min,
+               list_max(list_transform(ngrams, g -> md5(g))) AS fp_max,
+               len(ngrams) AS n_shingles
+        FROM grams
     """,
     "docs_simhash": f"""
         WITH toks AS (
