@@ -153,6 +153,128 @@ def lsh_bucketed_neighbors(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    centroid_id_col: str = "cluster_id",
+    centroid_vec_col: str = "cv",
+) -> DataFrame:
+    """Coarse quantizer: assign each vector to its max-cosine centroid.
+
+    Centroids broadcast (they're tiny by construction), so assignment is
+    a map-side cross product + per-vector argmax — zero shuffle. Returns
+    (id, v, cluster_id).
+    """
+    scored = df.join(F.broadcast(centroids)).withColumn(
+        "__sim", cosine(F.col(vec_col), F.col(centroid_vec_col))
+    )
+    # per-vector argmax via max_by on a (sim, -cluster_id) struct: ties
+    # break to the LOWEST cluster id, deterministically
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.first(vec_col).alias(vec_col),
+            F.max_by(
+                F.col(centroid_id_col),
+                F.struct(F.col("__sim"), -F.col(centroid_id_col)),
+            ).alias(centroid_id_col),
+        )
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: probe the `n_probe` nearest inverted lists,
+    then verify candidates with exact cosine.
+
+    Scale path vs `brute_force_topk`: the corpus is scanned once to build
+    assignments (map-side, centroids broadcast); each query touches only
+    n_probe/n_centroids of the corpus. The candidate join shuffles on
+    cluster_id — bounded by the largest inverted list, not the corpus.
+
+    `centroids` must be (cluster_id int, cv array<double>). Use
+    `deterministic_centroids` for reproducible plans or seeded
+    `pyspark.ml.clustering.KMeans` for production recall.
+    """
+    c = df.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v"))
+    assigned = ivf_assign(c, centroids, "neighbor_id", "v")
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+    # rank all centroids per query, keep the n_probe nearest lists
+    qw = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("cluster_id").asc()
+    )
+    probes = (
+        q.join(F.broadcast(centroids))
+        .withColumn("__sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("__pr", F.row_number().over(qw))
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", "qv", "cluster_id")
+    )
+    scored = (
+        assigned.join(probes, on="cluster_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("v")))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+def deterministic_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reproducible coarse quantizer: the `n_centroids` lowest-id vectors.
+
+    Good enough to exercise/verify the IVF plan shape end-to-end (and
+    oracle-expressible in SQL); swap in seeded KMeans centroids for
+    recall-optimal lists — the IVF plan is identical either way.
+    """
+    w = Window.orderBy(F.col(id_col).asc())
+    return (
+        df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_centroids)
+        .select((F.col("__rn") - 1).alias("cluster_id"), "cv")
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Seeded KMeans centroids via pyspark.ml (production IVF quantizer)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = df.sparkSession
+    train = df.select(array_to_vector(_as_double(F.col(vec_col))).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    rows = [
+        (i, [float(x) for x in center])
+        for i, center in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(rows, "cluster_id int, cv array<double>")
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -27,10 +27,34 @@ _NORM_A = "sqrt(list_sum(list_transform(av, x -> x * x)))"
 _NORM_B = "sqrt(list_sum(list_transform(bv, x -> x * x)))"
 
 
+def _cos(a: str, b: str) -> str:
+    """Inline DuckDB cosine(a, b) over DOUBLE[] columns, same fold order
+    as the Spark `aggregate` implementation."""
+    return (
+        f"(list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
+        f" / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+        f" * sqrt(list_sum(list_transform({b}, x -> x * x)))))"
+    )
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     return S.brute_force_topk(emb, queries, "vec_id", "embedding", TOPK_K)
+
+
+IVF_CENTROIDS = 16
+IVF_PROBE = 4
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF scale path: deterministic coarse quantizer so the oracle can
+    replay the exact plan; recall-vs-brute-force is property-tested
+    separately with seeded KMeans centroids."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = S.deterministic_centroids(emb, IVF_CENTROIDS, "vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return S.ivf_topk(emb, queries, centroids, "vec_id", "embedding", TOPK_K, IVF_PROBE)
 
 
 def embeddings_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,6 +72,7 @@ def embeddings_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "embeddings_neardup_pairs": embeddings_neardup_pairs,
     "embeddings_norm_stats": embeddings_norm_stats,
 }
@@ -75,6 +100,51 @@ ORACLES = {
           FROM scored
         )
         WHERE rank <= {TOPK_K}
+    """,
+    "ann_ivf_topk": f"""
+        WITH vecs AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        centroids AS (
+          SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cluster_id, v AS cv
+          FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id ASC LIMIT {IVF_CENTROIDS})
+        ),
+        assigned AS (
+          SELECT vec_id AS neighbor_id, v, cluster_id
+          FROM (
+            SELECT x.vec_id, x.v, c.cluster_id,
+                   row_number() OVER (
+                     PARTITION BY x.vec_id
+                     ORDER BY {_cos('x.v', 'c.cv')} DESC, c.cluster_id ASC
+                   ) AS rn
+            FROM vecs x CROSS JOIN centroids c
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT query_id, qv, cluster_id
+          FROM (
+            SELECT q.vec_id AS query_id, q.v AS qv, c.cluster_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY {_cos('q.v', 'c.cv')} DESC, c.cluster_id ASC
+                   ) AS pr
+            FROM vecs q CROSS JOIN centroids c
+            WHERE q.vec_id < {N_QUERY_VECS}
+          ) WHERE pr <= {IVF_PROBE}
+        ),
+        cand AS (
+          SELECT p.query_id, a.neighbor_id, {_cos('p.qv', 'a.v')} AS sim
+          FROM probes p JOIN assigned a USING (cluster_id)
+          WHERE a.neighbor_id != p.query_id
+        )
+        SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
+        FROM (
+          SELECT query_id, neighbor_id, sim,
+                 row_number() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+                 ) AS rank
+          FROM cand
+        ) WHERE rank <= {TOPK_K}
     """,
     "embeddings_neardup_pairs": f"""
         WITH vecs AS (

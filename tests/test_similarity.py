@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 from redpanda_to_parquet_writer_spark.operators.similarity import (
     brute_force_topk,
     cosine_neardup_pairs,
+    ivf_topk,
+    kmeans_centroids,
     lsh_bucketed_neighbors,
 )
 from redpanda_to_parquet_writer_spark.sources.parquet import load_table
@@ -38,6 +40,32 @@ def test_lsh_pairs_subset_of_exact_and_recall(spark, sf_dir):
     assert lsh <= exact  # candidates are verified with exact cosine
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.8, f"recall {recall} too low for 8x2 LSH tables"
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """Two IVF properties with seeded KMeans centroids:
+    (a) probing ALL inverted lists reproduces brute force exactly —
+        the quantizer partitions, it never loses vectors;
+    (b) partial probe (4 of 8 lists) keeps most exact neighbors
+        (measured 0.68 on this fixture; asserted with margin)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    centroids = kmeans_centroids(emb, n_centroids=8, seed=42)
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, centroids, k=5, n_probe=8).collect()
+    }
+    assert full == exact, "full probe must equal brute force"
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, centroids, k=5, n_probe=4).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall} too low at n_probe=4/8"
 
 
 def test_brute_force_topk_sane(spark, sf_dir):
