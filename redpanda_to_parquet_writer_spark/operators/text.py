@@ -111,6 +111,48 @@ def stopword_stats(
     )
 
 
+def quality_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    stopwords: tuple[str, ...] = STOPWORDS,
+    keep_threshold: float = 0.5,
+) -> DataFrame:
+    """Composite 0-1 document quality score (training-data curation).
+
+    Four interpretable signals, equally weighted:
+      len_score   — saturating token count (>=64 tokens -> 1.0)
+      stop_score  — saturating stopword ratio (natural prose has stopwords)
+      alpha_ratio — alphabetic+space chars / chars (punct/noise penalty)
+      uniq_ratio  — distinct tokens / tokens (boilerplate repetition penalty)
+
+    Pure column arithmetic — narrow plan, no explode, no UDF; `keep` is
+    the curation verdict at `keep_threshold`.
+    """
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    sw_array = F.array(*[F.lit(w) for w in stopwords])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw_array, x)))
+    len_score = F.least(n_tokens.cast("double") / 64.0, F.lit(1.0))
+    stop_score = F.least(
+        (n_stop.cast("double") / n_tokens) / 0.04, F.lit(1.0)
+    )
+    alpha_ratio = (
+        F.length(F.regexp_replace(t, "[^a-zA-Z ]", "")).cast("double") / F.length(t)
+    )
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    score = F.round(
+        0.25 * len_score + 0.25 * stop_score + 0.25 * alpha_ratio + 0.25 * uniq_ratio,
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        score.alias("quality"),
+        (score >= keep_threshold).alias("keep"),
+    )
+
+
 def language_id(
     df: DataFrame,
     text_col: str,

@@ -358,6 +358,41 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_SEC = 1800
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (streaming-analytics extension of T9):
+    a session breaks when a user is idle > 30 min. Two windows over the
+    SAME (user_id, ts, event_id) ordering — Spark plans one shuffle and
+    reuses the sort for both lag and the running session counter."""
+    events = load_table(spark, sf_dir, "events")
+    # events.ts is epoch-nanos long (sources.parquet); floor to seconds
+    base = events.select(
+        "user_id",
+        "event_id",
+        F.expr("CAST(ts DIV 1000000000 AS BIGINT)").alias("ts_sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    gap = F.col("ts_sec") - F.lag("ts_sec").over(w)
+    sess = base.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > SESSION_GAP_SEC), 1).otherwise(0)
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("ts_sec") - F.min("ts_sec")).alias("span_sec"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.round(F.avg("n_events"), 6).alias("avg_session_events"),
+        F.max("span_sec").alias("max_session_span_sec"),
+    )
+
+
 def events_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-set EXCEPT/INTERSECT (U-extension): ids in the high-value set
     but not the error set, unioned with ids in both click and view."""
@@ -404,10 +439,43 @@ QUERIES = {
     "events_rollup": events_rollup,
     "events_pivot": events_pivot,
     "events_except_intersect": events_except_intersect,
+    "events_sessionization": events_sessionization,
 }
 
 
 ORACLES = {
+    "events_sessionization": f"""
+        WITH base AS (
+          SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_sec FROM events
+        ),
+        flagged AS (
+          SELECT user_id, event_id, ts_sec,
+                 CASE WHEN lag(ts_sec) OVER w IS NULL
+                        OR ts_sec - lag(ts_sec) OVER w > {SESSION_GAP_SEC}
+                      THEN 1 ELSE 0 END AS is_new
+          FROM base
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+        ),
+        sess AS (
+          SELECT user_id, ts_sec,
+                 sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts_sec, event_id
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS session_id
+          FROM flagged
+        ),
+        per_session AS (
+          SELECT user_id, session_id, count(*) AS n_events,
+                 max(ts_sec) - min(ts_sec) AS span_sec
+          FROM sess GROUP BY 1, 2
+        )
+        SELECT user_id,
+               count(*) AS n_sessions,
+               sum(n_events) AS n_events,
+               round(avg(n_events), 6) AS avg_session_events,
+               max(span_sec) AS max_session_span_sec
+        FROM per_session GROUP BY user_id
+    """,
     "topk_events_by_type": """
         SELECT event_type,
                round(sum(value), 2) AS total_value,

@@ -74,8 +74,14 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.quality_score(docs, "text", "doc_id")
+
+
 QUERIES = {
     "docs_exact_dedup": docs_exact_dedup,
+    "docs_quality_score": docs_quality_score,
     "docs_token_stats": docs_token_stats,
     "docs_stopword_stats": docs_stopword_stats,
     "docs_language_id": docs_language_id,
@@ -124,6 +130,30 @@ _SIG_CTE = f"""
 _N_BANDS = NUM_HASHES // BAND_SIZE
 
 ORACLES = {
+    "docs_quality_score": """
+        WITH sig AS (
+          SELECT doc_id,
+                 len(toks) AS n_tokens,
+                 len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stop,
+                 CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+                   / length(text) AS alpha_ratio,
+                 CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio
+          FROM (
+            SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents
+          )
+        )
+        SELECT doc_id, quality, quality >= 0.5 AS keep
+        FROM (
+          SELECT doc_id,
+                 round(
+                   0.25 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+                 + 0.25 * least((CAST(n_stop AS DOUBLE) / n_tokens) / 0.04, 1.0)
+                 + 0.25 * alpha_ratio
+                 + 0.25 * uniq_ratio, 6) AS quality
+          FROM sig
+        )
+    """,
     "docs_exact_dedup": """
         SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
         FROM documents GROUP BY md5(text)
