@@ -40,11 +40,16 @@ HEADLINE = [
     "top_brands_by_revenue",
     "global_stats_lineitem",
     "running_max_value",
+    "events_sessionization",
+    "distinct_users_by_type",
     "docs_exact_dedup",
     "docs_token_stats",
+    "docs_bpe_token_stats",
+    "docs_quality_score",
     "docs_minhash_lsh_pairs",
     "docs_simhash",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "embeddings_norm_stats",
 ]
 

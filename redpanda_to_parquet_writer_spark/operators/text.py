@@ -111,6 +111,31 @@ def stopword_stats(
     )
 
 
+#: BPE-ish pre-tokenizer pattern (GPT-2 style, simplified to the subset
+#: shared by Java regex and RE2 so the DuckDB oracle matches): a token is
+#: an optional leading space + letter run | digit run | punctuation run.
+BPE_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def bpe_token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Token counting with a BPE-ish regex pre-tokenizer (vs whitespace
+    `token_stats`): letter/digit/punct runs count separately, the way a
+    subword tokenizer's pre-tokenization does. JVM-side regexp, no UDF."""
+    toks = F.expr(f"regexp_extract_all({text_col}, '{BPE_PATTERN}', 0)")
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe_tokens"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(F.trim(t))
+            ).cast("double")
+            / F.size(toks),
+            6,
+        ).alias("avg_bpe_token_len"),
+    )
+
+
 def quality_score(
     df: DataFrame,
     text_col: str,

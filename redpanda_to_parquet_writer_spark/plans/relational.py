@@ -358,6 +358,17 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-aggregate coverage (extension beyond the reference's
+    plain aggs): exact count(DISTINCT user_id) per event_type. Spark
+    plans this as a two-phase expand+agg — partial distinct map-side."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
 SESSION_GAP_SEC = 1800
 
 
@@ -440,10 +451,17 @@ QUERIES = {
     "events_pivot": events_pivot,
     "events_except_intersect": events_except_intersect,
     "events_sessionization": events_sessionization,
+    "distinct_users_by_type": distinct_users_by_type,
 }
 
 
 ORACLES = {
+    "distinct_users_by_type": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
     "events_sessionization": f"""
         WITH base AS (
           SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_sec FROM events

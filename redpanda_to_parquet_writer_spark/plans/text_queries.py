@@ -79,9 +79,15 @@ def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.quality_score(docs, "text", "doc_id")
 
 
+def docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bpe_token_stats(docs, "text", "doc_id")
+
+
 QUERIES = {
     "docs_exact_dedup": docs_exact_dedup,
     "docs_quality_score": docs_quality_score,
+    "docs_bpe_token_stats": docs_bpe_token_stats,
     "docs_token_stats": docs_token_stats,
     "docs_stopword_stats": docs_stopword_stats,
     "docs_language_id": docs_language_id,
@@ -130,6 +136,21 @@ _SIG_CTE = f"""
 _N_BANDS = NUM_HASHES // BAND_SIZE
 
 ORACLES = {
+    "docs_bpe_token_stats": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+', 0) AS t
+          FROM documents
+        )
+        SELECT doc_id,
+               len(t) AS n_bpe_tokens,
+               len(list_distinct(t)) AS n_distinct_bpe_tokens,
+               round(
+                 CAST(list_sum(list_transform(t, x -> length(trim(x)))) AS DOUBLE) / len(t),
+                 6
+               ) AS avg_bpe_token_len
+        FROM toks
+    """,
     "docs_quality_score": """
         WITH sig AS (
           SELECT doc_id,
