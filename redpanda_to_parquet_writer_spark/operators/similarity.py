@@ -127,7 +127,12 @@ def lsh_bucketed_neighbors(
             )
         ).alias("b"),
     ).select(id_col, "v", F.col("b.table").alias("table"), F.col("b.bucket").alias("bucket"))
-    left = sig.alias("l")
+    # merge-join hint: without it the optimizer broadcasts one full
+    # exploded-signature side through the driver — wrong at corpus scale.
+    # SMJ shuffles both sides on (table, bucket) instead; the duplicated
+    # signature computation (k*L dot products per vector) is minor next
+    # to that shuffle.
+    left = sig.alias("l").hint("merge")
     right = sig.alias("r")
     candidates = (
         left.join(
@@ -245,12 +250,14 @@ def deterministic_centroids(
     oracle-expressible in SQL); swap in seeded KMeans centroids for
     recall-optimal lists — the IVF plan is identical either way.
     """
+    # orderBy+limit plans as TakeOrderedAndProject (no global sort); the
+    # row_number window then runs over only n_centroids rows
+    head = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv")).orderBy(
+        F.col(id_col).asc()
+    ).limit(n_centroids)
     w = Window.orderBy(F.col(id_col).asc())
-    return (
-        df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n_centroids)
-        .select((F.col("__rn") - 1).alias("cluster_id"), "cv")
+    return head.withColumn("__rn", F.row_number().over(w)).select(
+        (F.col("__rn") - 1).alias("cluster_id"), "cv"
     )
 
 

@@ -274,21 +274,29 @@ def lsh_candidate_pairs(
     exploded = sig_df.select(F.col(id_col), F.explode(bands).alias("b")).select(
         id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
     )
-    left = exploded.alias("l")
-    right = exploded.alias("r")
+    # groupBy instead of a self-join: a self-join would compute the whole
+    # scan->md5->minhash lineage twice (verified via .explain). One
+    # aggregation = one signature pass + one shuffle on (band, key); the
+    # g^2 in-bucket pair expansion happens inside each (tiny) bucket row.
+    buckets = (
+        exploded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x: F.transform(
+                    F.col("ids"), lambda y: F.struct(x.alias("a"), y.alias("b"))
+                ),
+            )
+        ),
+        lambda p: p["a"] < p["b"],
+    )
     return (
-        left.join(
-            right,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.key") == F.col("r.key"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
     )
 
@@ -308,18 +316,29 @@ def jaccard_pairs(
         df.select(F.col(id_col), F.explode(F.array_distinct(F.col(ngram_col))).alias("g"))
     )
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
+    # per-shingle posting lists instead of a shingle self-join (which
+    # would run the explode lineage twice); hot shingles (huge posting
+    # lists) are the skew hazard either way — production pipelines cap
+    # document frequency before pairing.
+    postings = (
+        shingles.groupBy("g")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_expr = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x: F.transform(
+                    F.col("ids"), lambda y: F.struct(x.alias("a"), y.alias("b"))
+                ),
+            )
+        ),
+        lambda p: p["a"] < p["b"],
+    )
     inter = (
-        shingles.alias("l")
-        .join(
-            shingles.alias("r"),
-            on=[
-                F.col("l.g") == F.col("r.g"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
-        )
-        .groupBy(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
+        postings.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .agg(F.count("*").alias("common"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
