@@ -1,0 +1,81 @@
+"""Physical-plan audits: the scale properties README claims, asserted.
+
+These guard against regressions that stay correct but stop scaling —
+a filter that silently stops pushing into the scan, a dimension join
+that falls back to sort-merge, a rewrite that doubles the scan count.
+"""
+
+from __future__ import annotations
+
+from redpanda_to_parquet_writer_spark.plans import QUERIES
+
+
+def plan_str(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def final_plan_str(df) -> str:
+    """Execute so AQE finalizes this df's own query execution."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark, sf_dir):
+    df = QUERIES["pricing_summary"](spark, sf_dir)
+    plan = plan_str(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # partial (map-side) + final aggregate around the single exchange
+    assert plan.count("HashAggregate") >= 2
+    # whole-stage-codegen spans show as *(N) markers in the final plan
+    assert "*(" in final_plan_str(df)
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    plan = plan_str(QUERIES["revenue_by_region"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, "dims must broadcast"
+    plan = plan_str(QUERIES["top_brands_by_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    for name in ("topk_events_by_type", "shipping_priority"):
+        assert "TakeOrderedAndProject" in plan_str(QUERIES[name](spark, sf_dir)), name
+
+
+def test_offset_recovery_prunes_columns(spark, sf_dir):
+    plan = plan_str(QUERIES["offset_recovery"](spark, sf_dir))
+    scan = plan[plan.index("FileScan") :]
+    read_schema = scan[scan.index("ReadSchema") : scan.index("ReadSchema") + 200]
+    assert "event_id" in read_schema and "user_id" in read_schema
+    assert "props" not in read_schema and "value" not in read_schema, (
+        "offset recovery must read only the key columns"
+    )
+
+
+def test_anti_join_dedup_broadcasts(spark, sf_dir):
+    plan = plan_str(QUERIES["dedup_anti_join"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan, "existing-keys side must broadcast"
+
+
+def test_lsh_single_signature_pass(spark, sf_dir):
+    """The groupBy formulation computes the md5/minhash lineage once; a
+    self-join regression would show two parquet scans."""
+    plan = plan_str(QUERIES["docs_minhash_lsh_pairs"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_sessionization_single_shuffle_before_windows(spark, sf_dir):
+    """Both windows and both aggregation levels must reuse the user_id
+    hash partitioning — exactly one exchange in the whole plan."""
+    plan = plan_str(QUERIES["events_sessionization"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 2
+
+
+def test_no_cartesian_products(spark, sf_dir):
+    """Nothing in the inventory should plan a CartesianProduct. The
+    quadratic exact baselines (ann/neardup) use broadcast nested loop —
+    intentional and bounded; a CartesianProduct is never intended."""
+    for name, fn in sorted(QUERIES.items()):
+        assert "CartesianProduct" not in plan_str(fn(spark, sf_dir)), name
