@@ -358,6 +358,21 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def offset_gap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition offset-gap detection, batch form (the streaming
+    twin is `streaming.stateful.detect_offset_gaps`). Synthetic envelope:
+    contiguous per-partition offsets with every offset ≡ 13 (mod 97)
+    dropped — the detector must report exactly those holes."""
+    from redpanda_to_parquet_writer_spark.streaming.stateful import offset_gaps_batch
+
+    events = load_table(spark, sf_dir, "events")
+    env = events.select(
+        F.pmod("event_id", F.lit(8)).cast("long").alias("kafka_partition"),
+        F.expr("event_id DIV 8").alias("kafka_offset"),
+    ).filter(F.expr("kafka_offset % 97 != 13"))
+    return offset_gaps_batch(env)
+
+
 def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-aggregate coverage (extension beyond the reference's
     plain aggs): exact count(DISTINCT user_id) per event_type. Spark
@@ -452,10 +467,32 @@ QUERIES = {
     "events_except_intersect": events_except_intersect,
     "events_sessionization": events_sessionization,
     "distinct_users_by_type": distinct_users_by_type,
+    "offset_gap_check": offset_gap_check,
 }
 
 
 ORACLES = {
+    "offset_gap_check": """
+        WITH env AS (
+          SELECT event_id % 8 AS kafka_partition,
+                 event_id // 8 AS kafka_offset
+          FROM events
+          WHERE (event_id // 8) % 97 != 13
+        ),
+        d AS (SELECT DISTINCT kafka_partition, kafka_offset FROM env),
+        lagged AS (
+          SELECT kafka_partition, kafka_offset,
+                 lag(kafka_offset) OVER (
+                   PARTITION BY kafka_partition ORDER BY kafka_offset
+                 ) AS prev
+          FROM d
+        )
+        SELECT kafka_partition,
+               prev + 1 AS gap_start,
+               kafka_offset - 1 AS gap_end,
+               kafka_offset - prev - 1 AS n_missing
+        FROM lagged WHERE kafka_offset > prev + 1
+    """,
     "distinct_users_by_type": """
         SELECT event_type,
                count(DISTINCT user_id) AS n_users,
