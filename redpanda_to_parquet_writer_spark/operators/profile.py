@@ -54,6 +54,29 @@ def numeric_profile(df: DataFrame) -> DataFrame:
     )
 
 
+def approx_profile(
+    df: DataFrame,
+    distinct_cols: list[str],
+    quantile_cols: list[str] | None = None,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Sketch-based profile for 100-TB-scale data exploration: HLL++
+    `approx_count_distinct` (constant memory per column, one pass, vs the
+    expand/shuffle an exact distinct needs) and t-digest quantiles.
+
+    `rsd` is the HLL relative standard deviation knob (memory/accuracy
+    trade). Returns one row: <col>_approx_distinct, <col>_q50/q95.
+    """
+    aggs = [
+        F.approx_count_distinct(c, rsd).alias(f"{c}_approx_distinct")
+        for c in distinct_cols
+    ]
+    for c in quantile_cols or []:
+        q = F.percentile_approx(c, [0.5, 0.95], 10000)
+        aggs += [q[0].alias(f"{c}_q50"), q[1].alias(f"{c}_q95")]
+    return df.agg(*aggs)
+
+
 @dataclass
 class SchemaReport:
     present: list[str]
