@@ -1,0 +1,115 @@
+"""Property tests (hypothesis) for the invariants the reference defines
+as correctness (SURVEY §5): flatten semantics match the documented rules
+on arbitrary nested payloads, and dedup is idempotent / exact.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from redpanda_to_parquet_writer_spark.operators.dedup import (
+    anti_join_dedup,
+    content_dedup_keep_first,
+)
+from redpanda_to_parquet_writer_spark.operators.flatten import flatten_struct_columns
+
+# --- flatten model ---------------------------------------------------------
+
+_scalar = st.one_of(
+    st.integers(min_value=-(2**31), max_value=2**31),
+    st.text(alphabet="abcXYZ09", min_size=0, max_size=8),
+)
+_leaf = st.one_of(_scalar, st.lists(st.integers(-100, 100), min_size=1, max_size=4))
+# distinct key alphabets per nesting level -> no post-flatten collisions
+_inner = st.dictionaries(st.sampled_from(["x", "y", "z"]), _leaf, min_size=1, max_size=3)
+_mid = st.dictionaries(
+    st.sampled_from(["p", "q", "r"]),
+    st.one_of(_leaf, _inner),
+    min_size=1,
+    max_size=3,
+)
+_payload = st.dictionaries(
+    st.sampled_from(["a", "b", "data"]),
+    st.one_of(_leaf, _mid),
+    min_size=1,
+    max_size=3,
+)
+
+
+def model_flatten(obj: dict, prefix: str = "") -> dict:
+    """Pure-Python model of the reference flatten rules (collector:259-284):
+    `data` hoists un-prefixed at top level; other dicts prefix with
+    `parent_`; lists -> compact JSON; empty list -> None."""
+    out = {}
+    for k, v in obj.items():
+        if isinstance(v, dict):
+            sub_prefix = "" if (k == "data" and prefix == "") else f"{prefix}{k}_"
+            out.update(model_flatten(v, sub_prefix))
+        elif isinstance(v, list):
+            out[f"{prefix}{k}"] = (
+                None if not v else json.dumps(v, separators=(",", ":"))
+            )
+        else:
+            out[f"{prefix}{k}"] = v
+    return out
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(payload=_payload)
+def test_flatten_matches_model(spark, payload):
+    df = spark.read.json(spark.sparkContext.parallelize([json.dumps(payload)]))
+    flat = flatten_struct_columns(df, keep=[])
+    row = flat.collect()[0].asDict()
+    expected = model_flatten(payload)
+    assert row == expected
+
+
+# --- dedup invariants ------------------------------------------------------
+
+_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # kafka_partition
+        st.integers(0, 20),  # kafka_offset
+        st.sampled_from(["x", "y", "z"]),  # payload
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+_ROWS_SCHEMA = "kafka_partition long, kafka_offset long, payload string"
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_rows)
+def test_content_dedup_idempotent_and_exact(spark, rows):
+    df = spark.createDataFrame(rows, _ROWS_SCHEMA)
+    once = content_dedup_keep_first(
+        df, content_cols=["payload"], order_cols=["kafka_partition", "kafka_offset"]
+    )
+    twice = content_dedup_keep_first(
+        once, content_cols=["payload"], order_cols=["kafka_partition", "kafka_offset"]
+    )
+    n_distinct_content = len({p for *_, p in rows})
+    assert once.count() == n_distinct_content
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    # keep-FIRST: the survivor for each payload is the minimum
+    # (partition, offset) among rows carrying it
+    survivors = {r["payload"]: (r["kafka_partition"], r["kafka_offset"]) for r in once.collect()}
+    for payload, key in survivors.items():
+        assert key == min((p, o) for p, o, pl in rows if pl == payload)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_rows, mod=st.integers(2, 5))
+def test_anti_join_removes_exactly_existing_keys(spark, rows, mod):
+    # unique (partition, offset) keys, like real kafka envelopes
+    uniq = {(p, o): (p, o, pl) for p, o, pl in rows}
+    df = spark.createDataFrame(sorted(uniq.values()), _ROWS_SCHEMA)
+    existing = df.filter(f"kafka_offset % {mod} = 0")
+    result = anti_join_dedup(df, existing)
+    expected_keys = {(p, o) for (p, o) in uniq if o % mod != 0}
+    got_keys = {(r["kafka_partition"], r["kafka_offset"]) for r in result.collect()}
+    assert got_keys == expected_keys
