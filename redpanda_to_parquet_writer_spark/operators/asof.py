@@ -1,0 +1,64 @@
+"""As-of (backward) join — the time-series join Spark lacks as a builtin.
+
+For each left row, attach the most recent right row with the same key and
+`right.ts <= left.ts` (DuckDB/kdb ASOF semantics, as used for
+trade-vs-quote joins on market data like the reference's topics).
+
+Scale formulation: NOT a range join (which explodes to |L|·|R| candidate
+pairs before filtering). Union both sides tagged, then one window pass:
+
+    union -> partition by key, order by (ts, side) -> last(right-row
+    struct, ignoreNulls) over rows unbounded preceding -> keep left rows
+
+One shuffle on the key, linear work, no pair blowup — the standard
+log-structured merge trick. Right rows order BEFORE left rows at equal
+ts, so a right row with ts == left.ts matches (ASOF <=). The carried
+right row is ONE struct, so all attached columns come from the SAME
+matched row even when some of its fields are null.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: left rows + latest right `value_cols` at or
+    before each left timestamp (null when no right row precedes).
+
+    `left` and `right` must share `key_cols` and `ts_col`; right columns
+    arrive renamed `<col><suffix>`, plus `<ts_col><suffix>` (the matched
+    right timestamp).
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in key_cols and c != ts_col
+    ]
+    carried = [ts_col, *value_cols]
+
+    rstruct = F.struct(*[F.col(c).alias(c) for c in carried])
+    rhs = right.select(
+        *key_cols, F.col(ts_col), F.lit(0).alias("__side"), rstruct.alias("__r")
+    )
+    lhs = left.withColumn("__side", F.lit(1)).withColumn(
+        "__r", F.lit(None).cast(rhs.schema["__r"].dataType)
+    )
+    # right rows first at equal ts (side 0 < 1) so ts == matches
+    merged = lhs.unionByName(rhs, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = merged.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in carried
+    ]
+    return matched.filter(F.col("__side") == 1).select(*out_cols)

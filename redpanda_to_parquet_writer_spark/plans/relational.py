@@ -358,6 +358,31 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clicks_asof_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the user's most recent purchase at or
+    before it (trade-vs-quote shape on the event stream). Right side is
+    made unique per (user, ts) first so ties are deterministic."""
+    from redpanda_to_parquet_writer_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_id",
+        "user_id",
+        F.expr("CAST(ts DIV 1000 AS BIGINT)").alias("ts_us"),
+        "event_type",
+        "value",
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    return asof_join(clicks, purchases, key_cols=["user_id"], ts_col="ts_us")
+
+
 def offset_gap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition offset-gap detection, batch form (the streaming
     twin is `streaming.stateful.detect_offset_gaps`). Synthetic envelope:
@@ -468,10 +493,30 @@ QUERIES = {
     "events_sessionization": events_sessionization,
     "distinct_users_by_type": distinct_users_by_type,
     "offset_gap_check": offset_gap_check,
+    "clicks_asof_purchases": clicks_asof_purchases,
 }
 
 
 ORACLES = {
+    "clicks_asof_purchases": """
+        WITH base AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+          FROM events
+        ),
+        clicks AS (
+          SELECT event_id, user_id, ts_us FROM base WHERE event_type = 'click'
+        ),
+        purchases AS (
+          SELECT user_id, ts_us, arg_max(value, event_id) AS value
+          FROM base WHERE event_type = 'purchase'
+          GROUP BY user_id, ts_us
+        )
+        SELECT l.event_id, l.user_id, l.ts_us,
+               r.ts_us AS ts_us_asof, r.value AS value_asof
+        FROM clicks l
+        ASOF LEFT JOIN purchases r
+          ON l.user_id = r.user_id AND r.ts_us <= l.ts_us
+    """,
     "offset_gap_check": """
         WITH env AS (
           SELECT event_id % 8 AS kafka_partition,
