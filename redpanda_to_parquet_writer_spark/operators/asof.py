@@ -1,4 +1,5 @@
-"""As-of (backward) join — the time-series join Spark lacks as a builtin.
+"""Temporal joins Spark lacks as builtins: as-of (backward) join and
+binned interval (range) join.
 
 For each left row, attach the most recent right row with the same key and
 `right.ts <= left.ts` (DuckDB/kdb ASOF semantics, as used for
@@ -62,3 +63,43 @@ def asof_join(
         F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in carried
     ]
     return matched.filter(F.col("__side") == 1).select(*out_cols)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    key_cols: list[str] | None = None,
+    bin_width: int = 3_600_000_000,
+) -> DataFrame:
+    """Point-in-interval (range) join: rows where
+    `lo <= point <= hi` (and keys match).
+
+    Spark plans a raw BETWEEN join as broadcast-nested-loop or cartesian —
+    |P|·|I| pair work at scale. Binning makes it an equi-join: each point
+    hashes to bin floor(p/w); each interval explodes to every bin it
+    overlaps (ceil(len/w)+1 rows). The join shuffles on (keys, bin); the
+    exact BETWEEN predicate then filters bin-collisions. Pick `bin_width`
+    near the typical interval length so intervals explode to ~2 bins.
+
+    A (point, interval) pair can only meet in the point's own bin, so no
+    dedup is needed.
+    """
+    key_cols = key_cols or []
+    pb = points.withColumn("__bin", F.floor(F.col(point_col) / F.lit(bin_width)))
+    ib = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bin_width)),
+                F.floor(F.col(hi_col) / F.lit(bin_width)),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, on=[*key_cols, "__bin"])
+        .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col)))
+        .drop("__bin")
+    )

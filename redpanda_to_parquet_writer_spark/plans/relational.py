@@ -383,6 +383,41 @@ def clicks_asof_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(clicks, purchases, key_cols=["user_id"], ts_col="ts_us")
 
 
+HOUR_US = 3_600_000_000
+
+
+def purchase_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-join attribution: count each user's clicks in the hour
+    before each purchase. Uses the binned interval join (equi-shuffle on
+    (user, bin)), never a nested-loop BETWEEN join."""
+    from redpanda_to_parquet_writer_spark.operators.asof import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_id",
+        "user_id",
+        F.expr("CAST(ts DIV 1000 AS BIGINT)").alias("ts_us"),
+        "event_type",
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us").alias("click_ts")
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts_us") - HOUR_US).alias("lo"),
+        F.col("ts_us").alias("hi"),
+    )
+    joined = interval_join(
+        clicks, purchases, "click_ts", "lo", "hi", ["user_id"], HOUR_US
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.min("click_ts").alias("first_click_ts"),
+        F.max("click_ts").alias("last_click_ts"),
+    )
+
+
 def offset_gap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition offset-gap detection, batch form (the streaming
     twin is `streaming.stateful.detect_offset_gaps`). Synthetic envelope:
@@ -494,10 +529,30 @@ QUERIES = {
     "distinct_users_by_type": distinct_users_by_type,
     "offset_gap_check": offset_gap_check,
     "clicks_asof_purchases": clicks_asof_purchases,
+    "purchase_attribution_window": purchase_attribution_window,
 }
 
 
 ORACLES = {
+    "purchase_attribution_window": f"""
+        WITH base AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events
+        ),
+        clicks AS (
+          SELECT user_id, ts_us AS click_ts FROM base WHERE event_type = 'click'
+        ),
+        purchases AS (
+          SELECT user_id, event_id AS purchase_id,
+                 ts_us - {HOUR_US} AS lo, ts_us AS hi
+          FROM base WHERE event_type = 'purchase'
+        )
+        SELECT purchase_id, count(*) AS n_clicks,
+               min(click_ts) AS first_click_ts,
+               max(click_ts) AS last_click_ts
+        FROM purchases p JOIN clicks c
+          ON c.user_id = p.user_id AND c.click_ts BETWEEN p.lo AND p.hi
+        GROUP BY purchase_id
+    """,
     "clicks_asof_purchases": """
         WITH base AS (
           SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value

@@ -73,6 +73,14 @@ def test_sessionization_single_shuffle_before_windows(spark, sf_dir):
     assert plan.count("Window") == 2
 
 
+def test_interval_join_is_equi_join(spark, sf_dir):
+    """The binned range join must hash-join on (user, bin), never plan a
+    nested-loop BETWEEN join."""
+    plan = plan_str(QUERIES["purchase_attribution_window"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_no_cartesian_products(spark, sf_dir):
     """Nothing in the inventory should plan a CartesianProduct. The
     quadratic exact baselines (ann/neardup) use broadcast nested loop —
