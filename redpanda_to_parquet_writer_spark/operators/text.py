@@ -357,8 +357,15 @@ def simhash32(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     Token hash = first 8 hex chars of md5 (engine-portable); per bit,
     +1/-1 vote weighted by token multiplicity; simhash bit b set when the
-    vote is positive. Pure aggregate expressions over an exploded token
-    frame — one shuffle on id.
+    vote is positive.
+
+    Plan shape (measured at sf0.1 against two zero-shuffle array-
+    expression variants, both slower — 0.9s/1.9s vs 0.62s): explode +
+    groupBy LOOKS like it shuffles the token stream, but explode is
+    narrow, so map-side partial aggregation collapses each doc's tokens
+    to one 32-counter row BEFORE the exchange — the shuffle carries
+    32 longs per doc, and the vectorized hash-agg beats per-row
+    higher-order-function passes on CPU.
     """
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
