@@ -42,6 +42,9 @@ HEADLINE = [
     "running_max_value",
     "events_sessionization",
     "distinct_users_by_type",
+    "clicks_asof_purchases",
+    "purchase_attribution_window",
+    "offset_gap_check",
     "docs_exact_dedup",
     "docs_token_stats",
     "docs_bpe_token_stats",
