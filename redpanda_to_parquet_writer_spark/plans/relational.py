@@ -383,6 +383,28 @@ def clicks_asof_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(clicks, purchases, key_cols=["user_id"], ts_col="ts_us")
 
 
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (vs the global top-k of O3): 3 highest-revenue
+    parts within every brand. Plans as one shuffle on the group key +
+    rank window — no global sort, no per-group driver loops."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("revenue").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        per_part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("p_brand", "p_partkey", "revenue", "rank")
+    )
+
+
 HOUR_US = 3_600_000_000
 
 
@@ -530,10 +552,28 @@ QUERIES = {
     "offset_gap_check": offset_gap_check,
     "clicks_asof_purchases": clicks_asof_purchases,
     "purchase_attribution_window": purchase_attribution_window,
+    "top_parts_per_brand": top_parts_per_brand,
 }
 
 
 ORACLES = {
+    "top_parts_per_brand": """
+        WITH per_part AS (
+          SELECT p.p_brand, p.p_partkey,
+                 round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          GROUP BY p.p_brand, p.p_partkey
+        )
+        SELECT p_brand, p_partkey, revenue, rank
+        FROM (
+          SELECT p_brand, p_partkey, revenue,
+                 row_number() OVER (
+                   PARTITION BY p_brand ORDER BY revenue DESC, p_partkey ASC
+                 ) AS rank
+          FROM per_part
+        )
+        WHERE rank <= 3
+    """,
     "purchase_attribution_window": f"""
         WITH base AS (
           SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events

@@ -104,3 +104,44 @@ def read_partitioned(
     if columns:
         df = df.select(*columns)
     return df
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+) -> dict[str, int]:
+    """Small-files compaction: rewrite a table with ~target-sized files.
+
+    Streaming sinks accrete one file per micro-batch per partition; at
+    100 TB that means millions of tiny files and a scan bound by file
+    open/footer costs, not bytes. Compaction = size the file count from
+    on-disk bytes, repartition, snapshot-write (never in-place, matching
+    the engine's backup convention, S17).
+
+    Returns {files_before, files_after, bytes}.
+    """
+    import math
+    import os
+
+    total = 0
+    files_before = 0
+    for dirpath, _dirnames, filenames in os.walk(src_root):
+        for fn in filenames:
+            if fn.endswith(".parquet") and not fn.startswith("."):
+                total += os.path.getsize(os.path.join(dirpath, fn))
+                files_before += 1
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_root)
+    writer = df.repartition(n_files).write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(dst_root)
+    files_after = 0
+    for dirpath, _dirnames, filenames in os.walk(dst_root):
+        files_after += sum(
+            1 for fn in filenames if fn.endswith(".parquet") and not fn.startswith(".")
+        )
+    return {"files_before": files_before, "files_after": files_after, "bytes": total}
