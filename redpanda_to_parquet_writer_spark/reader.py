@@ -181,3 +181,32 @@ def deduplicate_table(
     )
     after = spark.read.parquet(snapshot).count()
     return {"before": before, "after": after, "removed": before - after}
+
+
+def typed_rows(
+    df: DataFrame, sec_type: str, limit: int | None = None, strict: bool = False
+) -> list[dict]:
+    """Typed materialization (reader:350-375 parity): collect rows as
+    dicts restricted to the declared schema for `sec_type`
+    (schemas.SEC_TYPE_SCHEMAS), with declared-but-absent fields None.
+
+    The reference constructs dataclass instances per row, skipping rows
+    that fail; `strict=True` reproduces the skip (drops rows missing any
+    declared non-null field present in the frame), default keeps all.
+    Driver-side API sugar — cap with `limit`; bulk paths stay DataFrames.
+    """
+    from redpanda_to_parquet_writer_spark.schemas import SEC_TYPE_SCHEMAS
+
+    declared = SEC_TYPE_SCHEMAS[sec_type]
+    names = [f.name for f in declared.fields]
+    present = [n for n in names if n in df.columns]
+    slim = df.select(*present)
+    if limit is not None:
+        slim = slim.limit(limit)
+    out = []
+    for row in slim.collect():
+        d = row.asDict()
+        if strict and any(d.get(n) is None for n in present):
+            continue
+        out.append({n: d.get(n) for n in names})
+    return out

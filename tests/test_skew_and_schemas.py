@@ -75,3 +75,19 @@ def test_schema_conformance_against_catalog(spark):
     assert "bid" in report.missing and "volume" in report.missing
     assert report.extra == ["bogus"]
     assert not report.conformant
+
+
+def test_typed_rows_materialization(spark):
+    from redpanda_to_parquet_writer_spark.reader import typed_rows
+
+    df = spark.createDataFrame(
+        [("AAPL", 189.0, None), ("MSFT", 402.5, 100.0)],
+        "symbol string, last double, bid double",
+    )
+    rows = typed_rows(df, "STK")
+    assert len(rows) == 2
+    # declared-but-absent fields materialize as None
+    assert rows[0]["volume"] is None and rows[0]["symbol"] == "AAPL"
+    # strict mode drops rows with nulls in present declared fields
+    strict = typed_rows(df, "STK", strict=True)
+    assert [r["symbol"] for r in strict] == ["MSFT"]
