@@ -126,11 +126,15 @@ def bpe_token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col),
         F.size(toks).alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_bpe_tokens"),
+        # try_divide: zero-token (empty) docs yield NULL instead of an
+        # ANSI DIVIDE_BY_ZERO failure
         F.round(
-            F.aggregate(
-                toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(F.trim(t))
-            ).cast("double")
-            / F.size(toks),
+            F.try_divide(
+                F.aggregate(
+                    toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(F.trim(t))
+                ).cast("double"),
+                F.size(toks),
+            ),
             6,
         ).alias("avg_bpe_token_len"),
     )
@@ -159,14 +163,17 @@ def quality_score(
     n_tokens = F.size(toks)
     sw_array = F.array(*[F.lit(w) for w in stopwords])
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw_array, x)))
+    # try_divide everywhere a count can be 0 (empty/degenerate docs):
+    # the score comes out NULL -> keep is NULL, instead of an ANSI
+    # DIVIDE_BY_ZERO job failure taking down the whole curation pass
     len_score = F.least(n_tokens.cast("double") / 64.0, F.lit(1.0))
     stop_score = F.least(
-        (n_stop.cast("double") / n_tokens) / 0.04, F.lit(1.0)
+        F.try_divide(n_stop.cast("double"), n_tokens) / 0.04, F.lit(1.0)
     )
-    alpha_ratio = (
-        F.length(F.regexp_replace(t, "[^a-zA-Z ]", "")).cast("double") / F.length(t)
+    alpha_ratio = F.try_divide(
+        F.length(F.regexp_replace(t, "[^a-zA-Z ]", "")).cast("double"), F.length(t)
     )
-    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    uniq_ratio = F.try_divide(F.size(F.array_distinct(toks)).cast("double"), n_tokens)
     score = F.round(
         0.25 * len_score + 0.25 * stop_score + 0.25 * alpha_ratio + 0.25 * uniq_ratio,
         6,

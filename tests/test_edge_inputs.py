@@ -1,0 +1,47 @@
+"""Degenerate-input robustness: empty strings, nulls, single tokens.
+
+ANSI mode (Spark 4 default) turns divide-by-zero into job failures — one
+empty document must not kill a 100-TB curation pass. Ratios on
+zero-token docs come out NULL instead.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from redpanda_to_parquet_writer_spark.operators import text as T
+
+EDGE_DOCS = [(1, "hello world foo"), (2, ""), (3, None), (4, "single")]
+SCHEMA = "doc_id long, text string"
+
+
+@pytest.fixture(scope="module")
+def edge_df(spark):
+    return spark.createDataFrame(EDGE_DOCS, SCHEMA)
+
+
+@pytest.mark.parametrize(
+    "op",
+    [
+        T.token_stats,
+        T.stopword_stats,
+        T.language_id,
+        T.quality_score,
+        T.bpe_token_stats,
+        T.simhash32,
+        T.exact_dedup_hash,
+    ],
+    ids=lambda f: f.__name__,
+)
+def test_text_ops_survive_edge_inputs(edge_df, op):
+    rows = op(edge_df, "text", "doc_id").collect()
+    assert rows, f"{op.__name__} returned nothing"
+
+
+def test_empty_doc_ratios_null_not_crash(edge_df):
+    bpe = {r["doc_id"]: r for r in T.bpe_token_stats(edge_df, "text", "doc_id").collect()}
+    assert bpe[2]["n_bpe_tokens"] == 0
+    assert bpe[2]["avg_bpe_token_len"] is None
+    q = {r["doc_id"]: r for r in T.quality_score(edge_df, "text", "doc_id").collect()}
+    assert q[2]["quality"] is None and q[2]["keep"] is None
+    assert q[1]["quality"] is not None
