@@ -32,7 +32,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero-norm vector yields NULL similarity instead of an
+    # ANSI DIVIDE_BY_ZERO job failure (nulls drop out of thresholds and
+    # rank windows naturally)
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def _as_double(col: Column) -> Column:

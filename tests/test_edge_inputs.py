@@ -45,3 +45,24 @@ def test_empty_doc_ratios_null_not_crash(edge_df):
     q = {r["doc_id"]: r for r in T.quality_score(edge_df, "text", "doc_id").collect()}
     assert q[2]["quality"] is None and q[2]["keep"] is None
     assert q[1]["quality"] is not None
+
+
+def test_zero_vector_yields_null_similarity(spark):
+    from pyspark.sql import functions as F
+
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        brute_force_topk,
+        cosine,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [0.0, 0.0]), (2, [2.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    pair = df.select(
+        cosine(F.col("embedding"), F.array(F.lit(0.0), F.lit(0.0))).alias("sim")
+    ).collect()
+    assert all(r["sim"] is None for r in pair)
+    # a zero vector in the corpus must not kill top-k
+    top = brute_force_topk(df, df.filter("vec_id = 0"), k=2).collect()
+    assert {r["neighbor_id"] for r in top} == {1, 2}
