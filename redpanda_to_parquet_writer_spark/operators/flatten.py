@@ -23,7 +23,9 @@ from pyspark.sql.types import ArrayType, StructType
 HOIST_UNPREFIXED = "data"
 
 
-def _flatten_exprs(schema: StructType, prefix: str, path: str) -> list[Column]:
+def _flatten_exprs(
+    schema: StructType, prefix: str, path: str, lists_as_json: bool = True
+) -> list[Column]:
     exprs: list[Column] = []
     for field in schema.fields:
         qualified = f"{path}.`{field.name}`" if path else f"`{field.name}`"
@@ -37,8 +39,8 @@ def _flatten_exprs(schema: StructType, prefix: str, path: str) -> list[Column]:
             )
         if isinstance(field.dataType, StructType):
             sub_prefix = "" if (field.name == HOIST_UNPREFIXED and not prefix) else f"{prefix}{field.name}_"
-            exprs.extend(_flatten_exprs(field.dataType, sub_prefix, qualified))
-        elif isinstance(field.dataType, ArrayType):
+            exprs.extend(_flatten_exprs(field.dataType, sub_prefix, qualified, lists_as_json))
+        elif isinstance(field.dataType, ArrayType) and lists_as_json:
             # lists -> JSON strings; empty list -> null (collector:279-280)
             col = F.expr(qualified)
             exprs.append(
@@ -49,11 +51,18 @@ def _flatten_exprs(schema: StructType, prefix: str, path: str) -> list[Column]:
     return exprs
 
 
-def flatten_struct_columns(df: DataFrame, keep: list[str] | None = None) -> DataFrame:
+def flatten_struct_columns(
+    df: DataFrame, keep: list[str] | None = None, lists_as_json: bool = True
+) -> DataFrame:
     """Flatten all struct columns per the reference's rules (P2).
 
     `keep` columns (e.g. the kafka_* envelope) pass through untouched and
     come first, matching the reference's column order (collector:388-404).
+
+    `lists_as_json=False` is the idiomatic-Spark extension (SURVEY §7.0):
+    lists stay native `ArrayType` columns — queryable with higher-order
+    functions and stored columnar in parquet — instead of the reference's
+    JSON-string encoding (README.md:230).
     """
     keep = keep or [c for c in df.columns if c.startswith("kafka_")]
     keep_set = set(keep)
@@ -61,7 +70,9 @@ def flatten_struct_columns(df: DataFrame, keep: list[str] | None = None) -> Data
     nested_fields = StructType(
         [f for f in df.schema.fields if f.name not in keep_set]
     )
-    return df.select(*passthrough, *_flatten_exprs(nested_fields, "", ""))
+    return df.select(
+        *passthrough, *_flatten_exprs(nested_fields, "", "", lists_as_json)
+    )
 
 
 def project_kafka_envelope(df: DataFrame) -> DataFrame:

@@ -66,3 +66,22 @@ def test_zero_vector_yields_null_similarity(spark):
     # a zero vector in the corpus must not kill top-k
     top = brute_force_topk(df, df.filter("vec_id = 0"), k=2).collect()
     assert {r["neighbor_id"] for r in top} == {1, 2}
+
+
+def test_flatten_native_arrays_mode(spark):
+    from pyspark.sql.types import ArrayType
+
+    from redpanda_to_parquet_writer_spark.operators.flatten import (
+        flatten_struct_columns,
+    )
+
+    df = spark.read.json(
+        spark.sparkContext.parallelize(
+            ['{"a": {"xs": [1, 2, 3]}, "data": {"ys": [4]}}']
+        )
+    )
+    parity = flatten_struct_columns(df, keep=[])
+    assert dict(parity.dtypes)["a_xs"] == "string"  # JSON-string parity
+    native = flatten_struct_columns(df, keep=[], lists_as_json=False)
+    assert isinstance(native.schema["a_xs"].dataType, ArrayType)
+    assert native.collect()[0]["ys"] == [4]  # data.* still hoists
