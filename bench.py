@@ -57,13 +57,7 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    cfg = EngineConfig(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
-    spark = get_spark(cfg, app_name="bench")
-
+def _run_headline(spark, sf_dir: str) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = QUERIES[name](spark, sf_dir)
@@ -71,7 +65,37 @@ def main() -> None:
         t0 = time.perf_counter()
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+    return timings
 
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    cfg = EngineConfig(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark = get_spark(cfg, app_name="bench")
+
+    if "--scaling" in sys.argv:
+        # opt-in: time the headline set at every available SF so the
+        # scaling slope (work vs data) is measurable, one JSON line per SF
+        root = os.path.dirname(sf_dir.rstrip("/"))
+        for d in sorted(os.listdir(root)):
+            if d.startswith("sf") and os.path.isdir(os.path.join(root, d)):
+                t = _run_headline(spark, os.path.join(root, d))
+                print(
+                    json.dumps(
+                        {
+                            "metric": "headline_queries_total_sec",
+                            "value": round(sum(t.values()), 4),
+                            "unit": "sec",
+                            "queries": t,
+                            "sf": float(d[2:]),
+                        }
+                    )
+                )
+        return
+
+    timings = _run_headline(spark, sf_dir)
     print(
         json.dumps(
             {

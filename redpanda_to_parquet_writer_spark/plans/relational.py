@@ -349,6 +349,17 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, partition): all four grouping-set levels in
+    one pass — Spark expands grouping sets map-side, single shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select("event_type", _partition().alias("kafka_partition"), "value")
+        .cube("event_type", "kafka_partition")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
 def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot event_type to columns (counts per user bucket)."""
     events = load_table(spark, sf_dir, "events")
@@ -549,6 +560,7 @@ QUERIES = {
     "hourly_event_stats": hourly_event_stats,
     "running_max_value": running_max_value,
     "events_rollup": events_rollup,
+    "events_cube": events_cube,
     "events_pivot": events_pivot,
     "events_except_intersect": events_except_intersect,
     "events_sessionization": events_sessionization,
@@ -854,6 +866,12 @@ ORACLES = {
                count(*) AS n, round(sum(value), 2) AS total_value
         FROM events
         GROUP BY ROLLUP (event_type, user_id % 8)
+    """,
+    "events_cube": """
+        SELECT event_type, user_id % 8 AS kafka_partition,
+               count(*) AS n, round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY CUBE (event_type, user_id % 8)
     """,
     "events_pivot": """
         SELECT user_id % 10 AS user_bucket,
