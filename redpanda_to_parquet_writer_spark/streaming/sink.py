@@ -101,3 +101,46 @@ def merge_dedup_append(
     except Exception:
         deduped = new_df  # first write: nothing to dedup against
     write_date_partitioned(deduped, root, cfg, mode="append")
+
+
+def export_reference_layout(
+    spark: SparkSession, hive_root: str, out_root: str, topic: str
+) -> list[str]:
+    """Export a hive-partitioned topic table to the reference's exact
+    directory layout: `out_root/YYYY/MM/DD/<topic>.parquet`, ONE file per
+    (date, topic) (collector:11, 441-443; SURVEY 7.3 risk 5).
+
+    The engine's native layout stays hive-style (partition pruning, many
+    files per partition); this exporter exists for byte-level path
+    compatibility with downstream consumers of the reference. Each date
+    repartitions to one file (the reference's own constraint), written
+    via Spark's committer, then renamed into place driver-side.
+
+    Returns the exported file paths.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    df = spark.read.parquet(hive_root)
+    dates = [r["date"] for r in df.select("date").distinct().collect()]
+    exported = []
+    for d in sorted(str(x) for x in dates):
+        y, m, day = d.split("-")
+        dest_dir = os.path.join(out_root, y, m, day)
+        os.makedirs(dest_dir, exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix="refexport_")
+        (
+            df.filter(F.col("date") == d)
+            .drop("date")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(dest_dir, f"{topic}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+        exported.append(dest)
+    return exported

@@ -20,3 +20,33 @@ def test_compact_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     b = spark.read.parquet(dst)
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_export_reference_layout(spark, sf_dir, tmp_path):
+    """Hive table -> the reference's exact YYYY/MM/DD/<topic>.parquet
+    layout, one file per date, content preserved."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from redpanda_to_parquet_writer_spark.streaming.sink import (
+        export_reference_layout,
+    )
+
+    events = load_table(spark, sf_dir, "events").limit(500)
+    hive = str(tmp_path / "hive")
+    env = events.select(
+        F.col("event_id").alias("kafka_offset"),
+        F.col("user_id"),
+        F.date_format((F.col("ts") / 1e9).cast("timestamp"), "yyyy-MM-dd").alias("date"),
+    )
+    env.write.partitionBy("date").parquet(hive)
+
+    out = str(tmp_path / "ref_layout")
+    files = export_reference_layout(spark, hive, out, "events_topic")
+    assert files and all(f.endswith("events_topic.parquet") for f in files)
+    # layout: out/YYYY/MM/DD/<topic>.parquet
+    rel = os.path.relpath(files[0], out).split(os.sep)
+    assert len(rel) == 4 and len(rel[0]) == 4
+    total = sum(spark.read.parquet(f).count() for f in files)
+    assert total == env.count()
