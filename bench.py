@@ -57,6 +57,53 @@ HEADLINE = [
 ]
 
 
+def _bench_ingest(spark, sf_dir: str) -> dict[str, float]:
+    """Collector-path throughput: envelope -> decode -> flatten -> date-
+    partitioned parquet. Directly comparable to the reference's headline
+    claim of 8,200-25,000 msg/s (README.md:360-373, BASELINE.md)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from redpanda_to_parquet_writer_spark.sources.parquet import load_table
+    from redpanda_to_parquet_writer_spark.streaming.ingest import (
+        prepare_envelope_batch,
+    )
+    from redpanda_to_parquet_writer_spark.streaming.sink import (
+        write_date_partitioned,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        events = load_table(spark, sf_dir, "events")
+        env = events.select(
+            F.lit("events").alias("kafka_topic"),
+            F.pmod("user_id", F.lit(8)).cast("long").alias("kafka_partition"),
+            F.col("event_id").alias("kafka_offset"),
+            F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("kafka_timestamp"),
+            F.col("user_id").cast("string").alias("kafka_key"),
+            F.encode(F.to_json(F.struct("event_type", "value", "props")), "UTF-8").alias(
+                "value"
+            ),
+        )
+        src = f"{work}/src"
+        env.write.parquet(src)  # materialize: time ingest, not synthesis
+        raw = spark.read.parquet(src)
+        n = raw.count()
+        t0 = time.perf_counter()
+        batch = prepare_envelope_batch(spark, raw)
+        write_date_partitioned(batch, f"{work}/out")
+        dt = time.perf_counter() - t0
+        return {
+            "rows": n,
+            "sec": round(dt, 4),
+            "rows_per_sec": round(n / dt, 1),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _run_headline(spark, sf_dir: str) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -103,6 +150,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "ingest": _bench_ingest(spark, sf_dir),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

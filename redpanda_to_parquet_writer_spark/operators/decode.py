@@ -33,17 +33,110 @@ except ImportError:
     HAS_MSGPACK = False
 
 
+def _merge_types(a, b):
+    """Widen two inferred Spark types (Polars-style union inference)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DataType,
+        DoubleType,
+        LongType,
+        NullType,
+        StructField,
+    )
+
+    if isinstance(a, NullType):
+        return b
+    if isinstance(b, NullType):
+        return a
+    if a == b:
+        return a
+    if {type(a), type(b)} == {LongType, DoubleType}:
+        return DoubleType()
+    if isinstance(a, StructType) and isinstance(b, StructType):
+        fields: dict[str, DataType] = {f.name: f.dataType for f in a.fields}
+        order = [f.name for f in a.fields]
+        for f in b.fields:
+            if f.name in fields:
+                fields[f.name] = _merge_types(fields[f.name], f.dataType)
+            else:
+                fields[f.name] = f.dataType
+                order.append(f.name)
+        return StructType([StructField(n, fields[n], True) for n in order])
+    if isinstance(a, ArrayType) and isinstance(b, ArrayType):
+        return ArrayType(_merge_types(a.elementType, b.elementType), True)
+    return StringType()  # conflicting types -> string, like the raw fallback
+
+
+def _infer_value_type(v):
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        DoubleType,
+        LongType,
+        NullType,
+        StructField,
+    )
+
+    if v is None:
+        return NullType()
+    if isinstance(v, bool):
+        return BooleanType()
+    if isinstance(v, int):
+        return LongType()
+    if isinstance(v, float):
+        return DoubleType()
+    if isinstance(v, str):
+        return StringType()
+    if isinstance(v, list):
+        t = NullType()
+        for x in v:
+            t = _merge_types(t, _infer_value_type(x))
+        return ArrayType(StringType() if isinstance(t, NullType) else t, True)
+    if isinstance(v, dict):
+        return StructType(
+            [StructField(str(k), _infer_value_type(x), True) for k, x in v.items()]
+        )
+    return StringType()
+
+
 def infer_json_schema(spark: SparkSession, json_strings: list[str]) -> StructType:
-    """Infer a unioned schema from a sample of JSON documents (driver-side).
+    """Infer a unioned schema from a sample of JSON documents — entirely
+    driver-side (json.loads + type widening), ZERO Spark jobs.
 
     The per-topic analogue of the reference's dynamic Polars inference
-    (collector:1225): sample N docs, let Spark's JSON reader merge their
-    schemas. Sampling is bounded, so this is O(sample), not O(data).
+    (collector:1225). The earlier spark.read.json(rdd) implementation
+    cost ~2.5s of job overhead per micro-batch for a 50-doc sample;
+    parsing 50 docs in the driver is sub-millisecond. Int/float widen to
+    double, conflicting types fall back to string, undecodable docs are
+    skipped (they hit the raw_value path at decode time).
     """
-    df = spark.read.json(spark.createDataFrame([(s,) for s in json_strings], ["value"]).rdd.map(lambda r: r.value))
-    # undecodable sample docs make the JSON reader add its corrupt-record
-    # column; that's an inference artifact, not payload schema
-    return StructType([f for f in df.schema.fields if f.name != "_corrupt_record"])
+    import json as _json
+
+    from pyspark.sql.types import ArrayType, NullType, StructField
+
+    merged = StructType([])
+    for s in json_strings:
+        try:
+            doc = _json.loads(s)
+        except (ValueError, TypeError):
+            continue
+        if isinstance(doc, dict):
+            t = _infer_value_type(doc)
+            merged = _merge_types(merged, t)
+
+    def _denull(t):
+        # a field null in EVERY sample doc has no evidence -> string
+        if isinstance(t, NullType):
+            return StringType()
+        if isinstance(t, StructType):
+            return StructType(
+                [StructField(f.name, _denull(f.dataType), True) for f in t.fields]
+            )
+        if isinstance(t, ArrayType):
+            return ArrayType(_denull(t.elementType), True)
+        return t
+
+    return _denull(merged)
 
 
 CORRUPT_COL = "_corrupt_payload"
