@@ -145,3 +145,23 @@ def compact_parquet(
             1 for fn in filenames if fn.endswith(".parquet") and not fn.startswith(".")
         )
     return {"files_before": files_before, "files_after": files_after, "bytes": total}
+
+
+def read_reference_layout(
+    spark: SparkSession, root: str, topic: str, date: str | None = None
+) -> DataFrame:
+    """Read the reference's bare `YYYY/MM/DD/<topic>.parquet` layout
+    (S9: recursive discovery + name predicate; P9: date pruning by path).
+
+    The bare layout has no hive partition columns, so date pruning is
+    path-based, exactly like the reference's directory filter
+    (reader:513-516): `date="YYYY-MM-DD"` narrows the glob to one day.
+    """
+    if date:
+        y, m, d = date.split("-")
+        return spark.read.parquet(f"{root}/{y}/{m}/{d}/{topic}.parquet")
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", f"{topic}.parquet")
+        .parquet(root)
+    )

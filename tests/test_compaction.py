@@ -50,3 +50,35 @@ def test_export_reference_layout(spark, sf_dir, tmp_path):
     assert len(rel) == 4 and len(rel[0]) == 4
     total = sum(spark.read.parquet(f).count() for f in files)
     assert total == env.count()
+
+
+def test_reference_layout_round_trip(spark, sf_dir, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from redpanda_to_parquet_writer_spark.sources.parquet import (
+        read_reference_layout,
+    )
+    from redpanda_to_parquet_writer_spark.streaming.sink import (
+        export_reference_layout,
+    )
+
+    events = load_table(spark, sf_dir, "events").limit(300)
+    env = events.select(
+        F.col("event_id").alias("kafka_offset"),
+        F.date_format((F.col("ts") / 1e9).cast("timestamp"), "yyyy-MM-dd").alias("date"),
+    )
+    hive = str(tmp_path / "hive")
+    env.write.partitionBy("date").parquet(hive)
+    out = str(tmp_path / "ref")
+    files = export_reference_layout(spark, hive, out, "t1")
+
+    back = read_reference_layout(spark, out, "t1")
+    assert back.count() == env.count()
+    # path-based date pruning reads exactly one day
+    one = os.path.relpath(files[0], out).split(os.sep)
+    day = "-".join(one[:3])
+    pruned = read_reference_layout(spark, out, "t1", date=day)
+    expected = env.filter(F.col("date") == day).count()
+    assert pruned.count() == expected > 0
