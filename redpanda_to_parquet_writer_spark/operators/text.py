@@ -231,29 +231,34 @@ def minhash_signature(
     instead of k digests — ~10x less CPU on the corpus-size hot path.
 
     Engine-portable (md5 hex + integer arithmetic reproduce exactly in
-    any SQL engine). Per-row array expressions — no shuffle, no UDF; min
-    over the shingle SET equals min over the multiset, so dedupe first.
+    any SQL engine). Min over the shingle SET equals min over the
+    multiset, so dedupe first.
+
+    Plan shape (same lesson as simhash32, A/B-measured ~20% faster than
+    per-row higher-order-function mins): explode the distinct shingles
+    and take the k mins as vectorized hash aggregates — partial
+    aggregation collapses each doc's shingles to one k-counter row
+    map-side, so the shuffle carries k longs per doc, and codegen'd
+    min() beats interpreted array transforms. Docs with no shingles drop
+    out of the signature frame (they can't pair anyway).
     """
-    digests = F.transform(F.array_distinct(F.col(ngram_col)), lambda g: F.md5(g))
-    pairs = F.transform(
-        digests,
-        lambda m: F.struct(
-            F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
-            F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
-        ),
+    ex = df.select(
+        F.col(id_col), F.explode(F.array_distinct(F.col(ngram_col))).alias("__g")
     )
-    tmp = df.select(F.col(id_col), pairs.alias("__hp"))
-
-    def _minhash_i(i):
-        return lambda p: p["h1"] + F.lit(i) * p["h2"]
-
-    sig = F.array(
+    m = F.md5(F.col("__g"))
+    hp = ex.select(
+        id_col,
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("__h1"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("__h2"),
+    )
+    agg = hp.groupBy(id_col).agg(
         *[
-            F.array_min(F.transform(F.col("__hp"), _minhash_i(i)))
+            F.min(F.col("__h1") + i * F.col("__h2")).alias(f"__m{i}")
             for i in range(num_hashes)
         ]
     )
-    return tmp.select(F.col(id_col), sig.alias("minhash"))
+    sig = F.array(*[F.col(f"__m{i}") for i in range(num_hashes)])
+    return agg.select(F.col(id_col), sig.alias("minhash"))
 
 
 def lsh_candidate_pairs(
