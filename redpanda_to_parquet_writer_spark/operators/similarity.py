@@ -325,3 +325,37 @@ def norm_stats_by_label(
         F.round(F.min("nrm"), 6).alias("min_norm"),
         F.round(F.max("nrm"), 6).alias("max_norm"),
     )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "q_embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: 4x memory cut for ANN at
+    corpus scale (float32 -> int8 + one float scale per vector).
+
+    q[i] = round(v[i] / scale), scale = max(|v|) / 127. Zero vectors get
+    scale NULL / all-zero codes. Pure array expressions.
+    """
+    v = _as_double(F.col(vec_col))
+    amax = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = F.try_divide(amax, F.lit(127.0))
+    codes = F.transform(
+        v,
+        lambda x: F.coalesce(
+            F.round(F.try_divide(x, scale)).cast("tinyint"), F.lit(0).cast("tinyint")
+        ),
+    )
+    return df.withColumn(out_col, codes).withColumn(f"{out_col}_scale", scale)
+
+
+def dequantize_int8(
+    df: DataFrame, q_col: str = "q_embedding", out_col: str = "embedding_deq"
+) -> DataFrame:
+    """Inverse of `quantize_int8`: v[i] ~= q[i] * scale."""
+    scale = F.col(f"{q_col}_scale")
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(q_col), lambda q: q.cast("double") * scale),
+    )

@@ -139,3 +139,24 @@ def ingest_available_now(
         .start()
     )
     query.awaitTermination()
+
+
+def dedup_stream(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "event_time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """In-flight streaming dedup on the envelope key (T5 complement).
+
+    `dropDuplicatesWithinWatermark` keeps per-key state only until the
+    watermark passes — bounded state, unlike plain dropDuplicates on a
+    stream (which accumulates keys forever). Use for at-least-once
+    sources where the same (partition, offset) may be redelivered within
+    the watermark window; the anti-join merge remains the cross-run
+    backstop.
+    """
+    keys = keys or ["kafka_partition", "kafka_offset"]
+    if not df.isStreaming:
+        return df.dropDuplicates(keys)
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

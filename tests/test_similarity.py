@@ -81,3 +81,47 @@ def test_brute_force_topk_sane(spark, sf_dir):
         sims = [r["sim"] for r in rows]
         assert sims == sorted(sims, reverse=True)
         assert all(r["neighbor_id"] != q for r in rows)
+
+
+def test_int8_quantization_roundtrip_preserves_neighbors(spark, sf_dir):
+    """Quantize -> dequantize, then top-k on the dequantized vectors:
+    relative error bounded by the int8 grid, neighbor sets mostly
+    preserved (the practical bar for a 4x memory cut)."""
+    from pyspark.sql import functions as F2
+
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    q = dequantize_int8(quantize_int8(emb))
+    err = q.select(
+        F2.aggregate(
+            F2.zip_with(
+                F2.col("embedding").cast("array<double>"),
+                F2.col("embedding_deq"),
+                lambda a, b: F2.abs(a - b),
+            ),
+            F2.lit(0.0),
+            lambda acc, x: F2.greatest(acc, x),
+        ).alias("max_err"),
+        F2.col("q_embedding_scale").alias("scale"),
+    ).collect()
+    for r in err:
+        assert r["max_err"] <= r["scale"] * 0.5 + 1e-9  # round-to-nearest bound
+
+    queries = emb.filter(F2.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    deq = q.select("vec_id", F2.col("embedding_deq").alias("embedding"))
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(
+            deq, deq.filter(F2.col("vec_id") < 5), k=5
+        ).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, f"int8 quantization degraded neighbors: {recall}"

@@ -55,3 +55,34 @@ def test_stream_join_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == expected
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from redpanda_to_parquet_writer_spark.streaming.ingest import dedup_stream
+
+    schema = "kafka_partition long, kafka_offset long, event_time timestamp"
+    rows = [(0, o, 1704067200 + o) for o in range(50)]
+    dups = rows + rows[10:20]  # redelivered chunk
+    df = spark.createDataFrame(
+        dups, "kafka_partition long, kafka_offset long, event_time long"
+    ).withColumn("event_time", F.timestamp_seconds("event_time"))
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 50
+    assert got.select("kafka_offset").distinct().count() == 50
+    # batch path: plain dropDuplicates
+    assert dedup_stream(df).count() == 50
