@@ -394,3 +394,40 @@ def simhash32(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         term = F.when(F.col(f"bit{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
         simhash = term if simhash is None else simhash + term
     return agg.select(F.col(id_col), simhash.alias("simhash"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard pre-training/RAG chunking op.
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the last window may be short, and a
+    doc shorter than one chunk yields a single chunk. Pure array
+    expressions (slice + concat_ws over the token array) — one narrow
+    pass, chunk count explodes rows by ~n_tokens/stride.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # number of windows: ceil(max(n - overlap, 1) / stride)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int"), F.lit(1)
+    )
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id")
+    base = df.select(F.col(id_col), toks.alias("__toks"), idx)
+    start = F.col("chunk_id") * stride + 1  # slice() is 1-based
+    chunk = F.slice(F.col("__toks"), start, chunk_tokens)
+    return base.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).alias("chunk_tokens"),
+    )

@@ -84,6 +84,15 @@ def docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bpe_token_stats(docs, "text", "doc_id")
 
 
+CHUNK_TOKENS = 16
+CHUNK_OVERLAP = 4
+
+
+def docs_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.chunk_documents(docs, "text", "doc_id", CHUNK_TOKENS, CHUNK_OVERLAP)
+
+
 QUERIES = {
     "docs_exact_dedup": docs_exact_dedup,
     "docs_quality_score": docs_quality_score,
@@ -95,6 +104,7 @@ QUERIES = {
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_simhash": docs_simhash,
     "docs_fingerprint": docs_fingerprint,
+    "docs_chunked": docs_chunked,
 }
 
 # Shared SQL fragments for the oracles. DuckDB list indexing is 1-based
@@ -135,7 +145,33 @@ _SIG_CTE = f"""
 
 _N_BANDS = NUM_HASHES // BAND_SIZE
 
+_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
 ORACLES = {
+    "docs_chunked": f"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+        ),
+        counted AS (
+          SELECT doc_id, t,
+                 greatest(
+                   CAST(ceil(CAST(len(t) - {CHUNK_OVERLAP} AS DOUBLE) / {_STRIDE}) AS INT),
+                   1
+                 ) AS n_chunks
+          FROM toks
+        ),
+        expanded AS (
+          SELECT doc_id, t, CAST(cid AS INT) AS chunk_id
+          FROM counted, LATERAL unnest(generate_series(0, n_chunks - 1)) u(cid)
+        )
+        SELECT doc_id, chunk_id,
+               array_to_string(
+                 t[chunk_id * {_STRIDE} + 1 : chunk_id * {_STRIDE} + {CHUNK_TOKENS}], ' '
+               ) AS chunk_text,
+               len(t[chunk_id * {_STRIDE} + 1 : chunk_id * {_STRIDE} + {CHUNK_TOKENS}])
+                 AS chunk_tokens
+        FROM expanded
+    """,
     "docs_bpe_token_stats": r"""
         WITH toks AS (
           SELECT doc_id,

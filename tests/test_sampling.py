@@ -1,0 +1,34 @@
+"""Mixture rebalancing: proportions land near targets, deterministic
+with a seed, never upsamples."""
+
+from __future__ import annotations
+
+from redpanda_to_parquet_writer_spark.operators.sampling import (
+    mixture_fractions,
+    rebalance_sources,
+)
+from redpanda_to_parquet_writer_spark.sources.parquet import load_table
+
+
+def test_mixture_fractions_math():
+    counts = {"web": 1000, "code": 100, "books": 50}
+    # code binds: 100/0.3 = 333.3 feasible total (scarcest vs target)
+    fr = mixture_fractions(counts, {"web": 0.6, "code": 0.3, "books": 0.1})
+    assert abs(fr["code"] - 1.0) < 1e-9
+    assert abs(fr["web"] - 0.2) < 1e-9  # 0.6*333.3/1000
+    assert abs(fr["books"] - 2 / 3) < 1e-9  # 0.1*333.3/50
+
+
+def test_rebalance_proportions(spark, sf_dir):
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    out = rebalance_sources(docs, "source", weights)
+    counts = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    assert set(counts) <= set(weights)
+    total = sum(counts.values())
+    for s, w in weights.items():
+        share = counts.get(s, 0) / total
+        assert abs(share - w) < 0.08, f"{s}: {share} vs target {w}"
+    # deterministic with the same seed
+    again = rebalance_sources(docs, "source", weights)
+    assert again.count() == out.count()
