@@ -49,6 +49,8 @@ HEADLINE = [
     "docs_token_stats",
     "docs_bpe_token_stats",
     "docs_quality_score",
+    "docs_chunked",
+    "curation_pipeline",
     "docs_minhash_lsh_pairs",
     "docs_simhash",
     "ann_cosine_topk",

@@ -12,6 +12,7 @@ stored values stay exact.
 """
 
 from redpanda_to_parquet_writer_spark.plans import (
+    curation_pipeline,
     multimodal_queries,
     relational,
     text_queries,
@@ -23,6 +24,7 @@ QUERIES = {
     **text_queries.QUERIES,
     **vector_queries.QUERIES,
     **multimodal_queries.QUERIES,
+    **curation_pipeline.QUERIES,
 }
 
 ORACLES = {
@@ -30,6 +32,7 @@ ORACLES = {
     **text_queries.ORACLES,
     **vector_queries.ORACLES,
     **multimodal_queries.ORACLES,
+    **curation_pipeline.ORACLES,
 }
 
 __all__ = ["QUERIES", "ORACLES"]
