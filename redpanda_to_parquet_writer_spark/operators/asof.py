@@ -73,6 +73,7 @@ def interval_join(
     hi_col: str,
     key_cols: list[str] | None = None,
     bin_width: int = 3_600_000_000,
+    max_bins: int = 10_000,
 ) -> DataFrame:
     """Point-in-interval (range) join: rows where
     `lo <= point <= hi` (and keys match).
@@ -86,17 +87,23 @@ def interval_join(
 
     A (point, interval) pair can only meet in the point's own bin, so no
     dedup is needed.
+
+    Dirty-data guards: inverted intervals (lo > hi) and intervals wider
+    than `max_bins` buckets are dropped rather than letting one corrupt
+    row (e.g. a nanos value in a micros column) drive `sequence` to
+    materialize billions of elements and kill the job. Size `max_bins`
+    to the widest legitimate interval / bin_width.
     """
     key_cols = key_cols or []
     pb = points.withColumn("__bin", F.floor(F.col(point_col) / F.lit(bin_width)))
-    ib = intervals.withColumn(
-        "__bin",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(lo_col) / F.lit(bin_width)),
-                F.floor(F.col(hi_col) / F.lit(bin_width)),
-            )
-        ),
+    lo_bin = F.floor(F.col(lo_col) / F.lit(bin_width))
+    hi_bin = F.floor(F.col(hi_col) / F.lit(bin_width))
+    ib = (
+        intervals.filter(
+            (F.col(lo_col) <= F.col(hi_col))
+            & (hi_bin - lo_bin < F.lit(max_bins))
+        )
+        .withColumn("__bin", F.explode(F.sequence(lo_bin, hi_bin)))
     )
     return (
         pb.join(ib, on=[*key_cols, "__bin"])

@@ -20,10 +20,19 @@ def mixture_fractions(
     weight is kept whole; everything else downsamples).
     """
     total_w = sum(weights.values())
+    if total_w <= 0:
+        return {}
     shares = {s: w / total_w for s, w in weights.items()}
-    feasible_total = min(
-        counts[s] / share for s, share in shares.items() if share > 0 and s in counts
-    )
+    feasible = [
+        counts[s] / share
+        for s, share in shares.items()
+        if share > 0 and counts.get(s, 0) > 0
+    ]
+    if not feasible:
+        # no weighted source present (e.g. empty input) -> empty sample,
+        # not a ValueError that kills the job
+        return {}
+    feasible_total = min(feasible)
     return {
         s: min(1.0, shares[s] * feasible_total / counts[s])
         for s in shares

@@ -340,7 +340,8 @@ def quantize_int8(
     amax = F.aggregate(
         v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
     )
-    scale = F.try_divide(amax, F.lit(127.0))
+    # NULL scale marks degenerate (zero/empty) vectors, per the contract
+    scale = F.when(amax > 0, amax / F.lit(127.0))
     codes = F.transform(
         v,
         lambda x: F.coalesce(

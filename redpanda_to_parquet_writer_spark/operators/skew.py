@@ -29,16 +29,25 @@ def salted_join(
     `salt_buckets` shuffle partitions.
 
     The big side gets a deterministic salt from `salt_source` (any
-    roughly-unique column; defaults to the first non-key column, falling
-    back to the key itself via xxhash64 of the full row). The small side
-    is exploded once per bucket — costing |small| * buckets rows, which
-    is the explicit trade against reducer skew.
+    roughly-unique column) or, by default, xxhash64 over the FULL row —
+    salting on the join key itself would put every row of the hot key in
+    one bucket, i.e. zero mitigation. The small side is exploded once
+    per bucket — costing |small| * buckets rows, which is the explicit
+    trade against reducer skew.
+
+    Only inner/left/semi/anti joins are valid: for right/full outer the
+    exploded small-side copies that miss their bucket would surface as
+    spurious null-padded rows.
     """
-    if salt_source is None:
-        candidates = [c for c in big.columns if c not in on]
-        salt_source = candidates[0] if candidates else on[0]
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "left_anti"):
+        raise ValueError(f"salted_join does not support how={how!r} (small side is exploded)")
+    salt_input = (
+        [F.col(salt_source)]
+        if salt_source is not None
+        else [F.col(c) for c in big.columns]
+    )
     salted_big = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col(salt_source)), F.lit(salt_buckets)).cast("int")
+        "__salt", F.pmod(F.xxhash64(*salt_input), F.lit(salt_buckets)).cast("int")
     )
     salted_small = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))

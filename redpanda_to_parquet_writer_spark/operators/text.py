@@ -120,8 +120,12 @@ BPE_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
 def bpe_token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Token counting with a BPE-ish regex pre-tokenizer (vs whitespace
     `token_stats`): letter/digit/punct runs count separately, the way a
-    subword tokenizer's pre-tokenization does. JVM-side regexp, no UDF."""
-    toks = F.expr(f"regexp_extract_all({text_col}, '{BPE_PATTERN}', 0)")
+    subword tokenizer's pre-tokenization does. JVM-side regexp, no UDF.
+
+    The pattern is passed as a lit() column, NOT interpolated into
+    F.expr — SQL string literals unescape backslashes, which silently
+    turned \\s into s and made whitespace runs count as tokens."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), F.lit(0))
     return df.select(
         F.col(id_col),
         F.size(toks).alias("n_bpe_tokens"),
@@ -415,6 +419,9 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
+    # null-text docs yield NO chunks (greatest(ceil(NULL),1) would
+    # otherwise skip the NULL and emit a phantom empty chunk)
+    df = df.filter(F.col(text_col).isNotNull())
     toks = tokens(text_col)
     n = F.size(toks)
     # number of windows: ceil(max(n - overlap, 1) / stride)

@@ -16,11 +16,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from redpanda_to_parquet_writer_spark.operators import text as T
+from redpanda_to_parquet_writer_spark.plans.text_queries import (
+    CHUNK_OVERLAP,
+    CHUNK_TOKENS,
+    QUALITY_EXPR_SQL,
+    chunk_sql_tail,
+)
 from redpanda_to_parquet_writer_spark.sources.parquet import load_table
 
 QUALITY_THRESHOLD = 0.5
-CHUNK_TOKENS = 16
-CHUNK_OVERLAP = 4
 
 
 def curate_corpus(
@@ -44,23 +48,16 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {"curation_pipeline": curation_pipeline}
 
-_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
-
+# The quality expression and chunking SQL are imported from text_queries
+# (single source of truth) so the composed oracle can't drift from the
+# standalone docs_quality_score / docs_chunked definitions.
 ORACLES = {
     "curation_pipeline": f"""
         WITH survivors AS (
           SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
         ),
         quality AS (
-          SELECT doc_id,
-                 round(
-                   0.25 * least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
-                 + 0.25 * least((CAST(len(list_filter(toks, x -> x IN ('the', 'a')))
-                       AS DOUBLE) / len(toks)) / 0.04, 1.0)
-                 + 0.25 * CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))
-                       AS DOUBLE) / length(text)
-                 + 0.25 * CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6
-                 ) AS q
+          SELECT doc_id, {QUALITY_EXPR_SQL} AS q
           FROM (
             SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
             FROM documents
@@ -73,24 +70,6 @@ ORACLES = {
           JOIN quality q USING (doc_id)
           WHERE q.q >= {QUALITY_THRESHOLD}
         ),
-        counted AS (
-          SELECT doc_id, t,
-                 greatest(
-                   CAST(ceil(CAST(len(t) - {CHUNK_OVERLAP} AS DOUBLE) / {_STRIDE}) AS INT),
-                   1
-                 ) AS n_chunks
-          FROM kept
-        ),
-        expanded AS (
-          SELECT doc_id, t, CAST(cid AS INT) AS chunk_id
-          FROM counted, LATERAL unnest(generate_series(0, n_chunks - 1)) u(cid)
-        )
-        SELECT doc_id, chunk_id,
-               array_to_string(
-                 t[chunk_id * {_STRIDE} + 1 : chunk_id * {_STRIDE} + {CHUNK_TOKENS}], ' '
-               ) AS chunk_text,
-               len(t[chunk_id * {_STRIDE} + 1 : chunk_id * {_STRIDE} + {CHUNK_TOKENS}])
-                 AS chunk_tokens
-        FROM expanded
+        {chunk_sql_tail('kept')}
     """,
 }

@@ -145,20 +145,20 @@ _SIG_CTE = f"""
 
 _N_BANDS = NUM_HASHES // BAND_SIZE
 
-_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
 
-ORACLES = {
-    "docs_chunked": f"""
-        WITH toks AS (
-          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
-        ),
+def chunk_sql_tail(source_cte: str, chunk_tokens: int = CHUNK_TOKENS, overlap: int = CHUNK_OVERLAP) -> str:
+    """Shared DuckDB chunking SQL over a CTE exposing (doc_id, t) —
+    single source of truth for docs_chunked AND the curation pipeline's
+    oracle, so the two can't silently desynchronize."""
+    stride = chunk_tokens - overlap
+    return f"""
         counted AS (
           SELECT doc_id, t,
                  greatest(
-                   CAST(ceil(CAST(len(t) - {CHUNK_OVERLAP} AS DOUBLE) / {_STRIDE}) AS INT),
+                   CAST(ceil(CAST(len(t) - {overlap} AS DOUBLE) / {stride}) AS INT),
                    1
                  ) AS n_chunks
-          FROM toks
+          FROM {source_cte}
         ),
         expanded AS (
           SELECT doc_id, t, CAST(cid AS INT) AS chunk_id
@@ -166,11 +166,34 @@ ORACLES = {
         )
         SELECT doc_id, chunk_id,
                array_to_string(
-                 t[chunk_id * {_STRIDE} + 1 : chunk_id * {_STRIDE} + {CHUNK_TOKENS}], ' '
+                 t[chunk_id * {stride} + 1 : chunk_id * {stride} + {chunk_tokens}], ' '
                ) AS chunk_text,
-               len(t[chunk_id * {_STRIDE} + 1 : chunk_id * {_STRIDE} + {CHUNK_TOKENS}])
+               len(t[chunk_id * {stride} + 1 : chunk_id * {stride} + {chunk_tokens}])
                  AS chunk_tokens
         FROM expanded
+    """
+
+
+#: shared quality-score SQL expression over (text, toks) columns — the
+#: single source of truth for docs_quality_score and curation_pipeline
+QUALITY_EXPR_SQL = """
+                 round(
+                   0.25 * least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
+                 + 0.25 * least((CAST(len(list_filter(toks, x -> x IN ('the', 'a')))
+                       AS DOUBLE) / len(toks)) / 0.04, 1.0)
+                 + 0.25 * CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))
+                       AS DOUBLE) / length(text)
+                 + 0.25 * CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6
+                 )
+"""
+
+ORACLES = {
+    "docs_chunked": f"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+          FROM documents WHERE text IS NOT NULL
+        ),
+        {chunk_sql_tail('toks')}
     """,
     "docs_bpe_token_stats": r"""
         WITH toks AS (
@@ -187,28 +210,14 @@ ORACLES = {
                ) AS avg_bpe_token_len
         FROM toks
     """,
-    "docs_quality_score": """
-        WITH sig AS (
-          SELECT doc_id,
-                 len(toks) AS n_tokens,
-                 len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stop,
-                 CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
-                   / length(text) AS alpha_ratio,
-                 CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio
+    "docs_quality_score": f"""
+        SELECT doc_id, quality, quality >= 0.5 AS keep
+        FROM (
+          SELECT doc_id, {QUALITY_EXPR_SQL} AS quality
           FROM (
             SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
             FROM documents
           )
-        )
-        SELECT doc_id, quality, quality >= 0.5 AS keep
-        FROM (
-          SELECT doc_id,
-                 round(
-                   0.25 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
-                 + 0.25 * least((CAST(n_stop AS DOUBLE) / n_tokens) / 0.04, 1.0)
-                 + 0.25 * alpha_ratio
-                 + 0.25 * uniq_ratio, 6) AS quality
-          FROM sig
         )
     """,
     "docs_exact_dedup": """

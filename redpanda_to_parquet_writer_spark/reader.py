@@ -184,16 +184,22 @@ def deduplicate_table(
 
 
 def typed_rows(
-    df: DataFrame, sec_type: str, limit: int | None = None, strict: bool = False
+    df: DataFrame,
+    sec_type: str,
+    limit: int | None = None,
+    required: tuple[str, ...] = (),
 ) -> list[dict]:
     """Typed materialization (reader:350-375 parity): collect rows as
     dicts restricted to the declared schema for `sec_type`
     (schemas.SEC_TYPE_SCHEMAS), with declared-but-absent fields None.
 
-    The reference constructs dataclass instances per row, skipping rows
-    that fail; `strict=True` reproduces the skip (drops rows missing any
-    declared non-null field present in the frame), default keeps all.
-    Driver-side API sugar — cap with `limit`; bulk paths stay DataFrames.
+    The reference's dataclasses default every field to None, so its
+    materialization keeps all rows; by default this does too. Pass
+    `required` field names to drop rows null in any of THOSE fields
+    (e.g. ("symbol",)) — a blanket any-null skip would discard nearly
+    every real market-data row (bid/ask null off-hours, greeks null for
+    non-options). Driver-side API sugar — cap with `limit`; bulk paths
+    stay DataFrames.
     """
     from redpanda_to_parquet_writer_spark.schemas import SEC_TYPE_SCHEMAS
 
@@ -206,7 +212,7 @@ def typed_rows(
     out = []
     for row in slim.collect():
         d = row.asDict()
-        if strict and any(d.get(n) is None for n in present):
+        if required and any(d.get(n) is None for n in required):
             continue
         out.append({n: d.get(n) for n in names})
     return out

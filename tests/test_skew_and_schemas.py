@@ -88,6 +88,6 @@ def test_typed_rows_materialization(spark):
     assert len(rows) == 2
     # declared-but-absent fields materialize as None
     assert rows[0]["volume"] is None and rows[0]["symbol"] == "AAPL"
-    # strict mode drops rows with nulls in present declared fields
-    strict = typed_rows(df, "STK", strict=True)
-    assert [r["symbol"] for r in strict] == ["MSFT"]
+    # required fields drop rows null in those fields only
+    filtered = typed_rows(df, "STK", required=("bid",))
+    assert [r["symbol"] for r in filtered] == ["MSFT"]
