@@ -41,6 +41,7 @@ HEADLINE = [
     "global_stats_lineitem",
     "running_max_value",
     "events_sessionization",
+    "events_locf_gap_fill",
     "distinct_users_by_type",
     "clicks_asof_purchases",
     "purchase_attribution_window",
@@ -49,6 +50,8 @@ HEADLINE = [
     "docs_token_stats",
     "docs_bpe_token_stats",
     "docs_quality_score",
+    "docs_redacted",
+    "docs_train_split",
     "docs_chunked",
     "curation_pipeline",
     "docs_minhash_lsh_pairs",

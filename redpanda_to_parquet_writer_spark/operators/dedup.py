@@ -68,6 +68,80 @@ def content_dedup_keep_first(
     )
 
 
+def connected_components(
+    vertices: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Resolve near-dup candidate PAIRS into clusters: min-label propagation.
+
+    LSH/Jaccard stages emit candidate *pairs*; an actual dedup pipeline
+    must then group pairs transitively (a~b, b~c => {a,b,c} is one
+    cluster) and keep one canonical doc per cluster. This is connected
+    components — not expressible as one SQL query, so it runs as a
+    driver-controlled iteration of Spark joins:
+
+      label(v) starts as v; each round, label(v) := min(label(v),
+      min over neighbors u of label(u)); stop when no label changed.
+
+    Rounds needed = graph diameter in label-space, which for near-dup
+    graphs (small dense cliques, sparse bridges) is tiny (2-4).
+
+    Scale notes:
+      - Each round is one shuffle join keyed on vertex id; the edge list
+        (candidate pairs) is orders of magnitude smaller than the corpus.
+      - `localCheckpoint` truncates lineage every round so the plan does
+        not grow with iterations (the classic iterative-algorithm trap).
+      - For adversarially deep graphs (long chains), swap the propagation
+        step for the large-star/small-star rounds of Kiveris et al.
+        "Connected Components in MapReduce" — same join shape, fewer
+        rounds; not needed for near-dup cluster shapes.
+
+    Returns (id_col, cluster_id) with one row per vertex; singletons keep
+    cluster_id == their own id.
+    """
+    edges = pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["dst"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") < F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), "cluster_id")
+
+
 def exact_dedup_min_key(
     df: DataFrame, content_cols: list[str] | None = None, order_col: str = "kafka_offset"
 ) -> DataFrame:

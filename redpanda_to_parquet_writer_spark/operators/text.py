@@ -66,6 +66,49 @@ def with_ngrams(df: DataFrame, text_col: str, n: int, out: str = "ngrams") -> Da
     )
 
 
+#: redaction patterns, written in the regex subset common to Java
+#: (Spark) and RE2 (DuckDB/most scanners) so oracles reproduce exactly
+REDACT_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+REDACT_NUMBER = r"[0-9]+"
+
+
+def redact_text(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    blocklist_terms: tuple[str, ...] = (),
+) -> DataFrame:
+    """PII-style scrubbing: mask emails, digit runs, and blocklist terms.
+
+    Standard pre-training curation step (strip emails/phones/IDs and
+    organization-specific terms before the corpus ships). Pure
+    `regexp_replace`/`regexp_extract_all` expressions — stays in
+    whole-stage codegen, no UDF, scales linearly.
+
+    Returns (id_col, redacted, n_emails, n_numbers, n_terms).
+    """
+    col = F.col(text_col)
+    term_pattern = (
+        r"\b(?:" + "|".join(blocklist_terms) + r")\b" if blocklist_terms else None
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(col, REDACT_EMAIL, "<EMAIL>"), REDACT_NUMBER, "<NUM>"
+    )
+    n_terms = F.lit(0).cast("int")
+    if term_pattern:
+        redacted = F.regexp_replace(redacted, term_pattern, "<TERM>")
+        # pattern as a Column literal, NOT interpolated into F.expr SQL —
+        # SQL string literals would eat the backslashes in \b
+        n_terms = F.regexp_count(col, F.lit(term_pattern)).cast("int")
+    return df.select(
+        F.col(id_col),
+        redacted.alias("redacted"),
+        F.regexp_count(col, F.lit(REDACT_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(col, F.lit(REDACT_NUMBER)).cast("int").alias("n_numbers"),
+        n_terms.alias("n_terms"),
+    )
+
+
 def exact_dedup_hash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup: md5(text) groups, keep the smallest id (keep-first).
 

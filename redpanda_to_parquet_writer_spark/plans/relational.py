@@ -539,8 +539,37 @@ def events_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+def events_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill via LOCF (last observation carried forward):
+    every event carries the user's most recent purchase value.
+
+    The hypertable-style forward-fill: `last(..., ignorenulls)` over an
+    unbounded-preceding row frame. One shuffle on user_id; the running
+    frame is computed in a single pass per partition (no self-join, no
+    range scan) — the plan you want when back-filling sparse signals
+    across a 100 TB event stream.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("value")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("last_purchase_value"),
+    )
+
+
 QUERIES = {
     "topk_events_by_type": topk_events_by_type,
+    "events_locf_gap_fill": events_locf_gap_fill,
     "offset_recovery": offset_recovery,
     "partition_counts": partition_counts,
     "distinct_event_types": distinct_event_types,
@@ -573,6 +602,14 @@ QUERIES = {
 
 
 ORACLES = {
+    "events_locf_gap_fill": """
+        SELECT event_id, user_id,
+               LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS last_purchase_value
+        FROM events
+    """,
     "top_parts_per_brand": """
         WITH per_part AS (
           SELECT p.p_brand, p.p_partkey,

@@ -93,6 +93,59 @@ def docs_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.chunk_documents(docs, "text", "doc_id", CHUNK_TOKENS, CHUNK_OVERLAP)
 
 
+#: blocklist for the redaction demo — terms present in the synthetic corpus
+REDACT_TERMS = ("customer", "merge")
+_TERM_PATTERN = r"\b(?:" + "|".join(REDACT_TERMS) + r")\b"
+
+
+def docs_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.redact_text(docs, "text", "doc_id", blocklist_terms=REDACT_TERMS)
+
+
+#: deterministic split fractions: bucket 0-79 train, 80-89 val, 90-99 test
+SPLIT_TRAIN_END = 80
+SPLIT_VAL_END = 90
+
+
+def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: md5(doc_id) -> bucket 0-99.
+
+    Hash-based (not random) so the split is stable across runs, engines,
+    and repartitioning — the property a reproducible training pipeline
+    needs. Narrow per-row expressions, zero shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+            "long"
+        ),
+        F.lit(100),
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < SPLIT_TRAIN_END, "train")
+        .when(bucket < SPLIT_VAL_END, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the fuzzy-dedup pipeline: LSH candidate pairs -> transitive
+    clusters (connected components) -> keep flag on the canonical
+    (min-id) doc of each cluster. Singleton docs keep themselves."""
+    from redpanda_to_parquet_writer_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs_minhash_lsh_pairs(spark, sf_dir)
+    cc = connected_components(docs.select("doc_id"), pairs)
+    return cc.select(
+        "doc_id", "cluster_id", (F.col("cluster_id") == F.col("doc_id")).alias("keep")
+    )
+
+
 QUERIES = {
     "docs_exact_dedup": docs_exact_dedup,
     "docs_quality_score": docs_quality_score,
@@ -105,6 +158,9 @@ QUERIES = {
     "docs_simhash": docs_simhash,
     "docs_fingerprint": docs_fingerprint,
     "docs_chunked": docs_chunked,
+    "docs_redacted": docs_redacted,
+    "docs_train_split": docs_train_split,
+    "docs_dedup_clusters": docs_dedup_clusters,
 }
 
 # Shared SQL fragments for the oracles. DuckDB list indexing is 1-based
@@ -312,6 +368,31 @@ ORACLES = {
                len(ngrams) AS n_shingles
         FROM grams
     """,
+    "docs_redacted": f"""
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '{T.REDACT_EMAIL}', '<EMAIL>', 'g'),
+                   '{T.REDACT_NUMBER}', '<NUM>', 'g'),
+                 '{_TERM_PATTERN}', '<TERM>', 'g'
+               ) AS redacted,
+               len(regexp_extract_all(text, '{T.REDACT_EMAIL}')) AS n_emails,
+               len(regexp_extract_all(text, '{T.REDACT_NUMBER}')) AS n_numbers,
+               len(regexp_extract_all(text, '{_TERM_PATTERN}')) AS n_terms
+        FROM documents
+    """,
+    "docs_train_split": f"""
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < {SPLIT_TRAIN_END} THEN 'train'
+                    WHEN bucket < {SPLIT_VAL_END} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id,
+                 CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                   AS BIGINT) % 100 AS bucket
+          FROM documents
+        )
+    """,
     "docs_simhash": f"""
         WITH toks AS (
           SELECT doc_id, CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) AS h
@@ -334,3 +415,26 @@ ORACLES = {
         FROM votes
     """,
 }
+
+# Connected-components oracle: transitive closure via a recursive CTE over
+# the SAME candidate-pair SQL as docs_minhash_lsh_pairs (reused verbatim so
+# the two stages can't desynchronize). reach(id, r) = "label r has
+# propagated to node id"; min(r) per id is the component's min member.
+ORACLES["docs_dedup_clusters"] = f"""
+    WITH RECURSIVE pairs AS (
+      SELECT * FROM ({ORACLES["docs_minhash_lsh_pairs"]}) q
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.dst AS id, reach.r AS r
+      FROM reach JOIN edges e ON e.src = reach.id
+    )
+    SELECT id AS doc_id, min(r) AS cluster_id, min(r) = id AS keep
+    FROM reach GROUP BY id
+"""

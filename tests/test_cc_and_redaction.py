@@ -1,0 +1,62 @@
+"""Unit tests for connected-components cluster resolution and PII-style
+redaction (the oracle sweep in test_queries_oracle.py covers the full
+queries; these pin the operator semantics on handcrafted inputs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from redpanda_to_parquet_writer_spark.operators.dedup import connected_components
+from redpanda_to_parquet_writer_spark.operators.text import redact_text
+
+
+def _clusters(spark, n_vertices, pairs, **kw):
+    vertices = spark.range(1, n_vertices + 1).select(F.col("id").alias("doc_id"))
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    out = connected_components(vertices, pdf, **kw)
+    return {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+
+def test_cc_components_and_singletons(spark):
+    got = _clusters(spark, 7, [(1, 2), (2, 3), (5, 6)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_cc_long_chain_needs_multiple_rounds(spark):
+    # a 6-node chain: label 1 must propagate hop-by-hop across rounds
+    got = _clusters(spark, 6, [(i, i + 1) for i in range(1, 6)])
+    assert got == {i: 1 for i in range(1, 7)}
+
+
+def test_cc_iteration_cap_partial_result(spark):
+    # with 1 round allowed, each node only sees its direct neighbors' min
+    got = _clusters(spark, 4, [(1, 2), (2, 3), (3, 4)], max_iterations=1)
+    assert got == {1: 1, 2: 1, 3: 2, 4: 3}
+
+
+def test_redact_text_masks_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com and card 1234 5678"),
+            (2, "no pii here"),
+            (3, "secret project apollo x2"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in redact_text(df, "text", "doc_id", blocklist_terms=("apollo",)).collect()
+    }
+    assert rows[1]["redacted"] == "mail <EMAIL> and card <NUM> <NUM>"
+    assert (rows[1]["n_emails"], rows[1]["n_numbers"], rows[1]["n_terms"]) == (1, 2, 0)
+    assert rows[2]["redacted"] == "no pii here"
+    assert (rows[2]["n_emails"], rows[2]["n_numbers"], rows[2]["n_terms"]) == (0, 0, 0)
+    # term masked with word boundaries; the digit inside x2 still masks
+    assert rows[3]["redacted"] == "secret project <TERM> x<NUM>"
+    assert rows[3]["n_terms"] == 1
+
+
+def test_redact_no_blocklist(spark):
+    df = spark.createDataFrame([(1, "a 42 b")], "doc_id long, text string")
+    row = redact_text(df, "text", "doc_id").collect()[0]
+    assert row["redacted"] == "a <NUM> b"
+    assert row["n_terms"] == 0
