@@ -56,6 +56,8 @@ HEADLINE = [
     "curation_pipeline",
     "docs_minhash_lsh_pairs",
     "docs_simhash",
+    "docs_decontaminate",
+    "docs_top_ngrams",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "embeddings_norm_stats",

@@ -443,6 +443,68 @@ def simhash32(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return agg.select(F.col(id_col), simhash.alias("simhash"))
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    ngram_col: str,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing n-gram shingles
+    with a held-out benchmark/eval set — the standard guard against
+    train/test contamination in pre-training pipelines.
+
+    Scale shape: the benchmark side is small relative to the corpus
+    (eval suites are thousands of docs vs billions), so its distinct
+    shingle set is collected into a broadcast hash join — the 100 TB
+    corpus streams map-side against it with NO shuffle of corpus data;
+    the only exchange is the per-doc hit-count aggregation, which
+    partial-aggregates to at most one row per contaminated doc.
+
+    Returns every corpus row as (id_col, n_overlap, contaminated):
+    n_overlap = number of DISTINCT shingles shared with any benchmark
+    doc, contaminated = n_overlap >= min_overlap.
+    """
+    bench_shingles = benchmark.select(
+        F.explode(F.array_distinct(F.col(ngram_col))).alias("__g")
+    ).distinct()
+    corpus_shingles = corpus.select(
+        F.col(id_col), F.explode(F.array_distinct(F.col(ngram_col))).alias("__g")
+    )
+    hits = (
+        corpus_shingles.join(F.broadcast(bench_shingles), "__g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return corpus.select(id_col).join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+        (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_overlap).alias(
+            "contaminated"
+        ),
+    )
+
+
+def top_ngrams(
+    df: DataFrame, id_col: str, ngram_col: str, k: int = 50
+) -> DataFrame:
+    """Corpus-level top-k n-grams by document frequency (distinct docs
+    containing the gram) — boilerplate/template detection for curation.
+
+    explode-distinct is narrow; the groupBy partial-aggregates map-side
+    so the shuffle carries one counter per (partition, gram); the final
+    top-k plans as TakeOrderedAndProject (no global sort materialized).
+    Ties at the k boundary break deterministically by gram text.
+    """
+    return (
+        df.select(F.explode(F.array_distinct(F.col(ngram_col))).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str,

@@ -132,6 +132,62 @@ def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: md5-bucket threshold carving the held-out benchmark set (~5% of docs)
+BENCH_BUCKET_END = 5
+TOP_NGRAMS_K = 50
+
+
+def _split_bucket() -> F.Column:
+    """The same deterministic md5(doc_id) -> 0-99 bucket used by
+    docs_train_split, reused so every derived split stays consistent."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+            "long"
+        ),
+        F.lit(100),
+    )
+
+
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check: carve a deterministic ~5%
+    benchmark set out of `documents` (md5 bucket < 5), then flag every
+    remaining doc that shares any word-3-gram with it. The benchmark
+    shingle set rides a broadcast join — the corpus side never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucketed = docs.withColumn("__bucket", _split_bucket())
+    grams = T.with_ngrams(bucketed, "text", NGRAM_N)
+    bench = grams.filter(F.col("__bucket") < BENCH_BUCKET_END)
+    corpus = grams.filter(F.col("__bucket") >= BENCH_BUCKET_END)
+    return T.decontaminate(corpus, bench, "doc_id", "ngrams")
+
+
+def docs_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-50 word-3-grams by document frequency
+    (boilerplate detection); deterministic tie-break on gram text."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = T.with_ngrams(docs, "text", NGRAM_N)
+    return T.top_ngrams(grams, "doc_id", "ngrams", TOP_NGRAMS_K)
+
+
+#: per-source keep-threshold: 30 + (source_number mod 7) * 10 buckets of
+#: 100 — a deliberately uneven mixture so the stratified logic is exercised
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-source keep fractions
+    applied via the md5(doc_id) bucket, so the sample is reproducible
+    across runs/engines/partitionings (unlike seeded `sampleBy`, whose
+    hash is engine-private). Pure narrow expressions — zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract(F.col("source"), r"(\d+)$", 1).try_cast("long")
+    threshold = F.lit(30) + F.pmod(src_num, F.lit(7)) * 10
+    bucket = _split_bucket()
+    return docs.select(
+        "doc_id",
+        "source",
+        bucket.alias("bucket"),
+        threshold.cast("long").alias("keep_threshold"),
+    ).filter(F.col("bucket") < F.col("keep_threshold"))
+
+
 def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End of the fuzzy-dedup pipeline: LSH candidate pairs -> transitive
     clusters (connected components) -> keep flag on the canonical
@@ -161,6 +217,9 @@ QUERIES = {
     "docs_redacted": docs_redacted,
     "docs_train_split": docs_train_split,
     "docs_dedup_clusters": docs_dedup_clusters,
+    "docs_decontaminate": docs_decontaminate,
+    "docs_top_ngrams": docs_top_ngrams,
+    "docs_stratified_sample": docs_stratified_sample,
 }
 
 # Shared SQL fragments for the oracles. DuckDB list indexing is 1-based
@@ -415,6 +474,63 @@ ORACLES = {
         FROM votes
     """,
 }
+
+ORACLES["docs_decontaminate"] = f"""
+    WITH bucketed AS (
+      SELECT doc_id, text,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+               AS BIGINT) % 100 AS b
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, b,
+             list_distinct(list_transform(
+               generate_series(1, len(toks) - {NGRAM_N - 1}),
+               i -> concat_ws(' ', {", ".join(f"toks[i + {j}]" for j in range(NGRAM_N))})
+             )) AS ngrams
+      FROM (SELECT doc_id, b, string_split_regex(trim(text), '\\s+') AS toks
+            FROM bucketed)
+    ),
+    bench AS (
+      SELECT DISTINCT g FROM grams, LATERAL unnest(ngrams) t(g)
+      WHERE b < {BENCH_BUCKET_END}
+    ),
+    corpus AS (
+      SELECT doc_id, g FROM grams, LATERAL unnest(ngrams) t(g)
+      WHERE b >= {BENCH_BUCKET_END}
+    ),
+    hits AS (
+      SELECT doc_id, count(*) AS n_overlap
+      FROM corpus JOIN bench USING (g) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(h.n_overlap, 0) AS n_overlap,
+           coalesce(h.n_overlap, 0) >= 1 AS contaminated
+    FROM (SELECT doc_id FROM grams WHERE b >= {BENCH_BUCKET_END}) d
+    LEFT JOIN hits h USING (doc_id)
+"""
+
+ORACLES["docs_top_ngrams"] = f"""
+    WITH {_GRAMS_CTE}
+    SELECT g AS ngram, count(*) AS doc_freq
+    FROM grams, LATERAL unnest(list_distinct(ngrams)) t(g)
+    GROUP BY g
+    ORDER BY doc_freq DESC, ngram ASC
+    LIMIT {TOP_NGRAMS_K}
+"""
+
+ORACLES["docs_stratified_sample"] = r"""
+    SELECT doc_id, source, bucket, keep_threshold
+    FROM (
+      SELECT doc_id, source,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+               AS BIGINT) % 100 AS bucket,
+             30 + (TRY_CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 7) * 10
+               AS keep_threshold
+      FROM documents
+    )
+    WHERE bucket < keep_threshold
+"""
 
 # Connected-components oracle: transitive closure via a recursive CTE over
 # the SAME candidate-pair SQL as docs_minhash_lsh_pairs (reused verbatim so

@@ -81,6 +81,24 @@ def test_interval_join_is_equi_join(spark, sf_dir):
     assert "HashJoin" in plan or "SortMergeJoin" in plan
 
 
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark shingle set is the small side — it must ride a
+    broadcast join so the corpus side never shuffles for the probe."""
+    plan = plan_str(QUERIES["docs_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_top_ngrams_plans_as_take_ordered(spark, sf_dir):
+    plan = plan_str(QUERIES["docs_top_ngrams"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_stratified_sample_zero_shuffle(spark, sf_dir):
+    """Hash-bucket stratified sampling is pure narrow expressions."""
+    plan = plan_str(QUERIES["docs_stratified_sample"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
 def test_no_cartesian_products(spark, sf_dir):
     """Nothing in the inventory should plan a CartesianProduct. The
     quadratic exact baselines (ann/neardup) use broadcast nested loop —
