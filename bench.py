@@ -58,6 +58,8 @@ HEADLINE = [
     "docs_simhash",
     "docs_decontaminate",
     "docs_top_ngrams",
+    "docs_tfidf_top_terms",
+    "embeddings_label_centroids",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "embeddings_norm_stats",

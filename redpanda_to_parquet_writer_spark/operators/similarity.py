@@ -327,6 +327,45 @@ def norm_stats_by_label(
     )
 
 
+def label_centroid_dims(
+    df: DataFrame, label_col: str, vec_col: str
+) -> DataFrame:
+    """Per-label embedding centroid, one row per (label, dimension).
+
+    posexplode is narrow; the (label, pos) groupBy partial-aggregates
+    map-side, so the shuffle carries one (sum, count) pair per
+    (label, dim) per input partition — independent of corpus size. The
+    per-dim row form avoids array-valued results (engine-portable for
+    hash comparison); `assemble_centroids` rebuilds arrays for API use.
+
+    Returns (label_col, pos, n_vecs, centroid) with centroid rounded
+    to 6 decimals.
+    """
+    ex = df.select(
+        F.col(label_col),
+        F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"),
+    )
+    return ex.groupBy(label_col, "pos").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("x"), 6).alias("centroid"),
+    )
+
+
+def assemble_centroids(
+    dims: DataFrame, label_col: str
+) -> DataFrame:
+    """Fold `label_centroid_dims` rows back into (label, n_vecs,
+    centroid: array<double>) — dimension order restored by sorting the
+    (pos, value) structs (struct ordering is field-order lexicographic)."""
+    return dims.groupBy(label_col).agg(
+        F.max("n_vecs").alias("n_vecs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+            lambda s: s["centroid"],
+        ).alias("centroid"),
+    )
+
+
 def quantize_int8(
     df: DataFrame, vec_col: str = "embedding", out_col: str = "q_embedding"
 ) -> DataFrame:

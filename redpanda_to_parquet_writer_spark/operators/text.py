@@ -505,6 +505,46 @@ def top_ngrams(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k terms per document by TF-IDF — keyword extraction for
+    corpus indexing/topic tagging.
+
+    Three aggregations, all partial-aggregating map-side: term freq per
+    (doc, term), document freq per term, and a 1-row corpus count that
+    rides a broadcast cross join (no driver round-trip, stays one plan).
+    idf = ln(n_docs / df). The rank window orders by the ROUNDED score
+    (then term text) so last-ulp ln() differences between engines can't
+    reorder mathematically-equal scores.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count("*").alias("__n"))
+    # dfreq grows with vocabulary (unbounded at corpus scale) — leave the
+    # join strategy to AQE rather than forcing a broadcast; only the
+    # 1-row corpus count is always broadcast-safe
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("__n").cast("double") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str,

@@ -188,6 +188,15 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("bucket") < F.col("keep_threshold"))
 
 
+TFIDF_K = 3
+
+
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (corpus-wide idf)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.tfidf_top_terms(docs, "text", "doc_id", TFIDF_K)
+
+
 def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End of the fuzzy-dedup pipeline: LSH candidate pairs -> transitive
     clusters (connected components) -> keep flag on the canonical
@@ -220,6 +229,7 @@ QUERIES = {
     "docs_decontaminate": docs_decontaminate,
     "docs_top_ngrams": docs_top_ngrams,
     "docs_stratified_sample": docs_stratified_sample,
+    "docs_tfidf_top_terms": docs_tfidf_top_terms,
 }
 
 # Shared SQL fragments for the oracles. DuckDB list indexing is 1-based
@@ -530,6 +540,31 @@ ORACLES["docs_stratified_sample"] = r"""
       FROM documents
     )
     WHERE bucket < keep_threshold
+"""
+
+ORACLES["docs_tfidf_top_terms"] = f"""
+    WITH toks AS (
+      SELECT doc_id, tok AS term
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+           LATERAL unnest(t) u(tok)
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, tfidf, rank
+    FROM (
+      SELECT doc_id, term, tf, tfidf,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+             ) AS rank
+      FROM scored
+    )
+    WHERE rank <= {TFIDF_K}
 """
 
 # Connected-components oracle: transitive closure via a recursive CTE over

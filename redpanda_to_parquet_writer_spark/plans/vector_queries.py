@@ -70,8 +70,17 @@ def embeddings_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.norm_stats_by_label(emb, "label", "embedding")
 
 
+def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (element-wise mean), one row per
+    (label, dimension) — class prototypes for centroid-based dedup /
+    outlier filtering. Per-dim rows keep the result engine-portable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.label_centroid_dims(emb, "label", "embedding")
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
+    "embeddings_label_centroids": embeddings_label_centroids,
     "ann_ivf_topk": ann_ivf_topk,
     "embeddings_neardup_pairs": embeddings_neardup_pairs,
     "embeddings_norm_stats": embeddings_norm_stats,
@@ -162,6 +171,16 @@ ORACLES = {
           FROM pairs
         )
         WHERE sim >= {NEARDUP_THRESHOLD}
+    """,
+    "embeddings_label_centroids": """
+        SELECT label, pos - 1 AS pos, count(*) AS n_vecs,
+               round(avg(x), 6) AS centroid
+        FROM (
+          SELECT label, pos, v[pos] AS x
+          FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+               LATERAL unnest(generate_series(1, len(v))) t(pos)
+        )
+        GROUP BY label, pos
     """,
     "embeddings_norm_stats": """
         SELECT label,

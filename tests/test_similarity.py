@@ -125,3 +125,25 @@ def test_int8_quantization_roundtrip_preserves_neighbors(spark, sf_dir):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.8, f"int8 quantization degraded neighbors: {recall}"
+
+
+def test_assemble_centroids_roundtrip(spark, sf_dir):
+    """Per-dim centroid rows fold back into ordered arrays: dimension
+    count matches the embedding width and values land in pos order."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        assemble_centroids,
+        label_centroid_dims,
+    )
+    from redpanda_to_parquet_writer_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.first()["embedding"])
+    dims = label_centroid_dims(emb, "label", "embedding")
+    arrays = assemble_centroids(dims, "label").collect()
+    assert arrays, "expected at least one label"
+    by_label = {r["label"]: r for r in arrays}
+    flat = {(r["label"], r["pos"]): r["centroid"] for r in dims.collect()}
+    for label, row in by_label.items():
+        assert len(row["centroid"]) == dim
+        assert row["centroid"][0] == flat[(label, 0)]
+        assert row["centroid"][dim - 1] == flat[(label, dim - 1)]
