@@ -19,7 +19,7 @@ Design rules:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: default English-ish stopword markers present in the synthetic corpus
@@ -485,11 +485,10 @@ def decontaminate(
     )
 
 
-def top_ngrams(
-    df: DataFrame, id_col: str, ngram_col: str, k: int = 50
-) -> DataFrame:
+def top_ngrams(df: DataFrame, ngram_col: str, k: int = 50) -> DataFrame:
     """Corpus-level top-k n-grams by document frequency (distinct docs
-    containing the gram) — boilerplate/template detection for curation.
+    containing the gram; one count per input row since shingles are
+    per-row-distinct) — boilerplate/template detection for curation.
 
     explode-distinct is narrow; the groupBy partial-aggregates map-side
     so the shuffle carries one counter per (partition, gram); the final
@@ -518,8 +517,6 @@ def tfidf_top_terms(
     (then term text) so last-ulp ln() differences between engines can't
     reorder mathematically-equal scores.
     """
-    from pyspark.sql import Window
-
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))

@@ -166,7 +166,7 @@ def docs_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (boilerplate detection); deterministic tie-break on gram text."""
     docs = load_table(spark, sf_dir, "documents")
     grams = T.with_ngrams(docs, "text", NGRAM_N)
-    return T.top_ngrams(grams, "doc_id", "ngrams", TOP_NGRAMS_K)
+    return T.top_ngrams(grams, "ngrams", TOP_NGRAMS_K)
 
 
 #: per-source keep-threshold: 30 + (source_number mod 7) * 10 buckets of
