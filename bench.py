@@ -38,6 +38,7 @@ HEADLINE = [
     "revenue_by_region",
     "shipping_priority",
     "top_brands_by_revenue",
+    "returned_item_revenue",
     "global_stats_lineitem",
     "running_max_value",
     "events_sessionization",

@@ -250,6 +250,43 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost revenue from returned items per customer over
+    one quarter. The only shuffle is lineitem<->orders (both facts,
+    pre-filtered so the scan prunes on l_returnflag / o_orderdate);
+    customer joins post-agg-side via AQE-sized join, nation broadcasts;
+    top-20 plans as TakeOrderedAndProject. Tie-break on c_custkey (unique
+    per group) keeps the limit deterministic across engines.
+
+    Revenue sums decimal(18,4), not double: the small per-customer groups
+    land sums exactly on the .xx5 rounding boundary at sf0.01, where
+    double addition order flips the 2-dp rounding between engines;
+    decimal accumulation is order-independent and exact."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(F.sum(revenue), 2).cast("double").alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
 def top_brands_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
@@ -584,6 +621,7 @@ QUERIES = {
     "revenue_by_region": revenue_by_region,
     "shipping_priority": shipping_priority,
     "top_brands_by_revenue": top_brands_by_revenue,
+    "returned_item_revenue": returned_item_revenue,
     "global_stats_lineitem": global_stats_lineitem,
     "local_supplier_volume": local_supplier_volume,
     "hourly_event_stats": hourly_event_stats,
@@ -860,6 +898,21 @@ ORACLES = {
         GROUP BY p_brand
         ORDER BY revenue DESC, p_brand ASC
         LIMIT 10
+    """,
+    "returned_item_revenue": """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
     """,
     "global_stats_lineitem": """
         SELECT count(*) AS n_rows,
