@@ -299,7 +299,12 @@ def cosine_neardup_pairs(
     v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     n = v.withColumn("norm", norm(F.col("v")))
     left, right = n.alias("l"), n.alias("r")
-    sim = dot(F.col("l.v"), F.col("r.v")) / (F.col("l.norm") * F.col("r.norm"))
+    # try_divide, same contract as cosine(): a zero-norm vector yields
+    # NULL sim (drops out of the threshold) instead of an ANSI
+    # DIVIDE_BY_ZERO that would kill the job
+    sim = F.try_divide(
+        dot(F.col("l.v"), F.col("r.v")), F.col("l.norm") * F.col("r.norm")
+    )
     return (
         left.join(right, on=F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .withColumn("sim", sim)

@@ -71,6 +71,18 @@ def with_ngrams(df: DataFrame, text_col: str, n: int, out: str = "ngrams") -> Da
 REDACT_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 REDACT_NUMBER = r"[0-9]+"
 
+#: metacharacters special in BOTH Java regex and RE2 — the escape set for
+#: literal terms (escaping only the shared specials keeps the escaped
+#: pattern valid in both engines)
+_REGEX_SPECIALS = frozenset("\\.^$|?*+()[]{}")
+
+
+def regex_escape_term(term: str) -> str:
+    """Escape a literal blocklist term for the Java/RE2-shared regex
+    subset, so terms like 'acme.corp' or 'c++' match literally instead of
+    changing the alternation's semantics (or failing to compile)."""
+    return "".join("\\" + ch if ch in _REGEX_SPECIALS else ch for ch in term)
+
 
 def redact_text(
     df: DataFrame,
@@ -89,7 +101,9 @@ def redact_text(
     """
     col = F.col(text_col)
     term_pattern = (
-        r"\b(?:" + "|".join(blocklist_terms) + r")\b" if blocklist_terms else None
+        r"\b(?:" + "|".join(regex_escape_term(t) for t in blocklist_terms) + r")\b"
+        if blocklist_terms
+        else None
     )
     redacted = F.regexp_replace(
         F.regexp_replace(col, REDACT_EMAIL, "<EMAIL>"), REDACT_NUMBER, "<NUM>"

@@ -141,14 +141,30 @@ def dedup_content_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    # avg_k is rounded via EXACT integer arithmetic (half-up at 6 dp:
+    # (2*sum*1e6 + cnt) DIV (2*cnt), then one float division by 1e6) so
+    # Spark and the oracle produce bitwise-identical doubles. round(avg)
+    # on a double differs between engines in the last ulps on boundary
+    # values (Spark rounds the shortest decimal repr via BigDecimal,
+    # DuckDB the binary value) — invisible at 9 sig digits but fatal to
+    # the driver's value hash.
     return (
         events.select("event_type", k.alias("k"))
         .groupBy("event_type")
         .agg(
             F.sum("k").alias("sum_k"),
-            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.count("k").alias("cnt_k"),
             F.count(F.when(F.col("k").isNull(), 1)).alias("null_k"),
         )
+        .withColumn(
+            "avg_k",
+            F.when(
+                F.col("cnt_k") > 0,
+                F.expr("(sum_k * 2000000 + cnt_k) DIV (2 * cnt_k)")
+                / F.lit(1000000.0),
+            ),
+        )
+        .select("event_type", "sum_k", "avg_k", "null_k")
     )
 
 
@@ -545,11 +561,27 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         (F.max("ts_sec") - F.min("ts_sec")).alias("span_sec"),
     )
-    return per_session.groupBy("user_id").agg(
-        F.count("*").alias("n_sessions"),
-        F.sum("n_events").alias("n_events"),
-        F.round(F.avg("n_events"), 6).alias("avg_session_events"),
-        F.max("span_sec").alias("max_session_span_sec"),
+    # avg via exact integer half-up rounding (see json_extract_props) —
+    # bitwise-stable across engines; n_sessions >= 1 so no zero guard
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("span_sec").alias("max_session_span_sec"),
+        )
+        .withColumn(
+            "avg_session_events",
+            F.expr("(n_events * 2000000 + n_sessions) DIV (2 * n_sessions)")
+            / F.lit(1000000.0),
+        )
+        .select(
+            "user_id",
+            "n_sessions",
+            "n_events",
+            "avg_session_events",
+            "max_session_span_sec",
+        )
     )
 
 
@@ -758,7 +790,8 @@ ORACLES = {
         SELECT user_id,
                count(*) AS n_sessions,
                sum(n_events) AS n_events,
-               round(avg(n_events), 6) AS avg_session_events,
+               ((sum(n_events) * 2000000 + count(*)) // (2 * count(*)))
+                 / 1000000.0 AS avg_session_events,
                max(span_sec) AS max_session_span_sec
         FROM per_session GROUP BY user_id
     """,
@@ -829,7 +862,10 @@ ORACLES = {
     "json_extract_props": """
         SELECT event_type,
                sum(k) AS sum_k,
-               round(avg(k), 6) AS avg_k,
+               CASE WHEN count(k) > 0
+                    THEN ((sum(k) * 2000000 + count(k)) // (2 * count(k)))
+                         / 1000000.0
+               END AS avg_k,
                count(*) FILTER (k IS NULL) AS null_k
         FROM (
           SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -95,7 +95,12 @@ def docs_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: blocklist for the redaction demo — terms present in the synthetic corpus
 REDACT_TERMS = ("customer", "merge")
-_TERM_PATTERN = r"\b(?:" + "|".join(REDACT_TERMS) + r")\b"
+# escaped identically to redact_text's Spark-side pattern (no-op for these
+# alphanumeric terms, but keeps oracle and engine in lockstep for terms
+# containing regex metacharacters)
+_TERM_PATTERN = (
+    r"\b(?:" + "|".join(T.regex_escape_term(t) for t in REDACT_TERMS) + r")\b"
+)
 
 
 def docs_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:

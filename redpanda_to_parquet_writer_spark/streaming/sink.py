@@ -73,6 +73,20 @@ def write_date_partitioned(
     )
 
 
+def _sink_exists(spark: SparkSession, root: str) -> bool:
+    """True iff the sink root exists on its filesystem (Hadoop FS probe).
+
+    Used instead of try/except around the read: a transient or
+    corrupt-read failure must PROPAGATE (silently treating it as
+    "first write" would disable the exactly-once anti-join backstop and
+    append duplicates); only a genuinely missing path means first write.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(root)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def existing_max_offsets(spark: SparkSession, root: str) -> dict[int, int]:
     """Per-partition max persisted offset from the sink itself (T1).
 
@@ -80,10 +94,9 @@ def existing_max_offsets(spark: SparkSession, root: str) -> dict[int, int]:
     resume recovery (collector:468-530), kept as the backstop for
     checkpoint loss (SURVEY 7.3 risk 2).
     """
-    try:
-        df = spark.read.parquet(root)
-    except Exception:
+    if not _sink_exists(spark, root):
         return {}
+    df = spark.read.parquet(root)
     rows = (
         df.select("kafka_partition", "kafka_offset")
         .groupBy("kafka_partition")
@@ -106,11 +119,15 @@ def merge_dedup_append(
     or as the batch-mode write path when SKIP_DEDUPLICATION=false. The
     existing side reads ONLY the key columns (projected scan) and is
     broadcast.
+
+    Only a missing sink path skips the anti-join (first write); any
+    other read failure propagates — swallowing it would silently break
+    idempotency.
     """
-    try:
+    if _sink_exists(spark, root):
         existing = spark.read.parquet(root).select(*keys)
         deduped = anti_join_dedup(new_df, existing, keys)
-    except Exception:
+    else:
         deduped = new_df  # first write: nothing to dedup against
     write_date_partitioned(deduped, root, cfg, mode="append")
 
