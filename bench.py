@@ -47,6 +47,11 @@ HEADLINE = [
     "clicks_asof_purchases",
     "purchase_attribution_window",
     "offset_gap_check",
+    "order_priority_counts",
+    "priority_shipping_stats",
+    "promo_revenue_pct",
+    "top_revenue_supplier",
+    "rich_inactive_customers",
     "docs_exact_dedup",
     "docs_token_stats",
     "docs_bpe_token_stats",
@@ -54,6 +59,8 @@ HEADLINE = [
     "docs_redacted",
     "docs_train_split",
     "docs_chunked",
+    "docs_repetition_stats",
+    "docs_token_budget_cap",
     "curation_pipeline",
     "docs_minhash_lsh_pairs",
     "docs_simhash",
@@ -63,6 +70,7 @@ HEADLINE = [
     "embeddings_label_centroids",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "embeddings_semdedup_keep",
     "embeddings_norm_stats",
 ]
 

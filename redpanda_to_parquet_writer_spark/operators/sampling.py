@@ -9,7 +9,8 @@ no shuffle, rows are filtered map-side by a seeded hash).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 
 def mixture_fractions(
@@ -58,3 +59,38 @@ def rebalance_sources(
     }
     fractions = mixture_fractions(counts, weights)
     return df.sampleBy(source_col, fractions, seed=seed)
+
+
+def token_budget_cap(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    budget_tokens: int,
+) -> DataFrame:
+    """Cap each group (source/domain/language) at a token budget: keep
+    documents in deterministic priority order (ascending id) while the
+    group's running token total fits the budget — the mixture-capping
+    step of a training-data pipeline ("at most N tokens of source X").
+
+    One shuffle (window partitioned by group); the running sum carries
+    two longs per row. Skewed sources are bounded by the budget itself —
+    a group stops accumulating once over budget, and the filter drops
+    the tail. Returns (group_col, id_col, n_tokens, cum_tokens).
+    """
+    from redpanda_to_parquet_writer_spark.operators.text import token_count
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            F.col(group_col),
+            F.col(id_col),
+            token_count(text_col).alias("n_tokens"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+    )

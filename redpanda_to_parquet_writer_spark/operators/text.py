@@ -594,3 +594,79 @@ def chunk_documents(
         F.concat_ws(" ", chunk).alias("chunk_text"),
         F.size(chunk).alias("chunk_tokens"),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_distinct_frac: float = 0.5,
+    max_top_token_frac: float = 0.12,
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document: distinct-token
+    ratio, most-frequent-token fraction, most-frequent-bigram fraction,
+    and a keep/drop verdict — the standard repetition filters applied to
+    pre-training corpora (high repeated-n-gram mass => boilerplate/spam).
+
+    Pure per-row array expressions (transform/filter over the token
+    array), ZERO shuffle — the whole filter is map-side and scales
+    embarrassingly at corpus size. Cost is O(n_distinct * n_tokens) per
+    doc, fine for natural documents (sketch/sample first for megabyte
+    outliers).
+
+    Fractions round at 6 dp via exact integer half-up arithmetic
+    ((2*cnt*10^6 + n) DIV (2*n), one float division by 1e6) so any SQL
+    oracle reproduces them bitwise; the keep verdict compares those
+    bitwise-stable doubles against the thresholds.
+    """
+    base = (
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .withColumn("__uniq", F.array_distinct(F.col("__toks")))
+        .withColumn("__n", F.size("__toks"))
+        .withColumn("__nd", F.size("__uniq"))
+        .withColumn(
+            "__top",
+            F.expr(
+                "array_max(transform(__uniq, t -> size(filter(__toks, x -> x = t))))"
+            ),
+        )
+        .withColumn(
+            "__bg",
+            # sequence(1, 0) DESCENDS in Spark — short docs need the guard
+            F.expr(
+                "CASE WHEN size(__toks) >= 2 "
+                "THEN transform(sequence(1, size(__toks) - 1), "
+                "     i -> concat(__toks[i-1], ' ', __toks[i])) "
+                "ELSE array() END"
+            ),
+        )
+        .withColumn(
+            "__topbg",
+            F.expr(
+                "CASE WHEN size(__bg) > 0 THEN array_max(transform("
+                "array_distinct(__bg), t -> size(filter(__bg, x -> x = t)))) END"
+            ),
+        )
+    )
+
+    def frac6(cnt: str, total: str) -> Column:
+        return F.expr(f"({cnt} * 2000000 + {total}) DIV (2 * {total})") / F.lit(
+            1000000.0
+        )
+
+    distinct_frac = frac6("__nd", "__n")
+    top_token_frac = frac6("__top", "__n")
+    return base.select(
+        F.col(id_col),
+        F.col("__n").alias("n_tokens"),
+        F.col("__nd").alias("n_distinct"),
+        distinct_frac.alias("distinct_frac"),
+        top_token_frac.alias("top_token_frac"),
+        F.when(F.size("__bg") > 0, frac6("__topbg", "size(__bg)")).alias(
+            "top_bigram_frac"
+        ),
+        (
+            (distinct_frac >= F.lit(min_distinct_frac))
+            & (top_token_frac <= F.lit(max_top_token_frac))
+        ).alias("keep"),
+    )

@@ -15,12 +15,14 @@ from redpanda_to_parquet_writer_spark.plans import (
     curation_pipeline,
     multimodal_queries,
     relational,
+    relational2,
     text_queries,
     vector_queries,
 )
 
 QUERIES = {
     **relational.QUERIES,
+    **relational2.QUERIES,
     **text_queries.QUERIES,
     **vector_queries.QUERIES,
     **multimodal_queries.QUERIES,
@@ -29,6 +31,7 @@ QUERIES = {
 
 ORACLES = {
     **relational.ORACLES,
+    **relational2.ORACLES,
     **text_queries.ORACLES,
     **vector_queries.ORACLES,
     **multimodal_queries.ORACLES,

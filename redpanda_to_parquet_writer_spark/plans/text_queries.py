@@ -216,8 +216,33 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-source token budget for the mixture-capping query (~40% of each
+#: source's tokens at sf0.01 — selective but non-trivial at every sf)
+TOKEN_BUDGET = 2000
+
+
+def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: distinct-token ratio,
+    top-token / top-bigram mass, keep verdict. Zero-shuffle map-side
+    filter — see operators/text.py:repetition_stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.repetition_stats(docs, "text", "doc_id")
+
+
+def docs_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget capping (mixture control): keep docs in
+    ascending-id priority while the source's running token total fits
+    TOKEN_BUDGET."""
+    from redpanda_to_parquet_writer_spark.operators.sampling import token_budget_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_cap(docs, "text", "doc_id", "source", TOKEN_BUDGET)
+
+
 QUERIES = {
     "docs_exact_dedup": docs_exact_dedup,
+    "docs_repetition_stats": docs_repetition_stats,
+    "docs_token_budget_cap": docs_token_budget_cap,
     "docs_quality_score": docs_quality_score,
     "docs_bpe_token_stats": docs_bpe_token_stats,
     "docs_token_stats": docs_token_stats,
@@ -593,4 +618,55 @@ ORACLES["docs_dedup_clusters"] = f"""
     )
     SELECT id AS doc_id, min(r) AS cluster_id, min(r) = id AS keep
     FROM reach GROUP BY id
+"""
+
+ORACLES["docs_repetition_stats"] = """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             len(toks) AS n,
+             len(list_distinct(toks)) AS nd,
+             list_max(list_transform(list_distinct(toks),
+               t -> len(list_filter(toks, x -> x = t)))) AS top_tok,
+             list_transform(generate_series(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i + 1]) AS bg
+      FROM t
+    ),
+    s2 AS (
+      SELECT doc_id, n, nd, top_tok, bg,
+             CASE WHEN len(bg) > 0
+                  THEN list_max(list_transform(list_distinct(bg),
+                       t -> len(list_filter(bg, x -> x = t))))
+             END AS top_bg
+      FROM s
+    )
+    SELECT doc_id,
+           n AS n_tokens,
+           nd AS n_distinct,
+           ((nd * 2000000 + n) // (2 * n)) / 1000000.0 AS distinct_frac,
+           ((top_tok * 2000000 + n) // (2 * n)) / 1000000.0 AS top_token_frac,
+           CASE WHEN len(bg) > 0
+                THEN ((top_bg * 2000000 + len(bg)) // (2 * len(bg))) / 1000000.0
+           END AS top_bigram_frac,
+           (((nd * 2000000 + n) // (2 * n)) / 1000000.0 >= 0.5
+            AND ((top_tok * 2000000 + n) // (2 * n)) / 1000000.0 <= 0.12)
+             AS keep
+    FROM s2
+"""
+
+ORACLES["docs_token_budget_cap"] = f"""
+    SELECT source, doc_id, n_tokens, cum_tokens
+    FROM (
+      SELECT source, doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             sum(len(string_split_regex(trim(text), '\\s+'))) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum_tokens
+      FROM documents
+    )
+    WHERE cum_tokens <= {TOKEN_BUDGET}
 """

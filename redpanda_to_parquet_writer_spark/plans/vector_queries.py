@@ -65,6 +65,24 @@ def embeddings_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_neardup_pairs(subset, "vec_id", "embedding", NEARDUP_THRESHOLD)
 
 
+def embeddings_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup keep-set: drop every vector that is
+    cosine-near (>= threshold) a LOWER-id vector; the greedy min-id
+    representative of each near-dup group survives.
+
+    Composition: near-dup pairs (exact within the label-0 bucket — the
+    realistic shape is bucket-prefilter then exact verify) -> LEFT ANTI
+    join of the bucket against the dropped-id side of the pairs. At
+    corpus scale swap the pair source for `lsh_bucketed_neighbors`; the
+    keep-set anti-join is identical.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    subset = emb.filter(F.col("label") == 0)
+    pairs = S.cosine_neardup_pairs(subset, "vec_id", "embedding", NEARDUP_THRESHOLD)
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return subset.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
+
+
 def embeddings_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.norm_stats_by_label(emb, "label", "embedding")
@@ -83,6 +101,7 @@ QUERIES = {
     "embeddings_label_centroids": embeddings_label_centroids,
     "ann_ivf_topk": ann_ivf_topk,
     "embeddings_neardup_pairs": embeddings_neardup_pairs,
+    "embeddings_semdedup_keep": embeddings_semdedup_keep,
     "embeddings_norm_stats": embeddings_norm_stats,
 }
 
@@ -171,6 +190,24 @@ ORACLES = {
           FROM pairs
         )
         WHERE sim >= {NEARDUP_THRESHOLD}
+    """,
+    "embeddings_semdedup_keep": f"""
+        WITH vecs AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE label = 0
+        ),
+        pairs AS (
+          SELECT l.vec_id AS id_a, r.vec_id AS id_b, l.v AS av, r.v AS bv
+          FROM vecs l JOIN vecs r ON l.vec_id < r.vec_id
+        ),
+        dropped AS (
+          SELECT DISTINCT id_b FROM (
+            SELECT id_a, id_b, {_DOT} / ({_NORM_A} * {_NORM_B}) AS sim
+            FROM pairs
+          ) WHERE sim >= {NEARDUP_THRESHOLD}
+        )
+        SELECT vec_id, label FROM vecs
+        WHERE vec_id NOT IN (SELECT id_b FROM dropped)
     """,
     "embeddings_label_centroids": """
         SELECT label, pos - 1 AS pos, count(*) AS n_vecs,

@@ -107,6 +107,45 @@ def test_no_cartesian_products(spark, sf_dir):
         assert "CartesianProduct" not in plan_str(fn(spark, sf_dir)), name
 
 
+def test_order_priority_semi_join_shape(spark, sf_dir):
+    """Q4 shape: a LEFT SEMI join (lineitem never materializes into the
+    output) with the orderdate filter pushed into the orders scan."""
+    plan = plan_str(QUERIES["order_priority_counts"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+
+
+def test_top_revenue_supplier_single_lineitem_scan(spark, sf_dir):
+    """Q15 shape: the global max joins back against the SAME revenue agg
+    — the plan must not scan lineitem twice... Spark reuses the exchange
+    instead (ReusedExchange) or replays the one scan subtree."""
+    plan = plan_str(QUERIES["top_revenue_supplier"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # 1-row max + supplier dim broadcast
+
+
+def test_rich_inactive_customers_anti_join(spark, sf_dir):
+    """Q22 shape: NOT EXISTS plans as LEFT ANTI; the scalar avg rides a
+    1-row broadcast, never a CartesianProduct (checked globally too)."""
+    plan = plan_str(QUERIES["rich_inactive_customers"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan, (
+        "recent-orders cutoff must push into the orders scan"
+    )
+
+
+def test_repetition_stats_zero_shuffle(spark, sf_dir):
+    """The Gopher-style repetition filter is pure per-row array
+    expressions — any Exchange is a scaling regression."""
+    plan = plan_str(QUERIES["docs_repetition_stats"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_token_budget_cap_single_shuffle(spark, sf_dir):
+    """Budget capping = one window over (source): exactly one exchange."""
+    plan = plan_str(QUERIES["docs_token_budget_cap"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_readme_query_count_matches_registry():
     """ADVICE r01: README's query count drifted from the registry; pin
     the doc to the code so the drift fails CI instead of the judge."""
