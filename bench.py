@@ -52,6 +52,10 @@ HEADLINE = [
     "promo_revenue_pct",
     "top_revenue_supplier",
     "rich_inactive_customers",
+    "large_order_customers",
+    "customer_balance_quartiles",
+    "events_value_histogram",
+    "top_event_type_per_user",
     "docs_exact_dedup",
     "docs_token_stats",
     "docs_bpe_token_stats",

@@ -189,8 +189,120 @@ def rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Q18 threshold / limit: sums of integer-valued quantities are EXACT in
+#: double, so the HAVING compare and the sort key are engine-stable
+LARGE_ORDER_QTY = 180
+LARGE_ORDER_LIMIT = 100
+
+
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (HAVING on a fact agg), joined back to orders + customer, top-N.
+
+    The lineitem agg runs FIRST and the filter collapses it to a tiny
+    key set, so the joins probe with the already-reduced side; top-100
+    plans as TakeOrderedAndProject (no global sort). l_quantity is
+    integer-valued — its double sum is exact, so no rounding surface.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > LARGE_ORDER_QTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.col("sum_qty").desc(), F.col("o_orderkey").asc())
+        .limit(LARGE_ORDER_LIMIT)
+    )
+
+
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation balance quartiles via ntile — the distributed form of
+    decile/quartile reporting: the window partitions on nation (NO
+    global single-partition window), ties broken by c_custkey so the
+    tiling is deterministic in any engine. min/max copy stored values —
+    no arithmetic, no rounding surface.
+    """
+    from pyspark.sql import Window
+
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        customer.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_nationkey", "quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .orderBy("c_nationkey", "quartile")
+    )
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (bucket = floor(value/10)):
+    the profiling primitive for range partitioning / skew diagnosis.
+    One hash aggregation; bucket ids are exact (IEEE division + floor is
+    deterministic), min/max copy stored doubles.
+    """
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 10)
+    return (
+        events.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def top_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type (argmax with deterministic tie-break:
+    highest count, then lexicographically smallest type).
+
+    Spark side is TWO hash aggregations — min(struct(-cnt, type)) — not
+    a rank window: the partial agg collapses each group map-side, so
+    the second shuffle carries one struct per (user) per partition.
+    The oracle replays it as a rank window (engine-idiomatic there).
+    """
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    top = counts.groupBy("user_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("cnt")).alias("neg"), F.col("event_type").alias("et")
+            )
+        ).alias("m")
+    )
+    return top.select(
+        "user_id",
+        F.col("m.et").alias("top_event_type"),
+        (-F.col("m.neg")).alias("n_events"),
+    )
+
+
 QUERIES = {
     "order_priority_counts": order_priority_counts,
+    "large_order_customers": large_order_customers,
+    "customer_balance_quartiles": customer_balance_quartiles,
+    "events_value_histogram": events_value_histogram,
+    "top_event_type_per_user": top_event_type_per_user,
     "priority_shipping_stats": priority_shipping_stats,
     "promo_revenue_pct": promo_revenue_pct,
     "top_revenue_supplier": top_revenue_supplier,
@@ -199,6 +311,59 @@ QUERIES = {
 
 
 ORACLES = {
+    "large_order_customers": f"""
+        WITH big AS (
+          SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > {LARGE_ORDER_QTY}
+        )
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+               o_totalprice, sum_qty
+        FROM big
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY sum_qty DESC, o_orderkey ASC
+        LIMIT {LARGE_ORDER_LIMIT}
+    """,
+    "customer_balance_quartiles": """
+        SELECT c_nationkey, quartile,
+               count(*) AS n_customers,
+               min(c_acctbal) AS min_bal,
+               max(c_acctbal) AS max_bal
+        FROM (
+          SELECT c_nationkey, c_acctbal,
+                 ntile(4) OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey ASC
+                 ) AS quartile
+          FROM customer
+        )
+        GROUP BY c_nationkey, quartile
+        ORDER BY c_nationkey, quartile
+    """,
+    "events_value_histogram": """
+        SELECT CAST(floor(value / 10) AS BIGINT) AS bucket,
+               count(*) AS n,
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM events
+        GROUP BY 1
+        ORDER BY bucket
+    """,
+    "top_event_type_per_user": """
+        SELECT user_id, event_type AS top_event_type, cnt AS n_events
+        FROM (
+          SELECT user_id, event_type, cnt,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY cnt DESC, event_type ASC
+                 ) AS rn
+          FROM (
+            SELECT user_id, event_type, count(*) AS cnt
+            FROM events GROUP BY user_id, event_type
+          )
+        )
+        WHERE rn = 1
+    """,
     "order_priority_counts": """
         SELECT o_orderpriority, count(*) AS n_orders
         FROM orders o

@@ -146,6 +146,32 @@ def test_token_budget_cap_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_large_order_customers_take_ordered(spark, sf_dir):
+    """Q18 shape: top-100 must plan as TakeOrderedAndProject (no global
+    sort) and the customer dim must broadcast."""
+    plan = plan_str(QUERIES["large_order_customers"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quartiles_window_is_partitioned(spark, sf_dir):
+    """ntile must run per-nation — a SinglePartition exchange feeding the
+    window would serialize the whole table through one task."""
+    plan = plan_str(QUERIES["customer_balance_quartiles"](spark, sf_dir))
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_top_event_type_double_agg_no_window(spark, sf_dir):
+    """argmax via min(struct(-cnt, key)): two aggregations, no rank
+    window — struct-min plans as SortAggregate, but still with a
+    map-side partial_min, which is the scale property that matters."""
+    plan = plan_str(QUERIES["top_event_type_per_user"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "partial_min" in plan, "agg must partial-aggregate map-side"
+    assert "partial_count" in plan
+
+
 def test_readme_query_count_matches_registry():
     """ADVICE r01: README's query count drifted from the registry; pin
     the doc to the code so the drift fails CI instead of the judge."""
