@@ -55,6 +55,7 @@ HEADLINE = [
     "large_order_customers",
     "customer_balance_quartiles",
     "events_value_histogram",
+    "sink_reconciliation",
     "top_event_type_per_user",
     "docs_exact_dedup",
     "docs_token_stats",

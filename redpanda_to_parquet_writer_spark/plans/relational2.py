@@ -270,6 +270,44 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sink_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational reconciliation of two sinks (e.g. primary vs replica
+    export of the same topic): FULL OUTER join on the record key,
+    classify each key as both/left_only/right_only, count per class and
+    event type. The missing-row audit every at-scale pipeline runs after
+    a backfill.
+
+    The two sides here are deterministic overlapping slices of `events`
+    (mod-3 / mod-2 keys, as in union_dedup_count). One shuffle pair on
+    the join key; counts are integers — exact everywhere.
+    """
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    left = events.filter(F.col("event_id") % 3 != 0).alias("l")
+    right = events.filter(F.col("event_id") % 2 == 0).alias("r")
+    joined = left.join(
+        right, F.col("l.event_id") == F.col("r.event_id"), "full_outer"
+    )
+    status = (
+        F.when(
+            F.col("l.event_id").isNotNull() & F.col("r.event_id").isNotNull(),
+            "both",
+        )
+        .when(F.col("l.event_id").isNotNull(), "left_only")
+        .otherwise("right_only")
+    )
+    return (
+        joined.select(
+            status.alias("status"),
+            F.coalesce(F.col("l.event_type"), F.col("r.event_type")).alias(
+                "event_type"
+            ),
+        )
+        .groupBy("status", "event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("status", "event_type")
+    )
+
+
 def top_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user modal event type (argmax with deterministic tie-break:
     highest count, then lexicographically smallest type).
@@ -302,6 +340,7 @@ QUERIES = {
     "large_order_customers": large_order_customers,
     "customer_balance_quartiles": customer_balance_quartiles,
     "events_value_histogram": events_value_histogram,
+    "sink_reconciliation": sink_reconciliation,
     "top_event_type_per_user": top_event_type_per_user,
     "priority_shipping_stats": priority_shipping_stats,
     "promo_revenue_pct": promo_revenue_pct,
@@ -349,6 +388,25 @@ ORACLES = {
         FROM events
         GROUP BY 1
         ORDER BY bucket
+    """,
+    "sink_reconciliation": """
+        WITH l AS (
+          SELECT event_id, event_type FROM events WHERE event_id % 3 != 0
+        ),
+        r AS (
+          SELECT event_id, event_type FROM events WHERE event_id % 2 = 0
+        )
+        SELECT CASE
+                 WHEN l.event_id IS NOT NULL AND r.event_id IS NOT NULL
+                   THEN 'both'
+                 WHEN l.event_id IS NOT NULL THEN 'left_only'
+                 ELSE 'right_only'
+               END AS status,
+               coalesce(l.event_type, r.event_type) AS event_type,
+               count(*) AS n
+        FROM l FULL OUTER JOIN r ON l.event_id = r.event_id
+        GROUP BY 1, 2
+        ORDER BY status, event_type
     """,
     "top_event_type_per_user": """
         SELECT user_id, event_type AS top_event_type, cnt AS n_events

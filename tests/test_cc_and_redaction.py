@@ -28,9 +28,18 @@ def test_cc_long_chain_needs_multiple_rounds(spark):
 
 
 def test_cc_iteration_cap_partial_result(spark):
-    # with 1 round allowed, each node only sees its direct neighbors' min
+    # 1 round = one neighbor-min hop + one pointer jump: node 3 reaches
+    # 1 via its label chain (3->2->1), node 4 only reaches 2 (4->3->2)
     got = _clusters(spark, 4, [(1, 2), (2, 3), (3, 4)], max_iterations=1)
-    assert got == {1: 1, 2: 1, 3: 2, 4: 3}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2}
+
+
+def test_cc_deep_chain_converges_logarithmically(spark):
+    # 100-node path graph: plain min-propagation needs ~100 rounds (the
+    # sf0.1 regression class — hit the 25-round cap); pointer jumping
+    # must converge well inside 10 rounds
+    got = _clusters(spark, 100, [(i, i + 1) for i in range(1, 100)], max_iterations=10)
+    assert got == {i: 1 for i in range(1, 101)}
 
 
 def test_redact_text_masks_and_counts(spark):
