@@ -608,28 +608,39 @@ def repetition_stats(
     and a keep/drop verdict — the standard repetition filters applied to
     pre-training corpora (high repeated-n-gram mass => boilerplate/spam).
 
-    Pure per-row array expressions (transform/filter over the token
-    array), ZERO shuffle — the whole filter is map-side and scales
-    embarrassingly at corpus size. Cost is O(n_distinct * n_tokens) per
-    doc, fine for natural documents (sketch/sample first for megabyte
-    outliers).
+    Pure per-row array expressions, ZERO shuffle — the whole filter is
+    map-side and scales embarrassingly at corpus size. The max-frequency
+    counts run as array_sort + ONE linear run-length pass (`aggregate`)
+    that also yields n_distinct, O(n log n) per doc — the naive
+    transform-over-distinct formulation is O(n_distinct * n_tokens) in
+    INTERPRETED higher-order calls and A/B-measured ~2.3x slower at
+    sf0.1 (1.74s vs 0.75s).
 
     Fractions round at 6 dp via exact integer half-up arithmetic
     ((2*cnt*10^6 + n) DIV (2*n), one float division by 1e6) so any SQL
     oracle reproduces them bitwise; the keep verdict compares those
     bitwise-stable doubles against the thresholds.
     """
+    # max multiplicity == longest equal-run in the sorted array, and
+    # n_distinct == number of runs: ONE aggregate pass computes both,
+    # with (prev, run, best, nd) state
+    run_stats = (
+        "aggregate(array_sort({arr}), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0, 'nd', 0), "
+        "(acc, x) -> named_struct("
+        "  'prev', x, "
+        "  'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1), "
+        "  'best', GREATEST(acc.best, "
+        "          IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1)), "
+        "  'nd', acc.nd + IF(acc.prev IS NOT NULL AND x = acc.prev, 0, 1)), "
+        "acc -> named_struct('best', acc.best, 'nd', acc.nd))"
+    )
     base = (
         df.select(F.col(id_col), tokens(text_col).alias("__toks"))
-        .withColumn("__uniq", F.array_distinct(F.col("__toks")))
         .withColumn("__n", F.size("__toks"))
-        .withColumn("__nd", F.size("__uniq"))
-        .withColumn(
-            "__top",
-            F.expr(
-                "array_max(transform(__uniq, t -> size(filter(__toks, x -> x = t))))"
-            ),
-        )
+        .withColumn("__rs", F.expr(run_stats.format(arr="__toks")))
+        .withColumn("__nd", F.col("__rs.nd"))
+        .withColumn("__top", F.col("__rs.best"))
         .withColumn(
             "__bg",
             # sequence(1, 0) DESCENDS in Spark — short docs need the guard
@@ -643,8 +654,9 @@ def repetition_stats(
         .withColumn(
             "__topbg",
             F.expr(
-                "CASE WHEN size(__bg) > 0 THEN array_max(transform("
-                "array_distinct(__bg), t -> size(filter(__bg, x -> x = t)))) END"
+                "CASE WHEN size(__bg) > 0 THEN ("
+                + run_stats.format(arr="__bg")
+                + ").best END"
             ),
         )
     )
