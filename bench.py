@@ -172,6 +172,8 @@ def main() -> None:
                 "metric": "headline_queries_total_sec",
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
+                "n_queries": len(timings),
+                "sec_per_query": round(sum(timings.values()) / len(timings), 4),
                 "queries": timings,
                 "ingest": _bench_ingest(spark, sf_dir),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

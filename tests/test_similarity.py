@@ -147,3 +147,23 @@ def test_assemble_centroids_roundtrip(spark, sf_dir):
         assert len(row["centroid"]) == dim
         assert row["centroid"][0] == flat[(label, 0)]
         assert row["centroid"][dim - 1] == flat[(label, dim - 1)]
+
+
+def test_cosine_neardup_zero_norm_vector_yields_no_pair(spark):
+    """ADVICE r01 repro: a zero-norm embedding must produce NULL
+    similarity (dropped by the threshold), not an ANSI DIVIDE_BY_ZERO
+    that kills the job."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 0.0]),  # degenerate: zero norm
+            (3, [2.0, 0.0]),  # parallel to 1 -> sim 1.0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = cosine_neardup_pairs(df, "vec_id", "embedding", 0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 3)]

@@ -178,3 +178,20 @@ def test_undecodable_payload_keeps_raw_value(spark, tmp_path, cfg):
     row = prepared.collect()[0]
     assert row["raw_value"] == "not json at all"
     assert row["symbol"] is None
+
+
+def test_merge_dedup_raises_on_corrupt_sink(spark, tmp_path, cfg):
+    """ADVICE r01: a transient/corrupt read of the existing sink must
+    PROPAGATE (not silently disable the anti-join backstop and append
+    duplicates). Only a missing path means first-write."""
+    sink = tmp_path / "corrupt_sink"
+    sink.mkdir()
+    (sink / "part-00000.parquet").write_text("this is not parquet")
+    out = str(sink)
+    df = spark.createDataFrame(
+        [(0, 1, 1000, "k", "2024-01-01")],
+        "kafka_partition int, kafka_offset long, kafka_timestamp long, "
+        "kafka_key string, date string",
+    )
+    with pytest.raises(Exception):
+        merge_dedup_append(spark, df, out, cfg=cfg)
