@@ -66,6 +66,7 @@ HEADLINE = [
     "docs_chunked",
     "docs_repetition_stats",
     "docs_token_budget_cap",
+    "docs_sequence_pack",
     "curation_pipeline",
     "docs_minhash_lsh_pairs",
     "docs_simhash",

@@ -94,3 +94,44 @@ def token_budget_cap(
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= budget_tokens)
     )
+
+
+def sequence_pack(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    seq_tokens: int,
+) -> DataFrame:
+    """Greedy sequential sequence packing: concatenate documents (in
+    deterministic id order per group) into fixed-size training sequences
+    of `seq_tokens`, assigning each doc the sequence it STARTS in —
+    seq_id = (cum_tokens_before_doc) DIV seq_tokens. The packing step of
+    a pretraining tokenization pipeline ("pack docs into 4k-token
+    rows"), minus the tokenizer itself.
+
+    Same shape as `token_budget_cap`: one window shuffle per group, the
+    running sum carries two longs per row. Docs longer than `seq_tokens`
+    simply span sequences (greedy packing does not split or reorder).
+    Returns (group_col, id_col, n_tokens, seq_id, seq_offset) where
+    seq_offset is the doc's token offset within its sequence.
+    """
+    from redpanda_to_parquet_writer_spark.operators.text import token_count
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+    ).withColumn("__start", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return with_cum.select(
+        group_col,
+        id_col,
+        "n_tokens",
+        F.expr(f"__start DIV {int(seq_tokens)}").alias("seq_id"),
+        F.expr(f"__start % {int(seq_tokens)}").alias("seq_offset"),
+    )

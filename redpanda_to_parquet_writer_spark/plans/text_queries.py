@@ -239,10 +239,25 @@ def docs_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_cap(docs, "text", "doc_id", "source", TOKEN_BUDGET)
 
 
+#: training-sequence length for the packing query (tokens)
+SEQ_TOKENS = 512
+
+
+def docs_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign each doc (per source, id order)
+    the SEQ_TOKENS-sized training sequence it starts in, plus its token
+    offset within that sequence."""
+    from redpanda_to_parquet_writer_spark.operators.sampling import sequence_pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sequence_pack(docs, "text", "doc_id", "source", SEQ_TOKENS)
+
+
 QUERIES = {
     "docs_exact_dedup": docs_exact_dedup,
     "docs_repetition_stats": docs_repetition_stats,
     "docs_token_budget_cap": docs_token_budget_cap,
+    "docs_sequence_pack": docs_sequence_pack,
     "docs_quality_score": docs_quality_score,
     "docs_bpe_token_stats": docs_bpe_token_stats,
     "docs_token_stats": docs_token_stats,
@@ -669,4 +684,19 @@ ORACLES["docs_token_budget_cap"] = f"""
       FROM documents
     )
     WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+ORACLES["docs_sequence_pack"] = f"""
+    SELECT source, doc_id, n_tokens,
+           (start_tok // {SEQ_TOKENS}) AS seq_id,
+           (start_tok % {SEQ_TOKENS}) AS seq_offset
+    FROM (
+      SELECT source, doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             sum(len(string_split_regex(trim(text), '\\s+'))) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) - len(string_split_regex(trim(text), '\\s+')) AS start_tok
+      FROM documents
+    )
 """

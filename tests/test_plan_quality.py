@@ -146,6 +146,12 @@ def test_token_budget_cap_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_sequence_pack_single_shuffle(spark, sf_dir):
+    """Sequence packing = one window over (source): exactly one exchange."""
+    plan = plan_str(QUERIES["docs_sequence_pack"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_large_order_customers_take_ordered(spark, sf_dir):
     """Q18 shape: top-100 must plan as TakeOrderedAndProject (no global
     sort) and the customer dim must broadcast."""
@@ -182,6 +188,13 @@ def test_readme_query_count_matches_registry():
 
     assert len(QUERIES) == len(ORACLES) == len(set(QUERIES) | set(ORACLES))
     readme = Path(__file__).resolve().parents[1] / "README.md"
-    counts = [int(m) for m in re.findall(r"(\d+)[ -]named quer|(\d+)-query", readme.read_text()) for m in m if m]
+    counts = [
+        int(m)
+        for m in re.findall(
+            r"(\d+) named quer|(\d+)-query DuckDB-oracle", readme.read_text()
+        )
+        for m in m
+        if m
+    ]
     assert counts, "README no longer states a query count"
     assert all(c == len(QUERIES) for c in counts), (counts, len(QUERIES))
