@@ -53,6 +53,7 @@ HEADLINE = [
     "top_revenue_supplier",
     "rich_inactive_customers",
     "large_order_customers",
+    "small_quantity_revenue",
     "customer_balance_quartiles",
     "events_value_histogram",
     "sink_reconciliation",

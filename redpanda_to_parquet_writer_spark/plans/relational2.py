@@ -335,8 +335,41 @@ def top_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of their part's average quantity — a correlated per-group scalar
+    aggregate applied back to the detail rows.
+
+    The per-part avg joins back against lineitem on p_partkey (one
+    shuffle pair; the avg side is collapsed to one row per part before
+    the join). The threshold compare is IEEE-deterministic: quantity
+    sums are integer-valued (exact in double), counts exact, so
+    0.2 * sum/cnt is the same double in any engine. Revenue output
+    accumulates decimal(18,4).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        (F.sum("l_quantity") / F.count("l_quantity")).alias("avg_qty")
+    )
+    return (
+        li.join(per_part.withColumnRenamed("l_partkey", "p_key"),
+                li.l_partkey == F.col("p_key"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.expr(
+                "CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)"
+                " AS DECIMAL(18,4))), 2) AS DOUBLE)"
+            ).alias("small_qty_revenue"),
+        )
+    )
+
+
 QUERIES = {
     "order_priority_counts": order_priority_counts,
+    "small_quantity_revenue": small_quantity_revenue,
     "large_order_customers": large_order_customers,
     "customer_balance_quartiles": customer_balance_quartiles,
     "events_value_histogram": events_value_histogram,
@@ -421,6 +454,19 @@ ORACLES = {
           )
         )
         WHERE rn = 1
+    """,
+    "small_quantity_revenue": """
+        WITH per_part AS (
+          SELECT l_partkey AS p_key,
+                 sum(l_quantity) / count(l_quantity) AS avg_qty
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT count(*) AS n_lines,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE)
+                 AS small_qty_revenue
+        FROM lineitem JOIN per_part ON l_partkey = p_key
+        WHERE l_quantity < 0.2 * avg_qty
     """,
     "order_priority_counts": """
         SELECT o_orderpriority, count(*) AS n_orders
