@@ -54,6 +54,7 @@ HEADLINE = [
     "rich_inactive_customers",
     "large_order_customers",
     "small_quantity_revenue",
+    "discounted_brand_revenue",
     "customer_balance_quartiles",
     "events_value_histogram",
     "sink_reconciliation",

@@ -367,9 +367,55 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from lineitems matching a DISJUNCTION of
+    (brand, size-range, quantity-range) condition triples — the
+    multi-branch predicate shape that exercises Catalyst's OR handling.
+
+    The shared conjuncts (join key; part is a broadcast dim) still plan
+    a BroadcastHashJoin; the OR-of-ANDs evaluates post-join in codegen.
+    Revenue accumulates decimal(18,4) — exact, engine-stable.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size") <= 10)
+            & (F.col("l_quantity") >= 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size") <= 25)
+            & (F.col("l_quantity") >= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size") <= 40)
+            & (F.col("l_quantity") >= 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.expr(
+                "CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)"
+                " AS DECIMAL(18,4))), 2) AS DOUBLE)"
+            ).alias("revenue"),
+        )
+    )
+
+
 QUERIES = {
     "order_priority_counts": order_priority_counts,
     "small_quantity_revenue": small_quantity_revenue,
+    "discounted_brand_revenue": discounted_brand_revenue,
     "large_order_customers": large_order_customers,
     "customer_balance_quartiles": customer_balance_quartiles,
     "events_value_histogram": events_value_histogram,
@@ -454,6 +500,16 @@ ORACLES = {
           )
         )
         WHERE rn = 1
+    """,
+    "discounted_brand_revenue": """
+        SELECT count(*) AS n_lines,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE)
+                 AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 10)
+           OR (p_brand = 'Brand#2' AND p_size <= 25 AND l_quantity >= 20)
+           OR (p_brand = 'Brand#3' AND p_size <= 40 AND l_quantity >= 30)
     """,
     "small_quantity_revenue": """
         WITH per_part AS (
