@@ -57,6 +57,7 @@ HEADLINE = [
     "discounted_brand_revenue",
     "customer_balance_quartiles",
     "events_value_histogram",
+    "inter_event_gap_stats",
     "sink_reconciliation",
     "top_event_type_per_user",
     "docs_exact_dedup",

@@ -270,6 +270,40 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def inter_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event-gap profile via LEAD: for each user, the
+    number of gaps, the min/max gap, and the count of "rapid" gaps
+    (< 60s) — burst detection over event streams.
+
+    One window shuffle on user_id (lead reuses the same sort as any
+    other per-user window); gaps are exact integer second differences,
+    so every aggregate is engine-exact.
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        "event_id",
+        F.expr("CAST(ts DIV 1000000000 AS BIGINT)").alias("ts_sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    gap = F.lead("ts_sec").over(w) - F.col("ts_sec")
+    return (
+        base.withColumn("gap", gap)
+        .filter(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.min("gap").alias("min_gap_sec"),
+            F.max("gap").alias("max_gap_sec"),
+            F.sum(F.when(F.col("gap") < 60, 1).otherwise(0)).alias(
+                "n_rapid_gaps"
+            ),
+        )
+    )
+
+
 def sink_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operational reconciliation of two sinks (e.g. primary vs replica
     export of the same topic): FULL OUTER join on the record key,
@@ -419,6 +453,7 @@ QUERIES = {
     "large_order_customers": large_order_customers,
     "customer_balance_quartiles": customer_balance_quartiles,
     "events_value_histogram": events_value_histogram,
+    "inter_event_gap_stats": inter_event_gap_stats,
     "sink_reconciliation": sink_reconciliation,
     "top_event_type_per_user": top_event_type_per_user,
     "priority_shipping_stats": priority_shipping_stats,
@@ -467,6 +502,26 @@ ORACLES = {
         FROM events
         GROUP BY 1
         ORDER BY bucket
+    """,
+    "inter_event_gap_stats": """
+        SELECT user_id,
+               count(*) AS n_gaps,
+               min(gap) AS min_gap_sec,
+               max(gap) AS max_gap_sec,
+               sum(CASE WHEN gap < 60 THEN 1 ELSE 0 END) AS n_rapid_gaps
+        FROM (
+          SELECT user_id,
+                 lead(ts_sec) OVER (
+                   PARTITION BY user_id ORDER BY ts_sec, event_id
+                 ) - ts_sec AS gap
+          FROM (
+            SELECT user_id, event_id,
+                   epoch_ns(ts) // 1000000000 AS ts_sec
+            FROM events
+          )
+        )
+        WHERE gap IS NOT NULL
+        GROUP BY user_id
     """,
     "sink_reconciliation": """
         WITH l AS (
