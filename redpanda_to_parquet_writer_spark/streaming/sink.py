@@ -74,17 +74,28 @@ def write_date_partitioned(
 
 
 def _sink_exists(spark: SparkSession, root: str) -> bool:
-    """True iff the sink root exists on its filesystem (Hadoop FS probe).
+    """True iff the sink root exists AND holds at least one data file
+    (Hadoop FS probe).
 
     Used instead of try/except around the read: a transient or
     corrupt-read failure must PROPAGATE (silently treating it as
     "first write" would disable the exactly-once anti-join backstop and
     append duplicates); only a genuinely missing path means first write.
+    An exists-but-EMPTY root (e.g. mkdir'd by an external orchestrator
+    before the first batch) is also a first write — reading it would
+    fail schema inference, not signal duplicates.
     """
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(root)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(hpath))
+    if not fs.exists(hpath):
+        return False
+    it = fs.listFiles(hpath, True)  # recursive, files only
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith((".", "_")):
+            return True
+    return False
 
 
 def existing_max_offsets(spark: SparkSession, root: str) -> dict[int, int]:

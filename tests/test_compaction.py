@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from redpanda_to_parquet_writer_spark.functions.dates import event_epoch_sec
 from redpanda_to_parquet_writer_spark.sources.parquet import compact_parquet, load_table
 
 
@@ -38,7 +39,9 @@ def test_export_reference_layout(spark, sf_dir, tmp_path):
     env = events.select(
         F.col("event_id").alias("kafka_offset"),
         F.col("user_id"),
-        F.date_format((F.col("ts") / 1e9).cast("timestamp"), "yyyy-MM-dd").alias("date"),
+        F.date_format(
+            F.timestamp_seconds(event_epoch_sec(events)), "yyyy-MM-dd"
+        ).alias("date"),
     )
     env.write.partitionBy("date").parquet(hive)
 
@@ -67,7 +70,9 @@ def test_reference_layout_round_trip(spark, sf_dir, tmp_path):
     events = load_table(spark, sf_dir, "events").limit(300)
     env = events.select(
         F.col("event_id").alias("kafka_offset"),
-        F.date_format((F.col("ts") / 1e9).cast("timestamp"), "yyyy-MM-dd").alias("date"),
+        F.date_format(
+            F.timestamp_seconds(event_epoch_sec(events)), "yyyy-MM-dd"
+        ).alias("date"),
     )
     hive = str(tmp_path / "hive")
     env.write.partitionBy("date").parquet(hive)

@@ -161,6 +161,21 @@ def test_offset_recovery_from_sink(spark, tmp_path, cfg):
     assert existing_max_offsets(spark, str(tmp_path / "missing")) == {}
 
 
+def test_offset_recovery_empty_sink_root(spark, tmp_path, cfg):
+    """An exists-but-EMPTY sink root (pre-created by an orchestrator) is
+    a first write, not a schema-inference crash; after a real write the
+    same root recovers offsets and the dedup backstop engages."""
+    root = tmp_path / "pre_created"
+    root.mkdir()  # no data files yet
+    assert existing_max_offsets(spark, str(root)) == {}
+    # nested empty dirs (e.g. a stray date= partition dir) are still empty
+    (root / "date=2024-01-01").mkdir()
+    assert existing_max_offsets(spark, str(root)) == {}
+    df = with_event_date(flatten_via_pipeline(spark, _envelope_df(spark, n=8)))
+    merge_dedup_append(spark, df, str(root), cfg=cfg)
+    assert existing_max_offsets(spark, str(root)) != {}
+
+
 def test_undecodable_payload_keeps_raw_value(spark, tmp_path, cfg):
     """P1 fallback: garbage payloads survive as raw_value, not lost."""
     rows = [("t", 0, 0, 1704067200000, None, b"not json at all")]
