@@ -56,6 +56,8 @@ class TopicRunReport:
 @dataclass
 class CollectorRun:
     reports: list[TopicRunReport] = field(default_factory=list)
+    #: topic -> per-partition completeness rows (V2), when watermarks given
+    completeness: dict[str, list[dict]] = field(default_factory=dict)
 
     @property
     def total_rows(self) -> int:
@@ -129,7 +131,10 @@ class Collector:
         if high_watermarks and not self.cfg.skip_validation:
             for topic, marks in high_watermarks.items():
                 # per-partition external completeness report (V2)
-                external_completeness(self.spark, self.output_root(topic), marks)
+                report = external_completeness(
+                    self.spark, self.output_root(topic), marks
+                )
+                run.completeness[topic] = [r.asDict() for r in report.collect()]
         return run
 
 
@@ -156,3 +161,9 @@ def trim_kafka_retention(
         for p, offset in parts.items()
     ]
     admin.delete_records(tps)
+
+
+if __name__ == "__main__":  # python -m redpanda_to_parquet_writer_spark.collector
+    from redpanda_to_parquet_writer_spark.cli import collector_main
+
+    raise SystemExit(collector_main())

@@ -216,3 +216,9 @@ def typed_rows(
             continue
         out.append({n: d.get(n) for n in names})
     return out
+
+
+if __name__ == "__main__":  # python -m redpanda_to_parquet_writer_spark.reader
+    from redpanda_to_parquet_writer_spark.cli import reader_main
+
+    raise SystemExit(reader_main())

@@ -51,3 +51,59 @@ def test_trim_requires_kafka_lib():
 
     with pytest.raises(ImportError, match="confluent-kafka"):
         trim_kafka_retention("localhost:9092", {"t": {0: 10}})
+
+
+def test_run_with_high_watermarks(spark, tmp_path, collector):
+    """V2 path: the run carries per-partition completeness reports.
+    Fixture offsets round-robin over partitions 0..3, so 40 rows = 10
+    per partition; a watermark of 12 on partition 1 must flag ERROR with
+    2 missing."""
+    src = str(tmp_path / "src_wm")
+    _envelope_df(spark, n=40).write.parquet(src)
+    collector._test_sources["topic_wm"] = src
+
+    run = collector.run(
+        ["topic_wm"],
+        high_watermarks={"topic_wm": {0: 10, 1: 12, 2: 10, 3: 10}},
+    )
+    rows = {r["kafka_partition"]: r for r in run.completeness["topic_wm"]}
+    assert rows[0]["status"] == PASS and rows[0]["missing"] == 0
+    assert rows[1]["status"] == "ERROR" and rows[1]["missing"] == 2
+    assert rows[2]["status"] == PASS and rows[3]["status"] == PASS
+
+
+def test_trim_with_fake_admin(monkeypatch):
+    """T8 trim hook end-to-end against an in-process fake AdminClient:
+    delete_records must receive offset+1 per processed partition (the
+    reference trims up to AND INCLUDING the processed offset,
+    collector:1098-1151)."""
+    import sys
+    import types
+
+    calls = {}
+
+    class FakeTopicPartition:
+        def __init__(self, topic, partition, offset):
+            self.topic, self.partition, self.offset = topic, partition, offset
+
+    class FakeAdminClient:
+        def __init__(self, conf):
+            calls["conf"] = conf
+
+        def delete_records(self, tps):
+            calls["tps"] = tps
+
+    fake_ck = types.ModuleType("confluent_kafka")
+    fake_ck.TopicPartition = FakeTopicPartition
+    fake_admin = types.ModuleType("confluent_kafka.admin")
+    fake_admin.AdminClient = FakeAdminClient
+    fake_ck.admin = fake_admin
+    monkeypatch.setitem(sys.modules, "confluent_kafka", fake_ck)
+    monkeypatch.setitem(sys.modules, "confluent_kafka.admin", fake_admin)
+
+    from redpanda_to_parquet_writer_spark.collector import trim_kafka_retention
+
+    trim_kafka_retention("broker:9092", {"t1": {0: 10, 1: 20}, "t2": {0: 5}})
+    assert calls["conf"] == {"bootstrap.servers": "broker:9092"}
+    got = sorted((tp.topic, tp.partition, tp.offset) for tp in calls["tps"])
+    assert got == [("t1", 0, 11), ("t1", 1, 21), ("t2", 0, 6)]
