@@ -48,6 +48,8 @@ HEADLINE = [
     "purchase_attribution_window",
     "offset_gap_check",
     "order_priority_counts",
+    "sole_late_supplier",
+    "customer_order_distribution",
     "priority_shipping_stats",
     "promo_revenue_pct",
     "top_revenue_supplier",
@@ -73,12 +75,14 @@ HEADLINE = [
     "curation_pipeline",
     "docs_minhash_lsh_pairs",
     "docs_simhash",
+    "docs_simhash_neardup_pairs",
     "docs_decontaminate",
     "docs_top_ngrams",
     "docs_tfidf_top_terms",
     "embeddings_label_centroids",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "embeddings_lsh_neardup_pairs",
     "embeddings_semdedup_keep",
     "embeddings_norm_stats",
 ]

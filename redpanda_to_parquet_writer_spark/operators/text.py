@@ -457,6 +457,73 @@ def simhash32(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return agg.select(F.col(id_col), simhash.alias("simhash"))
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: band-bucket candidates, exact
+    Hamming verify — returns (id_a, id_b, hamming) with
+    hamming <= max_hamming.
+
+    DETERMINISTIC recall 1 when max_hamming < n_bands (pigeonhole: at
+    most max_hamming of the n_bands byte-bands can contain a differing
+    bit, so at least one band matches exactly and the pair collides in
+    that band's bucket) — unlike hyperplane LSH this is a guarantee, not
+    a probability. Shuffle profile matches MinHash-LSH: explode to
+    (band, key), per-bucket self-join, never the O(n^2) pair space.
+    """
+    bits_per_band = 32 // n_bands
+    mask = (1 << bits_per_band) - 1
+    sh = simhash32(df, text_col, id_col)
+    bands = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # merge hint for the same reason as lsh_bucketed_neighbors: shuffle
+    # both exploded sides on (band, key) instead of broadcasting one
+    left = bands.alias("l").hint("merge")
+    right = bands.alias("r")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.key") == F.col("r.key"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sa"),
+            F.col("r.simhash").alias("sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("bigint")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

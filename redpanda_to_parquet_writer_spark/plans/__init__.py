@@ -46,6 +46,9 @@ _PRIORITY = [
     "curation_pipeline",
     # new this round
     "embeddings_lsh_neardup_pairs",
+    "sole_late_supplier",
+    "customer_order_distribution",
+    "docs_simhash_neardup_pairs",
     # red (ERR or hash-mismatch) in round 3 — re-verify the fixes
     "json_extract_props",
     "date_partition_counts",

@@ -16,7 +16,7 @@ the last ulps on rounding-boundary values).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from redpanda_to_parquet_writer_spark.functions.dates import event_epoch_sec
@@ -447,7 +447,88 @@ def discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LATE_SHIP_DAYS = 90
+
+
+def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper in a
+    multi-supplier finished order (late = shipped > 90 days after the
+    order date; the fixture has no commit/receipt dates, reference
+    tables are TPC-H-ish per TESTDATA.md).
+
+    The double-correlated EXISTS / NOT EXISTS is expressed as ONE
+    aggregation over (order, supplier) lateness followed by ONE window
+    over the order — n_suppliers > 1 AND n_late == 1 selects the guilty
+    supplier rows directly, so lineitem is scanned once (a groupBy +
+    join-back formulation recomputes the aggregate subtree: 5 scans).
+    The oracle replays the textbook EXISTS form, proving the
+    formulations equivalent.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    late = F.col("l_shipdate") > F.expr(
+        f"o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY"
+    )
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(late.cast("int")).alias("late")
+    )
+    w = Window.partitionBy("l_orderkey")
+    guilty = (
+        per_supp.withColumn("n_suppliers", F.count("*").over(w))
+        .withColumn("n_late", F.sum("late").over(w))
+        .filter(
+            (F.col("late") == 1)
+            & (F.col("n_suppliers") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+    )
+    return (
+        guilty.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer INCLUDING
+    zero-order customers — LEFT OUTER join preserved through two
+    aggregation levels (per-customer count, then histogram over counts).
+
+    The outer join is what distinguishes this from a plain groupBy: the
+    customers with no orders must survive as c_count = 0. Customer side
+    broadcasts (dim); the per-customer agg partial-aggregates map-side.
+    """
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    per_customer = (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_outer"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_customer.groupBy("c_count")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("c_count").desc())
+    )
+
+
 QUERIES = {
+    "sole_late_supplier": sole_late_supplier,
+    "customer_order_distribution": customer_order_distribution,
     "order_priority_counts": order_priority_counts,
     "small_quantity_revenue": small_quantity_revenue,
     "discounted_brand_revenue": discounted_brand_revenue,
@@ -465,6 +546,47 @@ QUERIES = {
 
 
 ORACLES = {
+    "sole_late_supplier": f"""
+        WITH lines AS (
+          SELECT l.l_orderkey, l.l_suppkey,
+                 l.l_shipdate > o.o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY
+                   AS late
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderstatus = 'F'
+        ),
+        l1 AS (  -- late suppliers, one row per (order, supplier)
+          SELECT DISTINCT l_orderkey, l_suppkey FROM lines WHERE late
+        )
+        SELECT s.s_name, count(*) AS numwait
+        FROM l1
+        JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        WHERE EXISTS (          -- another supplier shipped in this order
+          SELECT 1 FROM lines l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+        )
+        AND NOT EXISTS (        -- ... and none of the others were late
+          SELECT 1 FROM lines l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.late
+        )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name ASC
+        LIMIT 20
+    """,
+    "customer_order_distribution": """
+        SELECT c_count, count(*) AS n_customers
+        FROM (
+          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY n_customers DESC, c_count DESC
+    """,
     "large_order_customers": f"""
         WITH big AS (
           SELECT l_orderkey, sum(l_quantity) AS sum_qty

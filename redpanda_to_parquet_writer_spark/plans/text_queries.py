@@ -59,6 +59,20 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.simhash32(docs, "text", "doc_id")
 
 
+SIMHASH_MAX_HAMMING = 3
+
+
+def docs_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via byte-band bucketing + exact Hamming
+    verify. Recall vs the quadratic oracle is 1 BY CONSTRUCTION
+    (pigeonhole over 4 bands > 3 max differing bits), so the banded
+    100-TB plan is gated against the exact pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.simhash_neardup_pairs(
+        docs, "text", "doc_id", max_hamming=SIMHASH_MAX_HAMMING
+    )
+
+
 def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: lexicographic min/max md5 over word-5-gram
     shingles (a winnowing-style content signature — stable under
@@ -266,6 +280,7 @@ QUERIES = {
     "docs_minhash_lsh_pairs": docs_minhash_lsh_pairs,
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_simhash": docs_simhash,
+    "docs_simhash_neardup_pairs": docs_simhash_neardup_pairs,
     "docs_fingerprint": docs_fingerprint,
     "docs_chunked": docs_chunked,
     "docs_redacted": docs_redacted,
@@ -700,4 +715,36 @@ ORACLES["docs_sequence_pack"] = f"""
                AS start_tok
       FROM documents
     )
+"""
+
+# the banded formulation must reproduce the EXACT Hamming-<=k pair set
+# (recall 1 by pigeonhole), so it is gated against the quadratic oracle
+_SIMHASH_VOTES = ", ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS bit{b}"
+    for b in range(32)
+)
+_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN bit{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END)"
+    for b in range(32)
+)
+ORACLES["docs_simhash_neardup_pairs"] = f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) AS h
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+           LATERAL unnest(t) u(tok)
+    ),
+    votes AS (
+      SELECT doc_id, {_SIMHASH_VOTES}
+      FROM toks GROUP BY doc_id
+    ),
+    sh AS (
+      SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM votes
+    )
+    SELECT id_a, id_b, hamming
+    FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    WHERE hamming <= {SIMHASH_MAX_HAMMING}
 """
