@@ -97,21 +97,31 @@ def make_merge_batch_writer(
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        prepared = prepare_envelope_batch(spark, batch_df, payload_schema)
-        if not prepared.columns:
-            return
-        target = output_root
+        # dynamic-schema path runs TWO actions over the batch (schema
+        # sample, then the write) — persist so the source is scanned
+        # once per micro-batch, not once per action
+        cached = payload_schema is None
+        if cached:
+            batch_df.persist()
         try:
-            base_schema = spark.read.parquet(output_root).drop("date").schema
-            ours = prepared.drop("date").schema
-            if schema_fingerprint(base_schema) != schema_fingerprint(ours):
-                target = f"{output_root}_v{schema_fingerprint(ours)}"
-        except Exception:
-            pass  # base doesn't exist yet
-        if cfg.skip_dedup:
-            write_date_partitioned(prepared, target, cfg, mode="append")
-        else:
-            merge_dedup_append(spark, prepared, target, cfg=cfg)
+            prepared = prepare_envelope_batch(spark, batch_df, payload_schema)
+            if not prepared.columns:
+                return
+            target = output_root
+            try:
+                base_schema = spark.read.parquet(output_root).drop("date").schema
+                ours = prepared.drop("date").schema
+                if schema_fingerprint(base_schema) != schema_fingerprint(ours):
+                    target = f"{output_root}_v{schema_fingerprint(ours)}"
+            except Exception:
+                pass  # base doesn't exist yet
+            if cfg.skip_dedup:
+                write_date_partitioned(prepared, target, cfg, mode="append")
+            else:
+                merge_dedup_append(spark, prepared, target, cfg=cfg)
+        finally:
+            if cached:
+                batch_df.unpersist()
 
     return write_batch
 

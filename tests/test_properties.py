@@ -113,3 +113,36 @@ def test_anti_join_removes_exactly_existing_keys(spark, rows, mod):
     expected_keys = {(p, o) for (p, o) in uniq if o % mod != 0}
     got_keys = {(r["kafka_partition"], r["kafka_offset"]) for r in result.collect()}
     assert got_keys == expected_keys
+
+
+def test_simhash_banding_recall_guarantee(spark, sf_dir):
+    """Pigeonhole guarantee: with 4 byte-bands, every pair at Hamming
+    distance <= 3 shares at least one exact band, so the banded pair set
+    EQUALS the brute-force pair set (not just approximates it) for every
+    threshold below the band count."""
+    from itertools import combinations
+
+    from redpanda_to_parquet_writer_spark.operators.text import (
+        simhash32,
+        simhash_neardup_pairs,
+    )
+    from redpanda_to_parquet_writer_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash32(docs, "text", "doc_id").collect()
+    }
+    for k in (0, 3):
+        brute = {
+            (a, b)
+            for a, b in combinations(sorted(hashes), 2)
+            if bin(hashes[a] ^ hashes[b]).count("1") <= k
+        }
+        banded = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_neardup_pairs(
+                docs, "text", "doc_id", max_hamming=k
+            ).collect()
+        }
+        assert banded == brute, f"hamming<={k}: banded != brute force"
