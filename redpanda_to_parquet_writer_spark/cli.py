@@ -178,6 +178,7 @@ def collector_main(argv: list[str] | None = None) -> int:
     for r in run.reports:
         status = r.validation.status if r.validation else "skipped"
         print(f"{r.topic}: rows={r.rows_written} fmt={r.fmt} "
-              f"sec={r.seconds:.2f} validation={status}")
+              f"sec={r.seconds:.2f} batches={r.n_batches} "
+              f"rows_per_sec={r.rows_per_sec} validation={status}")
     print(f"total rows across {len(run.reports)} topic(s): {run.total_rows}")
     return 0

@@ -51,6 +51,10 @@ class TopicRunReport:
     seconds: float
     rows_written: int
     validation: CountReport | None = None
+    #: listener-observed micro-batch count / ingest rate (0 when the
+    #: source produced no progress events, e.g. an already-drained topic)
+    n_batches: int = 0
+    rows_per_sec: float = 0.0
 
 
 @dataclass
@@ -89,6 +93,10 @@ class Collector:
 
     def run_topic(self, topic: str, sample: list[bytes] | None = None) -> TopicRunReport:
         """One topic end-to-end: resume -> drain -> count."""
+        from redpanda_to_parquet_writer_spark.streaming.metrics import (
+            IngestMetricsListener,
+        )
+
         t0 = time.monotonic()
         fmt = self.topic_format(topic, sample or [])
         root = self.output_root(topic)
@@ -97,14 +105,29 @@ class Collector:
         # checkpoint-loss case
         resume = existing_max_offsets(self.spark, root)
         source = self.source_factory(topic, resume)
-        ingest_available_now(
-            self.spark, source, root, f"{self.cfg.checkpoint_dir}/{topic}", self.cfg
-        )
+        listener = IngestMetricsListener().attach(self.spark)
+        try:
+            ingest_available_now(
+                self.spark, source, root, f"{self.cfg.checkpoint_dir}/{topic}", self.cfg
+            )
+            listener.wait_quiesce()
+        finally:
+            listener.detach(self.spark)
         try:
             rows = self.spark.read.parquet(root).count()
         except Exception:
             rows = 0
-        return TopicRunReport(topic=topic, fmt=fmt, seconds=time.monotonic() - t0, rows_written=rows)
+        batches = listener.batches
+        total_ms = sum(b.duration_ms for b in batches)
+        total_in = sum(b.input_rows for b in batches)
+        return TopicRunReport(
+            topic=topic,
+            fmt=fmt,
+            seconds=time.monotonic() - t0,
+            rows_written=rows,
+            n_batches=len(batches),
+            rows_per_sec=round(total_in / (total_ms / 1000.0), 1) if total_ms else 0.0,
+        )
 
     def run(
         self,

@@ -60,6 +60,19 @@ _PRIORITY = [
     "priority_shipping_stats",
     "docs_token_budget_cap",
     "docs_sequence_pack",
+    # driver-green in rounds 2-3 only (never in round 1's window)
+    "order_priority_counts",
+    "small_quantity_revenue",
+    "discounted_brand_revenue",
+    "large_order_customers",
+    "customer_balance_quartiles",
+    "events_value_histogram",
+    "sink_reconciliation",
+    "top_event_type_per_user",
+    "promo_revenue_pct",
+    "top_revenue_supplier",
+    "rich_inactive_customers",
+    "docs_repetition_stats",
     # driver-green in round 1 only
     "docs_token_stats",
     "docs_stopword_stats",

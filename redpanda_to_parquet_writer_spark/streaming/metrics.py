@@ -111,6 +111,22 @@ class IngestMetricsListener(StreamingQueryListener):
             )
         return sorted(out, key=lambda s: s.name)
 
+    def wait_quiesce(self, settle_sec: float = 0.5, timeout_sec: float = 5.0) -> None:
+        """Block until no new progress events arrive for `settle_sec`
+        (the listener bus delivers asynchronously, so metrics read right
+        after awaitTermination can race the final batch's event)."""
+        import time
+
+        deadline = time.monotonic() + timeout_sec
+        last = -1
+        while time.monotonic() < deadline:
+            with self._lock:
+                n = len(self._batches)
+            if n == last:
+                return
+            last = n
+            time.sleep(settle_sec)
+
     # -- lifecycle -------------------------------------------------------
     def attach(self, spark: SparkSession) -> "IngestMetricsListener":
         spark.streams.addListener(self)

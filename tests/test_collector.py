@@ -40,6 +40,8 @@ def test_multi_topic_run(spark, tmp_path, collector):
     assert run.total_rows == 70
     assert all(r.validation.status == PASS for r in run.reports)
     assert all(r.fmt == "json" for r in run.reports)  # no msgpack lib -> json
+    # listener-fed throughput: every fresh topic saw >= 1 micro-batch
+    assert all(r.n_batches >= 1 and r.rows_per_sec > 0 for r in run.reports)
 
     # re-run: checkpointed -> no new rows, still consistent
     run2 = collector.run(["topic_a", "topic_b"])
