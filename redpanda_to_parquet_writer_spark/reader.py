@@ -87,15 +87,26 @@ def get_topics_for_date(base_dir: str, date: str) -> list[str]:
 
 
 def load_topic(
-    spark: SparkSession, base_dir: str, topic: str, date: str | None = None
+    spark: SparkSession,
+    base_dir: str,
+    topic: str,
+    date: str | None = None,
+    ignore_corrupt: bool = False,
 ) -> DataFrame:
     """Load one topic table, date-pruned when a date is given (P9).
 
     The date filter hits the partition column, so Catalyst prunes
     directories at planning time — no data files outside the date are
     touched (same effect as the reference's path short-circuit,
-    reader:513-516)."""
-    df = spark.read.parquet(os.path.join(base_dir, topic))
+    reader:513-516).
+
+    `ignore_corrupt=True` skips unreadable files instead of failing the
+    scan — the reference's per-file try/except (reader:505-512) as an
+    OPT-IN: silently dropping data is never the default at scale."""
+    reader = spark.read
+    if ignore_corrupt:
+        reader = reader.option("ignoreCorruptFiles", "true")
+    df = reader.parquet(os.path.join(base_dir, topic))
     date = _resolve_date(date)
     if date:
         df = df.filter(F.col("date") == F.lit(date))
@@ -114,12 +125,13 @@ def load_topics_batch(
     base_dir: str,
     date: str | None = None,
     topics: list[str] | None = None,
+    ignore_corrupt: bool = False,
 ) -> dict[str, TopicBundle]:
     """The reference's programmatic batch-loading API (reader:491-542)."""
     names = topics or (get_topics_for_date(base_dir, date) if date else get_available_topics(base_dir))
     out: dict[str, TopicBundle] = {}
     for t in names:
-        df = load_topic(spark, base_dir, t, date)
+        df = load_topic(spark, base_dir, t, date, ignore_corrupt)
         out[t] = TopicBundle(
             dataframe=df,
             sec_type=infer_security_type(df, TOPIC_TO_SEC_TYPE, t),

@@ -48,6 +48,47 @@ def test_multi_topic_run(spark, tmp_path, collector):
     assert run2.total_rows == 70
 
 
+def test_checkpoint_loss_recovery_via_offset_backstop(spark, tmp_path):
+    """T1 backstop end-to-end: checkpoint DELETED between runs, yet no
+    duplicates — run_topic hands the parquet-derived per-partition max
+    offsets to the source factory (the reference's resume recovery,
+    collector:468-530), and a resume-aware source skips everything at or
+    below them."""
+    import shutil
+    from functools import reduce
+    from operator import or_
+
+    from pyspark.sql import functions as F
+
+    cfg = EngineConfig(
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        skip_validation=True,
+    )
+    src = str(tmp_path / "src")
+    _envelope_df(spark, n=40).write.parquet(src)
+
+    def factory(topic, resume_offsets):
+        stream = spark.readStream.schema(ENVELOPE_COLS).parquet(src)
+        if resume_offsets:
+            keep = reduce(
+                or_,
+                [
+                    (F.col("kafka_partition") == p) & (F.col("kafka_offset") > o)
+                    for p, o in resume_offsets.items()
+                ],
+            )
+            stream = stream.filter(keep)
+        return stream
+
+    c = Collector(spark, cfg, factory)
+    assert c.run(["t"]).total_rows == 40
+
+    shutil.rmtree(str(tmp_path / "ckpt"))  # simulate checkpoint loss
+    run2 = c.run(["t"])
+    assert run2.total_rows == 40  # backstop resumed past everything written
+
+
 def test_trim_requires_kafka_lib():
     from redpanda_to_parquet_writer_spark.collector import trim_kafka_retention
 

@@ -126,3 +126,26 @@ def test_multimodal_stub_raises_cleanly(spark):
     decoded = map_media_batches(df, "blob", DECODED_IMAGE_SCHEMA)  # stub codec
     with pytest.raises(Exception, match="imaging library"):
         decoded.collect()
+
+
+def test_load_topic_ignore_corrupt(spark, table_base, tmp_path):
+    """Opt-in corrupt-file tolerance (reference reader:505-512 parity):
+    a garbage file in the table fails the default scan but is skipped
+    with ignore_corrupt=True, preserving every healthy row."""
+    import os
+
+    healthy = R.load_topic(spark, table_base, "spx_index").count()
+    date_dir = next(
+        d for d in os.listdir(os.path.join(table_base, "spx_index"))
+        if d.startswith("date=")
+    )
+    bad = os.path.join(table_base, "spx_index", date_dir, "part-corrupt.parquet")
+    with open(bad, "wb") as f:
+        f.write(b"this is not a parquet file")
+
+    with pytest.raises(Exception):
+        R.load_topic(spark, table_base, "spx_index").count()
+    assert (
+        R.load_topic(spark, table_base, "spx_index", ignore_corrupt=True).count()
+        == healthy
+    )
