@@ -106,9 +106,15 @@ class Collector:
         resume = existing_max_offsets(self.spark, root)
         source = self.source_factory(topic, resume)
         listener = IngestMetricsListener().attach(self.spark)
+        query_name = f"ingest-{topic}"
         try:
             ingest_available_now(
-                self.spark, source, root, f"{self.cfg.checkpoint_dir}/{topic}", self.cfg
+                self.spark,
+                source,
+                root,
+                f"{self.cfg.checkpoint_dir}/{topic}",
+                self.cfg,
+                query_name=query_name,
             )
             listener.wait_quiesce()
         finally:
@@ -117,16 +123,19 @@ class Collector:
             rows = self.spark.read.parquet(root).count()
         except Exception:
             rows = 0
-        batches = listener.batches
-        total_ms = sum(b.duration_ms for b in batches)
-        total_in = sum(b.input_rows for b in batches)
+        # filter by query name: concurrent per-topic drains (ThreadPool
+        # over run_topic) share the session listener bus, so this topic
+        # must roll up ONLY its own query's batches
+        summaries = listener.summary(query_name)
+        n_batches = sum(s.n_batches for s in summaries)
+        rate = round(sum(s.rows_per_sec for s in summaries), 1)
         return TopicRunReport(
             topic=topic,
             fmt=fmt,
             seconds=time.monotonic() - t0,
             rows_written=rows,
-            n_batches=len(batches),
-            rows_per_sec=round(total_in / (total_ms / 1000.0), 1) if total_ms else 0.0,
+            n_batches=n_batches,
+            rows_per_sec=rate,
         )
 
     def run(

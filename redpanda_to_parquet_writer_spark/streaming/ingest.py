@@ -133,18 +133,24 @@ def ingest_available_now(
     checkpoint_dir: str,
     cfg: EngineConfig | None = None,
     payload_schema: StructType | None = None,
+    query_name: str | None = None,
 ) -> None:
     """Drain everything available from a streaming source into the
     date-partitioned table, then stop (T1+T2+T5).
 
     `source` is any streaming DataFrame (Kafka via sources.kafka, or a
     file stream in tests) already in (or convertible to) envelope shape.
+    `query_name` labels the streaming query (progress events, metrics
+    listener, Spark UI) — concurrent per-topic drains each get their own
+    name so per-topic metrics don't cross-contaminate.
     """
     cfg = cfg or EngineConfig()
     writer = make_merge_batch_writer(spark, output_root, cfg, payload_schema)
+    stream = source.writeStream.foreachBatch(writer)
+    if query_name:
+        stream = stream.queryName(query_name)
     query = (
-        source.writeStream.foreachBatch(writer)
-        .option("checkpointLocation", checkpoint_dir)
+        stream.option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )

@@ -48,6 +48,29 @@ def test_multi_topic_run(spark, tmp_path, collector):
     assert run2.total_rows == 70
 
 
+def test_concurrent_topic_drains(spark, tmp_path, collector):
+    """The docstring's ThreadPool-over-run_topic pattern: separate
+    checkpoints make concurrent drains safe, and named queries keep each
+    topic's listener rollup to its OWN batches (no cross-contamination
+    on the shared listener bus)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    counts = {"topic_x": 30, "topic_y": 50}
+    for topic, n in counts.items():
+        src = str(tmp_path / f"src_{topic}")
+        _envelope_df(spark, n=n).write.parquet(src)
+        collector._test_sources[topic] = src
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        reports = list(pool.map(collector.run_topic, counts))
+
+    by_topic = {r.topic: r for r in reports}
+    for topic, n in counts.items():
+        assert by_topic[topic].rows_written == n
+        assert by_topic[topic].n_batches >= 1
+        assert by_topic[topic].rows_per_sec > 0
+
+
 def test_checkpoint_loss_recovery_via_offset_backstop(spark, tmp_path):
     """T1 backstop end-to-end: checkpoint DELETED between runs, yet no
     duplicates — run_topic hands the parquet-derived per-partition max
