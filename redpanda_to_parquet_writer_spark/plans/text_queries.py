@@ -54,22 +54,25 @@ def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.jaccard_pairs(grams, "doc_id", "ngrams", JACCARD_THRESHOLD)
 
 
+SIMHASH_BITS = 48  # BIGINT-safe analogue of the standard 64-bit fingerprint
+
+
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return T.simhash32(docs, "text", "doc_id")
+    return T.simhash_fingerprint(docs, "text", "doc_id", bits=SIMHASH_BITS)
 
 
 SIMHASH_MAX_HAMMING = 3
 
 
 def docs_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via byte-band bucketing + exact Hamming
+    """SimHash near-dup pairs via 12-bit-band bucketing + exact Hamming
     verify. Recall vs the quadratic oracle is 1 BY CONSTRUCTION
     (pigeonhole over 4 bands > 3 max differing bits), so the banded
     100-TB plan is gated against the exact pair set."""
     docs = load_table(spark, sf_dir, "documents")
     return T.simhash_neardup_pairs(
-        docs, "text", "doc_id", max_hamming=SIMHASH_MAX_HAMMING
+        docs, "text", "doc_id", max_hamming=SIMHASH_MAX_HAMMING, bits=SIMHASH_BITS
     )
 
 
@@ -524,7 +527,9 @@ ORACLES = {
     """,
     "docs_simhash": f"""
         WITH toks AS (
-          SELECT doc_id, CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) AS h
+          SELECT doc_id,
+                 CAST(concat('0x', substring(md5(tok), 1, {SIMHASH_BITS // 4}))
+                   AS BIGINT) AS h
           FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
                LATERAL unnest(t) u(tok)
         ),
@@ -532,14 +537,14 @@ ORACLES = {
           SELECT doc_id,
                  {", ".join(
                      f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS bit{b}"
-                     for b in range(32)
+                     for b in range(SIMHASH_BITS)
                  )}
           FROM toks GROUP BY doc_id
         )
         SELECT doc_id,
                {" + ".join(
                    f"(CASE WHEN bit{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END)"
-                   for b in range(32)
+                   for b in range(SIMHASH_BITS)
                )} AS simhash
         FROM votes
     """,
@@ -721,15 +726,17 @@ ORACLES["docs_sequence_pack"] = f"""
 # (recall 1 by pigeonhole), so it is gated against the quadratic oracle
 _SIMHASH_VOTES = ", ".join(
     f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS bit{b}"
-    for b in range(32)
+    for b in range(SIMHASH_BITS)
 )
-_SIMHASH_BITS = " + ".join(
+_SIMHASH_BITS_EXPR = " + ".join(
     f"(CASE WHEN bit{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END)"
-    for b in range(32)
+    for b in range(SIMHASH_BITS)
 )
 ORACLES["docs_simhash_neardup_pairs"] = f"""
     WITH toks AS (
-      SELECT doc_id, CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) AS h
+      SELECT doc_id,
+             CAST(concat('0x', substring(md5(tok), 1, {SIMHASH_BITS // 4}))
+               AS BIGINT) AS h
       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
            LATERAL unnest(t) u(tok)
     ),
@@ -738,7 +745,7 @@ ORACLES["docs_simhash_neardup_pairs"] = f"""
       FROM toks GROUP BY doc_id
     ),
     sh AS (
-      SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM votes
+      SELECT doc_id, {_SIMHASH_BITS_EXPR} AS simhash FROM votes
     )
     SELECT id_a, id_b, hamming
     FROM (

@@ -116,14 +116,14 @@ def test_anti_join_removes_exactly_existing_keys(spark, rows, mod):
 
 
 def test_simhash_banding_recall_guarantee(spark, sf_dir):
-    """Pigeonhole guarantee: with 4 byte-bands, every pair at Hamming
+    """Pigeonhole guarantee: with 4 bands, every pair at Hamming
     distance <= 3 shares at least one exact band, so the banded pair set
     EQUALS the brute-force pair set (not just approximates it) for every
     threshold below the band count."""
     from itertools import combinations
 
     from redpanda_to_parquet_writer_spark.operators.text import (
-        simhash32,
+        simhash_fingerprint,
         simhash_neardup_pairs,
     )
     from redpanda_to_parquet_writer_spark.sources.parquet import load_table
@@ -131,7 +131,7 @@ def test_simhash_banding_recall_guarantee(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     hashes = {
         r["doc_id"]: r["simhash"]
-        for r in simhash32(docs, "text", "doc_id").collect()
+        for r in simhash_fingerprint(docs, "text", "doc_id").collect()
     }
     for k in (0, 3):
         brute = {
