@@ -85,6 +85,7 @@ HEADLINE = [
     "embeddings_lsh_neardup_pairs",
     "embeddings_semdedup_keep",
     "embeddings_norm_stats",
+    "multimodal_wav_roundtrip",
 ]
 
 

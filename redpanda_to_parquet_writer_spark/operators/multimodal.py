@@ -3,12 +3,13 @@
 Training-data pipelines carry image/audio/video as opaque `binary`
 columns with typed metadata. This module provides the real Spark
 plumbing — schemas, partition-preserving `mapInPandas` stages with bounded
-Arrow batch sizes, deterministic metadata extraction — while the actual
-codec work (JPEG decode, resampling, frame extraction) is stubbed: the
-container has no imaging/audio libraries, so decoders raise
-NotImplementedError unless a library-backed codec is injected. The
-pipeline shape (what runs where, batch sizes, schema contracts) is real
-and tested.
+Arrow batch sizes, deterministic metadata extraction. The AUDIO codec is
+REAL (stdlib `wave`: container + 16-bit PCM parse, oracle-gated in
+plans/multimodal_queries.py); image/video codec work (JPEG decode, frame
+extraction) is stubbed because the container has no imaging libraries —
+those decoders raise NotImplementedError unless a library-backed codec
+is injected. The pipeline shape (what runs where, batch sizes, schema
+contracts) is real and tested for every media type.
 
 Scale notes: media blobs make rows huge — the mapInPandas stages are
 narrow (no shuffle), and `maxRecordsPerBatch` should be lowered so an
@@ -137,6 +138,82 @@ def map_media_batches(
 def frame_sample_stub(data: bytes, every_n: int = 30) -> list[bytes]:
     """Sample video frames. STUB: requires a video library (ffmpeg/cv2)."""
     raise NotImplementedError("video frame sampling requires ffmpeg/opencv")
+
+
+# --- audio: REAL codec (stdlib `wave`, no external library) ----------------
+
+DECODED_AUDIO_SCHEMA = StructType(
+    [
+        StructField("n_channels", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("bit_depth", LongType()),
+        StructField("peak_abs", LongType()),
+        StructField("mean_square", LongType()),
+    ]
+)
+
+
+def encode_wav_pcm16(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """Encode mono 16-bit PCM samples as a WAV blob (stdlib `wave`):
+    canonical 44-byte RIFF/fmt/data header + 2 bytes per frame."""
+    import array
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(array.array("h", samples).tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[int, int, int, int, int, int]:
+    """REAL audio decode — parses the WAV container and the PCM frames
+    with the stdlib `wave` module (unlike the image/video codecs, no
+    external library is needed, so this path is not stubbed).
+
+    Returns (n_channels, sample_rate, n_frames, bit_depth, peak_abs,
+    mean_square); the amplitude features are exact integers
+    (max |sample| and floor-mean of sample^2), so a deterministic
+    generator's output is oracle-predictable bit-for-bit.
+    """
+    import array
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        n_channels = w.getnchannels()
+        sample_rate = w.getframerate()
+        n_frames = w.getnframes()
+        bit_depth = w.getsampwidth() * 8
+        frames = w.readframes(n_frames)
+    if bit_depth != 16:
+        raise ValueError(f"only 16-bit PCM supported, got {bit_depth}-bit")
+    pcm = array.array("h")
+    pcm.frombytes(frames)
+    peak = max((abs(x) for x in pcm), default=0)
+    msq = sum(x * x for x in pcm) // len(pcm) if len(pcm) else 0
+    return (n_channels, sample_rate, n_frames, bit_depth, peak, msq)
+
+
+#: deterministic square-wave generator parameters (shared by the
+#: synthesizer below and the analytic oracle in plans/multimodal_queries)
+WAV_SAMPLE_RATE = 8000
+WAV_FRAMES = (200, 300)  # n_frames = 200 + id % 300
+WAV_AMP = (7919, 32000)  # amp = 1 + (id * 7919) % 32000
+
+
+def synth_square_wav(seed: int) -> bytes:
+    """Deterministic mono square wave from an integer seed: every sample
+    is +/-amp, so peak_abs == amp and mean_square == amp^2 EXACTLY —
+    the encode->decode round trip is verifiable by analytic SQL."""
+    n = WAV_FRAMES[0] + seed % WAV_FRAMES[1]
+    amp = 1 + (seed * WAV_AMP[0]) % WAV_AMP[1]
+    samples = [amp if i % 2 == 0 else -amp for i in range(n)]
+    return encode_wav_pcm16(samples, WAV_SAMPLE_RATE)
 
 
 def fake_image_codec(data: bytes) -> tuple[int, int, int]:

@@ -45,6 +45,7 @@ _PRIORITY = [
     "multimodal_byte_stats",
     "curation_pipeline",
     # new this round
+    "multimodal_wav_roundtrip",
     "embeddings_lsh_neardup_pairs",
     "sole_late_supplier",
     "customer_order_distribution",

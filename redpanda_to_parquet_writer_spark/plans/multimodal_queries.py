@@ -46,7 +46,51 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded
 
 
-QUERIES = {"multimodal_byte_stats": multimodal_byte_stats}
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec end-to-end: synthesize a deterministic square-wave
+    WAV per doc (stdlib `wave` encoder, Arrow-batched), sniff the RIFF
+    magic JVM-side, then decode container + PCM frames back with the
+    stdlib decoder (`operators/multimodal.py:decode_wav`) — all gated
+    against an ANALYTIC oracle (header size, frame count, and amplitude
+    features are closed-form in doc_id because every sample is +/-amp).
+
+    This is the pattern a real media pipeline uses at 100 TB: blobs stay
+    in a binary column, both codec stages are narrow mapInPandas (no
+    shuffle), and only small typed features leave the blob row.
+    """
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        DECODED_AUDIO_SCHEMA,
+        decode_wav,
+        synth_square_wav,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    # lambda form: `from __future__ import annotations` stringifies type
+    # hints, which pandas_udf's signature inspection rejects
+    synth = F.pandas_udf(
+        lambda ids: ids.map(lambda i: synth_square_wav(int(i))), "binary"
+    )
+    blobs = docs.withColumn("blob", synth("doc_id"))
+    with_meta = with_media_metadata(blobs, "blob", media_type="audio").select(
+        "doc_id",
+        "blob",
+        F.col("media_meta.format").alias("format"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+    )
+    return map_media_batches(
+        with_meta,
+        "blob",
+        DECODED_AUDIO_SCHEMA,
+        codec=decode_wav,
+        passthrough=["doc_id", "format", "n_bytes"],
+    )
+
+
+QUERIES = {
+    "multimodal_byte_stats": multimodal_byte_stats,
+    "multimodal_wav_roundtrip": multimodal_wav_roundtrip,
+}
 
 # synthetic docs are ASCII, so ord(char) == byte value on both engines
 ORACLES = {
@@ -56,6 +100,22 @@ ORACLES = {
                md5(text) AS content_hash,
                ord(left(text, 1)) AS first_byte,
                ord(right(text, 1)) AS last_byte
+        FROM documents
+    """,
+    # closed-form replay of the square-wave generator: stdlib wave emits
+    # a canonical 44-byte PCM header, every sample is +/-amp, so
+    # n_bytes/peak/mean-square are pure integer expressions of doc_id
+    "multimodal_wav_roundtrip": """
+        SELECT doc_id,
+               'riff' AS format,
+               44 + 2 * (200 + doc_id % 300) AS n_bytes,
+               1 AS n_channels,
+               8000 AS sample_rate,
+               200 + doc_id % 300 AS n_frames,
+               16 AS bit_depth,
+               1 + (doc_id * 7919) % 32000 AS peak_abs,
+               (1 + (doc_id * 7919) % 32000) * (1 + (doc_id * 7919) % 32000)
+                 AS mean_square
         FROM documents
     """,
 }

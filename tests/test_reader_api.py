@@ -128,6 +128,51 @@ def test_multimodal_stub_raises_cleanly(spark):
         decoded.collect()
 
 
+def test_wav_codec_roundtrip_local():
+    """The REAL audio codec: encode arbitrary (non-square-wave) PCM with
+    the stdlib writer, decode container + frames back, exact features."""
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    samples = [0, 100, -200, 300, -32768, 32767, 5]
+    blob = encode_wav_pcm16(samples, sample_rate=16000)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    assert len(blob) == 44 + 2 * len(samples)  # canonical PCM header
+    n_ch, rate, n_frames, depth, peak, msq = decode_wav(blob)
+    assert (n_ch, rate, n_frames, depth) == (1, 16000, len(samples), 16)
+    assert peak == 32768
+    assert msq == sum(x * x for x in samples) // len(samples)
+
+
+def test_wav_codec_through_spark(spark):
+    """Encode->sniff->decode through the binary-column pipeline: the
+    sniffer sees a real RIFF magic, the decoder real PCM."""
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        DECODED_AUDIO_SCHEMA,
+        decode_wav,
+        synth_square_wav,
+    )
+
+    rows = [(i, synth_square_wav(i)) for i in (0, 1, 7, 299, 12345)]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    meta = with_media_metadata(df, "blob", media_type="audio")
+    assert {r["media_meta"]["format"] for r in meta.collect()} == {"riff"}
+    out = {
+        r["id"]: r
+        for r in map_media_batches(
+            df, "blob", DECODED_AUDIO_SCHEMA, codec=decode_wav
+        ).collect()
+    }
+    for i in out:
+        amp = 1 + (i * 7919) % 32000
+        assert out[i]["n_frames"] == 200 + i % 300
+        assert out[i]["peak_abs"] == amp
+        assert out[i]["mean_square"] == amp * amp
+        assert out[i]["sample_rate"] == 8000 and out[i]["bit_depth"] == 16
+
+
 def test_load_topic_ignore_corrupt(spark, table_base, tmp_path):
     """Opt-in corrupt-file tolerance (reference reader:505-512 parity):
     a garbage file in the table fails the default scan but is skipped
