@@ -50,6 +50,9 @@ HEADLINE = [
     "order_priority_counts",
     "sole_late_supplier",
     "customer_order_distribution",
+    "nation_volume_shipping",
+    "nation_market_share",
+    "supplier_part_variety",
     "priority_shipping_stats",
     "promo_revenue_pct",
     "top_revenue_supplier",

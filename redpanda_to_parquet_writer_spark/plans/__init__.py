@@ -16,6 +16,7 @@ from redpanda_to_parquet_writer_spark.plans import (
     multimodal_queries,
     relational,
     relational2,
+    relational3,
     text_queries,
     vector_queries,
 )
@@ -23,6 +24,7 @@ from redpanda_to_parquet_writer_spark.plans import (
 _MERGED_QUERIES = {
     **relational.QUERIES,
     **relational2.QUERIES,
+    **relational3.QUERIES,
     **text_queries.QUERIES,
     **vector_queries.QUERIES,
     **multimodal_queries.QUERIES,
@@ -46,6 +48,9 @@ _PRIORITY = [
     "curation_pipeline",
     # new this round
     "multimodal_wav_roundtrip",
+    "nation_volume_shipping",
+    "nation_market_share",
+    "supplier_part_variety",
     "embeddings_lsh_neardup_pairs",
     "sole_late_supplier",
     "customer_order_distribution",
@@ -106,6 +111,7 @@ ORACLES = _ordered(
     {
         **relational.ORACLES,
         **relational2.ORACLES,
+        **relational3.ORACLES,
         **text_queries.ORACLES,
         **vector_queries.ORACLES,
         **multimodal_queries.ORACLES,

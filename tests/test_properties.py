@@ -115,6 +115,47 @@ def test_anti_join_removes_exactly_existing_keys(spark, rows, mod):
     assert got_keys == expected_keys
 
 
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),  # id (dup-able across buckets)
+            st.integers(min_value=0, max_value=5),  # bucket
+            st.integers(min_value=-100, max_value=100),  # payload
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_bucket_pair_candidates_model(spark, rows):
+    """bucket_pair_candidates == brute force: exactly the distinct
+    (id_a < id_b) pairs that co-occur in at least one bucket, each
+    carrying its members' payloads."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        bucket_pair_candidates,
+    )
+
+    # one row per (id, bucket); payload functionally depends on id
+    uniq = {(i, b): (i, b, i * 7 - 3) for i, b, _ in rows}
+    expected = set()
+    by_bucket: dict = {}
+    for i, b, _p in uniq.values():
+        by_bucket.setdefault(b, set()).add(i)
+    for ids in by_bucket.values():
+        for a in ids:
+            for c in ids:
+                if a < c:
+                    expected.add((a, c, a * 7 - 3, c * 7 - 3))
+    if not uniq:
+        return
+    df = spark.createDataFrame(sorted(uniq.values()), "id long, bucket long, pay long")
+    got = {
+        (r["id_a"], r["id_b"], r["pay_a"], r["pay_b"])
+        for r in bucket_pair_candidates(df, ["bucket"], "id", ["pay"]).collect()
+    }
+    assert got == expected
+
+
 def test_simhash_banding_recall_guarantee(spark, sf_dir):
     """Pigeonhole guarantee: with 4 bands, every pair at Hamming
     distance <= 3 shares at least one exact band, so the banded pair set
