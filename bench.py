@@ -77,6 +77,7 @@ HEADLINE = [
     "docs_sequence_pack",
     "curation_pipeline",
     "docs_minhash_lsh_pairs",
+    "docs_jaccard_pairs",
     "docs_simhash",
     "docs_simhash_neardup_pairs",
     "docs_decontaminate",

@@ -385,44 +385,50 @@ def jaccard_pairs(
     shingle-bucket sizes, and in production this runs AFTER LSH banding
     restricts the pair space.
     """
-    shingles = (
-        df.select(F.col(id_col), F.explode(F.array_distinct(F.col(ngram_col))).alias("g"))
+    # each doc's shingle-set size rides the exploded rows (computed
+    # narrow, BEFORE the explode) so the posting-list pipeline is the
+    # ONLY lineage — no second scan for sizes and no join-back (the
+    # sizes-join formulation planned 3 scans of the corpus; this plans 1).
+    shingles = df.select(
+        F.col(id_col), F.array_distinct(F.col(ngram_col)).alias("__gs")
+    ).select(
+        F.col(id_col),
+        F.size("__gs").alias("n"),
+        F.explode("__gs").alias("g"),
     )
-    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
     # per-shingle posting lists instead of a shingle self-join (which
     # would run the explode lineage twice); hot shingles (huge posting
     # lists) are the skew hazard either way — production pipelines cap
     # document frequency before pairing.
+    # NO array_sort on the posting list: the pair filter compares ids
+    # directly (order-independent), and a sort expression here sits in
+    # the post-aggregate Project where Spark re-evaluates it per
+    # EXPLODED row downstream (interpreted HOF x sum(len) rows — this
+    # exact shape measured 13s of a 16s query at sf0.1)
     postings = (
         shingles.groupBy("g")
-        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("n"))).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    pair_expr = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda x: F.transform(
-                    F.col("ids"), lambda y: F.struct(x.alias("a"), y.alias("b"))
-                ),
-            )
-        ),
-        lambda p: p["a"] < p["b"],
+    # in-bucket pairs via two chained explodes (codegen'd Generate), NOT
+    # a flatten/transform pairs array: higher-order functions evaluate
+    # interpreted per element, measured 15s vs <2s at sf0.1 for the same
+    # enumeration. Every co-occurrence is KEPT (no pair dedup) — the
+    # count per (id_a, id_b) IS the shingle intersection size.
+    lhs = postings.select(F.explode("ids").alias("a"), "ids")
+    pairs = lhs.select("a", F.explode("ids").alias("b")).filter(
+        F.col("a.id") < F.col("b.id")
     )
-    inter = (
-        postings.select(F.explode(pair_expr).alias("p"))
-        .groupBy(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
-        .agg(F.count("*").alias("common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    inter = pairs.groupBy(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+    ).agg(F.count("*").alias("common"))
     jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
-    return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return inter.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def simhash_fingerprint(
