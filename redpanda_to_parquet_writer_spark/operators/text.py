@@ -347,30 +347,17 @@ def lsh_candidate_pairs(
     exploded = sig_df.select(F.col(id_col), F.explode(bands).alias("b")).select(
         id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
     )
-    # groupBy instead of a self-join: a self-join would compute the whole
-    # scan->md5->minhash lineage twice (verified via .explain). One
-    # aggregation = one signature pass + one shuffle on (band, key); the
-    # g^2 in-bucket pair expansion happens inside each (tiny) bucket row.
-    buckets = (
-        exploded.groupBy("band", "key")
-        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
-        .filter(F.size("ids") >= 2)
+    # groupBy + in-bucket enumeration instead of a self-join: a self-join
+    # would compute the whole scan->md5->minhash lineage twice (verified
+    # via .explain). bucket_pair_candidates = one signature pass + one
+    # shuffle on (band, key) + chained-explode (codegen'd) pair
+    # expansion inside each (tiny) bucket, deduped across bands.
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        bucket_pair_candidates,
     )
-    pairs = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda x: F.transform(
-                    F.col("ids"), lambda y: F.struct(x.alias("a"), y.alias("b"))
-                ),
-            )
-        ),
-        lambda p: p["a"] < p["b"],
-    )
-    return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
-        .distinct()
+
+    return bucket_pair_candidates(exploded, ["band", "key"], id_col, []).select(
+        "id_a", "id_b"
     )
 
 
