@@ -329,7 +329,7 @@ def lsh_candidate_pairs(
 
     Scale path for near-dup detection: the O(n^2) pair space collapses to
     a groupBy on (band_index, band_key) — a single shuffle keyed on
-    content, then tiny per-bucket self-joins.
+    content, then in-bucket pair enumeration.
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
     n_bands = num_hashes // band_size
@@ -366,10 +366,11 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all doc pairs above threshold.
 
-    Inverted-index join: explode distinct shingles, self-join on shingle,
-    count co-occurrences, |A∪B| = |A| + |B| - |A∩B|. The shingle join is
-    the scalable formulation (no cross join); pair blowup is bounded by
-    shingle-bucket sizes, and in production this runs AFTER LSH banding
+    Inverted index: explode distinct shingles into per-shingle posting
+    lists, count pair co-occurrences, |A∪B| = |A| + |B| - |A∩B|. The
+    posting-list formulation is the scalable one (no cross join); pair
+    blowup is bounded by shingle-bucket sizes, and in production this
+    runs AFTER LSH banding
     restricts the pair space.
     """
     # each doc's shingle-set size rides the exploded rows (computed
