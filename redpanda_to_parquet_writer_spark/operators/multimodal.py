@@ -109,6 +109,7 @@ def map_media_batches(
     out_schema: StructType,
     codec: Callable | None = None,
     passthrough: list[str] | None = None,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Arrow-batched media transform: the mapInPandas plumbing.
 
@@ -116,17 +117,34 @@ def map_media_batches(
     stub (raises, documenting the dependency). Batch shape: pandas
     DataFrames with the binary column as Python bytes; passthrough
     columns are carried unchanged. Partition-preserving — no shuffle.
+
+    `on_error`: "raise" fails the job on the first undecodable blob (the
+    default — silent data loss must be opted into); "null" emits NULLs
+    for that row's decoded fields so one corrupt blob in a 100 TB corpus
+    degrades one row, not the job (the media analogue of the reader's
+    opt-in corrupt-file tolerance).
     """
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     codec = codec or decode_image_stub
     passthrough = passthrough or [c for c in df.columns if c != binary_col]
     result_schema = StructType(
         [f for f in df.schema.fields if f.name in passthrough] + list(out_schema.fields)
     )
     out_names = [f.name for f in out_schema.fields]
+    nulls = (None,) * len(out_names)
+
+    def decode_one(b):
+        if on_error == "raise":
+            return codec(b)
+        try:
+            return codec(b)
+        except Exception:  # noqa: BLE001 — opt-in per-row degradation
+            return nulls
 
     def run(batches: Iterator) -> Iterator:
         for pdf in batches:
-            decoded = [codec(b) for b in pdf[binary_col]]
+            decoded = [decode_one(b) for b in pdf[binary_col]]
             out = pdf[passthrough].copy()
             for i, name in enumerate(out_names):
                 out[name] = [row[i] for row in decoded]

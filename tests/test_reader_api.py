@@ -128,6 +128,29 @@ def test_multimodal_stub_raises_cleanly(spark):
         decoded.collect()
 
 
+def test_media_decode_corrupt_tolerance(spark):
+    """on_error='null' degrades the corrupt row to NULL features; the
+    default still raises (silent loss is opt-in)."""
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        DECODED_AUDIO_SCHEMA,
+        decode_wav,
+        synth_square_wav,
+    )
+
+    rows = [(1, synth_square_wav(1)), (2, b"not a wav at all"), (3, synth_square_wav(3))]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    with pytest.raises(Exception):
+        map_media_batches(df, "blob", DECODED_AUDIO_SCHEMA, codec=decode_wav).collect()
+    out = {
+        r["id"]: r
+        for r in map_media_batches(
+            df, "blob", DECODED_AUDIO_SCHEMA, codec=decode_wav, on_error="null"
+        ).collect()
+    }
+    assert out[2]["n_frames"] is None and out[2]["peak_abs"] is None
+    assert out[1]["n_frames"] == 201 and out[3]["n_frames"] == 203
+
+
 def test_wav_codec_roundtrip_local():
     """The REAL audio codec: encode arbitrary (non-square-wave) PCM with
     the stdlib writer, decode container + frames back, exact features."""
