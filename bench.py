@@ -80,6 +80,7 @@ HEADLINE = [
     "docs_jaccard_pairs",
     "docs_simhash",
     "docs_simhash_neardup_pairs",
+    "docs_incremental_neardup_filter",
     "docs_decontaminate",
     "docs_top_ngrams",
     "docs_tfidf_top_terms",

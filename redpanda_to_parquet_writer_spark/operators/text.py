@@ -493,10 +493,24 @@ def simhash_neardup_pairs(
         bucket_pair_candidates,
     )
 
+    sh = simhash_fingerprint(df, text_col, id_col, bits=bits)
+    bands = _simhash_bands(sh, id_col, n_bands=n_bands, bits=bits)
+    cand = bucket_pair_candidates(bands, ["band", "key"], id_col, ["simhash"])
+    hamming = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))).cast("bigint")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def _simhash_bands(
+    sh: DataFrame, id_col: str, n_bands: int, bits: int
+) -> DataFrame:
+    """Explode a simhash frame to (id, simhash, band, key) band rows."""
     bits_per_band = bits // n_bands
     mask = (1 << bits_per_band) - 1
-    sh = simhash_fingerprint(df, text_col, id_col, bits=bits)
-    bands = sh.select(
+    return sh.select(
         id_col,
         "simhash",
         F.explode(
@@ -513,13 +527,47 @@ def simhash_neardup_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    cand = bucket_pair_candidates(bands, ["band", "key"], id_col, ["simhash"])
-    hamming = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))).cast("bigint")
-    return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+
+
+def simhash_incremental_anti(
+    delta: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bits: int = 48,
+) -> DataFrame:
+    """Incremental near-dup dedup: keep only `delta` docs that are NOT
+    within `max_hamming` simhash bits of ANY `corpus` doc — the
+    daily-ingest pattern at corpus scale, where the new batch is deduped
+    AGAINST history without ever touching the history x history pair
+    space.
+
+    Band rows from both sides join on (band, key), so candidates are
+    delta x corpus in-bucket collisions only; exact Hamming verify, then
+    LEFT ANTI the delta against the matched ids. Recall 1 by the same
+    pigeonhole as `simhash_neardup_pairs`, so the anti-filter is EXACT
+    with respect to the Hamming threshold. In production the corpus side
+    reads a precomputed signature table (signatures persist at ingest
+    time); here it is derived inline from the corpus text.
+    """
+    dsh = simhash_fingerprint(delta, text_col, id_col, bits=bits)
+    csh = simhash_fingerprint(corpus, text_col, id_col, bits=bits)
+    dbands = _simhash_bands(dsh, id_col, n_bands=n_bands, bits=bits).select(
+        F.col(id_col).alias("__did"), F.col("simhash").alias("__dsh"), "band", "key"
     )
+    cbands = _simhash_bands(csh, id_col, n_bands=n_bands, bits=bits).select(
+        F.col("simhash").alias("__csh"), "band", "key"
+    )
+    hamming = F.bit_count(F.col("__dsh").bitwiseXOR(F.col("__csh")))
+    dropped = (
+        dbands.join(cbands, on=["band", "key"])
+        .filter(hamming <= max_hamming)
+        .select(F.col("__did").alias(id_col))
+        .distinct()
+    )
+    return dsh.join(dropped, on=id_col, how="left_anti")
 
 
 def decontaminate(

@@ -55,6 +55,7 @@ _PRIORITY = [
     "sole_late_supplier",
     "customer_order_distribution",
     "docs_simhash_neardup_pairs",
+    "docs_incremental_neardup_filter",
     # red (ERR or hash-mismatch) in round 3 — re-verify the fixes
     "json_extract_props",
     "date_partition_counts",

@@ -76,6 +76,28 @@ def docs_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INCR_DELTA_MOD = 20  # delta = doc_id % 20 == 0, corpus = the rest
+
+
+def docs_incremental_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-vs-history) near-dup dedup: the daily-ingest
+    shape — new docs banded and joined against the historical corpus's
+    bands, never history x history. Surviving delta docs and their
+    48-bit simhash. Recall 1 by pigeonhole, so the banded anti-filter
+    reproduces the exact NOT-EXISTS oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % INCR_DELTA_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % INCR_DELTA_MOD != 0)
+    return T.simhash_incremental_anti(
+        delta,
+        corpus,
+        "text",
+        "doc_id",
+        max_hamming=SIMHASH_MAX_HAMMING,
+        bits=SIMHASH_BITS,
+    )
+
+
 def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: lexicographic min/max md5 over word-5-gram
     shingles (a winnowing-style content signature — stable under
@@ -284,6 +306,7 @@ QUERIES = {
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_simhash": docs_simhash,
     "docs_simhash_neardup_pairs": docs_simhash_neardup_pairs,
+    "docs_incremental_neardup_filter": docs_incremental_neardup_filter,
     "docs_fingerprint": docs_fingerprint,
     "docs_chunked": docs_chunked,
     "docs_redacted": docs_redacted,
@@ -754,4 +777,30 @@ ORACLES["docs_simhash_neardup_pairs"] = f"""
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     )
     WHERE hamming <= {SIMHASH_MAX_HAMMING}
+"""
+
+# textbook NOT-EXISTS replay of the banded delta-vs-corpus anti-filter
+ORACLES["docs_incremental_neardup_filter"] = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(concat('0x', substring(md5(tok), 1, {SIMHASH_BITS // 4}))
+               AS BIGINT) AS h
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+           LATERAL unnest(t) u(tok)
+    ),
+    votes AS (
+      SELECT doc_id, {_SIMHASH_VOTES}
+      FROM toks GROUP BY doc_id
+    ),
+    sh AS (
+      SELECT doc_id, {_SIMHASH_BITS_EXPR} AS simhash FROM votes
+    )
+    SELECT d.doc_id, d.simhash
+    FROM sh d
+    WHERE d.doc_id % {INCR_DELTA_MOD} = 0
+      AND NOT EXISTS (
+        SELECT 1 FROM sh c
+        WHERE c.doc_id % {INCR_DELTA_MOD} <> 0
+          AND bit_count(xor(d.simhash, c.simhash)) <= {SIMHASH_MAX_HAMMING}
+      )
 """

@@ -25,6 +25,7 @@ from redpanda_to_parquet_writer_spark.plans import QUERIES
 PRONE = [
     "dedup_content_keep_first",
     "docs_simhash_neardup_pairs",
+    "docs_incremental_neardup_filter",
     "embeddings_lsh_neardup_pairs",
     "docs_sequence_pack",
     "docs_stratified_sample",
