@@ -91,6 +91,7 @@ HEADLINE = [
     "embeddings_semdedup_keep",
     "embeddings_norm_stats",
     "multimodal_wav_roundtrip",
+    "multimodal_image_resize",
 ]
 
 

@@ -217,6 +217,95 @@ def decode_wav(data: bytes) -> tuple[int, int, int, int, int, int]:
     return (n_channels, sample_rate, n_frames, bit_depth, peak, msq)
 
 
+# --- image: REAL resize (numpy nearest-neighbor on raw gray8) --------------
+
+RESIZED_IMAGE_SCHEMA = StructType(
+    [
+        StructField("thumb", BinaryType()),
+        StructField("thumb_w", LongType()),
+        StructField("thumb_h", LongType()),
+        StructField("p00", LongType()),  # corner pixels: exact features
+        StructField("p_last", LongType()),
+        StructField("pixel_sum", LongType()),
+    ]
+)
+
+
+def resize_gray8_batches(
+    df: DataFrame,
+    binary_col: str,
+    w_col: str,
+    h_col: str,
+    out_w: int = 8,
+    out_h: int = 8,
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """REAL image resize — nearest-neighbor downscale of raw 8-bit
+    grayscale bitmaps (row-major w*h bytes) with numpy, no imaging
+    library: source index = (dst * src_extent) // dst_extent, the
+    standard floor-mapping, so every output pixel (and the integer
+    features derived from them) is exactly reproducible by closed-form
+    arithmetic — which is how the oracle verifies this stage.
+
+    Container formats (JPEG/PNG) still require the stubbed library
+    codec to DECODE to a raw bitmap first; this is the post-decode
+    resize stage, Arrow-batched and shuffle-free like the other media
+    stages.
+    """
+    import numpy as np
+
+    passthrough = passthrough or [
+        c for c in df.columns if c not in (binary_col, w_col, h_col)
+    ]
+    result_schema = StructType(
+        [f for f in df.schema.fields if f.name in passthrough]
+        + list(RESIZED_IMAGE_SCHEMA.fields)
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            thumbs, p00s, plasts, sums = [], [], [], []
+            for data, w, h in zip(pdf[binary_col], pdf[w_col], pdf[h_col]):
+                img = np.frombuffer(data, dtype=np.uint8).reshape(int(h), int(w))
+                ys = (np.arange(out_h) * int(h)) // out_h
+                xs = (np.arange(out_w) * int(w)) // out_w
+                thumb = img[np.ix_(ys, xs)]
+                thumbs.append(thumb.tobytes())
+                p00s.append(int(thumb[0, 0]))
+                plasts.append(int(thumb[-1, -1]))
+                sums.append(int(thumb.astype(np.int64).sum()))
+            out = pdf[passthrough].copy()
+            out["thumb"] = thumbs
+            out["thumb_w"] = out_w
+            out["thumb_h"] = out_h
+            out["p00"] = p00s
+            out["p_last"] = plasts
+            out["pixel_sum"] = sums
+            yield out
+
+    return df.mapInPandas(run, result_schema)
+
+
+#: deterministic gray8 test-image parameters (shared with the analytic
+#: oracle): w = 16 + seed % 17, h = 16 + (3*seed) % 23,
+#: pixel(x, y) = (seed + 7*x + 13*y) % 256
+GRAY8_W = (16, 17)
+GRAY8_H = (16, 3, 23)
+GRAY8_PIX = (7, 13)
+
+
+def synth_gray_image(seed: int) -> tuple[int, int, bytes]:
+    """Deterministic raw gray8 bitmap from an integer seed; returns
+    (width, height, row-major pixel bytes)."""
+    import numpy as np
+
+    w = GRAY8_W[0] + seed % GRAY8_W[1]
+    h = GRAY8_H[0] + (GRAY8_H[1] * seed) % GRAY8_H[2]
+    y, x = np.mgrid[0:h, 0:w]
+    img = (seed + GRAY8_PIX[0] * x + GRAY8_PIX[1] * y) % 256
+    return (w, h, img.astype("uint8").tobytes())
+
+
 #: deterministic square-wave generator parameters (shared by the
 #: synthesizer below and the analytic oracle in plans/multimodal_queries)
 WAV_SAMPLE_RATE = 8000

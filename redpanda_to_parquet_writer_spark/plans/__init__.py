@@ -48,6 +48,7 @@ _PRIORITY = [
     "curation_pipeline",
     # new this round
     "multimodal_wav_roundtrip",
+    "multimodal_image_resize",
     "nation_volume_shipping",
     "nation_market_share",
     "supplier_part_variety",

@@ -87,9 +87,44 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end: synthesize a deterministic raw gray8
+    bitmap per doc (Arrow-batched), nearest-neighbor downscale to an 8x8
+    thumbnail with numpy (`operators/multimodal.py:resize_gray8_batches`
+    — no imaging library needed for raw bitmaps), and verify corner
+    pixels + exact pixel sum against a closed-form oracle (the floor
+    index mapping (dst*src)//8 and the pixel formula are pure integer
+    arithmetic in doc_id).
+    """
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        GRAY8_H,
+        GRAY8_W,
+        resize_gray8_batches,
+        synth_gray_image,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    synth = F.pandas_udf(
+        lambda ids: ids.map(lambda i: synth_gray_image(int(i))[2]), "binary"
+    )
+    base = docs.select(
+        "doc_id",
+        (F.lit(GRAY8_W[0]) + F.col("doc_id") % GRAY8_W[1]).alias("w"),
+        (F.lit(GRAY8_H[0]) + (GRAY8_H[1] * F.col("doc_id")) % GRAY8_H[2]).alias("h"),
+        synth("doc_id").alias("blob"),
+    )
+    resized = resize_gray8_batches(
+        base, "blob", "w", "h", out_w=8, out_h=8, passthrough=["doc_id", "w", "h"]
+    )
+    return resized.select(
+        "doc_id", "w", "h", "thumb_w", "thumb_h", "p00", "p_last", "pixel_sum"
+    )
+
+
 QUERIES = {
     "multimodal_byte_stats": multimodal_byte_stats,
     "multimodal_wav_roundtrip": multimodal_wav_roundtrip,
+    "multimodal_image_resize": multimodal_image_resize,
 }
 
 # synthetic docs are ASCII, so ord(char) == byte value on both engines
@@ -117,5 +152,34 @@ ORACLES = {
                (1 + (doc_id * 7919) % 32000) * (1 + (doc_id * 7919) % 32000)
                  AS mean_square
         FROM documents
+    """,
+    # closed-form replay of the nearest-neighbor downscale: source index
+    # is (dst*src)//8 and every pixel is (seed + 7x + 13y) % 256, so the
+    # 8x8 thumbnail's pixels are integer expressions of doc_id
+    "multimodal_image_resize": """
+        WITH base AS (
+          SELECT doc_id,
+                 16 + doc_id % 17 AS w,
+                 16 + (3 * doc_id) % 23 AS h
+          FROM documents
+        ),
+        grid AS (
+          SELECT b.doc_id, b.w, b.h,
+                 (b.doc_id + 7 * ((xs.x * b.w) // 8)
+                           + 13 * ((ys.y * b.h) // 8)) % 256 AS pix,
+                 xs.x, ys.y
+          FROM base b
+          CROSS JOIN (SELECT unnest(range(8)) AS x) xs
+          CROSS JOIN (SELECT unnest(range(8)) AS y) ys
+        )
+        SELECT doc_id, w, h,
+               CAST(8 AS BIGINT) AS thumb_w,
+               CAST(8 AS BIGINT) AS thumb_h,
+               CAST(doc_id % 256 AS BIGINT) AS p00,
+               CAST((doc_id + 7 * ((7 * w) // 8) + 13 * ((7 * h) // 8)) % 256
+                 AS BIGINT) AS p_last,
+               CAST(sum(pix) AS BIGINT) AS pixel_sum
+        FROM grid
+        GROUP BY doc_id, w, h
     """,
 }

@@ -151,6 +151,38 @@ def test_media_decode_corrupt_tolerance(spark):
     assert out[1]["n_frames"] == 201 and out[3]["n_frames"] == 203
 
 
+def test_gray8_resize_through_spark(spark):
+    """REAL nearest-neighbor resize on raw gray8 bitmaps (numpy, no
+    imaging lib): floor index mapping verified against a hand model."""
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        resize_gray8_batches,
+        synth_gray_image,
+    )
+
+    rows = []
+    for i in (0, 5, 123, 4999):
+        w, h, blob = synth_gray_image(i)
+        rows.append((i, w, h, blob))
+    df = spark.createDataFrame(rows, "id long, w long, h long, blob binary")
+    out = {
+        r["id"]: r
+        for r in resize_gray8_batches(
+            df, "blob", "w", "h", passthrough=["id", "w", "h"]
+        ).collect()
+    }
+    for i, w, h, _ in rows:
+        exp = [
+            (i + 7 * ((x * w) // 8) + 13 * ((y * h) // 8)) % 256
+            for y in range(8)
+            for x in range(8)
+        ]
+        r = out[i]
+        assert (r["thumb_w"], r["thumb_h"]) == (8, 8)
+        assert list(r["thumb"]) == exp
+        assert r["p00"] == exp[0] and r["p_last"] == exp[-1]
+        assert r["pixel_sum"] == sum(exp)
+
+
 def test_wav_codec_roundtrip_local():
     """The REAL audio codec: encode arbitrary (non-square-wave) PCM with
     the stdlib writer, decode container + frames back, exact features."""
