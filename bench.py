@@ -92,6 +92,7 @@ HEADLINE = [
     "embeddings_norm_stats",
     "multimodal_wav_roundtrip",
     "multimodal_image_resize",
+    "multimodal_frame_sample",
 ]
 
 

@@ -154,8 +154,92 @@ def map_media_batches(
 
 
 def frame_sample_stub(data: bytes, every_n: int = 30) -> list[bytes]:
-    """Sample video frames. STUB: requires a video library (ffmpeg/cv2)."""
-    raise NotImplementedError("video frame sampling requires ffmpeg/opencv")
+    """Sample CONTAINER video frames (mp4/avi). STUB: requires a video
+    library (ffmpeg/cv2) to demux+decode; raw frame streams go through
+    `frame_sample_gray8_batches` below, which is real."""
+    raise NotImplementedError("container video frame sampling requires ffmpeg/opencv")
+
+
+SAMPLED_VIDEO_SCHEMA = StructType(
+    [
+        StructField("n_frames_in", LongType()),
+        StructField("n_frames_out", LongType()),
+        StructField("sampled", BinaryType()),
+        StructField("first_frame_sum", LongType()),
+        StructField("last_frame_sum", LongType()),
+    ]
+)
+
+
+def frame_sample_gray8_batches(
+    df: DataFrame,
+    binary_col: str,
+    w_col: str,
+    h_col: str,
+    every_n: int = 3,
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """REAL video frame sampling — keep every `every_n`-th frame of a raw
+    gray8 frame stream (row-major w*h bytes per frame, frames
+    concatenated) via numpy strided slicing, no video library. Container
+    formats still need the stubbed demuxer first; this is the
+    post-decode sampling stage, Arrow-batched, shuffle-free. Emits exact
+    integer features (per-frame pixel sums) so a deterministic generator
+    is closed-form verifiable.
+    """
+    import numpy as np
+
+    passthrough = passthrough or [
+        c for c in df.columns if c not in (binary_col, w_col, h_col)
+    ]
+    result_schema = StructType(
+        [f for f in df.schema.fields if f.name in passthrough]
+        + list(SAMPLED_VIDEO_SCHEMA.fields)
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            n_in, n_out, blobs, fsum, lsum = [], [], [], [], []
+            for data, w, h in zip(pdf[binary_col], pdf[w_col], pdf[h_col]):
+                frame_px = int(w) * int(h)
+                frames = np.frombuffer(data, dtype=np.uint8).reshape(-1, frame_px)
+                sampled = frames[::every_n]
+                n_in.append(int(frames.shape[0]))
+                n_out.append(int(sampled.shape[0]))
+                blobs.append(sampled.tobytes())
+                sums = sampled.astype(np.int64).sum(axis=1)
+                fsum.append(int(sums[0]) if len(sums) else None)
+                lsum.append(int(sums[-1]) if len(sums) else None)
+            out = pdf[passthrough].copy()
+            out["n_frames_in"] = n_in
+            out["n_frames_out"] = n_out
+            out["sampled"] = blobs
+            out["first_frame_sum"] = fsum
+            out["last_frame_sum"] = lsum
+            yield out
+
+    return df.mapInPandas(run, result_schema)
+
+
+#: deterministic gray8 video parameters (shared with the analytic oracle):
+#: w = 8 + seed % 9, h = 8 + (3*seed) % 11, F = 10 + seed % 13,
+#: pixel(x, y, f) = (seed + 7*x + 13*y + 17*f) % 256
+GRAY8V_W = (8, 9)
+GRAY8V_H = (8, 3, 11)
+GRAY8V_F = (10, 13)
+
+
+def synth_gray_video(seed: int) -> tuple[int, int, int, bytes]:
+    """Deterministic raw gray8 frame stream from an integer seed; returns
+    (width, height, n_frames, concatenated frame bytes)."""
+    import numpy as np
+
+    w = GRAY8V_W[0] + seed % GRAY8V_W[1]
+    h = GRAY8V_H[0] + (GRAY8V_H[1] * seed) % GRAY8V_H[2]
+    n = GRAY8V_F[0] + seed % GRAY8V_F[1]
+    f, y, x = np.mgrid[0:n, 0:h, 0:w]
+    vid = (seed + 7 * x + 13 * y + 17 * f) % 256
+    return (w, h, n, vid.astype("uint8").tobytes())
 
 
 # --- audio: REAL codec (stdlib `wave`, no external library) ----------------

@@ -49,6 +49,7 @@ _PRIORITY = [
     # new this round
     "multimodal_wav_roundtrip",
     "multimodal_image_resize",
+    "multimodal_frame_sample",
     "nation_volume_shipping",
     "nation_market_share",
     "supplier_part_variety",

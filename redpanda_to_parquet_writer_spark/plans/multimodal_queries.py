@@ -121,10 +121,55 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_EVERY_N = 3
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling end-to-end: synthesize a deterministic
+    raw gray8 frame stream per doc, keep every 3rd frame with numpy
+    strided slicing (`frame_sample_gray8_batches` — raw streams need no
+    video library), and verify frame counts, sampled byte length, and
+    exact first/last-frame pixel sums against a closed-form oracle.
+    """
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        GRAY8V_F,
+        GRAY8V_H,
+        GRAY8V_W,
+        frame_sample_gray8_batches,
+        synth_gray_video,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    synth = F.pandas_udf(
+        lambda ids: ids.map(lambda i: synth_gray_video(int(i))[3]), "binary"
+    )
+    base = docs.select(
+        "doc_id",
+        (F.lit(GRAY8V_W[0]) + F.col("doc_id") % GRAY8V_W[1]).alias("w"),
+        (F.lit(GRAY8V_H[0]) + (GRAY8V_H[1] * F.col("doc_id")) % GRAY8V_H[2]).alias("h"),
+        synth("doc_id").alias("blob"),
+    )
+    sampled = frame_sample_gray8_batches(
+        base, "blob", "w", "h", every_n=FRAME_EVERY_N,
+        passthrough=["doc_id", "w", "h"],
+    )
+    return sampled.select(
+        "doc_id",
+        "w",
+        "h",
+        "n_frames_in",
+        "n_frames_out",
+        F.length("sampled").cast("long").alias("sampled_bytes"),
+        "first_frame_sum",
+        "last_frame_sum",
+    )
+
+
 QUERIES = {
     "multimodal_byte_stats": multimodal_byte_stats,
     "multimodal_wav_roundtrip": multimodal_wav_roundtrip,
     "multimodal_image_resize": multimodal_image_resize,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 # synthetic docs are ASCII, so ord(char) == byte value on both engines
@@ -181,5 +226,34 @@ ORACLES = {
                CAST(sum(pix) AS BIGINT) AS pixel_sum
         FROM grid
         GROUP BY doc_id, w, h
+    """,
+    # closed-form replay of every-3rd-frame sampling over the
+    # deterministic frame stream: counts, sampled length, and the
+    # first/last sampled frames' exact pixel sums
+    "multimodal_frame_sample": """
+        WITH dims AS (
+          SELECT doc_id,
+                 8 + doc_id % 9 AS w,
+                 8 + (3 * doc_id) % 11 AS h,
+                 10 + doc_id % 13 AS nf,
+                 (10 + doc_id % 13 + 2) // 3 AS n_out
+          FROM documents
+        ),
+        grid AS (
+          SELECT d.doc_id, d.w, d.h, d.nf, d.n_out, xs.x, ys.y
+          FROM dims d,
+               LATERAL (SELECT unnest(range(d.w)) AS x) xs,
+               LATERAL (SELECT unnest(range(d.h)) AS y) ys
+        )
+        SELECT doc_id, w, h,
+               CAST(nf AS BIGINT) AS n_frames_in,
+               CAST(n_out AS BIGINT) AS n_frames_out,
+               CAST(n_out * w * h AS BIGINT) AS sampled_bytes,
+               CAST(sum((doc_id + 7 * x + 13 * y) % 256) AS BIGINT)
+                 AS first_frame_sum,
+               CAST(sum((doc_id + 7 * x + 13 * y + 17 * (3 * (n_out - 1))) % 256)
+                 AS BIGINT) AS last_frame_sum
+        FROM grid
+        GROUP BY doc_id, w, h, nf, n_out
     """,
 }

@@ -183,6 +183,40 @@ def test_gray8_resize_through_spark(spark):
         assert r["pixel_sum"] == sum(exp)
 
 
+def test_gray8_frame_sampling_through_spark(spark):
+    """REAL frame sampling on raw gray8 frame streams (numpy strided
+    slicing): every-3rd-frame selection verified against a hand model."""
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        frame_sample_gray8_batches,
+        synth_gray_video,
+    )
+
+    rows = []
+    for i in (0, 7, 123):
+        w, h, n, blob = synth_gray_video(i)
+        rows.append((i, w, h, n, blob))
+    df = spark.createDataFrame(
+        [(i, w, h, blob) for i, w, h, _n, blob in rows],
+        "id long, w long, h long, blob binary",
+    )
+    out = {
+        r["id"]: r
+        for r in frame_sample_gray8_batches(
+            df, "blob", "w", "h", every_n=3, passthrough=["id", "w", "h"]
+        ).collect()
+    }
+    for i, w, h, n, _blob in rows:
+        kept = list(range(0, n, 3))
+        r = out[i]
+        assert r["n_frames_in"] == n and r["n_frames_out"] == len(kept)
+        assert len(r["sampled"]) == len(kept) * w * h
+        frame_sum = lambda k: sum(  # noqa: E731
+            (i + 7 * x + 13 * y + 17 * k) % 256 for y in range(h) for x in range(w)
+        )
+        assert r["first_frame_sum"] == frame_sum(kept[0])
+        assert r["last_frame_sum"] == frame_sum(kept[-1])
+
+
 def test_wav_codec_roundtrip_local():
     """The REAL audio codec: encode arbitrary (non-square-wave) PCM with
     the stdlib writer, decode container + frames back, exact features."""
