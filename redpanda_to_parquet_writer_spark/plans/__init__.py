@@ -17,6 +17,7 @@ from redpanda_to_parquet_writer_spark.plans import (
     relational,
     relational2,
     relational3,
+    streaming_queries,
     text_queries,
     vector_queries,
 )
@@ -25,6 +26,7 @@ _MERGED_QUERIES = {
     **relational.QUERIES,
     **relational2.QUERIES,
     **relational3.QUERIES,
+    **streaming_queries.QUERIES,
     **text_queries.QUERIES,
     **vector_queries.QUERIES,
     **multimodal_queries.QUERIES,
@@ -50,6 +52,7 @@ _PRIORITY = [
     "multimodal_wav_roundtrip",
     "multimodal_image_resize",
     "multimodal_frame_sample",
+    "streaming_hourly_event_stats",
     "nation_volume_shipping",
     "nation_market_share",
     "supplier_part_variety",
@@ -115,6 +118,7 @@ ORACLES = _ordered(
         **relational.ORACLES,
         **relational2.ORACLES,
         **relational3.ORACLES,
+        **streaming_queries.ORACLES,
         **text_queries.ORACLES,
         **vector_queries.ORACLES,
         **multimodal_queries.ORACLES,
