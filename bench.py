@@ -53,6 +53,7 @@ HEADLINE = [
     "nation_volume_shipping",
     "nation_market_share",
     "supplier_part_variety",
+    "events_funnel_conversion",
     "priority_shipping_stats",
     "promo_revenue_pct",
     "top_revenue_supplier",

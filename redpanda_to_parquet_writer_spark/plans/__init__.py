@@ -56,6 +56,7 @@ _PRIORITY = [
     "nation_volume_shipping",
     "nation_market_share",
     "supplier_part_variety",
+    "events_funnel_conversion",
     "embeddings_lsh_neardup_pairs",
     "sole_late_supplier",
     "customer_order_distribution",

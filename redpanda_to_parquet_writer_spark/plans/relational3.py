@@ -205,10 +205,65 @@ def supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): users whose
+    FIRST click follows their first view, and whose first purchase
+    follows that click — the classic event-analytics funnel the
+    scan/filter/agg surface lacks.
+
+    Plan: ONE shuffle on user_id, then three chained window aggregates
+    over the same partitioning (each stage's cutoff references the
+    previous stage's window output; Spark stacks WindowExecs without
+    re-exchanging), then a global conditional count. Integer counts only
+    — exact in any engine.
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id")
+    staged = (
+        events.withColumn(
+            "m1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "m2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("m1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "m3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("m2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    return staged.agg(
+        F.countDistinct(F.when(F.col("m1").isNotNull(), F.col("user_id"))).alias(
+            "n_view"
+        ),
+        F.countDistinct(F.when(F.col("m2").isNotNull(), F.col("user_id"))).alias(
+            "n_click_after_view"
+        ),
+        F.countDistinct(F.when(F.col("m3").isNotNull(), F.col("user_id"))).alias(
+            "n_purchase_after_click"
+        ),
+    )
+
+
 QUERIES = {
     "nation_volume_shipping": nation_volume_shipping,
     "nation_market_share": nation_market_share,
     "supplier_part_variety": supplier_part_variety,
+    "events_funnel_conversion": events_funnel_conversion,
 }
 
 ORACLES = {
@@ -270,5 +325,28 @@ ORACLES = {
         GROUP BY 1, 2, 3
         ORDER BY supplier_cnt DESC, p.p_brand ASC, p.p_type ASC, p_size ASC
         LIMIT {VARIETY_TOP}
+    """,
+    "events_funnel_conversion": """
+        WITH s1 AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN ts END) AS m1
+          FROM events GROUP BY user_id
+        ),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS m2
+          FROM events e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > s1.m1
+          GROUP BY e.user_id
+        ),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS m3
+          FROM events e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > s2.m2
+          GROUP BY e.user_id
+        )
+        SELECT CAST((SELECT count(*) FROM s1 WHERE m1 IS NOT NULL) AS BIGINT)
+                 AS n_view,
+               CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_click_after_view,
+               CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase_after_click
     """,
 }
