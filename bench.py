@@ -54,6 +54,7 @@ HEADLINE = [
     "nation_market_share",
     "supplier_part_variety",
     "events_funnel_conversion",
+    "events_weekly_cohorts",
     "priority_shipping_stats",
     "promo_revenue_pct",
     "top_revenue_supplier",

@@ -57,6 +57,7 @@ _PRIORITY = [
     "nation_market_share",
     "supplier_part_variety",
     "events_funnel_conversion",
+    "events_weekly_cohorts",
     "embeddings_lsh_neardup_pairs",
     "sole_late_supplier",
     "customer_order_distribution",

@@ -259,11 +259,39 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week
+    (cohort), counted per activity week — the standard
+    retention-analysis shape.
+
+    Plan: one aggregation derives each user's cohort week (map-side
+    partial min), one window spreads it over the user's activity rows on
+    the SAME user_id partitioning, then a distinct-count per
+    (cohort_week, activity_week). Integer counts + date_trunc only —
+    exact in any engine (both engines start ISO weeks on Monday).
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    # cast to DATE: Spark date_trunc returns TIMESTAMP, DuckDB's DATE
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    w = Window.partitionBy("user_id")
+    staged = events.select(
+        "user_id", week.alias("activity_week")
+    ).withColumn("cohort_week", F.min("activity_week").over(w))
+    return (
+        staged.groupBy("cohort_week", "activity_week")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "activity_week")
+    )
+
+
 QUERIES = {
     "nation_volume_shipping": nation_volume_shipping,
     "nation_market_share": nation_market_share,
     "supplier_part_variety": supplier_part_variety,
     "events_funnel_conversion": events_funnel_conversion,
+    "events_weekly_cohorts": events_weekly_cohorts,
 }
 
 ORACLES = {
@@ -348,5 +376,20 @@ ORACLES = {
                  AS n_view,
                CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_click_after_view,
                CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase_after_click
+    """,
+    "events_weekly_cohorts": """
+        WITH weeks AS (
+          SELECT user_id, date_trunc('week', ts) AS activity_week
+          FROM events
+        ),
+        cohorts AS (
+          SELECT user_id, min(activity_week) AS cohort_week
+          FROM weeks GROUP BY user_id
+        )
+        SELECT c.cohort_week, w.activity_week,
+               CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+        FROM weeks w JOIN cohorts c USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
     """,
 }
