@@ -178,6 +178,57 @@ def test_top_event_type_double_agg_no_window(spark, sf_dir):
     assert "partial_count" in plan
 
 
+def test_funnel_single_partitioning_chain(spark, sf_dir):
+    """The three funnel stages chain WindowExecs over ONE user_id
+    exchange — a per-stage re-shuffle would triple the exchange count."""
+    plan = plan_str(QUERIES["events_funnel_conversion"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Window") == 3
+    assert plan.count("hashpartitioning(user_id") == 1, (
+        "funnel stages must share one user_id exchange"
+    )
+
+
+def test_cohorts_single_scan_and_window(spark, sf_dir):
+    """Cohort derivation rides a window over the activity rows — no
+    second events scan, no join back."""
+    plan = plan_str(QUERIES["events_weekly_cohorts"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_market_share_single_fact_shuffle(spark, sf_dir):
+    """Q8 shape: every dimension hop broadcasts; lineitem-orders is the
+    only fact-fact join."""
+    plan = plan_str(QUERIES["nation_market_share"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_incremental_neardup_no_corpus_self_join(spark, sf_dir):
+    """Delta-vs-history dedup: exactly one join between the two banded
+    sides plus the LEFT ANTI — history never pairs against itself."""
+    plan = plan_str(QUERIES["docs_incremental_neardup_filter"](spark, sf_dir))
+    anti = plan.count("LeftAnti")
+    assert anti == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_pair_queries_have_no_join_and_one_scan(spark, sf_dir):
+    """All three banded pair queries run the bucket_pair_candidates
+    shape: one corpus scan, zero joins (the r4 refactor away from bucket
+    self-joins that double-computed the signature lineage)."""
+    for name in (
+        "docs_simhash_neardup_pairs",
+        "docs_minhash_lsh_pairs",
+        "embeddings_lsh_neardup_pairs",
+        "docs_jaccard_pairs",
+    ):
+        plan = plan_str(QUERIES[name](spark, sf_dir))
+        assert plan.count("Scan parquet") == 1, f"{name}: doubled scan"
+        assert "Join" not in plan, f"{name}: pair join crept back"
+
+
 def test_readme_query_count_matches_registry():
     """ADVICE r01: README's query count drifted from the registry; pin
     the doc to the code so the drift fails CI instead of the judge."""
