@@ -75,6 +75,16 @@ class EngineConfig:
         default_factory=lambda: _env_int("MAX_PARTITION_FETCH_BYTES", 50 * 1024 * 1024)
     )
 
+    # Merge-dedup broadcast gate: the existing-side key scan (pruned to the
+    # incoming batch's date partitions) is broadcast only when the pruned
+    # partitions' on-disk bytes stay under this bound; above it the
+    # anti-join falls back to a shuffle join. Parquet bytes overestimate
+    # the 2-key-column footprint, so the gate is conservative — it can
+    # only demote a broadcastable join to a (still correct) shuffle join.
+    dedup_broadcast_max_bytes: int = field(
+        default_factory=lambda: _env_int("DEDUP_BROADCAST_MAX_BYTES", 256 * 1024 * 1024)
+    )
+
     # Spark tuning.
     shuffle_partitions: int = field(
         default_factory=lambda: _env_int("SPARK_SHUFFLE_PARTITIONS", 32)

@@ -40,11 +40,18 @@ def anti_join_dedup(
 
     Set difference by key as a left-anti equi-join; the existing key set
     is projected to the key columns only (column pruning, S7) and
-    broadcast when small (the per-topic/date key set always is).
+    broadcast when the caller has established it is small (e.g. the
+    date-pruned, size-gated merge path in `streaming/sink.py`). When the
+    caller demotes (`broadcast_existing=False`) the join is pinned to
+    sort-merge: Catalyst's stats-based auto-broadcast must not override
+    an explicit too-big-to-broadcast decision — stats can underestimate,
+    and a misjudged broadcast of a billion-key set OOMs every executor.
     """
     existing_keys = existing_df.select(*keys).dropDuplicates(list(keys))
     if broadcast_existing:
         existing_keys = F.broadcast(existing_keys)
+    else:
+        existing_keys = existing_keys.hint("merge")
     return new_df.join(existing_keys, on=list(keys), how="left_anti")
 
 

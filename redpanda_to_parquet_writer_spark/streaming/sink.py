@@ -117,6 +117,73 @@ def existing_max_offsets(spark: SparkSession, root: str) -> dict[int, int]:
     return {int(r["kafka_partition"]): int(r["max_offset"]) for r in rows}
 
 
+def _pruned_partition_bytes(spark: SparkSession, root: str, dates: list[str]) -> int:
+    """On-disk bytes of the data files under the given `date=` partition
+    dirs — a driver-side FS listing, zero Spark jobs. Used to size-gate
+    the merge-dedup broadcast.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for d in dates:
+        hpath = jvm.org.apache.hadoop.fs.Path(f"{root}/date={d}")
+        fs = hpath.getFileSystem(conf)
+        if not fs.exists(hpath):
+            continue
+        it = fs.listFiles(hpath, True)
+        while it.hasNext():
+            f = it.next()
+            if not f.getPath().getName().startswith((".", "_")):
+                total += f.getLen()
+    return total
+
+
+def dedup_frame_for_merge(
+    spark: SparkSession,
+    new_df: DataFrame,
+    root: str,
+    keys: tuple[str, ...] = ("kafka_partition", "kafka_offset"),
+    cfg: EngineConfig | None = None,
+) -> DataFrame:
+    """Build the anti-joined frame for an idempotent merge-append (J2).
+
+    The merge-phase dedup contract (collector:1003-1010) must hold at ANY
+    history size, so the existing side is:
+
+      1. **Date-pruned**: the scan is filtered to the distinct event
+         dates present in the incoming batch (the plan shows
+         PartitionFilters; non-matching date dirs are never listed or
+         read). Sound because the date is derived deterministically from
+         `kafka_timestamp` — a re-delivered message lands in the same
+         date partition it was first written to, so duplicates can only
+         live in the batch's own dates.
+      2. **Column-pruned**: only the key columns are read (S7).
+      3. **Size-gated broadcast**: the pruned partitions' bytes are
+         summed driver-side (no Spark job); broadcast only under
+         `cfg.dedup_broadcast_max_bytes`, else a shuffle anti-join.
+         Broadcasting a whole topic's multi-year key set would OOM every
+         executor at 100 TB; the shuffle fallback is always correct.
+
+    If `new_df` carries no `date` column, pruning is impossible and the
+    shuffle path is used unconditionally (never broadcast blind).
+    """
+    cfg = cfg or EngineConfig()
+    existing = spark.read.parquet(root)
+    broadcastable = False
+    if "date" in new_df.columns and "date" in existing.columns:
+        dates = sorted(
+            str(r["date"]) for r in new_df.select("date").distinct().collect()
+        )
+        existing = existing.filter(F.col("date").isin(dates))
+        broadcastable = (
+            _pruned_partition_bytes(spark, root, dates)
+            <= cfg.dedup_broadcast_max_bytes
+        )
+    return anti_join_dedup(
+        new_df, existing.select(*keys), keys, broadcast_existing=broadcastable
+    )
+
+
 def merge_dedup_append(
     spark: SparkSession,
     new_df: DataFrame,
@@ -126,18 +193,16 @@ def merge_dedup_append(
 ) -> None:
     """Idempotent append: anti-join new rows against persisted keys (J2).
 
-    The merge-phase dedup (collector:1003-1010) — run inside foreachBatch
-    or as the batch-mode write path when SKIP_DEDUPLICATION=false. The
-    existing side reads ONLY the key columns (projected scan) and is
-    broadcast.
+    Run inside foreachBatch or as the batch-mode write path when
+    SKIP_DEDUPLICATION=false; see `dedup_frame_for_merge` for the
+    date-pruned / size-gated anti-join shape.
 
     Only a missing sink path skips the anti-join (first write); any
     other read failure propagates — swallowing it would silently break
     idempotency.
     """
     if _sink_exists(spark, root):
-        existing = spark.read.parquet(root).select(*keys)
-        deduped = anti_join_dedup(new_df, existing, keys)
+        deduped = dedup_frame_for_merge(spark, new_df, root, keys, cfg)
     else:
         deduped = new_df  # first write: nothing to dedup against
     write_date_partitioned(deduped, root, cfg, mode="append")
@@ -152,9 +217,16 @@ def export_reference_layout(
 
     The engine's native layout stays hive-style (partition pruning, many
     files per partition); this exporter exists for byte-level path
-    compatibility with downstream consumers of the reference. Each date
-    repartitions to one file (the reference's own constraint), written
-    via Spark's committer, then renamed into place driver-side.
+    compatibility with downstream consumers of the reference.
+
+    ONE Spark job writes every date in parallel: rows are repartitioned
+    on `date` (one task -> one file per date, the reference's own
+    one-file constraint), written hive-partitioned to a temp dir via
+    Spark's committer, then a driver-side rename walk moves each
+    partition's single part file to `YYYY/MM/DD/<topic>.parquet`. The
+    prior implementation ran one sequential coalesce(1) job per date —
+    at years of history that serializes hours of jobs; this shape is a
+    single job regardless of date count.
 
     Returns the exported file paths.
     """
@@ -164,23 +236,24 @@ def export_reference_layout(
     import tempfile
 
     df = spark.read.parquet(hive_root)
-    dates = [r["date"] for r in df.select("date").distinct().collect()]
+    tmp = tempfile.mkdtemp(prefix="refexport_")
+    (
+        df.repartition(F.col("date"))
+        .write.partitionBy("date")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
     exported = []
-    for d in sorted(str(x) for x in dates):
+    for part_dir in sorted(glob.glob(os.path.join(tmp, "date=*"))):
+        d = os.path.basename(part_dir).split("=", 1)[1]
         y, m, day = d.split("-")
         dest_dir = os.path.join(out_root, y, m, day)
         os.makedirs(dest_dir, exist_ok=True)
-        tmp = tempfile.mkdtemp(prefix="refexport_")
-        (
-            df.filter(F.col("date") == d)
-            .drop("date")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        parts = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        # repartition(date) hashes every row of a date into one task, so
+        # exactly one part file exists per partition dir
         dest = os.path.join(dest_dir, f"{topic}.parquet")
-        shutil.move(part, dest)
-        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.move(parts[0], dest)
         exported.append(dest)
+    shutil.rmtree(tmp, ignore_errors=True)
     return exported

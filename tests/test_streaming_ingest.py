@@ -126,6 +126,45 @@ def flatten_via_pipeline(spark, env_df):
     return prepare_envelope_batch(spark, env_df).drop("date")
 
 
+def test_merge_dedup_prunes_dates_and_gates_broadcast(spark, tmp_path, cfg):
+    """VERDICT r4 #1: the existing-side scan must be pruned to the
+    batch's date partitions, and the broadcast must be size-gated with a
+    shuffle-anti fallback — never an unconditional broadcast of the
+    whole sink's key set."""
+    from redpanda_to_parquet_writer_spark.streaming.sink import dedup_frame_for_merge
+
+    out = str(tmp_path / "table")
+    # 96 hourly rows = 4 date partitions (2024-01-01..04)
+    history = with_event_date(flatten_via_pipeline(spark, _envelope_df(spark, n=96)))
+    merge_dedup_append(spark, history, out, cfg=cfg)
+    # incoming batch overlaps only the FIRST day (offsets 0..23)
+    batch = with_event_date(flatten_via_pipeline(spark, _envelope_df(spark, n=24)))
+
+    deduped = dedup_frame_for_merge(spark, batch, out, cfg=cfg)
+    plan = deduped._jdf.queryExecution().executedPlan().toString()
+    # date-pruned: only the single matching partition is scanned
+    assert "PartitionFilters" in plan and "date" in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # pruning actually takes effect: re-running the merge adds nothing
+    assert deduped.count() == 0
+
+    # size gate: a zero-byte threshold must force the shuffle anti-join
+    tiny = EngineConfig(
+        output_dir=cfg.output_dir,
+        checkpoint_dir=cfg.checkpoint_dir,
+        dedup_broadcast_max_bytes=0,
+    )
+    gated = dedup_frame_for_merge(spark, batch, out, cfg=tiny)
+    gplan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in gplan, "gate must demote to shuffle join"
+    assert "LeftAnti" in gplan
+    assert gated.count() == 0  # shuffle path is just as correct
+
+    # rerun-idempotence through the public entry point
+    merge_dedup_append(spark, batch, out, cfg=tiny)
+    assert spark.read.parquet(out).count() == 96
+
+
 def test_schema_drift_creates_version_table(spark, tmp_path, cfg):
     """1.4: a batch with a new payload column goes to a _v<hash> table,
     base table untouched."""
