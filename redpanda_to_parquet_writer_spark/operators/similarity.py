@@ -78,6 +78,7 @@ def bucket_pair_candidates(
     bucket_cols: list[str],
     id_col: str,
     payload_cols: list[str],
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Unique candidate pairs per bucket WITHOUT a self-join.
 
@@ -92,14 +93,25 @@ def bucket_pair_candidates(
     vector.
 
     At corpus scale the bucket key must keep buckets small (that is the
-    banding/plane-count knob of the callers); a degenerate hot bucket is
-    quadratic in ANY formulation, so production pipelines cap bucket
-    size upstream.
+    banding/plane-count knob of the callers) — but real corpora always
+    carry a degenerate key (empty docs, zero vectors, one boilerplate
+    shingle) that is quadratic in ANY formulation. `max_bucket_size`
+    is the standard LSH guard: buckets larger than the cap are DROPPED
+    before their member array is ever collected (a pre-agg window count
+    over the same bucket partitioning — one extra in-partition pass, no
+    extra shuffle), bounding pair output at cap^2/2 per bucket. A hot
+    bucket of near-identical members loses nothing real: its members
+    still pair in their other bands/tables.
 
     Returns one row per distinct unordered pair: (id_a, id_b,
     <payload>_a, <payload>_b) with id_a < id_b, deduplicated across
     buckets.
     """
+    if max_bucket_size is not None:
+        bw = Window.partitionBy(*bucket_cols)
+        df = df.withColumn("__bn", F.count(F.lit(1)).over(bw)).filter(
+            F.col("__bn") <= max_bucket_size
+        )
     member = F.struct(
         F.col(id_col).alias("id"), *[F.col(c).alias(c) for c in payload_cols]
     )
@@ -147,6 +159,7 @@ def lsh_bucketed_neighbors(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_sim: float = 0.0,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """ANN scale path: multi-table random-hyperplane LSH.
 
@@ -182,7 +195,9 @@ def lsh_bucketed_neighbors(
             )
         ).alias("b"),
     ).select(id_col, "v", F.col("b.table").alias("table"), F.col("b.bucket").alias("bucket"))
-    candidates = bucket_pair_candidates(sig, ["table", "bucket"], id_col, ["v"])
+    candidates = bucket_pair_candidates(
+        sig, ["table", "bucket"], id_col, ["v"], max_bucket_size=max_bucket_size
+    )
     return (
         candidates.withColumn("sim", cosine(F.col("v_a"), F.col("v_b")))
         .filter(F.col("sim") >= min_sim)

@@ -323,13 +323,19 @@ def minhash_signature(
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, id_col: str, num_hashes: int = 12, band_size: int = 3
+    sig_df: DataFrame,
+    id_col: str,
+    num_hashes: int = 12,
+    band_size: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature are candidates.
 
     Scale path for near-dup detection: the O(n^2) pair space collapses to
     a groupBy on (band_index, band_key) — a single shuffle keyed on
-    content, then in-bucket pair enumeration.
+    content, then in-bucket pair enumeration. `max_bucket_size` drops
+    degenerate hot buckets (e.g. the all-empty-doc signature) before
+    enumeration — see `bucket_pair_candidates`.
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
     n_bands = num_hashes // band_size
@@ -356,13 +362,17 @@ def lsh_candidate_pairs(
         bucket_pair_candidates,
     )
 
-    return bucket_pair_candidates(exploded, ["band", "key"], id_col, []).select(
-        "id_a", "id_b"
-    )
+    return bucket_pair_candidates(
+        exploded, ["band", "key"], id_col, [], max_bucket_size=max_bucket_size
+    ).select("id_a", "id_b")
 
 
 def jaccard_pairs(
-    df: DataFrame, id_col: str, ngram_col: str, threshold: float
+    df: DataFrame,
+    id_col: str,
+    ngram_col: str,
+    threshold: float,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all doc pairs above threshold.
 
@@ -370,8 +380,17 @@ def jaccard_pairs(
     lists, count pair co-occurrences, |A∪B| = |A| + |B| - |A∩B|. The
     posting-list formulation is the scalable one (no cross join); pair
     blowup is bounded by shingle-bucket sizes, and in production this
-    runs AFTER LSH banding
-    restricts the pair space.
+    runs AFTER LSH banding restricts the pair space.
+
+    `max_doc_freq` caps posting-list length: shingles appearing in more
+    docs are dropped BEFORE their posting list is collected (window
+    count over the same shingle partitioning — no extra shuffle),
+    bounding the per-shingle pair blowup at cap^2/2. Document-frequency
+    capping is the standard guard against boilerplate shingles; note it
+    makes the similarity *approximate* (a capped shingle no longer
+    counts toward intersections OR set sizes — sizes are recomputed from
+    surviving shingles so |A∪B| stays consistent), i.e. Jaccard over the
+    DF-filtered shingle space.
     """
     # each doc's shingle-set size rides the exploded rows (computed
     # narrow, BEFORE the explode) so the posting-list pipeline is the
@@ -384,6 +403,19 @@ def jaccard_pairs(
         F.size("__gs").alias("n"),
         F.explode("__gs").alias("g"),
     )
+    if max_doc_freq is not None:
+        # drop hot shingles before their posting list is collected, then
+        # recompute set sizes over the SURVIVING shingles so
+        # |A|+|B|-common stays a consistent union size. Two extra window
+        # passes (on g, then on id) — the price of the guard path only.
+        gw = Window.partitionBy("g")
+        iw = Window.partitionBy(id_col)
+        shingles = (
+            shingles.withColumn("__df", F.count(F.lit(1)).over(gw))
+            .filter(F.col("__df") <= max_doc_freq)
+            .withColumn("n", F.count(F.lit(1)).over(iw))
+            .drop("__df")
+        )
     # per-shingle posting lists instead of a shingle self-join (which
     # would run the explode lineage twice); hot shingles (huge posting
     # lists) are the skew hazard either way — production pipelines cap
@@ -468,6 +500,22 @@ def simhash32(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return simhash_fingerprint(df, text_col, id_col, bits=32)
 
 
+def _check_simhash_banding(max_hamming: int, n_bands: int, bits: int) -> None:
+    """Enforce the pigeonhole precondition the recall-1 guarantee rests
+    on (ADVICE r4): with max_hamming >= n_bands every band can contain a
+    differing bit, so a true near-dup pair may share NO band bucket —
+    the result would be silently incomplete while the docstring promises
+    exactness. Likewise bits must split evenly into bands or the top
+    bits fall outside every band key."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < n_bands ({n_bands}) "
+            "for the pigeonhole recall-1 guarantee"
+        )
+    if bits % n_bands != 0:
+        raise ValueError(f"bits ({bits}) must divide evenly into n_bands ({n_bands})")
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     text_col: str,
@@ -475,6 +523,7 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     n_bands: int = 4,
     bits: int = 48,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: band-bucket candidates, exact
     Hamming verify — returns (id_a, id_b, hamming) with
@@ -493,9 +542,12 @@ def simhash_neardup_pairs(
         bucket_pair_candidates,
     )
 
+    _check_simhash_banding(max_hamming, n_bands, bits)
     sh = simhash_fingerprint(df, text_col, id_col, bits=bits)
     bands = _simhash_bands(sh, id_col, n_bands=n_bands, bits=bits)
-    cand = bucket_pair_candidates(bands, ["band", "key"], id_col, ["simhash"])
+    cand = bucket_pair_candidates(
+        bands, ["band", "key"], id_col, ["simhash"], max_bucket_size=max_bucket_size
+    )
     hamming = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))).cast("bigint")
     return (
         cand.withColumn("hamming", hamming)
@@ -552,6 +604,7 @@ def simhash_incremental_anti(
     reads a precomputed signature table (signatures persist at ingest
     time); here it is derived inline from the corpus text.
     """
+    _check_simhash_banding(max_hamming, n_bands, bits)
     dsh = simhash_fingerprint(delta, text_col, id_col, bits=bits)
     csh = simhash_fingerprint(corpus, text_col, id_col, bits=bits)
     dbands = _simhash_bands(dsh, id_col, n_bands=n_bands, bits=bits).select(

@@ -167,3 +167,75 @@ def test_cosine_neardup_zero_norm_vector_yields_no_pair(spark):
     )
     rows = cosine_neardup_pairs(df, "vec_id", "embedding", 0.9).collect()
     assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 3)]
+
+
+def test_bucket_pair_candidates_hot_bucket_cap(spark):
+    """VERDICT r4 #2: one degenerate bucket (e.g. all-empty docs) must
+    not emit B^2/2 pairs when capped — oversize buckets are dropped
+    BEFORE their member array is collected; normal buckets unaffected."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        bucket_pair_candidates,
+    )
+
+    rows = [(i, "HOT") for i in range(200)] + [(1000, "ok"), (1001, "ok")]
+    df = spark.createDataFrame(rows, "doc_id long, bucket string")
+
+    uncapped = bucket_pair_candidates(df, ["bucket"], "doc_id", [])
+    assert uncapped.count() == 200 * 199 // 2 + 1
+
+    capped = bucket_pair_candidates(df, ["bucket"], "doc_id", [], max_bucket_size=10)
+    got = [(r["id_a"], r["id_b"]) for r in capped.collect()]
+    assert got == [(1000, 1001)], "hot bucket must be dropped, normal kept"
+    # the cap's window count rides the groupBy's bucket partitioning:
+    # same exchange count as the uncapped plan
+    def exchanges(q):
+        return (
+            q._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .count("Exchange hashpartitioning")
+        )
+
+    # compare unexecuted plans (an executed AQE plan prints final +
+    # initial sections, doubling the count)
+    fresh_capped = bucket_pair_candidates(df, ["bucket"], "doc_id", [], max_bucket_size=10)
+    fresh = bucket_pair_candidates(df, ["bucket"], "doc_id", [])
+    assert exchanges(fresh_capped) == exchanges(fresh)
+
+
+def test_jaccard_max_doc_freq_caps_hot_shingle(spark):
+    """A boilerplate shingle shared by every doc must not pair the whole
+    corpus when capped; surviving-set sizes stay consistent."""
+    from redpanda_to_parquet_writer_spark.operators.text import jaccard_pairs
+
+    # 50 docs all share shingle "X"; docs 0/1 also share "a","b"
+    rows = [(i, ["X"] + ([f"u{i}"] if i > 1 else ["a", "b"])) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, grams array<string>")
+
+    uncapped = jaccard_pairs(df, "doc_id", "grams", threshold=0.01)
+    assert uncapped.count() == 50 * 49 // 2
+
+    capped = jaccard_pairs(df, "doc_id", "grams", threshold=0.01, max_doc_freq=10)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    # only docs 0 and 1 still co-occur (on "a","b"); sizes recomputed
+    # over surviving shingles: |A|=|B|=2, common=2 -> jaccard 1.0
+    assert got == {(0, 1): 1.0}
+
+
+def test_simhash_banding_precondition_enforced(spark):
+    """ADVICE r4: max_hamming >= n_bands breaks the pigeonhole recall-1
+    guarantee -> must raise, not silently under-return pairs."""
+    import pytest
+
+    from redpanda_to_parquet_writer_spark.operators.text import (
+        simhash_incremental_anti,
+        simhash_neardup_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_neardup_pairs(df, "text", "doc_id", max_hamming=4, n_bands=4)
+    with pytest.raises(ValueError, match="divide evenly"):
+        simhash_neardup_pairs(df, "text", "doc_id", max_hamming=3, n_bands=5, bits=48)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_incremental_anti(df, df, "text", "doc_id", max_hamming=7, n_bands=4)
