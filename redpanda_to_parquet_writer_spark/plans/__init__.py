@@ -35,66 +35,19 @@ _MERGED_QUERIES = {
 
 # Registry order matters: the driver's correctness gate truncates at 50
 # queries in iteration order. Put the least-verified queries first —
-# never driver-tested, then previously-red, then verified only once —
-# so every query accumulates a green driver row across rounds. Queries
-# absent from this list keep merge order and land at the tail (they are
-# the multiply-verified ones).
+# new/changed this round, then the stalest (queries whose last green
+# driver row is oldest) — so every query accumulates a green driver row
+# across rounds. Queries absent from this list keep merge order and land
+# at the tail (they are the most-recently-verified ones: the whole r4
+# window was green).
 _PRIORITY = [
-    # never driver-tested through round 3
-    "embeddings_label_centroids",
+    # new or implementation-changed this round (ADVICE r4: anything whose
+    # implementation or oracle changed goes to the top of the window)
     "ann_ivf_topk",
-    "embeddings_neardup_pairs",
-    "embeddings_semdedup_keep",
-    "embeddings_norm_stats",
-    "multimodal_byte_stats",
-    "curation_pipeline",
-    # new this round
-    "multimodal_wav_roundtrip",
-    "multimodal_image_resize",
-    "multimodal_frame_sample",
-    "streaming_hourly_event_stats",
-    "nation_volume_shipping",
-    "nation_market_share",
-    "supplier_part_variety",
-    "events_funnel_conversion",
-    "events_weekly_cohorts",
-    "embeddings_lsh_neardup_pairs",
-    "sole_late_supplier",
-    "customer_order_distribution",
-    "docs_simhash_neardup_pairs",
-    "docs_incremental_neardup_filter",
-    # red (ERR or hash-mismatch) in round 3 — re-verify the fixes
-    "json_extract_props",
-    "date_partition_counts",
-    "hourly_event_stats",
-    "events_sessionization",
-    "clicks_asof_purchases",
-    "purchase_attribution_window",
-    "inter_event_gap_stats",
-    "priority_shipping_stats",
-    "docs_token_budget_cap",
-    "docs_sequence_pack",
-    # driver-green in rounds 2-3 only (never in round 1's window)
-    "order_priority_counts",
-    "small_quantity_revenue",
-    "discounted_brand_revenue",
-    "large_order_customers",
-    "customer_balance_quartiles",
-    "events_value_histogram",
-    "sink_reconciliation",
-    "top_event_type_per_user",
-    "promo_revenue_pct",
-    "top_revenue_supplier",
-    "rich_inactive_customers",
-    "docs_repetition_stats",
-    # driver-green in round 1 only
-    "docs_token_stats",
-    "docs_stopword_stats",
-    "docs_language_id",
-    "docs_minhash_lsh_pairs",
-    "docs_jaccard_pairs",
-    "docs_simhash",
-    "docs_fingerprint",
+    # rewritten in r4 (union-of-aggs -> stack unpivot) but landed outside
+    # the r4 window — driver-verify the rewrite first (ADVICE r4)
+    "numeric_profile_events",
+    # stale: last driver-green in round 1
     "docs_chunked",
     "docs_redacted",
     "docs_train_split",
@@ -104,6 +57,41 @@ _PRIORITY = [
     "docs_stratified_sample",
     "docs_tfidf_top_terms",
     "ann_cosine_topk",
+    "docs_token_stats",
+    "docs_stopword_stats",
+    "docs_language_id",
+    "docs_minhash_lsh_pairs",
+    "docs_jaccard_pairs",
+    "docs_simhash",
+    "docs_fingerprint",
+    # stale: last driver-green in rounds 2-3
+    "topk_events_by_type",
+    "events_locf_gap_fill",
+    "offset_recovery",
+    "partition_counts",
+    "distinct_event_types",
+    "null_counts_events",
+    "dedup_anti_join",
+    "dedup_content_keep_first",
+    "union_dedup_count",
+    "pricing_summary",
+    "revenue_by_region",
+    "shipping_priority",
+    "top_brands_by_revenue",
+    "returned_item_revenue",
+    "global_stats_lineitem",
+    "local_supplier_volume",
+    "running_max_value",
+    "events_rollup",
+    "events_cube",
+    "events_pivot",
+    "events_except_intersect",
+    "distinct_users_by_type",
+    "offset_gap_check",
+    "top_parts_per_brand",
+    "docs_exact_dedup",
+    "docs_quality_score",
+    "docs_bpe_token_stats",
 ]
 
 

@@ -249,3 +249,14 @@ def test_readme_query_count_matches_registry():
     ]
     assert counts, "README no longer states a query count"
     assert all(c == len(QUERIES) for c in counts), (counts, len(QUERIES))
+
+
+def test_priority_names_are_registered_queries():
+    """ADVICE r4: a typo in _PRIORITY silently no-ops (the _ordered
+    filter drops unknown names) — pin every priority name to the
+    registry so misspellings fail CI."""
+    from redpanda_to_parquet_writer_spark.plans import QUERIES, _PRIORITY
+
+    unknown = [n for n in _PRIORITY if n not in QUERIES]
+    assert not unknown, f"_PRIORITY names not in QUERIES: {unknown}"
+    assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate _PRIORITY names"
