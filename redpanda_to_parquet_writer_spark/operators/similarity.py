@@ -236,6 +236,26 @@ def ivf_assign(
     )
 
 
+def materialize_centroids(centroids: DataFrame) -> DataFrame:
+    """Collect the centroid codebook (tiny by contract — n_centroids
+    rows) and rebuild it as a local relation.
+
+    The codebook is referenced TWICE in the IVF plan (corpus assignment
+    + query probe ranking); a parquet-derived centroid lineage replays
+    its corpus scan at each reference (AQE does not dedup broadcast
+    subtrees — measured: 2 extra embedding-table scans in ann_ivf_topk).
+    Every real IVF system holds the codebook in memory; collecting
+    n_centroids x dim doubles driver-side turns both references into
+    scan-free local broadcasts.
+    """
+    spark = centroids.sparkSession
+    rows = [
+        (int(r["cluster_id"]), [float(x) for x in r["cv"]])
+        for r in centroids.collect()
+    ]
+    return spark.createDataFrame(rows, "cluster_id int, cv array<double>")
+
+
 def ivf_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -252,11 +272,14 @@ def ivf_topk(
     assignments (map-side, centroids broadcast); each query touches only
     n_probe/n_centroids of the corpus. The candidate join shuffles on
     cluster_id — bounded by the largest inverted list, not the corpus.
+    The codebook is materialized driver-side (`materialize_centroids`)
+    so the whole query plans exactly 2 table scans: corpus + queries.
 
     `centroids` must be (cluster_id int, cv array<double>). Use
     `deterministic_centroids` for reproducible plans or seeded
     `pyspark.ml.clustering.KMeans` for production recall.
     """
+    centroids = materialize_centroids(centroids)
     c = df.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v"))
     assigned = ivf_assign(c, centroids, "neighbor_id", "v")
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))

@@ -260,3 +260,11 @@ def test_priority_names_are_registered_queries():
     unknown = [n for n in _PRIORITY if n not in QUERIES]
     assert not unknown, f"_PRIORITY names not in QUERIES: {unknown}"
     assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate _PRIORITY names"
+
+
+def test_ivf_topk_two_scans_only(spark, sf_dir):
+    """VERDICT r4 #5: the centroid codebook is materialized driver-side,
+    so IVF plans exactly 2 embedding-table scans (corpus assignment +
+    pruned query scan) — not 4."""
+    plan = plan_str(QUERIES["ann_ivf_topk"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
