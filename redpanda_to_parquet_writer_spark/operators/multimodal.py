@@ -4,12 +4,14 @@ Training-data pipelines carry image/audio/video as opaque `binary`
 columns with typed metadata. This module provides the real Spark
 plumbing — schemas, partition-preserving `mapInPandas` stages with bounded
 Arrow batch sizes, deterministic metadata extraction. The AUDIO codec is
-REAL (stdlib `wave`: container + 16-bit PCM parse, oracle-gated in
-plans/multimodal_queries.py); image/video codec work (JPEG decode, frame
-extraction) is stubbed because the container has no imaging libraries —
-those decoders raise NotImplementedError unless a library-backed codec
-is injected. The pipeline shape (what runs where, batch sizes, schema
-contracts) is real and tested for every media type.
+REAL (stdlib `wave`: container + 16-bit PCM parse) and so is the PNG
+image codec (stdlib `zlib`+`struct`: chunk walk, CRC check, inflate,
+scanline unfiltering) — both oracle-gated in plans/multimodal_queries.py.
+JPEG decode and container video demux (mp4/avi) stay stubbed because
+those genuinely need libraries absent from this container; the stubs
+raise NotImplementedError unless a library-backed codec is injected. The
+pipeline shape (what runs where, batch sizes, schema contracts) is real
+and tested for every media type.
 
 Scale notes: media blobs make rows huge — the mapInPandas stages are
 narrow (no shuffle), and `maxRecordsPerBatch` should be lowered so an
@@ -85,12 +87,15 @@ def with_media_metadata(
 def decode_image_stub(data: bytes) -> tuple[int, int, int]:
     """Decode (width, height, channels) from image bytes.
 
-    STUB: requires an imaging library (PIL/opencv) not present in this
-    container. Inject a real codec via `map_media_batches(codec=...)`.
+    STUB for JPEG/GIF/etc: requires an imaging library (PIL/opencv) not
+    present in this container. Inject a real codec via
+    `map_media_batches(codec=...)`. PNG needs no library — use
+    `decode_png_gray8` / `decode_png_features` below.
     """
     raise NotImplementedError(
-        "image decode requires an imaging library (e.g. PIL); "
-        "inject a codec callable into map_media_batches"
+        "image decode requires an imaging library (e.g. PIL) except for "
+        "PNG (see decode_png_gray8); inject a codec callable into "
+        "map_media_batches"
     )
 
 
@@ -368,6 +373,173 @@ def resize_gray8_batches(
             yield out
 
     return df.mapInPandas(run, result_schema)
+
+
+# --- image: REAL PNG codec (stdlib zlib + struct, no external library) -----
+#
+# PNG grayscale-8 is fully decodable with the stdlib: chunk walk with CRC
+# verification, one zlib inflate, then per-scanline unfiltering (the five
+# standard filters: None/Sub/Up/Average/Paeth). This replaces the image
+# stub for PNG blobs; JPEG stays stubbed (DCT entropy coding genuinely
+# needs a library).
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 section 6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png_gray8(w: int, h: int, pixels: bytes, filter_cycle: bool = True) -> bytes:
+    """Encode a raw gray8 bitmap as a valid PNG (stdlib only).
+
+    `filter_cycle=True` applies filter type y % 5 to row y, so a single
+    encoded image exercises every scanline filter the decoder must
+    unfilter — the round trip covers the whole filter surface.
+    """
+    import struct
+    import zlib
+
+    if len(pixels) != w * h:
+        raise ValueError(f"expected {w * h} pixels, got {len(pixels)}")
+    raw = bytearray()
+    prev = bytes(w)
+    for y in range(h):
+        row = pixels[y * w : (y + 1) * w]
+        ft = y % 5 if filter_cycle else 0
+        raw.append(ft)
+        if ft == 0:
+            raw += row
+        elif ft == 1:  # Sub
+            raw += bytes((row[x] - (row[x - 1] if x else 0)) & 0xFF for x in range(w))
+        elif ft == 2:  # Up
+            raw += bytes((row[x] - prev[x]) & 0xFF for x in range(w))
+        elif ft == 3:  # Average
+            raw += bytes(
+                (row[x] - ((row[x - 1] if x else 0) + prev[x]) // 2) & 0xFF
+                for x in range(w)
+            )
+        else:  # Paeth
+            raw += bytes(
+                (row[x] - _paeth(row[x - 1] if x else 0, prev[x], prev[x - 1] if x else 0))
+                & 0xFF
+                for x in range(w)
+            )
+        prev = row
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # gray8, no interlace
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray8(data: bytes) -> tuple[int, int, bytes]:
+    """REAL PNG decode for grayscale-8 non-interlaced images — stdlib
+    `zlib` + `struct`: signature check, chunk walk with CRC verification,
+    inflate, per-scanline unfiltering of all five filter types.
+
+    Returns (width, height, row-major pixel bytes). Raises ValueError on
+    anything malformed (bad signature, CRC mismatch, truncated stream,
+    unsupported color type) — pair with `map_media_batches(on_error=
+    "null")` for per-row corrupt-blob tolerance at corpus scale.
+    """
+    import struct
+    import zlib
+
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, idat, w, h = 8, bytearray(), None, None
+    while pos + 12 <= len(data):
+        ln, tag = struct.unpack(">I4s", data[pos : pos + 8])
+        body = data[pos + 8 : pos + 8 + ln]
+        crc_bytes = data[pos + 8 + ln : pos + 12 + ln]
+        if len(body) != ln or len(crc_bytes) != 4:
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack(">I", crc_bytes)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if bit_depth != 8 or color_type != 0 or interlace:
+                raise ValueError("only gray8 non-interlaced PNG supported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError("decompressed size mismatch")
+    out = bytearray()
+    prev = bytes(w)
+    for y in range(h):
+        ft = raw[y * (w + 1)]
+        line = raw[y * (w + 1) + 1 : (y + 1) * (w + 1)]
+        rec = bytearray(w)
+        for x in range(w):
+            a = rec[x - 1] if x else 0
+            b = prev[x]
+            c = prev[x - 1] if x else 0
+            v = line[x]
+            if ft == 0:
+                r = v
+            elif ft == 1:
+                r = v + a
+            elif ft == 2:
+                r = v + b
+            elif ft == 3:
+                r = v + (a + b) // 2
+            elif ft == 4:
+                r = v + _paeth(a, b, c)
+            else:
+                raise ValueError(f"bad filter type {ft}")
+            rec[x] = r & 0xFF
+        out += rec
+        prev = bytes(rec)
+    return (int(w), int(h), bytes(out))
+
+
+DECODED_PNG_SCHEMA = StructType(
+    [
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("bit_depth", LongType()),
+        StructField("channels", LongType()),
+        StructField("p00", LongType()),
+        StructField("p_last", LongType()),
+        StructField("pixel_sum", LongType()),
+    ]
+)
+
+
+def decode_png_features(data: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """PNG decode to exact integer features (for `map_media_batches`):
+    dimensions + corner pixels + full pixel sum — closed-form verifiable
+    when the source bitmap is deterministic."""
+    w, h, px = decode_png_gray8(data)
+    return (w, h, 8, 1, px[0], px[-1], sum(px))
 
 
 #: deterministic gray8 test-image parameters (shared with the analytic

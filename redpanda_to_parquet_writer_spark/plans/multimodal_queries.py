@@ -121,6 +121,45 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image container codec end-to-end: synthesize a deterministic
+    raw gray8 bitmap per doc, ENCODE it as a real PNG (stdlib zlib +
+    struct; filter type cycles per scanline so all five PNG filters are
+    exercised), sniff the PNG magic JVM-side, then DECODE the container
+    back (chunk walk + CRC verify + inflate + unfilter,
+    `operators/multimodal.py:decode_png_gray8`) and verify dimensions,
+    corner pixels and the exact pixel sum against a closed-form oracle.
+
+    Same 100-TB shape as the WAV round trip: blobs live in a binary
+    column, both codec stages are narrow Arrow-batched mapInPandas, only
+    small typed features leave the blob row.
+    """
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        DECODED_PNG_SCHEMA,
+        decode_png_features,
+        encode_png_gray8,
+        synth_gray_image,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _png(i: int) -> bytes:
+        return encode_png_gray8(*synth_gray_image(int(i)))
+
+    synth = F.pandas_udf(lambda ids: ids.map(_png), "binary")
+    blobs = docs.withColumn("blob", synth("doc_id"))
+    with_meta = with_media_metadata(blobs, "blob", media_type="image").select(
+        "doc_id", "blob", F.col("media_meta.format").alias("format")
+    )
+    return map_media_batches(
+        with_meta,
+        "blob",
+        DECODED_PNG_SCHEMA,
+        codec=decode_png_features,
+        passthrough=["doc_id", "format"],
+    )
+
+
 FRAME_EVERY_N = 3
 
 
@@ -170,6 +209,7 @@ QUERIES = {
     "multimodal_wav_roundtrip": multimodal_wav_roundtrip,
     "multimodal_image_resize": multimodal_image_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_png_decode": multimodal_png_decode,
 }
 
 # synthetic docs are ASCII, so ord(char) == byte value on both engines
@@ -223,6 +263,35 @@ ORACLES = {
                CAST(doc_id % 256 AS BIGINT) AS p00,
                CAST((doc_id + 7 * ((7 * w) // 8) + 13 * ((7 * h) // 8)) % 256
                  AS BIGINT) AS p_last,
+               CAST(sum(pix) AS BIGINT) AS pixel_sum
+        FROM grid
+        GROUP BY doc_id, w, h
+    """,
+    # closed-form replay of the PNG round trip: the decoder recovers the
+    # deterministic source bitmap exactly, so dimensions, corners and the
+    # full pixel sum are integer expressions of doc_id
+    "multimodal_png_decode": """
+        WITH base AS (
+          SELECT doc_id,
+                 16 + doc_id % 17 AS w,
+                 16 + (3 * doc_id) % 23 AS h
+          FROM documents
+        ),
+        grid AS (
+          SELECT b.doc_id, b.w, b.h,
+                 (b.doc_id + 7 * xs.x + 13 * ys.y) % 256 AS pix
+          FROM base b,
+               LATERAL (SELECT unnest(range(b.w)) AS x) xs,
+               LATERAL (SELECT unnest(range(b.h)) AS y) ys
+        )
+        SELECT doc_id,
+               'png' AS format,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(8 AS BIGINT) AS bit_depth,
+               CAST(1 AS BIGINT) AS channels,
+               CAST(doc_id % 256 AS BIGINT) AS p00,
+               CAST((doc_id + 7 * (w - 1) + 13 * (h - 1)) % 256 AS BIGINT) AS p_last,
                CAST(sum(pix) AS BIGINT) AS pixel_sum
         FROM grid
         GROUP BY doc_id, w, h

@@ -283,3 +283,75 @@ def test_load_topic_ignore_corrupt(spark, table_base, tmp_path):
         R.load_topic(spark, table_base, "spx_index", ignore_corrupt=True).count()
         == healthy
     )
+
+
+def test_png_codec_roundtrip_local():
+    """Stdlib PNG encode->decode recovers the exact bitmap across all
+    five scanline filter types (the encoder cycles them per row)."""
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_png_features,
+        decode_png_gray8,
+        encode_png_gray8,
+        synth_gray_image,
+    )
+
+    for seed in (0, 1, 2, 5, 17, 123, 999):
+        w, h, px = synth_gray_image(seed)
+        blob = encode_png_gray8(w, h, px)
+        assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+        assert decode_png_gray8(blob) == (w, h, px)
+        assert decode_png_features(blob) == (w, h, 8, 1, px[0], px[-1], sum(px))
+    # single-filter path too
+    w, h, px = synth_gray_image(7)
+    assert decode_png_gray8(encode_png_gray8(w, h, px, filter_cycle=False))[2] == px
+
+
+def test_png_decode_rejects_corrupt_blobs():
+    import pytest
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_png_gray8,
+        encode_png_gray8,
+        synth_gray_image,
+    )
+
+    w, h, px = synth_gray_image(7)
+    blob = encode_png_gray8(w, h, px)
+    with pytest.raises(ValueError, match="signature"):
+        decode_png_gray8(b"not a png at all")
+    bad = bytearray(blob)
+    bad[40] ^= 0xFF  # flip a tag byte -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_gray8(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png_gray8(blob[:30])
+
+
+def test_png_decode_corrupt_tolerance_through_spark(spark):
+    """One corrupt PNG in a batch degrades one row (on_error='null'),
+    not the job — the corpus-scale contract."""
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        DECODED_PNG_SCHEMA,
+        decode_png_features,
+        encode_png_gray8,
+        map_media_batches,
+        synth_gray_image,
+    )
+
+    rows = []
+    for seed in range(4):
+        w, h, px = synth_gray_image(seed)
+        rows.append((seed, bytearray(encode_png_gray8(w, h, px))))
+    rows[2] = (2, bytearray(b"\x89PNG\r\n\x1a\nGARBAGE"))
+    df = spark.createDataFrame(
+        [(i, bytes(b)) for i, b in rows], "doc_id long, blob binary"
+    )
+    out = map_media_batches(
+        df, "blob", DECODED_PNG_SCHEMA, codec=decode_png_features,
+        passthrough=["doc_id"], on_error="null",
+    )
+    got = {r["doc_id"]: r["pixel_sum"] for r in out.collect()}
+    assert got[2] is None
+    for seed in (0, 1, 3):
+        _, _, px = synth_gray_image(seed)
+        assert got[seed] == sum(px)
