@@ -44,6 +44,8 @@ _PRIORITY = [
     # new or implementation-changed this round (ADVICE r4: anything whose
     # implementation or oracle changed goes to the top of the window)
     "multimodal_png_decode",
+    "streaming_offset_gaps",
+    "streaming_interval_join",
     "ann_ivf_topk",
     # rewritten in r4 (union-of-aggs -> stack unpivot) but landed outside
     # the r4 window — driver-verify the rewrite first (ADVICE r4)

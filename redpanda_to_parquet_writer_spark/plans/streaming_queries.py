@@ -71,7 +71,105 @@ def streaming_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(_SINK_TABLE)
 
 
-QUERIES = {"streaming_hourly_event_stats": streaming_hourly_event_stats}
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """File-source stream over the events fixture (schema from a batch
+    footer read; glob narrows the flat fixture dir to one table)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _drain_to_memory(agg: DataFrame, sink_table: str, output_mode: str) -> DataFrame:
+    spark = agg.sparkSession
+    spark.catalog.dropTempView(sink_table)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
+
+
+def streaming_offset_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM STATEFUL operator (`applyInPandasWithState`) under the
+    oracle gate: per-partition offset-gap detection running as a real
+    streaming query (availableNow -> memory sink), hash-equal to the lag-
+    window batch SQL.
+
+    Same synthetic envelope as the batch twin `offset_gap_check`
+    (partition = event_id % 8, offset = event_id DIV 8, offsets ≡ 13
+    (mod 97) dropped); the stateful detector must emit exactly those
+    holes. State is one long per partition — the scale shape for a
+    million-partition topic fleet — and gap detection inside the batch
+    is a NumPy pass, no per-row Python.
+    """
+    from redpanda_to_parquet_writer_spark.streaming.stateful import detect_offset_gaps
+
+    env = (
+        _events_stream(spark, sf_dir)
+        .select(
+            F.pmod("event_id", F.lit(8)).cast("long").alias("kafka_partition"),
+            F.expr("event_id DIV 8").alias("kafka_offset"),
+        )
+        .filter(F.expr("kafka_offset % 97 != 13"))
+    )
+    return _drain_to_memory(
+        detect_offset_gaps(env), "streaming_offset_gaps_sink", "append"
+    )
+
+
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM join under the oracle gate: clicks joined to the
+    purchases that happened within 1 hour BEFORE them, as a real
+    watermarked stream-stream inner join (both sides streaming, time
+    bound in the join condition so state is evicted past
+    watermark + lookback), drained availableNow into a memory sink and
+    hash-compared to plain batch SQL.
+
+    Timestamps leave as epoch-micros longs (engine-portable); the join
+    emits one row per (click, qualifying purchase).
+    """
+    from redpanda_to_parquet_writer_spark.streaming.joins import interval_stream_join
+
+    base = _events_stream(spark, sf_dir)
+    ts = F.timestamp_micros(event_epoch_us(base))
+    base = base.withColumn("evt_ts", ts)
+    clicks = base.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "evt_ts"
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "evt_ts"
+    )
+    joined = interval_stream_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="evt_ts",
+        right_ts="evt_ts",
+        lookback="1 hour",
+        watermark="2 hours",
+    )
+    out = joined.select(
+        "click_id",
+        "user_id",
+        F.unix_micros(F.col("evt_ts")).alias("click_ts_us"),
+        F.col("purchase_id_r").alias("purchase_id"),
+        F.unix_micros(F.col("evt_ts_r")).alias("purchase_ts_us"),
+    )
+    return _drain_to_memory(out, "streaming_interval_join_sink", "append")
+
+
+QUERIES = {
+    "streaming_hourly_event_stats": streaming_hourly_event_stats,
+    "streaming_offset_gaps": streaming_offset_gaps,
+    "streaming_interval_join": streaming_interval_join,
+}
 
 ORACLES = {
     # plain batch SQL over the same parquet — the streaming pipeline must
@@ -83,5 +181,46 @@ ORACLES = {
                  AS total_value
         FROM events
         GROUP BY 1
+    """,
+    # the stateful streaming detector must reproduce the lag-window SQL
+    "streaming_offset_gaps": """
+        WITH env AS (
+          SELECT event_id % 8 AS kafka_partition,
+                 event_id // 8 AS kafka_offset
+          FROM events
+          WHERE (event_id // 8) % 97 != 13
+        ),
+        d AS (SELECT DISTINCT kafka_partition, kafka_offset FROM env),
+        lagged AS (
+          SELECT kafka_partition, kafka_offset,
+                 lag(kafka_offset) OVER (
+                   PARTITION BY kafka_partition ORDER BY kafka_offset
+                 ) AS prev
+          FROM d
+        )
+        SELECT kafka_partition,
+               prev + 1 AS gap_start,
+               kafka_offset - 1 AS gap_end,
+               kafka_offset - prev - 1 AS n_missing
+        FROM lagged WHERE kafka_offset > prev + 1
+    """,
+    # the watermarked stream-stream join must reproduce the plain
+    # interval-predicate batch join
+    "streaming_interval_join": """
+        WITH base AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+          FROM events
+        )
+        SELECT c.event_id AS click_id,
+               c.user_id,
+               c.ts_us AS click_ts_us,
+               p.event_id AS purchase_id,
+               p.ts_us AS purchase_ts_us
+        FROM base c
+        JOIN base p
+          ON c.event_type = 'click' AND p.event_type = 'purchase'
+         AND c.user_id = p.user_id
+         AND p.ts_us <= c.ts_us
+         AND p.ts_us >= c.ts_us - 3600000000
     """,
 }
