@@ -95,6 +95,7 @@ HEADLINE = [
     "multimodal_wav_roundtrip",
     "multimodal_image_resize",
     "multimodal_frame_sample",
+    "multimodal_png_decode",
 ]
 
 
@@ -200,6 +201,7 @@ def main() -> None:
         ingest = _bench_ingest(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001 — the JSON line must still emit
         ingest = {"err": f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"}
+    med = sorted(ok.values())
     print(
         json.dumps(
             {
@@ -209,6 +211,11 @@ def main() -> None:
                 "n_queries": len(ok),
                 "n_errors": len(timings) - len(ok),
                 "sec_per_query": round(sum(ok.values()) / max(len(ok), 1), 4),
+                # ADVICE r4: when a query errors, the total's denominator
+                # shrinks silently; median + the exact ok-set make rounds
+                # comparable (diff ok_queries before trusting value)
+                "median_sec": round(med[len(med) // 2], 4) if med else None,
+                "ok_queries": sorted(ok),
                 "queries": timings,
                 "ingest": ingest,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

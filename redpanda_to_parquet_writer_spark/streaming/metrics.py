@@ -56,6 +56,7 @@ class IngestMetricsListener(StreamingQueryListener):
         # progress on query termination — keep one metric per batch
         self._batches: dict[tuple[str, int], BatchMetric] = {}
         self._names: dict[str, str] = {}
+        self._terminated: set[str] = set()
 
     @property
     def batches(self) -> list[BatchMetric]:
@@ -84,8 +85,9 @@ class IngestMetricsListener(StreamingQueryListener):
     def onQueryIdle(self, event) -> None:  # pragma: no cover - no-op
         pass
 
-    def onQueryTerminated(self, event) -> None:  # pragma: no cover - no-op
-        pass
+    def onQueryTerminated(self, event) -> None:
+        with self._lock:
+            self._terminated.add(str(event.id))
 
     # -- aggregation -----------------------------------------------------
     def summary(self, query_name: str | None = None) -> list[QuerySummary]:
@@ -111,21 +113,49 @@ class IngestMetricsListener(StreamingQueryListener):
             )
         return sorted(out, key=lambda s: s.name)
 
-    def wait_quiesce(self, settle_sec: float = 0.5, timeout_sec: float = 5.0) -> None:
-        """Block until no new progress events arrive for `settle_sec`
-        (the listener bus delivers asynchronously, so metrics read right
-        after awaitTermination can race the final batch's event)."""
+    def wait_quiesce(
+        self,
+        settle_sec: float = 0.5,
+        timeout_sec: float = 5.0,
+        min_events: int = 1,
+        poll_sec: float = 0.05,
+    ) -> None:
+        """Block until at least `min_events` progress events have arrived
+        AND the event count has been stable for `settle_sec` (the
+        listener bus delivers asynchronously, so metrics read right after
+        awaitTermination can race the final batch's event).
+
+        Requiring an observed event (ADVICE r4) means a drain whose
+        progress event is late by more than one settle window still gets
+        counted instead of silently quiescing at zero; the poll interval
+        is decoupled from the settle window so stability is detected at
+        `poll_sec` granularity. The fast path keys on the TERMINATED
+        event: the listener bus is a single ordered queue, so once every
+        started query's terminated event has arrived, all progress
+        events precede it and quiescence is immediate — the settle
+        window only applies when termination has not been observed yet.
+        Pass `min_events=0` only for streams that may legitimately
+        process nothing. Returns on timeout regardless — metrics are
+        observability, never worth hanging a drain for.
+        """
         import time
 
         deadline = time.monotonic() + timeout_sec
-        last = -1
+        with self._lock:
+            last = len(self._batches)
+        stable_since = time.monotonic()
         while time.monotonic() < deadline:
             with self._lock:
                 n = len(self._batches)
-            if n == last:
+                all_done = bool(self._names) and set(self._names) <= self._terminated
+            now = time.monotonic()
+            if n != last:
+                last, stable_since = n, now
+            elif n >= min_events and (
+                all_done or now - stable_since >= settle_sec
+            ):
                 return
-            last = n
-            time.sleep(settle_sec)
+            time.sleep(poll_sec)
 
     # -- lifecycle -------------------------------------------------------
     def attach(self, spark: SparkSession) -> "IngestMetricsListener":
