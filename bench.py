@@ -48,6 +48,10 @@ HEADLINE = [
     "purchase_attribution_window",
     "offset_gap_check",
     "order_priority_counts",
+    "cheapest_supplier_per_part",
+    "nation_part_profit",
+    "important_suppliers",
+    "heavy_part_suppliers",
     "sole_late_supplier",
     "customer_order_distribution",
     "nation_volume_shipping",

@@ -17,6 +17,7 @@ from redpanda_to_parquet_writer_spark.plans import (
     relational,
     relational2,
     relational3,
+    relational4,
     streaming_queries,
     text_queries,
     vector_queries,
@@ -26,6 +27,7 @@ _MERGED_QUERIES = {
     **relational.QUERIES,
     **relational2.QUERIES,
     **relational3.QUERIES,
+    **relational4.QUERIES,
     **streaming_queries.QUERIES,
     **text_queries.QUERIES,
     **vector_queries.QUERIES,
@@ -46,6 +48,10 @@ _PRIORITY = [
     "multimodal_png_decode",
     "streaming_offset_gaps",
     "streaming_interval_join",
+    "cheapest_supplier_per_part",
+    "nation_part_profit",
+    "important_suppliers",
+    "heavy_part_suppliers",
     "ann_ivf_topk",
     # rewritten in r4 (union-of-aggs -> stack unpivot) but landed outside
     # the r4 window — driver-verify the rewrite first (ADVICE r4)
@@ -111,6 +117,7 @@ ORACLES = _ordered(
         **relational.ORACLES,
         **relational2.ORACLES,
         **relational3.ORACLES,
+        **relational4.ORACLES,
         **streaming_queries.ORACLES,
         **text_queries.ORACLES,
         **vector_queries.ORACLES,

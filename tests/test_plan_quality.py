@@ -268,3 +268,49 @@ def test_ivf_topk_two_scans_only(spark, sf_dir):
     pruned query scan) — not 4."""
     plan = plan_str(QUERIES["ann_ivf_topk"](spark, sf_dir))
     assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+
+
+def test_cheapest_supplier_argmin_single_scan(spark, sf_dir):
+    """Q2 shape: the correlated-min rewrites as ONE struct-min aggregation
+    — each of the 5 tables scans exactly once (no lineitem join-back),
+    dims broadcast."""
+    plan = plan_str(QUERIES["cheapest_supplier_per_part"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 5  # lineitem + part/supp/nation/region
+    assert "BroadcastHashJoin" in plan
+    assert "partial_min" in plan, "argmin must partial-aggregate map-side"
+
+
+def test_important_suppliers_single_fact_scan(spark, sf_dir):
+    """Q11 shape: the global total derives from the grouped result; at
+    runtime AQE reuses the partial-agg exchange, so lineitem physically
+    scans ONCE (the initial plan prints the subtree twice — check the
+    final plan)."""
+    df = QUERIES["important_suppliers"](spark, sf_dir)
+    df.collect()
+    final = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("+- == Initial Plan ==")[0]
+    )
+    assert final.count("Scan parquet") == 1
+    assert final.count("ReusedExchange") + final.count("ReusedQueryStage") >= 1
+    assert "CartesianProduct" not in final
+
+
+def test_heavy_part_suppliers_semi_join(spark, sf_dir):
+    """Q20 shape: suppliers attach via LEFT SEMI (no row duplication from
+    the fact side); the part prefix filter pushes to its scan."""
+    plan = plan_str(QUERIES["heavy_part_suppliers"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "StringStartsWith(p_name,red" in plan.replace(" ", ""), (
+        "prefix LIKE must push into the part scan"
+    )
+
+
+def test_nation_part_profit_pattern_pushdown(spark, sf_dir):
+    """Q9 shape: the substring LIKE pushes to the part scan; one
+    fact-fact shuffle, every dim broadcast."""
+    plan = plan_str(QUERIES["nation_part_profit"](spark, sf_dir))
+    assert "StringContains(p_name,bolt" in plan.replace(" ", "")
+    assert plan.count("BroadcastHashJoin") >= 2
