@@ -72,6 +72,8 @@ HEADLINE = [
     "sink_reconciliation",
     "top_event_type_per_user",
     "docs_exact_dedup",
+    "docs_line_dedup",
+    "events_value_median_by_type",
     "docs_token_stats",
     "docs_bpe_token_stats",
     "docs_quality_score",

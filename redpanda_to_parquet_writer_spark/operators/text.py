@@ -762,6 +762,55 @@ def chunk_documents(
     )
 
 
+def line_dedup_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    line_tokens: int = 10,
+) -> DataFrame:
+    """C4-style cross-corpus LINE deduplication stats: split every doc
+    into fixed `line_tokens`-token lines; a line is KEPT only at its
+    first corpus occurrence (lowest (doc_id, line_idx)), counted as a
+    duplicate everywhere else. This is the classic "discard repeated
+    lines across the whole corpus" pre-training cleanup (C4/Gopher),
+    at sub-document granularity — exact dedup (D1/D2) and near-dup LSH
+    work on whole docs; boilerplate repeats at line level.
+
+    Plan shape: narrow line synthesis (pure array expressions) ->
+    posexplode -> ONE shuffle keyed on line CONTENT (row_number window —
+    scale-safe: no collect_list, a hot boilerplate line costs a window
+    count, not an array) -> per-doc aggregation. Returns
+    (id_col, n_lines, n_kept, n_dupes).
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(text_col)
+    n_lines = F.ceil(F.size(toks).cast("double") / line_tokens).cast("int")
+    lines = F.when(F.size(toks) <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_lines, F.lit(1)) - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * line_tokens + 1, line_tokens)
+            ),
+        )
+    )
+    exploded = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.posexplode(lines).alias("line_idx", "line")
+    )
+    w = Window.partitionBy("line").orderBy(
+        F.col(id_col).asc(), F.col("line_idx").asc()
+    )
+    marked = exploded.withColumn("__rn", F.row_number().over(w))
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("__rn") > 1, 1).otherwise(0)).alias("n_dupes"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str,

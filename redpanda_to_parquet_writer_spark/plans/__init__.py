@@ -52,6 +52,8 @@ _PRIORITY = [
     "nation_part_profit",
     "important_suppliers",
     "heavy_part_suppliers",
+    "events_value_median_by_type",
+    "docs_line_dedup",
     "ann_ivf_topk",
     # rewritten in r4 (union-of-aggs -> stack unpivot) but landed outside
     # the r4 window — driver-verify the rewrite first (ADVICE r4)

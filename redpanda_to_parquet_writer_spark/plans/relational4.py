@@ -209,11 +209,50 @@ def heavy_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_value_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median per group, engine-portable: pick the middle element(s)
+    by rank instead of calling an engine median/percentile function —
+    interpolating percentile implementations differ across engines in
+    the last ulps, but selecting STORED values by row_number and
+    averaging at most two of them is the same IEEE arithmetic everywhere.
+
+    Plan: one shuffle on the group key; the rank window and the count
+    window share that partitioning; the middle rows ((n+1) DIV 2 and
+    (n+2) DIV 2 — equal when n is odd) collapse in a partial-aggregated
+    groupBy. At corpus scale, exact per-group medians fundamentally
+    require a per-group sort; this shape does exactly one.
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    cw = Window.partitionBy("event_type")
+    ranked = events.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(cw)
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.expr("(n + 1) DIV 2")) | (F.col("rn") == F.expr("(n + 2) DIV 2"))
+    )
+    return (
+        mid.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            (F.sum("value") / F.count(F.lit(1))).alias("median_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "cheapest_supplier_per_part": cheapest_supplier_per_part,
     "nation_part_profit": nation_part_profit,
     "important_suppliers": important_suppliers,
     "heavy_part_suppliers": heavy_part_suppliers,
+    "events_value_median_by_type": events_value_median_by_type,
 }
 
 ORACLES = {
@@ -269,6 +308,23 @@ ORACLES = {
         WHERE CAST(rev * 10000 AS HUGEINT) * 1000000
               > {IMPORTANT_SHARE_PPM} * CAST(tot * 10000 AS HUGEINT)
         ORDER BY revenue DESC, s_suppkey ASC
+    """,
+    "events_value_median_by_type": """
+        WITH ranked AS (
+          SELECT event_type, value,
+                 row_number() OVER (
+                   PARTITION BY event_type ORDER BY value ASC, event_id ASC
+                 ) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+        )
+        SELECT event_type,
+               max(n) AS n_events,
+               sum(value) / count(*) AS median_value
+        FROM ranked
+        WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        GROUP BY event_type
+        ORDER BY event_type
     """,
     "heavy_part_suppliers": f"""
         SELECT s.s_suppkey, s.s_name, n.n_name AS nation

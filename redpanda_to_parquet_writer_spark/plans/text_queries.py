@@ -26,6 +26,19 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.exact_dedup_hash(docs, "text", "doc_id")
 
 
+LINE_TOKENS = 10
+
+
+def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-corpus line dedup stats: fixed 10-token lines, a
+    line survives only at its first (doc_id, line_idx) occurrence —
+    duplicate-line counts per document (operators/text.py:
+    line_dedup_stats). The sub-document dedup granularity the whole-doc
+    exact/LSH paths don't cover."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.line_dedup_stats(docs, "text", "doc_id", LINE_TOKENS)
+
+
 def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.token_stats(docs, "text", "doc_id")
@@ -294,6 +307,7 @@ def docs_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "docs_exact_dedup": docs_exact_dedup,
+    "docs_line_dedup": docs_line_dedup,
     "docs_repetition_stats": docs_repetition_stats,
     "docs_token_budget_cap": docs_token_budget_cap,
     "docs_sequence_pack": docs_sequence_pack,
@@ -434,6 +448,35 @@ ORACLES = {
     "docs_exact_dedup": """
         SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
         FROM documents GROUP BY md5(text)
+    """,
+    "docs_line_dedup": f"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+          FROM documents WHERE text IS NOT NULL
+        ),
+        lines AS (
+          SELECT doc_id,
+                 CAST(i - 1 AS INT) AS line_idx,
+                 array_to_string(
+                   list_slice(t, (i - 1) * {LINE_TOKENS} + 1, i * {LINE_TOKENS}), ' '
+                 ) AS line
+          FROM toks,
+               LATERAL unnest(generate_series(
+                 1, CAST(ceil(len(t) / {LINE_TOKENS}.0) AS BIGINT)
+               )) u(i)
+        ),
+        marked AS (
+          SELECT doc_id,
+                 row_number() OVER (
+                   PARTITION BY line ORDER BY doc_id ASC, line_idx ASC
+                 ) AS rn
+          FROM lines
+        )
+        SELECT doc_id,
+               count(*) AS n_lines,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes
+        FROM marked GROUP BY doc_id
     """,
     "docs_token_stats": """
         SELECT doc_id,
