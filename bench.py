@@ -98,6 +98,7 @@ HEADLINE = [
     "embeddings_lsh_neardup_pairs",
     "embeddings_semdedup_keep",
     "embeddings_norm_stats",
+    "embeddings_random_projection",
     "multimodal_wav_roundtrip",
     "multimodal_image_resize",
     "multimodal_frame_sample",

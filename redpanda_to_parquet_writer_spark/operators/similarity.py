@@ -438,6 +438,39 @@ def assemble_centroids(
     )
 
 
+def random_projection(
+    df: DataFrame,
+    out_dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+) -> DataFrame:
+    """Johnson-Lindenstrauss-style dimensionality reduction by a
+    DETERMINISTIC pseudo-random integer projection matrix:
+    plane[t][d] = ((t*8191 + d*127) % 17) - 8, values in [-8, 8].
+
+    Integer plane entries make the projection closed-form reproducible
+    in ANY engine (no RNG state to ship); dot products fold
+    left-to-right over the array like every other vector op here, so
+    Spark and a SQL oracle emit identical doubles. Pure per-row
+    higher-order functions — ZERO shuffle, embarrassingly parallel at
+    corpus scale; the standard pre-step before ANN when 1024-dim
+    embeddings are too wide to bucket cheaply.
+    """
+    v = _as_double(F.col(vec_col))
+    comps = [
+        dot(
+            v,
+            F.transform(
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda d: ((F.lit(t * 8191) + d * 127) % 17 - 8).cast("double"),
+            ),
+        )
+        for t in range(out_dims)
+    ]
+    return df.select(F.col(id_col), F.array(*comps).alias(out_col))
+
+
 def quantize_int8(
     df: DataFrame, vec_col: str = "embedding", out_col: str = "q_embedding"
 ) -> DataFrame:

@@ -54,6 +54,8 @@ _PRIORITY = [
     "heavy_part_suppliers",
     "events_value_median_by_type",
     "docs_line_dedup",
+    "embeddings_random_projection",
+    "streaming_dedup_keys",
     "ann_ivf_topk",
     # rewritten in r4 (union-of-aggs -> stack unpivot) but landed outside
     # the r4 window — driver-verify the rewrite first (ADVICE r4)

@@ -165,10 +165,37 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(out, "streaming_interval_join_sink", "append")
 
 
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DEDUP under the oracle gate: a synthetic envelope with
+    every key duplicated (offset = event_id DIV 2 — each (partition,
+    offset) appears twice) runs through `dropDuplicatesWithinWatermark`
+    (bounded per-key state, the at-least-once in-flight dedup), drained
+    availableNow into a memory sink.
+
+    Only the KEY COLUMNS are emitted — which duplicate survives is
+    task-order dependent, but the surviving key SET is exactly the
+    distinct key set, which plain batch DISTINCT reproduces.
+    """
+    from redpanda_to_parquet_writer_spark.streaming.ingest import dedup_stream
+
+    stream = _events_stream(spark, sf_dir)
+    # event_id 2k and 2k+1 map to the SAME (partition, offset) — every
+    # key is a genuine duplicate pair
+    env = stream.select(
+        F.pmod(F.expr("event_id DIV 2"), F.lit(4)).cast("long").alias("kafka_partition"),
+        F.expr("event_id DIV 2").alias("kafka_offset"),
+        F.timestamp_micros(event_epoch_us(stream)).alias("event_time"),
+    )
+    deduped = dedup_stream(env, ["kafka_partition", "kafka_offset"], "event_time")
+    out = deduped.select("kafka_partition", "kafka_offset")
+    return _drain_to_memory(out, "streaming_dedup_keys_sink", "append")
+
+
 QUERIES = {
     "streaming_hourly_event_stats": streaming_hourly_event_stats,
     "streaming_offset_gaps": streaming_offset_gaps,
     "streaming_interval_join": streaming_interval_join,
+    "streaming_dedup_keys": streaming_dedup_keys,
 }
 
 ORACLES = {
@@ -222,5 +249,12 @@ ORACLES = {
          AND c.user_id = p.user_id
          AND p.ts_us <= c.ts_us
          AND p.ts_us >= c.ts_us - 3600000000
+    """,
+    # the streaming bounded-state dedup must emit exactly the distinct
+    # key set
+    "streaming_dedup_keys": """
+        SELECT DISTINCT (event_id // 2) % 4 AS kafka_partition,
+               event_id // 2 AS kafka_offset
+        FROM events
     """,
 }

@@ -130,6 +130,24 @@ def embeddings_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return subset.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
 
 
+RP_DIMS = 8
+
+
+def embeddings_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL-style dimensionality reduction (64 -> 8 dims) with a
+    deterministic integer projection matrix — the standard pre-ANN
+    width cut (`operators/similarity.py:random_projection`). Zero
+    shuffle; per-dim rows keep the result engine-portable, and the
+    components are UNROUNDED doubles: both engines fold the identical
+    product sequence left-to-right, so the bits match exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = S.random_projection(emb, RP_DIMS, "vec_id", "embedding")
+    return proj.select(
+        "vec_id",
+        F.posexplode("projected").alias("pos", "component"),
+    ).select("vec_id", F.col("pos").cast("long").alias("pos"), "component")
+
+
 def embeddings_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.norm_stats_by_label(emb, "label", "embedding")
@@ -151,6 +169,7 @@ QUERIES = {
     "embeddings_lsh_neardup_pairs": embeddings_lsh_neardup_pairs,
     "embeddings_semdedup_keep": embeddings_semdedup_keep,
     "embeddings_norm_stats": embeddings_norm_stats,
+    "embeddings_random_projection": embeddings_random_projection,
 }
 
 ORACLES = {
@@ -285,6 +304,19 @@ ORACLES = {
                LATERAL unnest(generate_series(1, len(v))) t(pos)
         )
         GROUP BY label, pos
+    """,
+    # identical left-fold product sequence -> identical double bits; the
+    # integer plane formula ((t*8191 + d*127) % 17) - 8 is closed-form in
+    # both engines, so no plane constants ship between them
+    "embeddings_random_projection": f"""
+        SELECT vec_id,
+               CAST(t AS BIGINT) AS pos,
+               list_sum(list_transform(
+                 generate_series(1, len(v)),
+                 i -> v[i] * CAST(((t * 8191 + (i - 1) * 127) % 17) - 8 AS DOUBLE)
+               )) AS component
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             LATERAL unnest(range({RP_DIMS})) u(t)
     """,
     "embeddings_norm_stats": """
         SELECT label,
