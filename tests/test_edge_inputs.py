@@ -114,3 +114,26 @@ def test_interval_join_survives_corrupt_interval(spark):
     )
     got = interval_join(points, intervals, "t", "lo", "hi", bin_width=100).collect()
     assert [r["iid"] for r in got] == [10]
+
+
+def test_line_dedup_counts_and_edges(spark):
+    """Keep-first line dedup: handcrafted duplicate lines count exactly;
+    empty/null docs don't kill the pass."""
+    docs = spark.createDataFrame(
+        [
+            # 11 tokens -> lines: "t0..t9" and "t10"
+            (0, " ".join(f"t{i}" for i in range(11))),
+            # repeats doc0's first line exactly, plus a unique line
+            (1, " ".join(f"t{i}" for i in range(10)) + " unique tail line"),
+            (2, ""),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["n_dupes"])
+        for r in T.line_dedup_stats(docs, "text", "doc_id", 10).collect()
+    }
+    assert out[0] == (2, 2, 0)  # first occurrence of both its lines
+    assert out[1] == (2, 1, 1)  # t0..t9 is a corpus duplicate
+    assert 3 not in out  # null text filtered like chunk_documents
