@@ -398,41 +398,49 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def encode_png_gray8(w: int, h: int, pixels: bytes, filter_cycle: bool = True) -> bytes:
-    """Encode a raw gray8 bitmap as a valid PNG (stdlib only).
+    """Encode a raw gray8 bitmap as a valid PNG (stdlib + numpy).
 
     `filter_cycle=True` applies filter type y % 5 to row y, so a single
     encoded image exercises every scanline filter the decoder must
     unfilter — the round trip covers the whole filter surface.
+
+    Every encode filter references ORIGINAL pixel values (not
+    reconstructed ones), so all five vectorize as whole-image numpy
+    shifts — no per-pixel Python.
     """
     import struct
     import zlib
 
+    import numpy as np
+
     if len(pixels) != w * h:
         raise ValueError(f"expected {w * h} pixels, got {len(pixels)}")
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w).astype(np.int16)
+    left = np.zeros_like(img)
+    left[:, 1:] = img[:, :-1]
+    up = np.zeros_like(img)
+    up[1:, :] = img[:-1, :]
+    upleft = np.zeros_like(img)
+    upleft[1:, 1:] = img[:-1, :-1]
+    # Paeth predictor, elementwise
+    p = left + up - upleft
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+    paeth = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
+    filtered = np.stack(
+        [
+            img,                     # 0 None
+            img - left,              # 1 Sub
+            img - up,                # 2 Up
+            img - (left + up) // 2,  # 3 Average
+            img - paeth,             # 4 Paeth
+        ]
+    ).astype(np.uint8)
+    fts = (np.arange(h) % 5) if filter_cycle else np.zeros(h, dtype=np.int64)
     raw = bytearray()
-    prev = bytes(w)
     for y in range(h):
-        row = pixels[y * w : (y + 1) * w]
-        ft = y % 5 if filter_cycle else 0
+        ft = int(fts[y])
         raw.append(ft)
-        if ft == 0:
-            raw += row
-        elif ft == 1:  # Sub
-            raw += bytes((row[x] - (row[x - 1] if x else 0)) & 0xFF for x in range(w))
-        elif ft == 2:  # Up
-            raw += bytes((row[x] - prev[x]) & 0xFF for x in range(w))
-        elif ft == 3:  # Average
-            raw += bytes(
-                (row[x] - ((row[x - 1] if x else 0) + prev[x]) // 2) & 0xFF
-                for x in range(w)
-            )
-        else:  # Paeth
-            raw += bytes(
-                (row[x] - _paeth(row[x - 1] if x else 0, prev[x], prev[x - 1] if x else 0))
-                & 0xFF
-                for x in range(w)
-            )
-        prev = row
+        raw += filtered[ft, y].tobytes()
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (
@@ -492,33 +500,40 @@ def decode_png_gray8(data: bytes) -> tuple[int, int, bytes]:
     raw = zlib.decompress(bytes(idat))
     if len(raw) != h * (w + 1):
         raise ValueError("decompressed size mismatch")
-    out = bytearray()
-    prev = bytes(w)
+    # unfilter: None/Sub/Up vectorize (copy / mod-256 cumsum / add-prev);
+    # Average and Paeth reference RECONSTRUCTED left neighbors, so those
+    # rows run a per-pixel loop — 2 of 5 row types on cycled input
+    import numpy as np
+
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
+    fts = rows[:, 0]
+    lines = rows[:, 1:].astype(np.int16)
+    out = np.zeros((h, w), dtype=np.int16)
+    prev = np.zeros(w, dtype=np.int16)
     for y in range(h):
-        ft = raw[y * (w + 1)]
-        line = raw[y * (w + 1) + 1 : (y + 1) * (w + 1)]
-        rec = bytearray(w)
-        for x in range(w):
-            a = rec[x - 1] if x else 0
-            b = prev[x]
-            c = prev[x - 1] if x else 0
-            v = line[x]
-            if ft == 0:
-                r = v
-            elif ft == 1:
-                r = v + a
-            elif ft == 2:
-                r = v + b
-            elif ft == 3:
-                r = v + (a + b) // 2
-            elif ft == 4:
-                r = v + _paeth(a, b, c)
-            else:
-                raise ValueError(f"bad filter type {ft}")
-            rec[x] = r & 0xFF
-        out += rec
-        prev = bytes(rec)
-    return (int(w), int(h), bytes(out))
+        ft = int(fts[y])
+        line = lines[y]
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # Sub: prefix sum mod 256
+            rec = np.cumsum(line, dtype=np.int64) & 0xFF
+        elif ft == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif ft in (3, 4):  # Average / Paeth: sequential left-dependency
+            rec = np.zeros(w, dtype=np.int16)
+            for x in range(w):
+                a = int(rec[x - 1]) if x else 0
+                b = int(prev[x])
+                if ft == 3:
+                    rec[x] = (int(line[x]) + (a + b) // 2) & 0xFF
+                else:
+                    c = int(prev[x - 1]) if x else 0
+                    rec[x] = (int(line[x]) + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        out[y] = rec
+        prev = out[y]
+    return (int(w), int(h), out.astype(np.uint8).tobytes())
 
 
 DECODED_PNG_SCHEMA = StructType(

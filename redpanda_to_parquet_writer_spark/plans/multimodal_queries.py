@@ -23,6 +23,35 @@ _BYTE_STATS_SCHEMA = StructType(
 )
 
 
+_SPREAD_ROWS_PER_TASK = 600
+
+
+def _doc_ids_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id column, repartitioned so the codec stages parallelize.
+
+    The fixture documents table is one small parquet file -> one input
+    partition; synthesizing and decoding media blobs from it would run
+    the whole Arrow/codec pipeline on ONE core (measured: the PNG query
+    used 1 of 32 tasks, 3.0s). A real pipeline reads already-distributed
+    blob files; spreading the id column reproduces that shape — the
+    shuffle moves only longs.
+
+    Partition count is row-count-adaptive (~600 rows per task, capped at
+    the session parallelism): per-task Python-worker and Arrow-batch
+    overhead dominates below that, so blasting a small table across all
+    cores is SLOWER than one task (measured at sf0.1: 1 part 3.0s,
+    8 parts 0.69s, 32 parts 2.4s). The parquet-footer row count makes
+    the choice cheap.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # footer-count of one small file — negligible
+    parts = max(1, min(
+        spark.sparkContext.defaultParallelism,
+        -(-n // _SPREAD_ROWS_PER_TASK),
+    ))
+    return docs.repartition(parts) if parts > 1 else docs
+
+
 def _byte_stats_codec(data: bytes):
     return (int(data[0]), int(data[-1])) if data else (None, None)
 
@@ -64,7 +93,7 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_square_wav,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_spread(spark, sf_dir)
 
     # lambda form: `from __future__ import annotations` stringifies type
     # hints, which pandas_udf's signature inspection rejects
@@ -103,7 +132,7 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_gray_image,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_spread(spark, sf_dir)
     synth = F.pandas_udf(
         lambda ids: ids.map(lambda i: synth_gray_image(int(i))[2]), "binary"
     )
@@ -141,7 +170,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_gray_image,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_spread(spark, sf_dir)
 
     def _png(i: int) -> bytes:
         return encode_png_gray8(*synth_gray_image(int(i)))
@@ -178,7 +207,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_gray_video,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_spread(spark, sf_dir)
     synth = F.pandas_udf(
         lambda ids: ids.map(lambda i: synth_gray_video(int(i))[3]), "binary"
     )
