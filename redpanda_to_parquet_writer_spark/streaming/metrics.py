@@ -116,7 +116,7 @@ class IngestMetricsListener(StreamingQueryListener):
     def wait_quiesce(
         self,
         settle_sec: float = 0.5,
-        timeout_sec: float = 5.0,
+        timeout_sec: float = 15.0,
         min_events: int = 1,
         poll_sec: float = 0.05,
     ) -> None:
