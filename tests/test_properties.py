@@ -187,3 +187,60 @@ def test_simhash_banding_recall_guarantee(spark, sf_dir):
             ).collect()
         }
         assert banded == brute, f"hamming<={k}: banded != brute force"
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_arbitrary_images(w, h, seed, cycle):
+    """PNG encode->decode is the identity on arbitrary gray8 bitmaps,
+    with and without per-row filter cycling."""
+    import random as _random
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_png_gray8,
+        encode_png_gray8,
+    )
+
+    rng = _random.Random(seed)
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    assert decode_png_gray8(encode_png_gray8(w, h, px, filter_cycle=cycle)) == (
+        w,
+        h,
+        px,
+    )
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=25).map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_line_dedup_invariants(spark, texts):
+    """n_kept + n_dupes == n_lines per doc, and the corpus-wide kept
+    count equals the number of DISTINCT lines."""
+    from redpanda_to_parquet_writer_spark.operators.text import line_dedup_stats
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = line_dedup_stats(docs, "text", "doc_id", 5).collect()
+    for r in rows:
+        assert r["n_kept"] + r["n_dupes"] == r["n_lines"]
+    # model: 5-token lines over whitespace tokens (split('') -> [''])
+    def lines(t):
+        toks = t.strip().split() if t.strip() else [""]
+        if t.strip():
+            return [" ".join(toks[i : i + 5]) for i in range(0, len(toks), 5)]
+        return [""]
+
+    all_lines = [ln for t in texts for ln in lines(t)]
+    assert sum(r["n_kept"] for r in rows) == len(set(all_lines))
+    assert sum(r["n_lines"] for r in rows) == len(all_lines)
