@@ -103,6 +103,7 @@ HEADLINE = [
     "multimodal_image_resize",
     "multimodal_frame_sample",
     "multimodal_png_decode",
+    "multimodal_mp4_probe",
 ]
 
 

@@ -226,6 +226,144 @@ def frame_sample_gray8_batches(
     return df.mapInPandas(run, result_schema)
 
 
+# --- video: REAL mp4 container STRUCTURE parser (stdlib struct) ------------
+#
+# ISO BMFF (mp4) is a box tree: [size:u32][type:4cc][payload], size==1 ->
+# 64-bit largesize follows, size==0 -> box extends to EOF; container
+# boxes (moov/trak/mdia/minf/stbl) nest children. Walking the tree and
+# reading mvhd gives brand, track count, timescale and duration with no
+# codec work at all — the standard "probe" pass a media pipeline runs
+# over every blob before deciding what to decode. Sample DECODE still
+# requires a codec library and stays stubbed (`frame_sample_stub`).
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def encode_mp4_skeleton(
+    n_tracks: int, timescale: int, duration: int, mdat_payload: bytes
+) -> bytes:
+    """Minimal valid ISO-BMFF skeleton: ftyp + moov(mvhd + n empty trak)
+    + mdat. Enough structure for any box-walking probe; carries no
+    playable samples (this is the structural twin, like the raw-gray8
+    frame stream is the pixel twin)."""
+    import struct
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    # mvhd version 0: version/flags, creation, modification, timescale,
+    # duration, then rate/volume/reserved/matrix/predefined/next_track
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">I", 0)
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", n_tracks + 1),
+    )
+    tkhd_payload = struct.pack(">I", 0) + b"\x00" * 80
+    traks = b"".join(box(b"trak", box(b"tkhd", tkhd_payload)) for _ in range(n_tracks))
+    moov = box(b"moov", mvhd + traks)
+    mdat = box(b"mdat", mdat_payload)
+    return ftyp + moov + mdat
+
+
+def probe_mp4(data: bytes) -> tuple[str, int, int, int, int, int]:
+    """REAL mp4 structure probe — walks the box tree with stdlib
+    `struct` only: validates sizes, recurses into containers, reads the
+    ftyp major brand and mvhd timescale/duration, counts tracks and the
+    mdat payload bytes.
+
+    Returns (major_brand, n_top_boxes, n_tracks, timescale, duration,
+    mdat_bytes). Raises ValueError on malformed structure (truncated
+    box, undersized header) — pair with `map_media_batches(
+    on_error="null")` for per-row tolerance.
+    """
+    import struct
+
+    brand, n_top, n_tracks, timescale, duration, mdat_bytes = "", 0, 0, 0, 0, 0
+
+    def walk(lo: int, hi: int, depth: int) -> None:
+        nonlocal brand, n_top, n_tracks, timescale, duration, mdat_bytes
+        pos = lo
+        while pos < hi:
+            if pos + 8 > hi:
+                raise ValueError("truncated box header")
+            (size,), tag = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 0:
+                end = hi
+            elif size == 1:
+                if body + 8 > hi:
+                    raise ValueError("truncated largesize")
+                (size,) = struct.unpack(">Q", data[body : body + 8])
+                body += 8
+                end = pos + size
+            else:
+                end = pos + size
+            if size != 0 and (size < 8 or end > hi):
+                raise ValueError(f"bad box size {size} for {tag!r}")
+            if depth == 0:
+                n_top += 1
+            if tag == b"ftyp":
+                brand = data[body : body + 4].decode("ascii", "replace")
+            elif tag == b"trak":
+                n_tracks += 1
+            elif tag == b"mdat":
+                mdat_bytes += end - body
+            elif tag == b"mvhd":
+                version = data[body]
+                if version == 0:
+                    timescale, duration = struct.unpack(
+                        ">II", data[body + 12 : body + 20]
+                    )
+                else:  # version 1: 64-bit times
+                    timescale, = struct.unpack(">I", data[body + 20 : body + 24])
+                    duration, = struct.unpack(">Q", data[body + 24 : body + 32])
+            if tag in _MP4_CONTAINERS:
+                walk(body, end, depth + 1)
+            pos = end
+
+    if len(data) < 8 or data[4:8] != b"ftyp":
+        raise ValueError("not an mp4 (no leading ftyp)")
+    walk(0, len(data), 0)
+    return (brand, n_top, n_tracks, int(timescale), int(duration), mdat_bytes)
+
+
+PROBED_MP4_SCHEMA = StructType(
+    [
+        StructField("major_brand", StringType()),
+        StructField("n_top_boxes", LongType()),
+        StructField("n_tracks", LongType()),
+        StructField("timescale", LongType()),
+        StructField("duration", LongType()),
+        StructField("mdat_bytes", LongType()),
+    ]
+)
+
+
+#: deterministic mp4-skeleton parameters (shared with the analytic
+#: oracle): n_tracks = 1 + seed % 3, duration = 1000 + (37*seed) % 9000,
+#: mdat = 64 + seed % 129 bytes
+MP4_TRACKS = (1, 3)
+MP4_DUR = (1000, 37, 9000)
+MP4_MDAT = (64, 129)
+MP4_TIMESCALE = 1000
+
+
+def synth_mp4(seed: int) -> bytes:
+    """Deterministic mp4 skeleton from an integer seed."""
+    n_tracks = MP4_TRACKS[0] + seed % MP4_TRACKS[1]
+    duration = MP4_DUR[0] + (MP4_DUR[1] * seed) % MP4_DUR[2]
+    mdat = bytes((seed + i) % 256 for i in range(MP4_MDAT[0] + seed % MP4_MDAT[1]))
+    return encode_mp4_skeleton(n_tracks, MP4_TIMESCALE, duration, mdat)
+
+
 #: deterministic gray8 video parameters (shared with the analytic oracle):
 #: w = 8 + seed % 9, h = 8 + (3*seed) % 11, F = 10 + seed % 13,
 #: pixel(x, y, f) = (seed + 7*x + 13*y + 17*f) % 256

@@ -46,6 +46,7 @@ _PRIORITY = [
     # new or implementation-changed this round (ADVICE r4: anything whose
     # implementation or oracle changed goes to the top of the window)
     "multimodal_png_decode",
+    "multimodal_mp4_probe",
     "streaming_offset_gaps",
     "streaming_interval_join",
     "cheapest_supplier_per_part",

@@ -189,6 +189,37 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL mp4 container-structure probe: synthesize a deterministic
+    ISO-BMFF skeleton per doc (ftyp + moov/mvhd + n trak + mdat), sniff
+    the ftyp magic JVM-side, then WALK the box tree with the stdlib
+    parser (`operators/multimodal.py:probe_mp4`) — brand, top-level box
+    count, track count, timescale, duration, mdat payload bytes, all
+    against a closed-form oracle. The probe pass is what a media
+    pipeline runs over every blob BEFORE deciding what to decode;
+    sample decode itself still needs a codec library (stubbed).
+    """
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        PROBED_MP4_SCHEMA,
+        probe_mp4,
+        synth_mp4,
+    )
+
+    docs = _doc_ids_spread(spark, sf_dir)
+    synth = F.pandas_udf(lambda ids: ids.map(lambda i: synth_mp4(int(i))), "binary")
+    blobs = docs.withColumn("blob", synth("doc_id"))
+    with_meta = with_media_metadata(blobs, "blob", media_type="video").select(
+        "doc_id", "blob", F.col("media_meta.format").alias("format")
+    )
+    return map_media_batches(
+        with_meta,
+        "blob",
+        PROBED_MP4_SCHEMA,
+        codec=probe_mp4,
+        passthrough=["doc_id", "format"],
+    )
+
+
 FRAME_EVERY_N = 3
 
 
@@ -239,6 +270,7 @@ QUERIES = {
     "multimodal_image_resize": multimodal_image_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_png_decode": multimodal_png_decode,
+    "multimodal_mp4_probe": multimodal_mp4_probe,
 }
 
 # synthetic docs are ASCII, so ord(char) == byte value on both engines
@@ -295,6 +327,19 @@ ORACLES = {
                CAST(sum(pix) AS BIGINT) AS pixel_sum
         FROM grid
         GROUP BY doc_id, w, h
+    """,
+    # closed-form replay of the mp4 skeleton: box counts, track count,
+    # duration and mdat size are integer expressions of doc_id
+    "multimodal_mp4_probe": """
+        SELECT doc_id,
+               'mp4' AS format,
+               'isom' AS major_brand,
+               CAST(3 AS BIGINT) AS n_top_boxes,
+               CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks,
+               CAST(1000 AS BIGINT) AS timescale,
+               CAST(1000 + (37 * doc_id) % 9000 AS BIGINT) AS duration,
+               CAST(64 + doc_id % 129 AS BIGINT) AS mdat_bytes
+        FROM documents
     """,
     # closed-form replay of the PNG round trip: the decoder recovers the
     # deterministic source bitmap exactly, so dimensions, corners and the

@@ -355,3 +355,30 @@ def test_png_decode_corrupt_tolerance_through_spark(spark):
     for seed in (0, 1, 3):
         _, _, px = synth_gray_image(seed)
         assert got[seed] == sum(px)
+
+
+def test_mp4_probe_local_and_corrupt():
+    """Box-tree walk returns exact structural facts; malformed trees
+    raise ValueError (truncated header, oversized box, missing ftyp)."""
+    import pytest
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        probe_mp4,
+        synth_mp4,
+    )
+
+    for seed in (0, 3, 42):
+        brand, n_top, n_tracks, ts, dur, mdat = probe_mp4(synth_mp4(seed))
+        assert (brand, n_top, ts) == ("isom", 3, 1000)
+        assert n_tracks == 1 + seed % 3
+        assert dur == 1000 + (37 * seed) % 9000
+        assert mdat == 64 + seed % 129
+    with pytest.raises(ValueError, match="ftyp"):
+        probe_mp4(b"garbage!")
+    blob = synth_mp4(5)
+    with pytest.raises(ValueError, match="truncated|bad box"):
+        probe_mp4(blob[:20])
+    bad = bytearray(blob)
+    bad[0:4] = (999999).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="bad box"):
+        probe_mp4(bytes(bad))
