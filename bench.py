@@ -104,6 +104,7 @@ HEADLINE = [
     "multimodal_frame_sample",
     "multimodal_png_decode",
     "multimodal_mp4_probe",
+    "multimodal_gif_roundtrip",
 ]
 
 

@@ -226,6 +226,195 @@ def frame_sample_gray8_batches(
     return df.mapInPandas(run, result_schema)
 
 
+# --- image: REAL GIF codec (stdlib-only LZW, grayscale palette) ------------
+#
+# GIF's LZW is lossless, so a full encode->decode round trip is exact —
+# like PNG this needs no imaging library: header + logical screen
+# descriptor + 256-entry grayscale palette + image descriptor + GIF-LZW
+# (variable-width codes, LSB-first bit packing, clear/EOI, 4096-entry
+# dict) in 255-byte sub-blocks. With PNG and GIF real and mp4 structure
+# probed, JPEG is the one remaining stub (DCT entropy coding genuinely
+# needs a library).
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(1 << min_code_size)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    out = bytearray()
+    acc = n_bits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    emit(clear)
+    prefix = b""
+    for b in indices:
+        cand = prefix + bytes([b])
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix])
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        elif next_code > 4095:
+            emit(clear)
+            table = {bytes([i]): i for i in range(1 << min_code_size)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prefix = bytes([b])
+    if prefix:
+        emit(table[prefix])
+    emit(eoi)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
+    out = bytearray()
+    acc = n_bits = pos = 0
+    prev: bytes | None = None
+    while True:
+        while n_bits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended without EOI")
+            acc |= data[pos] << n_bits
+            pos += 1
+            n_bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        if code == clear:
+            table = table[: (1 << min_code_size) + 2]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+            if prev is not None:
+                table.append(prev + entry[:1])
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out += entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+
+
+def encode_gif_gray8(w: int, h: int, pixels: bytes) -> bytes:
+    """Encode a raw gray8 bitmap as a valid GIF89a (stdlib only):
+    256-entry grayscale palette, real variable-width LZW."""
+    import struct
+
+    if len(pixels) != w * h:
+        raise ValueError(f"expected {w * h} pixels, got {len(pixels)}")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global table, 256 colors
+    for i in range(256):
+        out += bytes((i, i, i))  # grayscale palette: index == intensity
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+    out.append(8)  # LZW min code size
+    lzw = _gif_lzw_encode(pixels)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif_gray8(data: bytes) -> tuple[int, int, bytes]:
+    """REAL GIF decode for non-interlaced single-frame grayscale GIFs —
+    stdlib only: header/LSD parse, palette read, sub-block reassembly,
+    full variable-width LZW decompression, palette application.
+
+    Returns (width, height, row-major gray8 bytes — palette applied, so
+    the round trip with `encode_gif_gray8` is the identity). Raises
+    ValueError on malformed input; pair with `map_media_batches(
+    on_error="null")` for per-row corrupt-blob tolerance.
+    """
+    import struct
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    if len(data) < 13:
+        raise ValueError("truncated logical screen descriptor")
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n_colors = 2 << (packed & 0x07)
+        palette = data[pos : pos + 3 * n_colors]
+        if len(palette) != 3 * n_colors:
+            raise ValueError("truncated global color table")
+        pos += 3 * n_colors
+    while pos < len(data):
+        marker = data[pos]
+        if marker == 0x21:  # extension: label + sub-blocks, skip
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif marker == 0x2C:  # image descriptor
+            ix, iy, iw, ih, ipacked = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+            pos += 10
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            if ipacked & 0x80:  # local color table overrides
+                n_colors = 2 << (ipacked & 0x07)
+                palette = data[pos : pos + 3 * n_colors]
+                pos += 3 * n_colors
+            if palette is None:
+                raise ValueError("no color table")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(data) and data[pos] != 0:
+                n = data[pos]
+                lzw += data[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            if pos >= len(data):
+                raise ValueError("truncated image data")
+            pos += 1  # block terminator
+            indices = _gif_lzw_decode(bytes(lzw), min_code)
+            if len(indices) != iw * ih:
+                raise ValueError("decoded pixel count mismatch")
+            # palette application: gray value = red channel
+            px = bytes(palette[3 * i] for i in indices)
+            return (int(iw), int(ih), px)
+        elif marker == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown block marker {marker:#x}")
+    raise ValueError("no image descriptor found")
+
+
+def decode_gif_features(data: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """GIF decode to the same exact integer feature tuple as
+    `decode_png_features` (width, height, bit_depth, channels, p00,
+    p_last, pixel_sum)."""
+    w, h, px = decode_gif_gray8(data)
+    return (w, h, 8, 1, px[0], px[-1], sum(px))
+
+
 # --- video: REAL mp4 container STRUCTURE parser (stdlib struct) ------------
 #
 # ISO BMFF (mp4) is a box tree: [size:u32][type:4cc][payload], size==1 ->

@@ -47,6 +47,7 @@ _PRIORITY = [
     # implementation or oracle changed goes to the top of the window)
     "multimodal_png_decode",
     "multimodal_mp4_probe",
+    "multimodal_gif_roundtrip",
     "streaming_offset_gaps",
     "streaming_interval_join",
     "cheapest_supplier_per_part",

@@ -189,6 +189,40 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF codec end-to-end: the same deterministic gray8 bitmap as
+    the PNG query, encoded as a real GIF89a (stdlib variable-width LZW +
+    grayscale palette), magic-sniffed JVM-side, then fully LZW-decoded
+    back (`operators/multimodal.py:decode_gif_gray8`). LZW is lossless,
+    so dimensions, corners and the exact pixel sum replay closed-form —
+    the identical oracle shape as PNG with format='gif'.
+    """
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        DECODED_PNG_SCHEMA,
+        decode_gif_features,
+        encode_gif_gray8,
+        synth_gray_image,
+    )
+
+    docs = _doc_ids_spread(spark, sf_dir)
+
+    def _gif(i: int) -> bytes:
+        return encode_gif_gray8(*synth_gray_image(int(i)))
+
+    synth = F.pandas_udf(lambda ids: ids.map(_gif), "binary")
+    blobs = docs.withColumn("blob", synth("doc_id"))
+    with_meta = with_media_metadata(blobs, "blob", media_type="image").select(
+        "doc_id", "blob", F.col("media_meta.format").alias("format")
+    )
+    return map_media_batches(
+        with_meta,
+        "blob",
+        DECODED_PNG_SCHEMA,
+        codec=decode_gif_features,
+        passthrough=["doc_id", "format"],
+    )
+
+
 def multimodal_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL mp4 container-structure probe: synthesize a deterministic
     ISO-BMFF skeleton per doc (ftyp + moov/mvhd + n trak + mdat), sniff
@@ -271,6 +305,7 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_png_decode": multimodal_png_decode,
     "multimodal_mp4_probe": multimodal_mp4_probe,
+    "multimodal_gif_roundtrip": multimodal_gif_roundtrip,
 }
 
 # synthetic docs are ASCII, so ord(char) == byte value on both engines
@@ -340,6 +375,33 @@ ORACLES = {
                CAST(1000 + (37 * doc_id) % 9000 AS BIGINT) AS duration,
                CAST(64 + doc_id % 129 AS BIGINT) AS mdat_bytes
         FROM documents
+    """,
+    # GIF LZW is lossless: identical closed-form oracle as PNG, format gif
+    "multimodal_gif_roundtrip": """
+        WITH base AS (
+          SELECT doc_id,
+                 16 + doc_id % 17 AS w,
+                 16 + (3 * doc_id) % 23 AS h
+          FROM documents
+        ),
+        grid AS (
+          SELECT b.doc_id, b.w, b.h,
+                 (b.doc_id + 7 * xs.x + 13 * ys.y) % 256 AS pix
+          FROM base b,
+               LATERAL (SELECT unnest(range(b.w)) AS x) xs,
+               LATERAL (SELECT unnest(range(b.h)) AS y) ys
+        )
+        SELECT doc_id,
+               'gif' AS format,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(8 AS BIGINT) AS bit_depth,
+               CAST(1 AS BIGINT) AS channels,
+               CAST(doc_id % 256 AS BIGINT) AS p00,
+               CAST((doc_id + 7 * (w - 1) + 13 * (h - 1)) % 256 AS BIGINT) AS p_last,
+               CAST(sum(pix) AS BIGINT) AS pixel_sum
+        FROM grid
+        GROUP BY doc_id, w, h
     """,
     # closed-form replay of the PNG round trip: the decoder recovers the
     # deterministic source bitmap exactly, so dimensions, corners and the

@@ -382,3 +382,32 @@ def test_mp4_probe_local_and_corrupt():
     bad[0:4] = (999999).to_bytes(4, "big")
     with pytest.raises(ValueError, match="bad box"):
         probe_mp4(bytes(bad))
+
+
+def test_gif_codec_roundtrip_and_corrupt():
+    """Stdlib GIF-LZW encode->decode is the identity (incl. code-width
+    growth and the 4096-entry dict reset); malformed blobs raise."""
+    import random
+
+    import pytest
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_gif_gray8,
+        encode_gif_gray8,
+        synth_gray_image,
+    )
+
+    for seed in (0, 7, 123):
+        w, h, px = synth_gray_image(seed)
+        assert decode_gif_gray8(encode_gif_gray8(w, h, px)) == (w, h, px)
+    rng = random.Random(3)
+    px = bytes(rng.randrange(256) for _ in range(90 * 77))
+    assert decode_gif_gray8(encode_gif_gray8(90, 77, px))[2] == px
+    # repetitive image forces the LZW dict past 4096 -> clear/reset path
+    big = bytes([9]) * 120_000
+    assert decode_gif_gray8(encode_gif_gray8(400, 300, big))[2] == big
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif_gray8(b"NOTAGIF!")
+    blob = encode_gif_gray8(*synth_gray_image(7))
+    with pytest.raises(ValueError):
+        decode_gif_gray8(blob[:40])
