@@ -105,6 +105,7 @@ HEADLINE = [
     "multimodal_png_decode",
     "multimodal_mp4_probe",
     "multimodal_gif_roundtrip",
+    "multimodal_jpeg_probe",
 ]
 
 

@@ -415,6 +415,119 @@ def decode_gif_features(data: bytes) -> tuple[int, int, int, int, int, int, int]
     return (w, h, 8, 1, px[0], px[-1], sum(px))
 
 
+# --- image: REAL JPEG header/marker prober (stdlib only) -------------------
+#
+# Full JPEG DECODE (huffman entropy + IDCT) genuinely needs a codec
+# library and stays stubbed — but the marker stream is plain structure:
+# SOI, length-prefixed segments, entropy-coded scan with 0xFF00
+# stuffing, EOI. Probing dimensions/components/table counts without
+# decoding is the standard first pass over image corpora (filter by
+# size/type before paying decode cost).
+
+
+def encode_jpeg_skeleton(w: int, h: int) -> bytes:
+    """Minimal VALID baseline JPEG: solid-gray image, one component,
+    one quant table, trivial huffman tables where DC-category-0 and EOB
+    each take a single '0' bit — so every 8x8 MCU encodes in exactly 2
+    bits and the scan length is closed-form: ceil(2*ceil(w/8)*ceil(h/8)
+    / 8) bytes, with no 0xFF stuffing ever needed. The structural twin
+    for probe testing, like `encode_mp4_skeleton`."""
+    import struct
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", 2 + len(payload)) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    out += seg(0xDB, bytes([0]) + bytes([16] * 64))  # DQT table 0
+    # SOF0: precision 8, h, w, 1 component (id 1, sampling 1x1, qtable 0)
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes((1, 0x11, 0)))
+    # DHT: one code of length 1 (bit '0') for symbol 0x00 — DC cat 0 / AC EOB
+    tiny = bytes([1] + [0] * 15 + [0x00])
+    out += seg(0xC4, bytes([0x00]) + tiny)  # DC table 0
+    out += seg(0xC4, bytes([0x10]) + tiny)  # AC table 0
+    out += seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))  # SOS: 1 component
+    mcus = ((w + 7) // 8) * ((h + 7) // 8)
+    n_bits = 2 * mcus  # per MCU: DC '0' + EOB '0'
+    n_bytes = (n_bits + 7) // 8
+    scan = bytearray(n_bytes)
+    pad = n_bytes * 8 - n_bits
+    if pad:
+        scan[-1] = (1 << pad) - 1  # 1-padding per the spec
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def probe_jpeg(data: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """REAL JPEG structure probe — walks the marker stream with no
+    decoding: SOF dimensions and component count, DQT/DHT table counts,
+    baseline-vs-progressive flag, entropy-coded scan bytes (skipping
+    0xFF00 stuffing and restart markers).
+
+    Returns (width, height, n_components, n_quant_tables,
+    n_huffman_tables, progressive, scan_bytes). Raises ValueError on
+    malformed streams (no SOI, bad segment length, missing EOI).
+    """
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    w = h = ncomp = ndqt = ndht = scan_bytes = 0
+    progressive = 0
+    saw_eoi = False
+    pos = 2
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            saw_eoi = True
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+            continue
+        if pos + 2 > len(data):
+            raise ValueError("truncated segment header")
+        ln = int.from_bytes(data[pos : pos + 2], "big")
+        if ln < 2 or pos + ln > len(data):
+            raise ValueError(f"bad segment length {ln}")
+        body = data[pos + 2 : pos + ln]
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+            progressive = int(marker == 0xC2)
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+        elif marker == 0xDB:
+            ndqt += 1
+        elif marker == 0xC4:
+            ndht += 1
+        pos += ln
+        if marker == 0xDA:  # entropy-coded scan follows
+            start = pos
+            while pos + 1 < len(data) and not (
+                data[pos] == 0xFF
+                and data[pos + 1] != 0x00
+                and not 0xD0 <= data[pos + 1] <= 0xD7
+            ):
+                pos += 1
+            scan_bytes += pos - start
+    if not saw_eoi:
+        raise ValueError("no EOI marker")
+    return (int(w), int(h), int(ncomp), ndqt, ndht, progressive, scan_bytes)
+
+
+PROBED_JPEG_SCHEMA = StructType(
+    [
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_components", LongType()),
+        StructField("n_quant_tables", LongType()),
+        StructField("n_huffman_tables", LongType()),
+        StructField("progressive", LongType()),
+        StructField("scan_bytes", LongType()),
+    ]
+)
+
+
 # --- video: REAL mp4 container STRUCTURE parser (stdlib struct) ------------
 #
 # ISO BMFF (mp4) is a box tree: [size:u32][type:4cc][payload], size==1 ->

@@ -48,6 +48,7 @@ _PRIORITY = [
     "multimodal_png_decode",
     "multimodal_mp4_probe",
     "multimodal_gif_roundtrip",
+    "multimodal_jpeg_probe",
     "streaming_offset_gaps",
     "streaming_interval_join",
     "cheapest_supplier_per_part",

@@ -223,6 +223,42 @@ def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_jpeg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG structure probe: synthesize a minimal VALID baseline
+    JPEG per doc (the 2-bit-per-MCU skeleton), sniff the SOI magic
+    JVM-side, then walk the marker stream (`operators/multimodal.py:
+    probe_jpeg`) — dimensions, component/table counts, scan bytes, all
+    closed-form (scan = ceil(2 * ceil(w/8) * ceil(h/8) / 8) bytes).
+    The probe-before-decode pass image corpora run at scale; entropy
+    DECODE stays stubbed (needs a codec library).
+    """
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        PROBED_JPEG_SCHEMA,
+        encode_jpeg_skeleton,
+        probe_jpeg,
+        synth_gray_image,
+    )
+
+    docs = _doc_ids_spread(spark, sf_dir)
+
+    def _jpg(i: int) -> bytes:
+        w, h, _ = synth_gray_image(int(i))
+        return encode_jpeg_skeleton(w, h)
+
+    synth = F.pandas_udf(lambda ids: ids.map(_jpg), "binary")
+    blobs = docs.withColumn("blob", synth("doc_id"))
+    with_meta = with_media_metadata(blobs, "blob", media_type="image").select(
+        "doc_id", "blob", F.col("media_meta.format").alias("format")
+    )
+    return map_media_batches(
+        with_meta,
+        "blob",
+        PROBED_JPEG_SCHEMA,
+        codec=probe_jpeg,
+        passthrough=["doc_id", "format"],
+    )
+
+
 def multimodal_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL mp4 container-structure probe: synthesize a deterministic
     ISO-BMFF skeleton per doc (ftyp + moov/mvhd + n trak + mdat), sniff
@@ -306,6 +342,7 @@ QUERIES = {
     "multimodal_png_decode": multimodal_png_decode,
     "multimodal_mp4_probe": multimodal_mp4_probe,
     "multimodal_gif_roundtrip": multimodal_gif_roundtrip,
+    "multimodal_jpeg_probe": multimodal_jpeg_probe,
 }
 
 # synthetic docs are ASCII, so ord(char) == byte value on both engines
@@ -362,6 +399,27 @@ ORACLES = {
                CAST(sum(pix) AS BIGINT) AS pixel_sum
         FROM grid
         GROUP BY doc_id, w, h
+    """,
+    # closed-form replay of the JPEG skeleton: dims from the image
+    # formula, fixed table counts, scan bytes from the 2-bit-MCU math
+    "multimodal_jpeg_probe": """
+        WITH base AS (
+          SELECT doc_id,
+                 16 + doc_id % 17 AS w,
+                 16 + (3 * doc_id) % 23 AS h
+          FROM documents
+        )
+        SELECT doc_id,
+               'jpeg' AS format,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(1 AS BIGINT) AS n_components,
+               CAST(1 AS BIGINT) AS n_quant_tables,
+               CAST(2 AS BIGINT) AS n_huffman_tables,
+               CAST(0 AS BIGINT) AS progressive,
+               CAST((2 * ((w + 7) // 8) * ((h + 7) // 8) + 7) // 8 AS BIGINT)
+                 AS scan_bytes
+        FROM base
     """,
     # closed-form replay of the mp4 skeleton: box counts, track count,
     # duration and mdat size are integer expressions of doc_id

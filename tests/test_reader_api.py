@@ -411,3 +411,25 @@ def test_gif_codec_roundtrip_and_corrupt():
     blob = encode_gif_gray8(*synth_gray_image(7))
     with pytest.raises(ValueError):
         decode_gif_gray8(blob[:40])
+
+
+def test_jpeg_probe_local_and_corrupt():
+    import pytest
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        encode_jpeg_skeleton,
+        probe_jpeg,
+    )
+
+    for w, h in ((16, 16), (24, 39), (33, 17)):
+        mcus = ((w + 7) // 8) * ((h + 7) // 8)
+        assert probe_jpeg(encode_jpeg_skeleton(w, h)) == (
+            w, h, 1, 1, 2, 0, (2 * mcus + 7) // 8,
+        )
+    with pytest.raises(ValueError, match="SOI"):
+        probe_jpeg(b"notjpeg")
+    blob = encode_jpeg_skeleton(24, 16)
+    with pytest.raises(ValueError, match="EOI"):
+        probe_jpeg(blob[:-2])
+    with pytest.raises(ValueError):
+        probe_jpeg(blob[:15])
