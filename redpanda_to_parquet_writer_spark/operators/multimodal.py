@@ -3,15 +3,23 @@
 Training-data pipelines carry image/audio/video as opaque `binary`
 columns with typed metadata. This module provides the real Spark
 plumbing — schemas, partition-preserving `mapInPandas` stages with bounded
-Arrow batch sizes, deterministic metadata extraction. The AUDIO codec is
-REAL (stdlib `wave`: container + 16-bit PCM parse) and so is the PNG
-image codec (stdlib `zlib`+`struct`: chunk walk, CRC check, inflate,
-scanline unfiltering) — both oracle-gated in plans/multimodal_queries.py.
-JPEG decode and container video demux (mp4/avi) stay stubbed because
-those genuinely need libraries absent from this container; the stubs
-raise NotImplementedError unless a library-backed codec is injected. The
-pipeline shape (what runs where, batch sizes, schema contracts) is real
-and tested for every media type.
+Arrow batch sizes, deterministic metadata extraction — plus REAL
+library-free codecs/probes for every major container, all oracle-gated
+in plans/multimodal_queries.py:
+
+  - WAV: full codec (stdlib `wave`, container + 16-bit PCM)
+  - PNG: full codec (`zlib`+`struct`: chunk walk, CRC check, inflate,
+    all five scanline filters)
+  - GIF: full codec (variable-width GIF-LZW, grayscale palette)
+  - mp4: box-tree structure probe (brand, mvhd, tracks, mdat)
+  - JPEG: marker-stream probe (SOF dims/components, table counts, scan
+    accounting)
+
+Only LOSSY-codec sample decode (JPEG entropy+IDCT, mp4/avi video
+frames) stays stubbed — that genuinely needs libraries absent from this
+container; the stubs raise NotImplementedError unless a library-backed
+codec is injected. The pipeline shape (what runs where, batch sizes,
+schema contracts) is real and tested for every media type.
 
 Scale notes: media blobs make rows huge — the mapInPandas stages are
 narrow (no shuffle), and `maxRecordsPerBatch` should be lowered so an
