@@ -74,6 +74,7 @@ HEADLINE = [
     "docs_exact_dedup",
     "docs_line_dedup",
     "events_value_median_by_type",
+    "events_sliding_hour_counts",
     "docs_token_stats",
     "docs_bpe_token_stats",
     "docs_quality_score",

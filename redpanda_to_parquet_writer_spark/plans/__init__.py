@@ -56,6 +56,7 @@ _PRIORITY = [
     "important_suppliers",
     "heavy_part_suppliers",
     "events_value_median_by_type",
+    "events_sliding_hour_counts",
     "docs_line_dedup",
     "embeddings_random_projection",
     "streaming_dedup_keys",

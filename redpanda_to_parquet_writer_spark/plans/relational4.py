@@ -247,12 +247,50 @@ def events_value_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SLIDE_WINDOW_SEC = 3600
+
+
+def events_sliding_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour activity: for every event, how many of the
+    same user's events (inclusive) fall in the preceding hour — a RANGE
+    window frame (value-based bounds), the one frame type the rest of
+    the window surface doesn't exercise (ROWS frames and whole-partition
+    windows are covered elsewhere).
+
+    Plan: one shuffle on user_id; the RANGE frame slides over the
+    SORTED epoch seconds per user, so cost is O(events log events) per
+    user with no self-join (the naive interval-join formulation of the
+    same question shuffles twice and explodes pairs). Integer counts —
+    exact in any engine.
+    """
+    from pyspark.sql import Window
+
+    from redpanda_to_parquet_writer_spark.functions.dates import event_epoch_sec
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_id", "user_id", event_epoch_sec(events).alias("ts_sec")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-SLIDE_WINDOW_SEC, 0)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
+    )
+
+
 QUERIES = {
     "cheapest_supplier_per_part": cheapest_supplier_per_part,
     "nation_part_profit": nation_part_profit,
     "important_suppliers": important_suppliers,
     "heavy_part_suppliers": heavy_part_suppliers,
     "events_value_median_by_type": events_value_median_by_type,
+    "events_sliding_hour_counts": events_sliding_hour_counts,
 }
 
 ORACLES = {
@@ -308,6 +346,15 @@ ORACLES = {
         WHERE CAST(rev * 10000 AS HUGEINT) * 1000000
               > {IMPORTANT_SHARE_PPM} * CAST(tot * 10000 AS HUGEINT)
         ORDER BY revenue DESC, s_suppkey ASC
+    """,
+    "events_sliding_hour_counts": f"""
+        SELECT event_id, user_id,
+               epoch_us(ts) // 1000000 AS ts_sec,
+               count(*) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+                 RANGE BETWEEN {SLIDE_WINDOW_SEC} PRECEDING AND CURRENT ROW
+               ) AS n_trailing_hour
+        FROM events
     """,
     "events_value_median_by_type": """
         WITH ranked AS (
