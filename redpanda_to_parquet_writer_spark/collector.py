@@ -116,7 +116,7 @@ class Collector:
                 self.cfg,
                 query_name=query_name,
             )
-            listener.wait_quiesce()
+            listener.wait_quiesce(query_name=query_name)
         finally:
             listener.detach(self.spark)
         try:

@@ -51,6 +51,26 @@ MEDIA_META_SCHEMA = StructType(
     ]
 )
 
+def _malformed_raises_value_error(fn: Callable) -> Callable:
+    """Decorator enforcing the codec contract: ANY malformed-input
+    failure surfaces as ValueError. The parsers index and struct-unpack
+    at offsets derived from untrusted bytes; a truncated blob can
+    surface as struct.error or IndexError deep inside — callers pairing
+    with `except ValueError` (per the docstrings) must not crash on
+    those."""
+    import functools
+    import struct as _struct
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (_struct.error, IndexError) as exc:
+            raise ValueError(f"malformed input: {exc}") from exc
+
+    return wrapped
+
+
 # magic-byte prefixes for driver-free format sniffing (pure JVM exprs)
 _MAGIC = {
     "jpeg": "ffd8ff",
@@ -95,15 +115,17 @@ def with_media_metadata(
 def decode_image_stub(data: bytes) -> tuple[int, int, int]:
     """Decode (width, height, channels) from image bytes.
 
-    STUB for JPEG/GIF/etc: requires an imaging library (PIL/opencv) not
-    present in this container. Inject a real codec via
-    `map_media_batches(codec=...)`. PNG needs no library — use
-    `decode_png_gray8` / `decode_png_features` below.
+    STUB for JPEG pixel decode only: DCT entropy coding requires an
+    imaging library (PIL/opencv) not present in this container — inject
+    a real codec via `map_media_batches(codec=...)`. PNG and GIF decode
+    fully library-free (`decode_png_gray8`, `decode_gif_gray8`), and
+    JPEG structure probes without decoding (`probe_jpeg`).
     """
     raise NotImplementedError(
-        "image decode requires an imaging library (e.g. PIL) except for "
-        "PNG (see decode_png_gray8); inject a codec callable into "
-        "map_media_batches"
+        "JPEG pixel decode requires an imaging library (e.g. PIL); "
+        "PNG/GIF decode and JPEG probing are library-free (see "
+        "decode_png_gray8 / decode_gif_gray8 / probe_jpeg); inject a "
+        "codec callable into map_media_batches"
     )
 
 
@@ -240,9 +262,9 @@ def frame_sample_gray8_batches(
 # like PNG this needs no imaging library: header + logical screen
 # descriptor + 256-entry grayscale palette + image descriptor + GIF-LZW
 # (variable-width codes, LSB-first bit packing, clear/EOI, 4096-entry
-# dict) in 255-byte sub-blocks. With PNG and GIF real and mp4 structure
-# probed, JPEG is the one remaining stub (DCT entropy coding genuinely
-# needs a library).
+# dict) in 255-byte sub-blocks. With PNG/GIF decoded and JPEG/mp4
+# structure-probed (below), only lossy-codec PIXEL decode remains
+# library-gated.
 
 
 def _gif_lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
@@ -349,6 +371,7 @@ def encode_gif_gray8(w: int, h: int, pixels: bytes) -> bytes:
     return bytes(out)
 
 
+@_malformed_raises_value_error
 def decode_gif_gray8(data: bytes) -> tuple[int, int, bytes]:
     """REAL GIF decode for non-interlaced single-frame grayscale GIFs —
     stdlib only: header/LSD parse, palette read, sub-block reassembly,
@@ -467,6 +490,7 @@ def encode_jpeg_skeleton(w: int, h: int) -> bytes:
     return bytes(out)
 
 
+@_malformed_raises_value_error
 def probe_jpeg(data: bytes) -> tuple[int, int, int, int, int, int, int]:
     """REAL JPEG structure probe — walks the marker stream with no
     decoding: SOF dimensions and component count, DQT/DHT table counts,
@@ -583,6 +607,7 @@ def encode_mp4_skeleton(
     return ftyp + moov + mdat
 
 
+@_malformed_raises_value_error
 def probe_mp4(data: bytes) -> tuple[str, int, int, int, int, int]:
     """REAL mp4 structure probe — walks the box tree with stdlib
     `struct` only: validates sizes, recurses into containers, reads the
@@ -613,10 +638,12 @@ def probe_mp4(data: bytes) -> tuple[str, int, int, int, int, int]:
                     raise ValueError("truncated largesize")
                 (size,) = struct.unpack(">Q", data[body : body + 8])
                 body += 8
+                if size < 16:  # 8 header + 8 largesize minimum
+                    raise ValueError(f"bad largesize {size} for {tag!r}")
                 end = pos + size
             else:
                 end = pos + size
-            if size != 0 and (size < 8 or end > hi):
+            if size != 0 and (size < 8 or end > hi or end < body):
                 raise ValueError(f"bad box size {size} for {tag!r}")
             if depth == 0:
                 n_top += 1
@@ -725,6 +752,7 @@ def encode_wav_pcm16(samples: list[int], sample_rate: int = 8000) -> bytes:
     return buf.getvalue()
 
 
+@_malformed_raises_value_error
 def decode_wav(data: bytes) -> tuple[int, int, int, int, int, int]:
     """REAL audio decode — parses the WAV container and the PCM frames
     with the stdlib `wave` module (unlike the image/video codecs, no
@@ -907,6 +935,7 @@ def encode_png_gray8(w: int, h: int, pixels: bytes, filter_cycle: bool = True) -
     )
 
 
+@_malformed_raises_value_error
 def decode_png_gray8(data: bytes) -> tuple[int, int, bytes]:
     """REAL PNG decode for grayscale-8 non-interlaced images — stdlib
     `zlib` + `struct`: signature check, chunk walk with CRC verification,

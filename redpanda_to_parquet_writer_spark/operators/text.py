@@ -383,14 +383,17 @@ def jaccard_pairs(
     runs AFTER LSH banding restricts the pair space.
 
     `max_doc_freq` caps posting-list length: shingles appearing in more
-    docs are dropped BEFORE their posting list is collected (window
-    count over the same shingle partitioning — no extra shuffle),
-    bounding the per-shingle pair blowup at cap^2/2. Document-frequency
-    capping is the standard guard against boilerplate shingles; note it
-    makes the similarity *approximate* (a capped shingle no longer
-    counts toward intersections OR set sizes — sizes are recomputed from
+    docs are dropped BEFORE their posting list is collected, bounding
+    the per-shingle pair blowup at cap^2/2. Document-frequency capping
+    is the standard guard against boilerplate shingles; note it makes
+    the similarity *approximate* (a capped shingle no longer counts
+    toward intersections OR set sizes — sizes are recomputed from
     surviving shingles so |A∪B| stays consistent), i.e. Jaccard over the
-    DF-filtered shingle space.
+    DF-filtered shingle space. The guard path costs two extra shuffles
+    of the exploded shingle rows (the DF window partitions on the
+    shingle, the size recompute on the doc id, then the posting groupBy
+    re-partitions on the shingle) — pay it only on corpora where a hot
+    shingle actually threatens the pair space.
     """
     # each doc's shingle-set size rides the exploded rows (computed
     # narrow, BEFORE the explode) so the posting-list pipeline is the
@@ -523,7 +526,6 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     n_bands: int = 4,
     bits: int = 48,
-    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: band-bucket candidates, exact
     Hamming verify — returns (id_a, id_b, hamming) with
@@ -545,9 +547,13 @@ def simhash_neardup_pairs(
     _check_simhash_banding(max_hamming, n_bands, bits)
     sh = simhash_fingerprint(df, text_col, id_col, bits=bits)
     bands = _simhash_bands(sh, id_col, n_bands=n_bands, bits=bits)
-    cand = bucket_pair_candidates(
-        bands, ["band", "key"], id_col, ["simhash"], max_bucket_size=max_bucket_size
-    )
+    # NO max_bucket_size here, deliberately: the pigeonhole guarantees a
+    # qualifying pair shares AT LEAST ONE band — possibly only one — so
+    # dropping any bucket would silently break the recall-1 contract.
+    # Hot-bucket capping belongs to the probabilistic-recall paths
+    # (MinHash banding, hyperplane LSH), where a pair lost from one
+    # bucket still collides in its other bands/tables.
+    cand = bucket_pair_candidates(bands, ["band", "key"], id_col, ["simhash"])
     hamming = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))).cast("bigint")
     return (
         cand.withColumn("hamming", hamming)
@@ -784,15 +790,14 @@ def line_dedup_stats(
     """
     from pyspark.sql import Window
 
+    # split() on any non-null string yields >= 1 element ("" -> [""]), so
+    # n_lines >= 1 always — an empty doc contributes one "" line, which
+    # dedups against other empty docs like any other content
     toks = tokens(text_col)
     n_lines = F.ceil(F.size(toks).cast("double") / line_tokens).cast("int")
-    lines = F.when(F.size(toks) <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(n_lines, F.lit(1)) - 1),
-            lambda i: F.concat_ws(
-                " ", F.slice(toks, i * line_tokens + 1, line_tokens)
-            ),
-        )
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * line_tokens + 1, line_tokens)),
     )
     exploded = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.posexplode(lines).alias("line_idx", "line")

@@ -224,8 +224,13 @@ def events_value_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    events = load_table(spark, sf_dir, "events").select(
-        "event_type", "value", "event_id"
+    # NULL values are excluded on BOTH sides (median over present
+    # values): Spark ASC sorts NULL first, DuckDB last — leaving them in
+    # would shift which rows are the middle ranks between engines
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value", "event_id")
+        .filter(F.col("value").isNotNull())
     )
     w = Window.partitionBy("event_type").orderBy(
         F.col("value").asc(), F.col("event_id").asc()
@@ -363,7 +368,7 @@ ORACLES = {
                    PARTITION BY event_type ORDER BY value ASC, event_id ASC
                  ) AS rn,
                  count(*) OVER (PARTITION BY event_type) AS n
-          FROM events
+          FROM events WHERE value IS NOT NULL
         )
         SELECT event_type,
                max(n) AS n_events,

@@ -119,41 +119,45 @@ class IngestMetricsListener(StreamingQueryListener):
         timeout_sec: float = 15.0,
         min_events: int = 1,
         poll_sec: float = 0.05,
+        query_name: str | None = None,
     ) -> None:
-        """Block until at least `min_events` progress events have arrived
-        AND the event count has been stable for `settle_sec` (the
-        listener bus delivers asynchronously, so metrics read right after
-        awaitTermination can race the final batch's event).
+        """Block until the watched queries' events have settled: returns
+        as soon as every watched query's TERMINATED event has arrived
+        (the listener bus is a single ordered queue, so termination
+        implies all its progress events were delivered — this covers the
+        caught-up drain that legitimately processed ZERO batches), or
+        when at least `min_events` progress events have arrived and the
+        count has been stable for `settle_sec`.
 
-        Requiring an observed event (ADVICE r4) means a drain whose
-        progress event is late by more than one settle window still gets
-        counted instead of silently quiescing at zero; the poll interval
-        is decoupled from the settle window so stability is detected at
-        `poll_sec` granularity. The fast path keys on the TERMINATED
-        event: the listener bus is a single ordered queue, so once every
-        started query's terminated event has arrived, all progress
-        events precede it and quiescence is immediate — the settle
-        window only applies when termination has not been observed yet.
-        Pass `min_events=0` only for streams that may legitimately
-        process nothing. Returns on timeout regardless — metrics are
+        `query_name` scopes the wait to one named query: concurrent
+        per-topic drains share the session listener bus, so without the
+        filter topic A's wait could be satisfied by topic B's events (or
+        kept spinning by them). The poll interval is decoupled from the
+        settle window so stability is detected at `poll_sec`
+        granularity. Returns on timeout regardless — metrics are
         observability, never worth hanging a drain for.
         """
         import time
 
+        def snapshot() -> tuple[int, bool]:
+            with self._lock:
+                if query_name is None:
+                    ids = set(self._names)
+                else:
+                    ids = {q for q, nm in self._names.items() if nm == query_name}
+                n = sum(1 for (qid, _b) in self._batches if qid in ids)
+                done = bool(ids) and ids <= self._terminated
+            return n, done
+
         deadline = time.monotonic() + timeout_sec
-        with self._lock:
-            last = len(self._batches)
+        last, _ = snapshot()
         stable_since = time.monotonic()
         while time.monotonic() < deadline:
-            with self._lock:
-                n = len(self._batches)
-                all_done = bool(self._names) and set(self._names) <= self._terminated
+            n, all_done = snapshot()
             now = time.monotonic()
             if n != last:
                 last, stable_since = n, now
-            elif n >= min_events and (
-                all_done or now - stable_since >= settle_sec
-            ):
+            elif all_done or (n >= min_events and now - stable_since >= settle_sec):
                 return
             time.sleep(poll_sec)
 
