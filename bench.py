@@ -96,6 +96,7 @@ HEADLINE = [
     "embeddings_label_centroids",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_ivf_indexed_topk",
     "embeddings_lsh_neardup_pairs",
     "embeddings_semdedup_keep",
     "embeddings_norm_stats",

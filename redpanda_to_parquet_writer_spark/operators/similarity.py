@@ -308,6 +308,87 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF inverted lists as a `cluster_id`-partitioned
+    parquet table — the production ANN serving layout: assignment runs
+    ONCE at index-build time (broadcast codebook, map-side), and every
+    later query reads only its probed clusters' partition directories.
+
+    At 100 TB this is the difference between re-assigning the corpus per
+    query batch and a directory-pruned read of n_probe/n_centroids of
+    the index.
+    """
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    assigned = ivf_assign(c, materialize_centroids(centroids), "neighbor_id", "v")
+    (
+        assigned.repartition("cluster_id")
+        .write.partitionBy("cluster_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF top-k over a PERSISTED index (`build_ivf_index`): rank the
+    codebook per query, collect the distinct probed cluster ids (tiny —
+    at most n_queries * n_probe ints), and filter the index scan with a
+    LITERAL isin so Catalyst prunes the non-probed partition directories
+    (the plan shows PartitionFilters). Candidates then join on
+    cluster_id and verify with exact cosine, identical semantics to
+    `ivf_topk` — but the corpus is never re-assigned and never fully
+    read.
+    """
+    centroids = materialize_centroids(centroids)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    qw = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("cluster_id").asc()
+    )
+    probes = (
+        q.join(F.broadcast(centroids))
+        .withColumn("__sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("__pr", F.row_number().over(qw))
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", "qv", "cluster_id")
+    )
+    probed_clusters = sorted(
+        int(r["cluster_id"]) for r in probes.select("cluster_id").distinct().collect()
+    )
+    index = spark.read.parquet(index_path).filter(
+        F.col("cluster_id").isin(probed_clusters)
+    )
+    scored = (
+        index.join(probes, on="cluster_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("v")))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
 def deterministic_centroids(
     df: DataFrame,
     n_centroids: int = 16,

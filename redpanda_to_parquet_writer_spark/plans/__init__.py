@@ -61,6 +61,7 @@ _PRIORITY = [
     "embeddings_random_projection",
     "streaming_dedup_keys",
     "ann_ivf_topk",
+    "ann_ivf_indexed_topk",
     # rewritten in r4 (union-of-aggs -> stack unpivot) but landed outside
     # the r4 window — driver-verify the rewrite first (ADVICE r4)
     "numeric_profile_events",

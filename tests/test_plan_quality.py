@@ -314,3 +314,14 @@ def test_nation_part_profit_pattern_pushdown(spark, sf_dir):
     plan = plan_str(QUERIES["nation_part_profit"](spark, sf_dir))
     assert "StringContains(p_name,bolt" in plan.replace(" ", "")
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_ivf_indexed_probe_prunes_partitions(spark, sf_dir):
+    """The persisted-index IVF probe must read ONLY the probed clusters:
+    the literal isin filter prunes the cluster_id partition directories
+    (PartitionFilters), never scanning the whole index."""
+    df = QUERIES["ann_ivf_indexed_topk"](spark, sf_dir)
+    plan = plan_str(df)
+    scan = plan[plan.index("FileScan") :]
+    pf = scan[scan.index("PartitionFilters") : scan.index("PartitionFilters") + 200]
+    assert "cluster_id" in pf and ("IN" in pf or "in(" in pf.lower()), pf
