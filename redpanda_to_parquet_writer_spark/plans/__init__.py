@@ -60,6 +60,7 @@ _PRIORITY = [
     "docs_line_dedup",
     "embeddings_random_projection",
     "streaming_dedup_keys",
+    "streaming_static_enrichment",
     "ann_ivf_topk",
     "ann_ivf_indexed_topk",
     # rewritten in r4 (union-of-aggs -> stack unpivot) but landed outside

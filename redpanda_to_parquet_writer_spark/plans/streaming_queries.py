@@ -191,11 +191,37 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(out, "streaming_dedup_keys_sink", "append")
 
 
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join under the oracle gate: the event stream joins a
+    static dimension (nation, keyed by user_id % 25) per micro-batch —
+    the standard enrichment pattern where the dim is broadcast into every
+    batch and requires NO stream state at all (unlike stream-stream
+    joins). Aggregated per nation; money-free integer counts are exact.
+    """
+    stream = _events_stream(spark, sf_dir)
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    enriched = stream.withColumn(
+        "n_key", F.pmod("user_id", F.lit(25)).cast("long")
+    ).join(nation, F.col("n_key") == F.col("n_nationkey"))
+    # no DISTINCT aggregates on streams; the value sum accumulates as
+    # decimal (order-independent) like the hourly-stats query
+    agg = enriched.groupBy("n_name").agg(
+        F.count("*").alias("n_events"),
+        F.expr(
+            "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)"
+        ).alias("total_value"),
+    )
+    return _drain_to_memory(agg, "streaming_static_enrichment_sink", "complete")
+
+
 QUERIES = {
     "streaming_hourly_event_stats": streaming_hourly_event_stats,
     "streaming_offset_gaps": streaming_offset_gaps,
     "streaming_interval_join": streaming_interval_join,
     "streaming_dedup_keys": streaming_dedup_keys,
+    "streaming_static_enrichment": streaming_static_enrichment,
 }
 
 ORACLES = {
@@ -249,6 +275,17 @@ ORACLES = {
          AND c.user_id = p.user_id
          AND p.ts_us <= c.ts_us
          AND p.ts_us >= c.ts_us - 3600000000
+    """,
+    # the per-micro-batch broadcast dim join must reproduce the plain
+    # batch join
+    "streaming_static_enrichment": """
+        SELECT n.n_name,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(e.value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS total_value
+        FROM events e
+        JOIN nation n ON e.user_id % 25 = n.n_nationkey
+        GROUP BY n.n_name
     """,
     # the streaming bounded-state dedup must emit exactly the distinct
     # key set
