@@ -190,6 +190,16 @@ def main() -> None:
         # opt-in: time the headline set at every available SF so the
         # scaling slope (work vs data) is measurable, one JSON line per SF
         root = os.path.dirname(sf_dir.rstrip("/"))
+        sfs = sorted(
+            d for d in os.listdir(root)
+            if d.startswith("sf") and os.path.isdir(os.path.join(root, d))
+        )
+        if sfs:
+            # unrecorded warmup at the smallest SF: the first recorded SF
+            # otherwise pays the cold JVM/JIT for the whole query set
+            # (measured: 36s vs 19s for 10x MORE data), corrupting the
+            # curve's smallest point
+            _run_headline(spark, os.path.join(root, sfs[0]))
         for d in sorted(os.listdir(root)):
             if d.startswith("sf") and os.path.isdir(os.path.join(root, d)):
                 t = _run_headline(spark, os.path.join(root, d))
