@@ -191,8 +191,12 @@ def main() -> None:
         # scaling slope (work vs data) is measurable, one JSON line per SF
         root = os.path.dirname(sf_dir.rstrip("/"))
         sfs = sorted(
-            d for d in os.listdir(root)
-            if d.startswith("sf") and os.path.isdir(os.path.join(root, d))
+            (
+                d
+                for d in os.listdir(root)
+                if d.startswith("sf") and os.path.isdir(os.path.join(root, d))
+            ),
+            key=lambda d: float(d[2:]),  # numeric, not lexicographic
         )
         if sfs:
             # unrecorded warmup at the smallest SF: the first recorded SF
@@ -200,21 +204,20 @@ def main() -> None:
             # (measured: 36s vs 19s for 10x MORE data), corrupting the
             # curve's smallest point
             _run_headline(spark, os.path.join(root, sfs[0]))
-        for d in sorted(os.listdir(root)):
-            if d.startswith("sf") and os.path.isdir(os.path.join(root, d)):
-                t = _run_headline(spark, os.path.join(root, d))
-                ok = _timed(t)
-                print(
-                    json.dumps(
-                        {
-                            "metric": "headline_queries_total_sec",
-                            "value": round(sum(ok.values()), 4),
-                            "unit": "sec",
-                            "queries": t,
-                            "sf": float(d[2:]),
-                        }
-                    )
+        for d in sfs:
+            t = _run_headline(spark, os.path.join(root, d))
+            ok = _timed(t)
+            print(
+                json.dumps(
+                    {
+                        "metric": "headline_queries_total_sec",
+                        "value": round(sum(ok.values()), 4),
+                        "unit": "sec",
+                        "queries": t,
+                        "sf": float(d[2:]),
+                    }
                 )
+            )
         return
 
     timings = _run_headline(spark, sf_dir)

@@ -256,6 +256,48 @@ def materialize_centroids(centroids: DataFrame) -> DataFrame:
     return spark.createDataFrame(rows, "cluster_id int, cv array<double>")
 
 
+def _rank_probes(
+    queries: DataFrame, centroids: DataFrame, id_col: str, vec_col: str, n_probe: int
+) -> DataFrame:
+    """Rank the (local, broadcast) codebook per query and keep the
+    `n_probe` nearest lists — shared by the inline and persisted-index
+    IVF paths so their probe semantics cannot drift apart."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    qw = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("cluster_id").asc()
+    )
+    return (
+        q.join(F.broadcast(centroids))
+        .withColumn("__sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("__pr", F.row_number().over(qw))
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", "qv", "cluster_id")
+    )
+
+
+def _verify_and_rank_topk(
+    candidates: DataFrame, probes: DataFrame, k: int
+) -> DataFrame:
+    """Exact-cosine verify + per-query top-k over (cluster_id-joined)
+    candidates — the shared tail of both IVF paths."""
+    scored = (
+        candidates.join(probes, on="cluster_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("v")))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -282,30 +324,8 @@ def ivf_topk(
     centroids = materialize_centroids(centroids)
     c = df.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v"))
     assigned = ivf_assign(c, centroids, "neighbor_id", "v")
-    q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
-    # rank all centroids per query, keep the n_probe nearest lists
-    qw = Window.partitionBy("query_id").orderBy(
-        F.col("__sim").desc(), F.col("cluster_id").asc()
-    )
-    probes = (
-        q.join(F.broadcast(centroids))
-        .withColumn("__sim", cosine(F.col("qv"), F.col("cv")))
-        .withColumn("__pr", F.row_number().over(qw))
-        .filter(F.col("__pr") <= n_probe)
-        .select("query_id", "qv", "cluster_id")
-    )
-    scored = (
-        assigned.join(probes, on="cluster_id")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("v")))
-        .select("query_id", "neighbor_id", "sim")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
-    )
+    probes = _rank_probes(queries, centroids, id_col, vec_col, n_probe)
+    return _verify_and_rank_topk(assigned, probes, k)
 
 
 def build_ivf_index(
@@ -356,37 +376,22 @@ def ivf_topk_indexed(
     read.
     """
     centroids = materialize_centroids(centroids)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    # the probe sub-plan runs ONCE: collect the (small by contract —
+    # at most n_queries * n_probe) ranked rows, then rebuild them as a
+    # local relation so the candidate join does not replay the query
+    # scan + codebook ranking a second time
+    probe_rows = [
+        (r["query_id"], [float(x) for x in r["qv"]], int(r["cluster_id"]))
+        for r in _rank_probes(queries, centroids, id_col, vec_col, n_probe).collect()
+    ]
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, qv array<double>, cluster_id int"
     )
-    qw = Window.partitionBy("query_id").orderBy(
-        F.col("__sim").desc(), F.col("cluster_id").asc()
-    )
-    probes = (
-        q.join(F.broadcast(centroids))
-        .withColumn("__sim", cosine(F.col("qv"), F.col("cv")))
-        .withColumn("__pr", F.row_number().over(qw))
-        .filter(F.col("__pr") <= n_probe)
-        .select("query_id", "qv", "cluster_id")
-    )
-    probed_clusters = sorted(
-        int(r["cluster_id"]) for r in probes.select("cluster_id").distinct().collect()
-    )
+    probed_clusters = sorted({c for _, _, c in probe_rows})
     index = spark.read.parquet(index_path).filter(
         F.col("cluster_id").isin(probed_clusters)
     )
-    scored = (
-        index.join(probes, on="cluster_id")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("v")))
-        .select("query_id", "neighbor_id", "sim")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
-    )
+    return _verify_and_rank_topk(index, probes, k)
 
 
 def deterministic_centroids(

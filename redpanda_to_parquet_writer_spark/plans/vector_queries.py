@@ -69,15 +69,19 @@ def ann_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index is built once and each query batch touches
     n_probe/n_centroids of it.
     """
-    import os
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = S.deterministic_centroids(emb, IVF_CENTROIDS, "vec_id", "embedding")
-    # deterministic per-(session, sf) index location; cheap rebuild at
-    # fixture scale, in production this is the durable index table
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(tempfile.gettempdir(), f"ivf_index_{sf_tag}")
+    # materialize the codebook ONCE and hand the local relation to both
+    # the builder and the probe (each would otherwise re-collect it,
+    # replaying the centroid-seed scan)
+    centroids = S.materialize_centroids(
+        S.deterministic_centroids(emb, IVF_CENTROIDS, "vec_id", "embedding")
+    )
+    # fresh private dir per invocation: a fixed shared path would let
+    # concurrent runs overwrite each other's part-files mid-scan; in
+    # production the index is a durable managed table instead
+    path = tempfile.mkdtemp(prefix="ivf_index_")
     S.build_ivf_index(emb, centroids, path, "vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     return S.ivf_topk_indexed(
@@ -268,51 +272,6 @@ ORACLES = {
           FROM cand
         ) WHERE rank <= {TOPK_K}
     """,
-    "ann_ivf_indexed_topk": f"""
-        WITH vecs AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        ),
-        centroids AS (
-          SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cluster_id, v AS cv
-          FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id ASC LIMIT {IVF_CENTROIDS})
-        ),
-        assigned AS (
-          SELECT vec_id AS neighbor_id, v, cluster_id
-          FROM (
-            SELECT x.vec_id, x.v, c.cluster_id,
-                   row_number() OVER (
-                     PARTITION BY x.vec_id
-                     ORDER BY {_cos('x.v', 'c.cv')} DESC, c.cluster_id ASC
-                   ) AS rn
-            FROM vecs x CROSS JOIN centroids c
-          ) WHERE rn = 1
-        ),
-        probes AS (
-          SELECT query_id, qv, cluster_id
-          FROM (
-            SELECT q.vec_id AS query_id, q.v AS qv, c.cluster_id,
-                   row_number() OVER (
-                     PARTITION BY q.vec_id
-                     ORDER BY {_cos('q.v', 'c.cv')} DESC, c.cluster_id ASC
-                   ) AS pr
-            FROM vecs q CROSS JOIN centroids c
-            WHERE q.vec_id < {N_QUERY_VECS}
-          ) WHERE pr <= {IVF_PROBE}
-        ),
-        cand AS (
-          SELECT p.query_id, a.neighbor_id, {_cos('p.qv', 'a.v')} AS sim
-          FROM probes p JOIN assigned a USING (cluster_id)
-          WHERE a.neighbor_id != p.query_id
-        )
-        SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
-        FROM (
-          SELECT query_id, neighbor_id, sim,
-                 row_number() OVER (
-                   PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
-                 ) AS rank
-          FROM cand
-        ) WHERE rank <= {TOPK_K}
-    """,
     "embeddings_neardup_pairs": f"""
         WITH vecs AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -404,3 +363,7 @@ ORACLES = {
         GROUP BY label
     """,
 }
+
+# identical semantics by construction — one oracle gates both IVF paths,
+# so a fix to one can never silently desync the other
+ORACLES["ann_ivf_indexed_topk"] = ORACLES["ann_ivf_topk"]

@@ -322,6 +322,9 @@ def test_ivf_indexed_probe_prunes_partitions(spark, sf_dir):
     (PartitionFilters), never scanning the whole index."""
     df = QUERIES["ann_ivf_indexed_topk"](spark, sf_dir)
     plan = plan_str(df)
-    scan = plan[plan.index("FileScan") :]
-    pf = scan[scan.index("PartitionFilters") : scan.index("PartitionFilters") + 200]
+    # anchor on the INDEX scan specifically (the plan may also contain
+    # the embeddings scan, whose PartitionFilters are legitimately empty)
+    idx = plan.index("ivf_index_")
+    pf_at = plan.index("PartitionFilters", idx)
+    pf = plan[pf_at : pf_at + 200]
     assert "cluster_id" in pf and ("IN" in pf or "in(" in pf.lower()), pf
