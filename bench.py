@@ -75,6 +75,8 @@ HEADLINE = [
     "docs_line_dedup",
     "events_value_median_by_type",
     "events_sliding_hour_counts",
+    "events_salted_type_join",
+    "bucketed_revenue_join",
     "docs_token_stats",
     "docs_bpe_token_stats",
     "docs_quality_score",

@@ -57,6 +57,8 @@ _PRIORITY = [
     "heavy_part_suppliers",
     "events_value_median_by_type",
     "events_sliding_hour_counts",
+    "events_salted_type_join",
+    "bucketed_revenue_join",
     "docs_line_dedup",
     "embeddings_random_projection",
     "streaming_dedup_keys",

@@ -289,6 +289,87 @@ def events_sliding_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SALT_BUCKETS = 8
+
+
+def events_salted_type_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-MITIGATION operator under the oracle gate: events join a
+    5-row dimension on `event_type` — the textbook hot-key shape (5
+    distinct keys over the whole fact table) — through `salted_join`,
+    which spreads each key over SALT_BUCKETS shuffle partitions
+    (deterministic full-row salt on the big side, x8 explode of the tiny
+    dim). Results must be identical to the plain join, which is exactly
+    what the oracle replays.
+
+    At 100 TB this is the fallback when ONE key exceeds an executor even
+    after AQE's skew split; aggregation makes the result order-free.
+    """
+    from redpanda_to_parquet_writer_spark.operators.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn("type_weight", F.length("event_type").cast("long"))
+    )
+    joined = salted_join(events, dim, on=["event_type"], salt_buckets=SALT_BUCKETS)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("type_weight").alias("type_weight"),
+            F.expr(
+                "CAST(round(sum(CAST(value AS DECIMAL(18,6)) * type_weight), 2)"
+                " AS DOUBLE)"
+            ).alias("weighted_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+BUCKETS = 16
+
+
+def bucketed_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUCKETED co-located join under the oracle gate: lineitem and
+    orders are written ONCE as co-bucketed catalog tables (16 buckets on
+    the order key, bucket-sorted, one file per bucket), then joined with
+    ZERO Exchange before the join (plan-asserted) — the write-time
+    pre-shuffle that makes every subsequent join on the key shuffle-free
+    at 100 TB. Revenue per order priority, decimal-exact, identical to
+    the plain join the oracle replays.
+    """
+    from redpanda_to_parquet_writer_spark.sources.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="bucketed_join_")
+    write_bucketed(li, "q_li_bucketed", ["okey"], BUCKETS, path=f"{root}/li")
+    write_bucketed(orders, "q_orders_bucketed", ["okey"], BUCKETS, path=f"{root}/orders")
+    j = bucketed_join(
+        spark, "q_li_bucketed", "q_orders_bucketed", on=["okey"], force_sort_merge=True
+    )
+    rev = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.expr(f"CAST(round(sum({rev}), 2) AS DOUBLE)").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES = {
     "cheapest_supplier_per_part": cheapest_supplier_per_part,
     "nation_part_profit": nation_part_profit,
@@ -296,6 +377,8 @@ QUERIES = {
     "heavy_part_suppliers": heavy_part_suppliers,
     "events_value_median_by_type": events_value_median_by_type,
     "events_sliding_hour_counts": events_sliding_hour_counts,
+    "events_salted_type_join": events_salted_type_join,
+    "bucketed_revenue_join": bucketed_revenue_join,
 }
 
 ORACLES = {
@@ -351,6 +434,32 @@ ORACLES = {
         WHERE CAST(rev * 10000 AS HUGEINT) * 1000000
               > {IMPORTANT_SHARE_PPM} * CAST(tot * 10000 AS HUGEINT)
         ORDER BY revenue DESC, s_suppkey ASC
+    """,
+    # the salted join must reproduce the plain join exactly
+    "events_salted_type_join": """
+        WITH dim AS (
+          SELECT DISTINCT event_type,
+                 CAST(length(event_type) AS BIGINT) AS type_weight
+          FROM events
+        )
+        SELECT e.event_type,
+               count(*) AS n_events,
+               max(d.type_weight) AS type_weight,
+               CAST(round(sum(CAST(e.value AS DECIMAL(18,6)) * d.type_weight), 2)
+                 AS DOUBLE) AS weighted_value
+        FROM events e JOIN dim d USING (event_type)
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """,
+    # the co-bucketed join must reproduce the plain join exactly
+    "bucketed_revenue_join": """
+        SELECT o.o_orderpriority,
+               count(*) AS n_lines,
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
     """,
     "events_sliding_hour_counts": f"""
         SELECT event_id, user_id,

@@ -53,8 +53,22 @@ def write_bucketed(
 
 
 def bucketed_join(
-    spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: list[str],
+    how: str = "inner",
+    force_sort_merge: bool = False,
 ) -> DataFrame:
     """Join two co-bucketed tables; plans with no Exchange when both are
-    bucketed on `on` with matching bucket counts (assert via .explain)."""
-    return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
+    bucketed on `on` with matching bucket counts (assert via .explain).
+
+    `force_sort_merge` pins the merge strategy: on small fixtures
+    Catalyst prefers broadcasting one side (correct, but it hides the
+    zero-Exchange bucket shape this layout exists for); at production
+    scale both sides exceed the broadcast threshold and SMJ is chosen
+    anyway."""
+    left = spark.table(left_table)
+    if force_sort_merge:
+        left = left.hint("merge")
+    return left.join(spark.table(right_table), on=on, how=how)

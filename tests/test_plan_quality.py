@@ -328,3 +328,27 @@ def test_ivf_indexed_probe_prunes_partitions(spark, sf_dir):
     pf_at = plan.index("PartitionFilters", idx)
     pf = plan[pf_at : pf_at + 200]
     assert "cluster_id" in pf and ("IN" in pf or "in(" in pf.lower()), pf
+
+
+def test_salted_join_spreads_hot_keys(spark, sf_dir):
+    """The skew-mitigation join must key on (event_type, __salt) — a
+    plain event_type key would put every hot key on one reducer when the
+    join shuffles. (On the small fixture Catalyst broadcasts the
+    exploded dim, so the salt shows in the join CONDITION; at scale the
+    same keys drive the hashpartitioning.)"""
+    import re
+
+    plan = plan_str(QUERIES["events_salted_type_join"](spark, sf_dir))
+    assert re.search(r"Join \[event_type#\d+, __salt#\d+\]", plan), (
+        "join keys must include the salt column"
+    )
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    """The co-bucketed join must plan ZERO Exchange before the join:
+    both scans report the bucket distribution, so only the post-join
+    aggregation shuffles."""
+    df = QUERIES["bucketed_revenue_join"](spark, sf_dir)
+    plan = plan_str(df)
+    join_at = plan.index("SortMergeJoin")
+    assert "Exchange" not in plan[join_at:], "join inputs must not re-shuffle"
