@@ -18,6 +18,7 @@ from redpanda_to_parquet_writer_spark.plans import (
     relational2,
     relational3,
     relational4,
+    relational5,
     streaming_queries,
     text_queries,
     vector_queries,
@@ -28,6 +29,7 @@ _MERGED_QUERIES = {
     **relational2.QUERIES,
     **relational3.QUERIES,
     **relational4.QUERIES,
+    **relational5.QUERIES,
     **streaming_queries.QUERIES,
     **text_queries.QUERIES,
     **vector_queries.QUERIES,
@@ -45,6 +47,8 @@ _MERGED_QUERIES = {
 _PRIORITY = [
     # new or implementation-changed this round (ADVICE r4: anything whose
     # implementation or oracle changed goes to the top of the window)
+    "events_value_trend_by_type",
+    "events_zorder_key",
     "multimodal_png_decode",
     "multimodal_mp4_probe",
     "multimodal_gif_roundtrip",
@@ -130,6 +134,7 @@ ORACLES = _ordered(
         **relational2.ORACLES,
         **relational3.ORACLES,
         **relational4.ORACLES,
+        **relational5.ORACLES,
         **streaming_queries.ORACLES,
         **text_queries.ORACLES,
         **vector_queries.ORACLES,
