@@ -49,6 +49,7 @@ _PRIORITY = [
     # implementation or oracle changed goes to the top of the window)
     "events_value_trend_by_type",
     "events_zorder_key",
+    "streaming_session_stats",
     "multimodal_png_decode",
     "multimodal_mp4_probe",
     "multimodal_gif_roundtrip",

@@ -216,8 +216,49 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(agg, "streaming_static_enrichment_sink", "complete")
 
 
+SESSION_GAP = "30 minutes"
+_GAP_US = 1800 * 1000000
+
+
+def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION WINDOWS under the oracle gate: gap-based per-user sessions
+    computed by the streaming engine itself (`session_window` state
+    merging across micro-batches, availableNow -> memory sink),
+    hash-equal to batch lag/cumsum sessionization SQL.
+
+    Semantics pinned by the oracle: sessions merge while consecutive
+    events are STRICTLY closer than the gap (session_window's interval
+    is [start, last + gap)), session_end = last event + gap. The value
+    sum accumulates as decimal — order-independent across micro-batch
+    boundaries and session-state merges, same invariant as the other
+    streaming rows.
+    """
+    stream = _events_stream(spark, sf_dir)
+    ts = F.timestamp_micros(event_epoch_us(stream))
+    agg = (
+        stream.withColumn("evt_ts", ts)
+        .withWatermark("evt_ts", "2 hours")
+        .groupBy(F.session_window("evt_ts", SESSION_GAP).alias("s"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(
+                "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)"
+            ).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("s.start").alias("session_start_us"),
+            F.unix_micros("s.end").alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return _drain_to_memory(agg, "streaming_session_stats_sink", "complete")
+
+
 QUERIES = {
     "streaming_hourly_event_stats": streaming_hourly_event_stats,
+    "streaming_session_stats": streaming_session_stats,
     "streaming_offset_gaps": streaming_offset_gaps,
     "streaming_interval_join": streaming_interval_join,
     "streaming_dedup_keys": streaming_dedup_keys,
@@ -286,6 +327,35 @@ ORACLES = {
         FROM events e
         JOIN nation n ON e.user_id % 25 = n.n_nationkey
         GROUP BY n.n_name
+    """,
+    # the streaming session_window merge must reproduce batch lag/cumsum
+    # sessionization (new session when the gap is >= 30 min — the window
+    # interval is half-open, so an exactly-gap-later event does NOT merge)
+    "streaming_session_stats": f"""
+        WITH base AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+        ),
+        flagged AS (
+          SELECT user_id, ts_us, value,
+                 CASE WHEN lag(ts_us) OVER w IS NULL
+                        OR ts_us - lag(ts_us) OVER w >= {_GAP_US}
+                      THEN 1 ELSE 0 END AS is_new
+          FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+        ),
+        sess AS (
+          SELECT user_id, ts_us, value,
+                 sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING
+                 ) AS sid
+          FROM flagged
+        )
+        SELECT user_id,
+               min(ts_us) AS session_start_us,
+               max(ts_us) + {_GAP_US} AS session_end_us,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS total_value
+        FROM sess GROUP BY user_id, sid
     """,
     # the streaming bounded-state dedup must emit exactly the distinct
     # key set
