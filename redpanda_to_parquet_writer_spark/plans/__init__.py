@@ -50,6 +50,7 @@ _PRIORITY = [
     "events_value_trend_by_type",
     "events_zorder_key",
     "streaming_session_stats",
+    "ann_recall_audit",
     "multimodal_png_decode",
     "multimodal_mp4_probe",
     "multimodal_gif_roundtrip",

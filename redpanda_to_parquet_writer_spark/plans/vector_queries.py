@@ -89,6 +89,49 @@ def ann_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF scale path against the exact baseline — the
+    "measure, don't guess" audit every approximate index needs before a
+    pipeline trusts it (run on a sampled query set at corpus scale).
+
+    Per query: n_exact (=k), n_matched (IVF hits inside the exact top-k),
+    and recall as exact integer half-up millionths — no double ratio
+    crosses the engine boundary. Composition: exact top-k LEFT JOIN
+    IVF top-k on (query, neighbor); both sides are the already-gated
+    plans, so the audit itself is pure integer aggregation.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    centroids = S.materialize_centroids(
+        S.deterministic_centroids(emb, IVF_CENTROIDS, "vec_id", "embedding")
+    )
+    exact = S.brute_force_topk(emb, queries, "vec_id", "embedding", TOPK_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        S.ivf_topk(emb, queries, centroids, "vec_id", "embedding", TOPK_K, IVF_PROBE)
+        .select("query_id", "neighbor_id")
+        .withColumn("m", F.lit(1))
+    )
+    per_q = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.coalesce(F.col("m"), F.lit(0))).alias("n_matched"),
+        )
+    )
+    return per_q.select(
+        "query_id",
+        "n_exact",
+        "n_matched",
+        (
+            F.expr("(n_matched * 2000000 + n_exact) DIV (2 * n_exact)")
+            / F.lit(1000000.0)
+        ).alias("recall"),
+    )
+
+
 def embeddings_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # restrict the exact-quadratic check to one label's vectors: the
@@ -196,6 +239,7 @@ QUERIES = {
     "embeddings_label_centroids": embeddings_label_centroids,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_indexed_topk": ann_ivf_indexed_topk,
+    "ann_recall_audit": ann_recall_audit,
     "embeddings_neardup_pairs": embeddings_neardup_pairs,
     "embeddings_lsh_neardup_pairs": embeddings_lsh_neardup_pairs,
     "embeddings_semdedup_keep": embeddings_semdedup_keep,
@@ -367,3 +411,72 @@ ORACLES = {
 # identical semantics by construction — one oracle gates both IVF paths,
 # so a fix to one can never silently desync the other
 ORACLES["ann_ivf_indexed_topk"] = ORACLES["ann_ivf_topk"]
+
+# recall@k audit: exact top-k LEFT JOIN the IVF candidate ranking —
+# the CTE chain replays both already-gated plans, then aggregates to
+# integer match counts (recall via exact half-up millionths)
+ORACLES["ann_recall_audit"] = f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    centroids AS (
+      SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cluster_id, v AS cv
+      FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id ASC LIMIT {IVF_CENTROIDS})
+    ),
+    assigned AS (
+      SELECT vec_id AS neighbor_id, v, cluster_id
+      FROM (
+        SELECT x.vec_id, x.v, c.cluster_id,
+               row_number() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY {_cos('x.v', 'c.cv')} DESC, c.cluster_id ASC
+               ) AS rn
+        FROM vecs x CROSS JOIN centroids c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, cluster_id
+      FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, c.cluster_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_cos('q.v', 'c.cv')} DESC, c.cluster_id ASC
+               ) AS pr
+        FROM vecs q CROSS JOIN centroids c
+        WHERE q.vec_id < {N_QUERY_VECS}
+      ) WHERE pr <= {IVF_PROBE}
+    ),
+    ivf_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, a.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY {_cos('p.qv', 'a.v')} DESC, a.neighbor_id ASC
+               ) AS rank
+        FROM probes p JOIN assigned a USING (cluster_id)
+        WHERE a.neighbor_id != p.query_id
+      ) WHERE rank <= {TOPK_K}
+    ),
+    exact_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_cos('q.v', 'c.v')} DESC, c.vec_id ASC
+               ) AS rank
+        FROM vecs q JOIN vecs c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < {N_QUERY_VECS}
+      ) WHERE rank <= {TOPK_K}
+    )
+    SELECT e.query_id,
+           count(*) AS n_exact,
+           CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched,
+           (CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) * 2000000 + count(*)) // (2 * count(*))
+             / 1000000.0 AS recall
+    FROM exact_topk e
+    LEFT JOIN ivf_topk i
+      ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+    GROUP BY e.query_id
+"""
