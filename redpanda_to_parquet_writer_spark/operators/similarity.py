@@ -590,3 +590,145 @@ def dequantize_int8(
         out_col,
         F.transform(F.col(q_col), lambda q: q.cast("double") * scale),
     )
+
+
+# --- Product quantization (PQ) ---------------------------------------------
+# The memory-bounded ANN scale path: each vector compresses to m one-byte
+# codes (64 dims x 4B float -> 8B), and query-time scoring is a table
+# lookup (ADC — asymmetric distance computation), not vector math. At
+# corpus scale the codes table is ~32x smaller than the float vectors and
+# the per-candidate cost is m integer lookups; combined with IVF this is
+# the standard billion-vector serving layout (IVFADC).
+
+_PQ_L2 = (
+    "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)),"
+    " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+
+
+def _pq_subvectors(
+    df: DataFrame, m: int, width: int, id_col: str, vec_col: str, out_id: str
+) -> DataFrame:
+    """One row per (vector, subspace) with the double-cast subvector.
+    The m-way explode is a literal array — no shuffle, rows grow m-fold
+    inside the same tasks."""
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(F.array(*[F.lit(i) for i in range(m)])).alias("subspace"),
+        F.col(vec_col).alias("__v"),
+    ).select(
+        out_id,
+        "subspace",
+        F.expr(
+            f"transform(slice(__v, subspace * {width} + 1, {width}),"
+            " x -> CAST(x AS DOUBLE))"
+        ).alias("sv"),
+    )
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int,
+    ksub: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic per-subspace codebook: the `ksub` lowest-id vectors
+    are the seeds (same replayable-seed convention as
+    `deterministic_centroids`, so the DuckDB oracle can reproduce the
+    exact codebook; swap in per-subspace k-means for production), sliced
+    into m width-(dim/m) centroids each.
+
+    Collected driver-side and rebuilt as a local relation — the codebook
+    is m*ksub rows and is referenced by BOTH the encode and the LUT
+    joins; a distributed lineage would replay its corpus scan per
+    reference (the `materialize_centroids` finding).
+    """
+    spark = df.sparkSession
+    width = dim // m
+    seeds = df.orderBy(id_col).limit(ksub).select(vec_col).collect()
+    rows = []
+    for code, r in enumerate(seeds):
+        v = [float(x) for x in r[vec_col]]
+        for s in range(m):
+            rows.append((s, code, v[s * width : (s + 1) * width]))
+    return spark.createDataFrame(rows, "subspace int, code int, cv array<double>")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compress each vector to m codes: per subspace, the L2-nearest
+    codebook centroid (ties break to the lower code, mirrored by the
+    oracle's rank ordering).
+
+    Scale shape: corpus scanned once, codebook broadcast, argmin via
+    min(struct(dist, code)) so the shuffle carries one pre-aggregated
+    row per (vector, subspace) per task — never the k candidate rows.
+    """
+    width = dim // m
+    sub = _pq_subvectors(df, m, width, id_col, vec_col, "__vid")
+    dists = sub.join(F.broadcast(codebooks), "subspace").withColumn(
+        "dist", F.expr(_PQ_L2)
+    )
+    return (
+        dists.groupBy("__vid", "subspace")
+        .agg(F.min(F.struct("dist", "code")).alias("mc"))
+        .select(
+            F.col("__vid").alias(id_col), "subspace", F.col("mc.code").alias("code")
+        )
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    dim: int,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k over PQ codes: build each query's (subspace, code) ->
+    distance lookup table exactly once (m*ksub rows per query), then
+    score every candidate as the SUM OF LOOKUPS — the codes table joins
+    the broadcast LUT and never touches float vectors again.
+
+    Per-subspace distances round to 6 dp and accumulate as
+    DECIMAL(18,6), so the ADC total is exact and order-independent
+    (micro-batch/task order cannot flip a rank); ranking ties break on
+    neighbor id. Returns (query_id, neighbor_id, adc_dist, rank).
+    """
+    width = dim // m
+    qsub = _pq_subvectors(queries, m, width, id_col, vec_col, "query_id")
+    lut = (
+        qsub.join(F.broadcast(codebooks), "subspace")
+        .withColumn("ddec", F.expr(f"CAST(round({_PQ_L2}, 6) AS DECIMAL(18,6))"))
+        .select("query_id", "subspace", "code", "ddec")
+    )
+    cand = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("ddec").alias("adc_dec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dec").asc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.col("adc_dec").cast("double").alias("adc_dist"),
+            "rank",
+        )
+    )

@@ -51,6 +51,7 @@ _PRIORITY = [
     "events_zorder_key",
     "streaming_session_stats",
     "ann_recall_audit",
+    "ann_pq_adc_topk",
     "multimodal_png_decode",
     "multimodal_mp4_probe",
     "multimodal_gif_roundtrip",

@@ -132,6 +132,25 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M = 8
+PQ_KSUB = 16
+
+
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k — the memory-bounded ANN serving
+    path (IVFADC's scoring half): vectors compress to 8 one-byte codes,
+    queries score candidates by summing per-subspace LOOKUPS instead of
+    touching float vectors. Deterministic seed codebook (same convention
+    as the IVF coarse quantizer) so the oracle replays the exact
+    encode + LUT + sum; ADC totals accumulate as decimal — order-proof.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = S.pq_codebooks(emb, PQ_M, PQ_KSUB, EMB_DIM)
+    codes = S.pq_encode(emb, cb, PQ_M, EMB_DIM)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return S.pq_adc_topk(codes, queries, cb, PQ_M, EMB_DIM, TOPK_K)
+
+
 def embeddings_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # restrict the exact-quadratic check to one label's vectors: the
@@ -240,6 +259,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_indexed_topk": ann_ivf_indexed_topk,
     "ann_recall_audit": ann_recall_audit,
+    "ann_pq_adc_topk": ann_pq_adc_topk,
     "embeddings_neardup_pairs": embeddings_neardup_pairs,
     "embeddings_lsh_neardup_pairs": embeddings_lsh_neardup_pairs,
     "embeddings_semdedup_keep": embeddings_semdedup_keep,
@@ -415,6 +435,68 @@ ORACLES["ann_ivf_indexed_topk"] = ORACLES["ann_ivf_topk"]
 # recall@k audit: exact top-k LEFT JOIN the IVF candidate ranking —
 # the CTE chain replays both already-gated plans, then aggregates to
 # integer match counts (recall via exact half-up millionths)
+# PQ/ADC: the seed codebook, argmin encode, per-query LUT and decimal
+# ADC sum are each replayed verbatim; queries are corpus members, so the
+# LUT rows are just the query vectors' own subspace distances
+_PQ_W = EMB_DIM // PQ_M
+_PQ_SUB_L2 = (
+    f"list_sum(list_transform(generate_series(1, {_PQ_W}),"
+    " i -> (sv[i] - cv[i]) * (sv[i] - cv[i])))"
+)
+ORACLES["ann_pq_adc_topk"] = f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, CAST(s AS INTEGER) AS subspace,
+             list_transform(generate_series(1, {_PQ_W}),
+                            j -> v[CAST(s AS INTEGER) * {_PQ_W} + j]) AS sv
+      FROM vecs, LATERAL unnest(range({PQ_M})) t(s)
+    ),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS code, v
+      FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id ASC LIMIT {PQ_KSUB})
+    ),
+    codebook AS (
+      SELECT CAST(s AS INTEGER) AS subspace, code,
+             list_transform(generate_series(1, {_PQ_W}),
+                            j -> v[CAST(s AS INTEGER) * {_PQ_W} + j]) AS cv
+      FROM seeds, LATERAL unnest(range({PQ_M})) t(s)
+    ),
+    dists AS (
+      SELECT sub.vec_id, sub.subspace, codebook.code, {_PQ_SUB_L2} AS dist
+      FROM sub JOIN codebook USING (subspace)
+    ),
+    codes AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT vec_id, subspace, code,
+               row_number() OVER (
+                 PARTITION BY vec_id, subspace ORDER BY dist ASC, code ASC
+               ) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT vec_id AS query_id, subspace, code,
+             CAST(round(dist, 6) AS DECIMAL(18,6)) AS ddec
+      FROM dists WHERE vec_id < {N_QUERY_VECS}
+    ),
+    adc AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id, sum(l.ddec) AS adc_dec
+      FROM codes c JOIN lut l USING (subspace, code)
+      WHERE c.vec_id != l.query_id
+      GROUP BY l.query_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(adc_dec AS DOUBLE) AS adc_dist, rank
+    FROM (
+      SELECT query_id, neighbor_id, adc_dec,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY adc_dec ASC, neighbor_id ASC
+             ) AS rank
+      FROM adc
+    ) WHERE rank <= {TOPK_K}
+"""
+
 ORACLES["ann_recall_audit"] = f"""
     WITH vecs AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

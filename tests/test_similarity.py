@@ -239,3 +239,65 @@ def test_simhash_banding_precondition_enforced(spark):
         simhash_neardup_pairs(df, "text", "doc_id", max_hamming=3, n_bands=5, bits=48)
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_incremental_anti(df, df, "text", "doc_id", max_hamming=7, n_bands=4)
+
+
+def test_pq_encode_properties(spark, sf_dir):
+    """PQ invariants: m codes per vector in [0, ksub); a SEED vector
+    encodes to its own code in every subspace (its subvector is a
+    centroid, distance 0, min-code tie-break)."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m, ksub, dim = 8, 16, 64
+    cb = pq_codebooks(emb, m, ksub, dim)
+    assert cb.count() == m * ksub
+    codes = pq_encode(emb, cb, m, dim)
+    n = emb.count()
+    assert codes.count() == n * m
+    rng = codes.agg(F.min("code"), F.max("code")).collect()[0]
+    assert 0 <= rng[0] and rng[1] < ksub
+    # seeds (lowest ksub ids in the fixture: vec_id 0..ksub-1) self-encode
+    seed_codes = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in codes.filter(F.col("vec_id") < ksub).collect()
+    }
+    for vid in range(ksub):
+        for s in range(m):
+            assert seed_codes[(vid, s)] == vid, (vid, s, seed_codes[(vid, s)])
+
+
+def test_pq_adc_approximates_true_ranking(spark, sf_dir):
+    """ADC distances must correlate with true L2: for each query the
+    true nearest non-self neighbor by exact L2 lands within the ADC
+    top-quartile of candidates (a weak-but-meaningful bound for a
+    16-centroid seed codebook)."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("label") == 0)
+    m, dim, ksub = 8, 64, 16
+    cb = pq_codebooks(emb, m, ksub, dim)
+    codes = pq_encode(emb, cb, m, dim)
+    queries = emb.orderBy("vec_id").limit(3)
+    n = emb.count()
+    full = pq_adc_topk(codes, queries, cb, m, dim, k=n)
+    rows = full.collect()
+    # exact L2 via driver-side numpy over the small label-0 subset
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    for q in [r["vec_id"] for r in queries.collect()]:
+        true_nn = min(
+            ((vid, float(np.sum((v - vecs[q]) ** 2))) for vid, v in vecs.items() if vid != q),
+            key=lambda t: (t[1], t[0]),
+        )[0]
+        adc_rank = next(
+            r["rank"] for r in rows if r["query_id"] == q and r["neighbor_id"] == true_nn
+        )
+        assert adc_rank <= max(3, (n - 1) // 4), (q, true_nn, adc_rank)
