@@ -75,6 +75,9 @@ HEADLINE = [
     "docs_line_dedup",
     "events_value_median_by_type",
     "events_sliding_hour_counts",
+    "events_value_trend_by_type",
+    "events_value_winsorized_stats",
+    "events_zorder_key",
     "events_salted_type_join",
     "bucketed_revenue_join",
     "docs_token_stats",
@@ -95,10 +98,13 @@ HEADLINE = [
     "docs_decontaminate",
     "docs_top_ngrams",
     "docs_tfidf_top_terms",
+    "docs_unigram_logprob",
     "embeddings_label_centroids",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_ivf_indexed_topk",
+    "ann_recall_audit",
+    "ann_pq_adc_topk",
     "embeddings_lsh_neardup_pairs",
     "embeddings_semdedup_keep",
     "embeddings_norm_stats",

@@ -902,3 +902,45 @@ def repetition_stats(
             & (top_token_frac <= F.lit(max_top_token_frac))
         ).alias("keep"),
     )
+
+
+def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Corpus-LM quality score: average unigram log-probability per
+    document — the SQL-expressible analogue of the CCNet/Gopher LM
+    perplexity filter (documents whose tokens are globally rare score
+    low and get routed to review/drop).
+
+    One corpus scan, fully cascaded aggregates: term freq per (doc,
+    term) -> corpus term counts -> 1-row total, all partial-aggregating
+    map-side; the vocabulary join is left to AQE (vocab is unbounded at
+    corpus scale, same reasoning as tfidf_top_terms). Each distinct
+    term's ln(count/total) rounds to 6 dp and the per-doc total
+    accumulates tf x DECIMAL — exact and order-independent, so task
+    interleaving cannot move a score.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    cnt = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = cnt.agg(F.sum("cnt").alias("__t"))
+    scored = (
+        tf.join(cnt, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "lp",
+            F.expr(
+                "CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(__t AS DOUBLE)), 6)"
+                " AS DECIMAL(18,6))"
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        F.sum(F.col("tf") * F.col("lp")).alias("s"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        F.expr("round(CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)").alias(
+            "avg_logprob"
+        ),
+    )

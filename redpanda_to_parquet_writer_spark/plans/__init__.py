@@ -52,6 +52,8 @@ _PRIORITY = [
     "streaming_session_stats",
     "ann_recall_audit",
     "ann_pq_adc_topk",
+    "docs_unigram_logprob",
+    "events_value_winsorized_stats",
     "multimodal_png_decode",
     "multimodal_mp4_probe",
     "multimodal_gif_roundtrip",

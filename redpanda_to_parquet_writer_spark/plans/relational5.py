@@ -140,9 +140,81 @@ def _zorder_oracle_sql(bits: int) -> str:
     """
 
 
+WINSOR_LO_PCT = 5
+WINSOR_HI_PCT = 95
+
+
+def events_value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clipped) robust stats per event type: exact
+    rank-selected p05/p95 cut points, values clipped to them, then
+    count/clip-count/winsorized-mean — the robust aggregation a quality
+    pipeline uses so a handful of runaway values can't poison a metric.
+
+    Exact nearest-rank selection (rank windows over stored values, the
+    events_value_median_by_type approach) instead of interpolating
+    percentile built-ins whose IEEE arithmetic differs between engines.
+    Plan: one rank-window pass produces the 5-row cut table, broadcast
+    back over a fresh scan for the clip aggregate — the window never
+    touches the wide fact flow, and the mean comes from exact micro-unit
+    integer sums with half-up division (values are non-negative).
+    """
+    events = load_table(spark, sf_dir, "events")
+    base = events.select("event_type", "event_id", "value")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    lo_rank = f"((n - 1) * {WINSOR_LO_PCT}) DIV 100 + 1"
+    hi_rank = f"((n - 1) * {WINSOR_HI_PCT}) DIV 100 + 1"
+    cuts = (
+        ranked.filter(F.expr(f"rn = {lo_rank} OR rn = {hi_rank}"))
+        .groupBy("event_type")
+        .agg(
+            F.min(F.expr(f"CASE WHEN rn = {lo_rank} THEN value END")).alias("lo_cut"),
+            F.min(F.expr(f"CASE WHEN rn = {hi_rank} THEN value END")).alias("hi_cut"),
+        )
+    )
+    clipped = base.join(F.broadcast(cuts), "event_type").withColumn(
+        "cv",
+        F.expr(
+            "CASE WHEN value < lo_cut THEN lo_cut"
+            " WHEN value > hi_cut THEN hi_cut ELSE value END"
+        ),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("CASE WHEN value < lo_cut THEN 1 ELSE 0 END")).alias(
+                "n_clipped_lo"
+            ),
+            F.sum(F.expr("CASE WHEN value > hi_cut THEN 1 ELSE 0 END")).alias(
+                "n_clipped_hi"
+            ),
+            F.min("lo_cut").alias("lo_cut"),
+            F.min("hi_cut").alias("hi_cut"),
+            F.sum(F.expr("CAST(round(cv * 1000000) AS BIGINT)")).alias("su"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_clipped_lo",
+            "n_clipped_hi",
+            "lo_cut",
+            "hi_cut",
+            (
+                F.expr("(2 * su + n_events) DIV (2 * n_events)") / F.lit(1000000.0)
+            ).alias("winsorized_mean"),
+        )
+    )
+
+
 QUERIES = {
     "events_value_trend_by_type": events_value_trend_by_type,
     "events_zorder_key": events_zorder_key,
+    "events_value_winsorized_stats": events_value_winsorized_stats,
 }
 
 ORACLES = {
@@ -168,4 +240,44 @@ ORACLES = {
         FROM moments
     """,
     "events_zorder_key": _zorder_oracle_sql(ZORDER_BITS),
+    "events_value_winsorized_stats": f"""
+        WITH base AS (SELECT event_type, event_id, value FROM events),
+        ranked AS (
+          SELECT event_type, value,
+                 row_number() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+                 ) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM base
+        ),
+        cuts AS (
+          SELECT event_type,
+                 min(CASE WHEN rn = ((n - 1) * {WINSOR_LO_PCT}) // 100 + 1
+                          THEN value END) AS lo_cut,
+                 min(CASE WHEN rn = ((n - 1) * {WINSOR_HI_PCT}) // 100 + 1
+                          THEN value END) AS hi_cut
+          FROM ranked
+          WHERE rn = ((n - 1) * {WINSOR_LO_PCT}) // 100 + 1
+             OR rn = ((n - 1) * {WINSOR_HI_PCT}) // 100 + 1
+          GROUP BY event_type
+        ),
+        clipped AS (
+          SELECT b.event_type, b.value, c.lo_cut, c.hi_cut,
+                 CASE WHEN b.value < c.lo_cut THEN c.lo_cut
+                      WHEN b.value > c.hi_cut THEN c.hi_cut
+                      ELSE b.value END AS cv
+          FROM base b JOIN cuts c USING (event_type)
+        )
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CASE WHEN value < lo_cut THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clipped_lo,
+               CAST(sum(CASE WHEN value > hi_cut THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clipped_hi,
+               min(lo_cut) AS lo_cut,
+               min(hi_cut) AS hi_cut,
+               (2 * CAST(sum(CAST(round(cv * 1000000) AS BIGINT)) AS BIGINT)
+                  + count(*)) // (2 * count(*)) / 1000000.0 AS winsorized_mean
+        FROM clipped GROUP BY event_type
+    """,
 }

@@ -254,6 +254,14 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.tfidf_top_terms(docs, "text", "doc_id", TFIDF_K)
 
 
+def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality score: avg unigram log-prob per document — the
+    SQL-expressible analogue of the CCNet/KenLM perplexity filter (see
+    operators/text.py:unigram_logprob)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.unigram_logprob(docs, "text", "doc_id")
+
+
 def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End of the fuzzy-dedup pipeline: LSH candidate pairs -> transitive
     clusters (connected components) -> keep flag on the canonical
@@ -330,6 +338,7 @@ QUERIES = {
     "docs_top_ngrams": docs_top_ngrams,
     "docs_stratified_sample": docs_stratified_sample,
     "docs_tfidf_top_terms": docs_tfidf_top_terms,
+    "docs_unigram_logprob": docs_unigram_logprob,
 }
 
 # Shared SQL fragments for the oracles. DuckDB list indexing is 1-based
@@ -846,4 +855,31 @@ ORACLES["docs_incremental_neardup_filter"] = f"""
         WHERE c.doc_id % {INCR_DELTA_MOD} <> 0
           AND bit_count(xor(d.simhash, c.simhash)) <= {SIMHASH_MAX_HAMMING}
       )
+"""
+
+# cascaded exact aggregates mirror the Spark plan: tf -> corpus counts ->
+# 1-row total; per-term ln rounds to 6 dp (the tfidf precedent for
+# last-ulp ln tolerance) and the doc total accumulates tf x DECIMAL
+ORACLES["docs_unigram_logprob"] = """
+    WITH toks AS (
+      SELECT doc_id, tok AS term
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+           LATERAL unnest(t) u(tok)
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    cnt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY term),
+    total AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM cnt),
+    scored AS (
+      SELECT tf.doc_id, tf.tf,
+             CAST(round(ln(CAST(cnt.cnt AS DOUBLE) / CAST(total.t AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS lp
+      FROM tf JOIN cnt USING (term) CROSS JOIN total
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, sum(tf * lp) AS s
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS avg_logprob
+    FROM per_doc
 """
