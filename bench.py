@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_content_keep_first",
     "union_dedup_count",
     "revenue_by_region",
+    "forecast_revenue_change",
     "shipping_priority",
     "top_brands_by_revenue",
     "returned_item_revenue",

@@ -54,6 +54,7 @@ _PRIORITY = [
     "ann_pq_adc_topk",
     "docs_unigram_logprob",
     "events_value_winsorized_stats",
+    "forecast_revenue_change",
     "multimodal_png_decode",
     "multimodal_mp4_probe",
     "multimodal_gif_roundtrip",

@@ -140,6 +140,31 @@ def _zorder_oracle_sql(bits: int) -> str:
     """
 
 
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the pure scan-side query: one lineitem pass with
+    three tight predicates (ship year, discount band, quantity cap) and
+    a single ungrouped decimal sum. The whole point is pushdown: every
+    predicate must reach the parquet scan (PushedFilters asserted in
+    tests/test_plan_quality.py) so row groups outside the year prune on
+    footer stats alone — this completes the 22/22 TPC-H shape coverage.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        F.count("*").alias("n_items"),
+        F.expr(
+            "CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))"
+            " AS DOUBLE)"
+        ).alias("revenue"),
+    )
+
+
 WINSOR_LO_PCT = 5
 WINSOR_HI_PCT = 95
 
@@ -215,6 +240,7 @@ QUERIES = {
     "events_value_trend_by_type": events_value_trend_by_type,
     "events_zorder_key": events_zorder_key,
     "events_value_winsorized_stats": events_value_winsorized_stats,
+    "forecast_revenue_change": forecast_revenue_change,
 }
 
 ORACLES = {
@@ -279,5 +305,15 @@ ORACLES = {
                (2 * CAST(sum(CAST(round(cv * 1000000) AS BIGINT)) AS BIGINT)
                   + count(*)) // (2 * count(*)) / 1000000.0 AS winsorized_mean
         FROM clipped GROUP BY event_type
+    """,
+    "forecast_revenue_change": """
+        SELECT count(*) AS n_items,
+               CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
     """,
 }

@@ -401,3 +401,29 @@ def test_unigram_logprob_partial_aggregates(spark, sf_dir):
     plan = plan_str(QUERIES["docs_unigram_logprob"](spark, sf_dir))
     assert "partial" in plan.lower()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_forecast_revenue_pushes_all_predicates(spark, sf_dir):
+    """Q6 is a pure scan query: the year range, discount band, and
+    quantity cap must ALL reach the parquet scan as PushedFilters (the
+    metadata string limit is raised so the filter list isn't truncated
+    out of the assertion)."""
+    old = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = plan_str(QUERIES["forecast_revenue_change"](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    import re
+
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    pushed = m.group(1)
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in pushed, (frag, pushed)
