@@ -106,6 +106,7 @@ HEADLINE = [
     "ann_ivf_indexed_topk",
     "ann_recall_audit",
     "ann_pq_adc_topk",
+    "ann_ivfadc_topk",
     "embeddings_lsh_neardup_pairs",
     "embeddings_semdedup_keep",
     "embeddings_norm_stats",

@@ -732,3 +732,70 @@ def pq_adc_topk(
             "rank",
         )
     )
+
+
+def ivfadc_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    dim: int,
+    k: int = 3,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC — the standard billion-vector serving composition: IVF
+    narrows candidates to the probed inverted lists, PQ/ADC scores them
+    as broadcast-LUT lookup sums. After the one-time index build
+    (cluster assignment + codes), query-time work never touches a float
+    vector: candidates flow as (cluster_id, m byte codes).
+
+    Plan: codebooks broadcast everywhere; the only corpus-sized shuffle
+    is attaching codes to assignments (at serving time this join IS the
+    persisted index — see build_ivf_index for the partitioned layout);
+    the probe join is bounded by the probed lists, and the ADC aggregate
+    partial-aggregates map-side over exact decimals (rank order-proof).
+    """
+    centroids = materialize_centroids(centroids)
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    assigned = ivf_assign(c, centroids, "neighbor_id", "v").select(
+        "neighbor_id", "cluster_id"
+    )
+    codes = pq_encode(df, codebooks, m, dim, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    # the IVFADC index: inverted-list membership + codes per vector
+    index = assigned.join(codes, "neighbor_id")
+    probes = _rank_probes(queries, centroids, id_col, vec_col, n_probe).select(
+        "query_id", "cluster_id"
+    )
+    qsub = _pq_subvectors(queries, m, dim // m, id_col, vec_col, "query_id")
+    lut = (
+        qsub.join(F.broadcast(codebooks), "subspace")
+        .withColumn("ddec", F.expr(f"CAST(round({_PQ_L2}, 6) AS DECIMAL(18,6))"))
+        .select("query_id", "subspace", "code", "ddec")
+    )
+    scored = (
+        index.join(F.broadcast(probes), "cluster_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("ddec").alias("adc_dec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dec").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("adc_dec").cast("double").alias("adc_dist"),
+            "rank",
+        )
+    )

@@ -55,6 +55,7 @@ _PRIORITY = [
     "docs_unigram_logprob",
     "events_value_winsorized_stats",
     "forecast_revenue_change",
+    "ann_ivfadc_topk",
     "multimodal_png_decode",
     "multimodal_mp4_probe",
     "multimodal_gif_roundtrip",

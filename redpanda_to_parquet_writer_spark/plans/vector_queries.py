@@ -151,6 +151,21 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_adc_topk(codes, queries, cb, PQ_M, EMB_DIM, TOPK_K)
 
 
+def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC: IVF probes narrow the candidates, PQ/ADC lookup sums
+    score them — query-time work never touches a float vector (see
+    operators/similarity.py:ivfadc_topk). Both halves reuse the already-
+    gated deterministic quantizers, so the full composition is replayed
+    verbatim by the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = S.deterministic_centroids(emb, IVF_CENTROIDS, "vec_id", "embedding")
+    cb = S.pq_codebooks(emb, PQ_M, PQ_KSUB, EMB_DIM)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return S.ivfadc_topk(
+        emb, queries, centroids, cb, PQ_M, EMB_DIM, TOPK_K, IVF_PROBE
+    )
+
+
 def embeddings_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # restrict the exact-quadratic check to one label's vectors: the
@@ -260,6 +275,7 @@ QUERIES = {
     "ann_ivf_indexed_topk": ann_ivf_indexed_topk,
     "ann_recall_audit": ann_recall_audit,
     "ann_pq_adc_topk": ann_pq_adc_topk,
+    "ann_ivfadc_topk": ann_ivfadc_topk,
     "embeddings_neardup_pairs": embeddings_neardup_pairs,
     "embeddings_lsh_neardup_pairs": embeddings_lsh_neardup_pairs,
     "embeddings_semdedup_keep": embeddings_semdedup_keep,
@@ -486,6 +502,97 @@ ORACLES["ann_pq_adc_topk"] = f"""
       FROM codes c JOIN lut l USING (subspace, code)
       WHERE c.vec_id != l.query_id
       GROUP BY l.query_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(adc_dec AS DOUBLE) AS adc_dist, rank
+    FROM (
+      SELECT query_id, neighbor_id, adc_dec,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY adc_dec ASC, neighbor_id ASC
+             ) AS rank
+      FROM adc
+    ) WHERE rank <= {TOPK_K}
+"""
+
+# IVFADC: the IVF oracle's assignment/probe CTEs composed with the PQ
+# oracle's codebook/codes/LUT CTEs — candidates restricted to probed
+# clusters, scored by the exact decimal lookup sum
+ORACLES["ann_ivfadc_topk"] = f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    centroids AS (
+      SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cluster_id, v AS cv
+      FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id ASC LIMIT {IVF_CENTROIDS})
+    ),
+    assigned AS (
+      SELECT vec_id AS neighbor_id, cluster_id
+      FROM (
+        SELECT x.vec_id, c.cluster_id,
+               row_number() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY {_cos('x.v', 'c.cv')} DESC, c.cluster_id ASC
+               ) AS rn
+        FROM vecs x CROSS JOIN centroids c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, cluster_id
+      FROM (
+        SELECT q.vec_id AS query_id, c.cluster_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_cos('q.v', 'c.cv')} DESC, c.cluster_id ASC
+               ) AS pr
+        FROM vecs q CROSS JOIN centroids c
+        WHERE q.vec_id < {N_QUERY_VECS}
+      ) WHERE pr <= {IVF_PROBE}
+    ),
+    sub AS (
+      SELECT vec_id, CAST(s AS INTEGER) AS subspace,
+             list_transform(generate_series(1, {_PQ_W}),
+                            j -> v[CAST(s AS INTEGER) * {_PQ_W} + j]) AS sv
+      FROM vecs, LATERAL unnest(range({PQ_M})) t(s)
+    ),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS code, v
+      FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id ASC LIMIT {PQ_KSUB})
+    ),
+    codebook AS (
+      SELECT CAST(s AS INTEGER) AS subspace, code,
+             list_transform(generate_series(1, {_PQ_W}),
+                            j -> v[CAST(s AS INTEGER) * {_PQ_W} + j]) AS cv
+      FROM seeds, LATERAL unnest(range({PQ_M})) t(s)
+    ),
+    dists AS (
+      SELECT sub.vec_id, sub.subspace, codebook.code, {_PQ_SUB_L2} AS dist
+      FROM sub JOIN codebook USING (subspace)
+    ),
+    codes AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT vec_id, subspace, code,
+               row_number() OVER (
+                 PARTITION BY vec_id, subspace ORDER BY dist ASC, code ASC
+               ) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT vec_id AS query_id, subspace, code,
+             CAST(round(dist, 6) AS DECIMAL(18,6)) AS ddec
+      FROM dists WHERE vec_id < {N_QUERY_VECS}
+    ),
+    cand AS (
+      SELECT p.query_id, a.neighbor_id
+      FROM probes p JOIN assigned a USING (cluster_id)
+      WHERE a.neighbor_id != p.query_id
+    ),
+    adc AS (
+      SELECT c.query_id, c.neighbor_id, sum(l.ddec) AS adc_dec
+      FROM cand c
+      JOIN codes k ON k.vec_id = c.neighbor_id
+      JOIN lut l ON l.query_id = c.query_id
+               AND l.subspace = k.subspace AND l.code = k.code
+      GROUP BY c.query_id, c.neighbor_id
     )
     SELECT query_id, neighbor_id, CAST(adc_dec AS DOUBLE) AS adc_dist, rank
     FROM (

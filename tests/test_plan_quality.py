@@ -427,3 +427,13 @@ def test_forecast_revenue_pushes_all_predicates(spark, sf_dir):
         "LessThan(l_quantity,24.0)",
     ):
         assert frag in pushed, (frag, pushed)
+
+
+def test_ivfadc_broadcasts_probes_and_lut(spark, sf_dir):
+    """IVFADC query-time joins (probes, LUT, codebooks) must broadcast;
+    the ONE corpus-sized shuffle join allowed is the index build's
+    codes-to-assignment attach (persisted once in production —
+    build_ivf_index)."""
+    plan = plan_str(QUERIES["ann_ivfadc_topk"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 1
