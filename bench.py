@@ -79,6 +79,8 @@ HEADLINE = [
     "events_value_trend_by_type",
     "events_value_winsorized_stats",
     "events_zorder_key",
+    "events_anomaly_zscore",
+    "parts_co_occurrence",
     "events_salted_type_join",
     "bucketed_revenue_join",
     "docs_token_stats",
@@ -100,6 +102,7 @@ HEADLINE = [
     "docs_top_ngrams",
     "docs_tfidf_top_terms",
     "docs_unigram_logprob",
+    "docs_containment_pairs",
     "embeddings_label_centroids",
     "ann_cosine_topk",
     "ann_ivf_topk",

@@ -944,3 +944,71 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             "avg_logprob"
         ),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    ngram_col: str,
+    threshold: float,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric set CONTAINMENT |A∩B| / min(|A|, |B|) over n-gram
+    shingles — the subset-duplicate detector: a document fully quoted
+    inside a 10x-longer one has Jaccard ~0.1 (diluted by the union) but
+    containment 1.0. The standard companion to `jaccard_pairs` in
+    news/web dedup, where wrapper pages embed whole articles.
+
+    Same single-scan posting-list shape as `jaccard_pairs` (set sizes
+    ride the exploded rows, pair co-occurrence counts ARE the
+    intersection sizes, `max_doc_freq` caps hot shingles); the
+    threshold is applied by exact integer cross-multiplication and the
+    emitted score is exact half-up millionths — no double ratio crosses
+    an engine boundary.
+    """
+    shingles = df.select(
+        F.col(id_col), F.array_distinct(F.col(ngram_col)).alias("__gs")
+    ).select(
+        F.col(id_col),
+        F.size("__gs").alias("n"),
+        F.explode("__gs").alias("g"),
+    )
+    if max_doc_freq is not None:
+        gw = Window.partitionBy("g")
+        iw = Window.partitionBy(id_col)
+        shingles = (
+            shingles.withColumn("__df", F.count(F.lit(1)).over(gw))
+            .filter(F.col("__df") <= max_doc_freq)
+            .withColumn("n", F.count(F.lit(1)).over(iw))
+            .drop("__df")
+        )
+    postings = (
+        shingles.groupBy("g")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("n"))).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    lhs = postings.select(F.explode("ids").alias("a"), "ids")
+    pairs = lhs.select("a", F.explode("ids").alias("b")).filter(
+        F.col("a.id") < F.col("b.id")
+    )
+    inter = pairs.groupBy(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+    ).agg(F.count("*").alias("common"))
+    thr_millionths = int(round(threshold * 1000000))
+    return (
+        inter.filter(
+            F.expr(f"common * 1000000 >= {thr_millionths} * least(na, nb)")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "common",
+            (
+                F.expr("(2 * common * 1000000 + least(na, nb)) DIV (2 * least(na, nb))")
+                / F.lit(1000000.0)
+            ).alias("containment"),
+        )
+    )

@@ -56,6 +56,9 @@ _PRIORITY = [
     "events_value_winsorized_stats",
     "forecast_revenue_change",
     "ann_ivfadc_topk",
+    "docs_containment_pairs",
+    "events_anomaly_zscore",
+    "parts_co_occurrence",
     "multimodal_png_decode",
     "multimodal_mp4_probe",
     "multimodal_gif_roundtrip",

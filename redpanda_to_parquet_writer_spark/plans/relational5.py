@@ -236,8 +236,82 @@ def events_value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# z-score from exact integer moments, one double tree mirrored in the
+# oracle (micro-units; n >= 2 per type by fixture construction)
+_MEAN_U = "(CAST(syu AS DOUBLE) / CAST(n AS DOUBLE))"
+_VAR_U2 = (
+    "((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(syu AS DOUBLE) * CAST(syu AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))"
+)
+_ZSCORE = f"round((value * 1000000.0 - {_MEAN_U}) / sqrt({_VAR_U2}), 3)"
+ANOMALY_Z = 3.0
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly detection: events more than 3 sample
+    standard deviations from their type's mean — the outlier monitor an
+    ingest pipeline runs over metrics and quality scores.
+
+    Scale shape: one hash aggregation produces exact integer moments
+    (count, Σv, Σv² in micro-units — bit-stable under any task order),
+    broadcast back over a fresh scan; the z expression is one double
+    tree mirrored in the oracle, and the keep filter compares the
+    ROUNDED score so both engines select the identical row set.
+    """
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("vu"),
+    )
+    moments = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("vu").alias("syu"),
+        F.sum(F.expr("CAST(vu AS DECIMAL(38,0)) * vu")).alias("syy"),
+    )
+    scored = base.join(F.broadcast(moments), "event_type").withColumn(
+        "z", F.expr(_ZSCORE)
+    )
+    return scored.filter(F.expr(f"abs(z) > {ANOMALY_Z}")).select(
+        "event_id", "event_type", "value", "z"
+    )
+
+
+CO_OCCUR_K = 25
+
+
+def parts_co_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the K part pairs most often ordered
+    together. The dedup machinery's in-bucket pair enumeration turned
+    into analytics — per order, distinct parts collect into one row and
+    two chained explodes enumerate pairs (never an order self-join,
+    which would scan and shuffle lineitem twice); pair counts then
+    partial-aggregate map-side and the top-K is a TakeOrdered heap.
+    Baskets are naturally tiny (an order has <= 7 lines), so the
+    in-bucket quadratic is bounded at 21 pairs per order.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
+    )
+    lhs = baskets.select(F.explode("parts").alias("a"), "parts")
+    pairs = lhs.select("a", F.explode("parts").alias("b")).filter(
+        F.col("a") < F.col("b")
+    )
+    return (
+        pairs.groupBy(F.col("a").alias("part_a"), F.col("b").alias("part_b"))
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(CO_OCCUR_K)
+    )
+
+
 QUERIES = {
     "events_value_trend_by_type": events_value_trend_by_type,
+    "events_anomaly_zscore": events_anomaly_zscore,
+    "parts_co_occurrence": parts_co_occurrence,
     "events_zorder_key": events_zorder_key,
     "events_value_winsorized_stats": events_value_winsorized_stats,
     "forecast_revenue_change": forecast_revenue_change,
@@ -305,6 +379,38 @@ ORACLES = {
                (2 * CAST(sum(CAST(round(cv * 1000000) AS BIGINT)) AS BIGINT)
                   + count(*)) // (2 * count(*)) / 1000000.0 AS winsorized_mean
         FROM clipped GROUP BY event_type
+    """,
+    "events_anomaly_zscore": f"""
+        WITH base AS (
+          SELECT event_id, event_type, value,
+                 CAST(round(value * 1000000) AS BIGINT) AS vu
+          FROM events
+        ),
+        moments AS (
+          SELECT event_type, count(*) AS n,
+                 CAST(sum(vu) AS BIGINT) AS syu,
+                 sum(vu * vu) AS syy
+          FROM base GROUP BY event_type
+        ),
+        scored AS (
+          SELECT b.event_id, b.event_type, b.value, {_ZSCORE} AS z
+          FROM base b JOIN moments USING (event_type)
+        )
+        SELECT event_id, event_type, value, z
+        FROM scored WHERE abs(z) > {ANOMALY_Z}
+    """,
+    "parts_co_occurrence": f"""
+        WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (
+          SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+          FROM baskets a JOIN baskets b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        counts AS (
+          SELECT part_a, part_b, count(*) AS n_orders FROM pairs GROUP BY 1, 2
+        )
+        SELECT part_a, part_b, n_orders FROM counts
+        ORDER BY n_orders DESC, part_a ASC, part_b ASC LIMIT {CO_OCCUR_K}
     """,
     "forecast_revenue_change": """
         SELECT count(*) AS n_items,

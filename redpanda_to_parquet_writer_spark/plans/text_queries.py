@@ -883,3 +883,40 @@ ORACLES["docs_unigram_logprob"] = """
            round(CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS avg_logprob
     FROM per_doc
 """
+
+
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (subset-duplicate detection) — the
+    Jaccard companion that catches a short doc embedded in a long one
+    (operators/text.py:containment_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = T.with_ngrams(docs, "text", NGRAM_N)
+    return T.containment_pairs(grams, "doc_id", "ngrams", CONTAINMENT_THRESHOLD)
+
+
+QUERIES["docs_containment_pairs"] = docs_containment_pairs
+
+_CONT_MILL = int(round(CONTAINMENT_THRESHOLD * 1000000))
+ORACLES["docs_containment_pairs"] = f"""
+    WITH {_GRAMS_CTE},
+    shingles AS (
+      SELECT DISTINCT doc_id, g
+      FROM grams, LATERAL unnest(ngrams) t(g)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS common
+      FROM shingles l JOIN shingles r ON l.g = r.g AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, common,
+           (2 * common * 1000000 + least(sa.n, sb.n))
+             // (2 * least(sa.n, sb.n)) / 1000000.0 AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE common * 1000000 >= {_CONT_MILL} * least(sa.n, sb.n)
+"""
