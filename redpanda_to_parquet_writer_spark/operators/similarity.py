@@ -606,6 +606,16 @@ _PQ_L2 = (
 )
 
 
+def _pq_check(m: int, dim: int, ksub: int | None = None) -> None:
+    """Enforce the PQ slicing preconditions loudly: a dim that m does
+    not divide would silently slice short subvectors (wrong distances,
+    no error), and ksub > 256 breaks the one-byte-code memory claim."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} must divide evenly into m={m} subspaces")
+    if ksub is not None and not (1 <= ksub <= 256):
+        raise ValueError(f"ksub {ksub} must be in [1, 256] for one-byte codes")
+
+
 def _pq_subvectors(
     df: DataFrame, m: int, width: int, id_col: str, vec_col: str, out_id: str
 ) -> DataFrame:
@@ -645,6 +655,7 @@ def pq_codebooks(
     joins; a distributed lineage would replay its corpus scan per
     reference (the `materialize_centroids` finding).
     """
+    _pq_check(m, dim, ksub)
     spark = df.sparkSession
     width = dim // m
     seeds = df.orderBy(id_col).limit(ksub).select(vec_col).collect()
@@ -672,6 +683,7 @@ def pq_encode(
     min(struct(dist, code)) so the shuffle carries one pre-aggregated
     row per (vector, subspace) per task — never the k candidate rows.
     """
+    _pq_check(m, dim)
     width = dim // m
     sub = _pq_subvectors(df, m, width, id_col, vec_col, "__vid")
     dists = sub.join(F.broadcast(codebooks), "subspace").withColumn(
@@ -706,6 +718,7 @@ def pq_adc_topk(
     (micro-batch/task order cannot flip a rank); ranking ties break on
     neighbor id. Returns (query_id, neighbor_id, adc_dist, rank).
     """
+    _pq_check(m, dim)
     width = dim // m
     qsub = _pq_subvectors(queries, m, width, id_col, vec_col, "query_id")
     lut = (
@@ -758,6 +771,7 @@ def ivfadc_topk(
     the probe join is bounded by the probed lists, and the ADC aggregate
     partial-aggregates map-side over exact decimals (rank order-proof).
     """
+    _pq_check(m, dim)
     centroids = materialize_centroids(centroids)
     c = df.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")

@@ -31,6 +31,11 @@ PRONE = [
     "docs_stratified_sample",
     "events_sessionization",
     "top_event_type_per_user",
+    # r5 additions: collect_set pair enumeration, argmin-struct PQ codes
+    # + decimal ADC sums, rank-selected winsorization cuts
+    "parts_co_occurrence",
+    "ann_pq_adc_topk",
+    "events_value_winsorized_stats",
 ]
 
 

@@ -301,3 +301,19 @@ def test_pq_adc_approximates_true_ranking(spark, sf_dir):
             r["rank"] for r in rows if r["query_id"] == q and r["neighbor_id"] == true_nn
         )
         assert adc_rank <= max(3, (n - 1) // 4), (q, true_nn, adc_rank)
+
+
+def test_pq_dimension_preconditions_enforced(spark):
+    """dim % m != 0 would silently slice short subvectors — it must
+    raise instead; ksub > 256 breaks the one-byte-code claim."""
+    import pytest
+
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        pq_codebooks,
+    )
+
+    df = spark.createDataFrame([(0, [0.0] * 10)], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="divide evenly"):
+        pq_codebooks(df, m=3, ksub=4, dim=10)
+    with pytest.raises(ValueError, match="one-byte"):
+        pq_codebooks(df, m=2, ksub=300, dim=10)
