@@ -81,6 +81,7 @@ HEADLINE = [
     "events_zorder_key",
     "events_anomaly_zscore",
     "parts_co_occurrence",
+    "events_user_resample",
     "events_salted_type_join",
     "bucketed_revenue_join",
     "docs_token_stats",

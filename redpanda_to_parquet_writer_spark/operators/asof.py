@@ -110,3 +110,58 @@ def interval_join(
         .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col)))
         .drop("__bin")
     )
+
+
+def resample_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    grid_start: int,
+    grid_step: int,
+    grid_points: int,
+) -> DataFrame:
+    """Per-key LOCF resampling onto a fixed time grid — the
+    irregular-events → regular-time-series operator (metrics dashboards,
+    feature snapshots), implemented as a REAL Arrow grouped-map
+    (`applyInPandas`): each key's events arrive as one pandas frame, a
+    vectorized `searchsorted` carries the last observation forward onto
+    the grid, and grid points before the first event stay null.
+
+    Scale shape: ONE shuffle on the key (the groupBy), NumPy inside the
+    batch — no per-row Python. Grid timestamps are exact integers and
+    carried values are stored doubles (no arithmetic), so the result is
+    engine-exact; ties at the same (key, ts) break deterministically on
+    `tiebreak_col` (last wins), mirroring the oracle's max-tiebreak
+    dedup.
+    """
+    import numpy as np
+    import pandas as pd
+
+    grid = np.arange(grid_points, dtype=np.int64) * grid_step + grid_start
+    out_schema = (
+        f"{key_col} long, grid_ts long, {value_col} double"
+    )
+
+    def resample(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[key_col].iloc[0]
+        pdf = pdf.sort_values([ts_col, tiebreak_col], kind="mergesort")
+        # deterministic tie collapse: last (max tiebreak) per timestamp
+        pdf = pdf.drop_duplicates(subset=[ts_col], keep="last")
+        ts = pdf[ts_col].to_numpy(dtype=np.int64)
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        idx = np.searchsorted(ts, grid, side="right") - 1
+        # nullable Float64 so pre-first-event grid points become real
+        # SQL NULLs through Arrow (NaN would not hash-match the oracle)
+        out_vals = pd.array(vals[np.maximum(idx, 0)], dtype="Float64")
+        out_vals[idx < 0] = pd.NA
+        return pd.DataFrame(
+            {
+                key_col: np.full(len(grid), key, dtype=np.int64),
+                "grid_ts": grid,
+                value_col: out_vals,
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(resample, schema=out_schema)

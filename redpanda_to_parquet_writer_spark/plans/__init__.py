@@ -59,6 +59,7 @@ _PRIORITY = [
     "docs_containment_pairs",
     "events_anomaly_zscore",
     "parts_co_occurrence",
+    "events_user_resample",
     "multimodal_png_decode",
     "multimodal_mp4_probe",
     "multimodal_gif_roundtrip",

@@ -308,10 +308,46 @@ def parts_co_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESAMPLE_START_US = 1704067200 * 1000000  # 2024-01-01T00:00:00 (fixture epoch)
+RESAMPLE_STEP_US = 6 * 3600 * 1000000  # 6-hour grid
+RESAMPLE_POINTS = 124  # 31 days
+
+
+def events_user_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irregular events → regular per-user time series: LOCF resampling
+    onto a fixed 6-hour grid, running as a REAL Arrow grouped-map
+    (`applyInPandas` + vectorized searchsorted — the grouped-pandas UDF
+    surface under the oracle gate; see operators/asof.py:resample_locf).
+    Grid points before a user's first event are SQL NULLs; ties at one
+    timestamp collapse to the max event_id, mirrored by the oracle's
+    arg_max."""
+    from redpanda_to_parquet_writer_spark.functions.dates import event_epoch_us
+    from redpanda_to_parquet_writer_spark.operators.asof import resample_locf
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        event_epoch_us(events).alias("ts_us"),
+        "value",
+        "event_id",
+    )
+    return resample_locf(
+        base,
+        "user_id",
+        "ts_us",
+        "value",
+        "event_id",
+        RESAMPLE_START_US,
+        RESAMPLE_STEP_US,
+        RESAMPLE_POINTS,
+    )
+
+
 QUERIES = {
     "events_value_trend_by_type": events_value_trend_by_type,
     "events_anomaly_zscore": events_anomaly_zscore,
     "parts_co_occurrence": parts_co_occurrence,
+    "events_user_resample": events_user_resample,
     "events_zorder_key": events_zorder_key,
     "events_value_winsorized_stats": events_value_winsorized_stats,
     "forecast_revenue_change": forecast_revenue_change,
@@ -398,6 +434,25 @@ ORACLES = {
         )
         SELECT event_id, event_type, value, z
         FROM scored WHERE abs(z) > {ANOMALY_Z}
+    """,
+    "events_user_resample": f"""
+        WITH base AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, value, event_id FROM events
+        ),
+        dedup AS (
+          SELECT user_id, ts_us, arg_max(value, event_id) AS value
+          FROM base GROUP BY user_id, ts_us
+        ),
+        grid AS (
+          SELECT {RESAMPLE_START_US} + g * {RESAMPLE_STEP_US} AS grid_ts
+          FROM (SELECT unnest(range({RESAMPLE_POINTS})) AS g)
+        ),
+        users AS (SELECT DISTINCT user_id FROM base)
+        SELECT u.user_id, g.grid_ts, d.value
+        FROM users u
+        CROSS JOIN grid g
+        ASOF LEFT JOIN dedup d
+          ON d.user_id = u.user_id AND d.ts_us <= g.grid_ts
     """,
     "parts_co_occurrence": f"""
         WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
