@@ -82,6 +82,7 @@ HEADLINE = [
     "events_anomaly_zscore",
     "parts_co_occurrence",
     "events_user_resample",
+    "events_sketch_audit",
     "events_salted_type_join",
     "bucketed_revenue_join",
     "docs_token_stats",

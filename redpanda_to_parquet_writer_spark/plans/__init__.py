@@ -60,6 +60,7 @@ _PRIORITY = [
     "events_anomaly_zscore",
     "parts_co_occurrence",
     "events_user_resample",
+    "events_sketch_audit",
     "multimodal_png_decode",
     "multimodal_mp4_probe",
     "multimodal_gif_roundtrip",

@@ -308,6 +308,55 @@ def parts_co_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SKETCH_TOL_PCT = 5
+
+
+def events_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketches under the oracle gate: per event type, Spark's HLL++
+    distinct count and t-digest median must land within 5% of the exact
+    answers computed in the same query. The oracle states the CONTRACT
+    (exact values + within-tolerance booleans literally true): if either
+    sketch drifted outside its error budget, the hash gate fails — the
+    "measure, don't guess" check for the approx profiling operators that
+    replace exact distinct/quantiles at 100 TB.
+
+    Exact median is rank-selected ((n+1) DIV 2 over (value, event_id) —
+    a stored value, engine-portable); exact distinct plans one expand.
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select("event_type", "event_id", "user_id", "value")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    med = (
+        base.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("event_type")))
+        .filter(F.expr("rn = (n + 1) DIV 2"))
+        .select("event_type", F.col("value").alias("p50_exact"))
+    )
+    agg = base.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("__hll"),
+        F.percentile_approx("value", 0.5, 10000).alias("__td"),
+    )
+    tol = SKETCH_TOL_PCT / 100.0
+    return (
+        agg.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "n_users_exact",
+            F.expr(
+                f"abs(CAST(__hll AS DOUBLE) - CAST(n_users_exact AS DOUBLE))"
+                f" <= {tol} * CAST(n_users_exact AS DOUBLE)"
+            ).alias("hll_within_tol"),
+            "p50_exact",
+            F.expr(f"abs(__td - p50_exact) <= {tol} * p50_exact").alias(
+                "tdigest_within_tol"
+            ),
+        )
+    )
+
+
 RESAMPLE_START_US = 1704067200 * 1000000  # 2024-01-01T00:00:00 (fixture epoch)
 RESAMPLE_STEP_US = 6 * 3600 * 1000000  # 6-hour grid
 RESAMPLE_POINTS = 124  # 31 days
@@ -348,6 +397,7 @@ QUERIES = {
     "events_anomaly_zscore": events_anomaly_zscore,
     "parts_co_occurrence": parts_co_occurrence,
     "events_user_resample": events_user_resample,
+    "events_sketch_audit": events_sketch_audit,
     "events_zorder_key": events_zorder_key,
     "events_value_winsorized_stats": events_value_winsorized_stats,
     "forecast_revenue_change": forecast_revenue_change,
@@ -434,6 +484,33 @@ ORACLES = {
         )
         SELECT event_id, event_type, value, z
         FROM scored WHERE abs(z) > {ANOMALY_Z}
+    """,
+    # the oracle states the sketch CONTRACT: exact values + literal TRUE
+    # tolerance booleans — Spark's sketches must live inside their error
+    # budget or the hash gate fails
+    "events_sketch_audit": """
+        WITH base AS (
+          SELECT event_type, event_id, user_id, value FROM events
+        ),
+        ranked AS (
+          SELECT event_type, value,
+                 row_number() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+                 ) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM base
+        ),
+        med AS (
+          SELECT event_type, value AS p50_exact
+          FROM ranked WHERE rn = (n + 1) // 2
+        )
+        SELECT b.event_type,
+               count(DISTINCT b.user_id) AS n_users_exact,
+               TRUE AS hll_within_tol,
+               min(m.p50_exact) AS p50_exact,
+               TRUE AS tdigest_within_tol
+        FROM base b JOIN med m ON b.event_type = m.event_type
+        GROUP BY b.event_type
     """,
     "events_user_resample": f"""
         WITH base AS (

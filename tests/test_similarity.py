@@ -317,3 +317,23 @@ def test_pq_dimension_preconditions_enforced(spark):
         pq_codebooks(df, m=3, ksub=4, dim=10)
     with pytest.raises(ValueError, match="one-byte"):
         pq_codebooks(df, m=2, ksub=300, dim=10)
+
+
+def test_containment_max_doc_freq_caps_hot_shingle(spark):
+    """A boilerplate shingle shared by every doc would pair the whole
+    corpus; max_doc_freq drops it before its posting list is collected
+    (same guard as jaccard), and containment is computed over the
+    SURVIVING shingle space."""
+    from redpanda_to_parquet_writer_spark.operators.text import containment_pairs
+
+    rows = [(i, ["HOT", f"u{i}a", f"u{i}b"]) for i in range(20)]
+    # docs 0/1 genuinely overlap beyond the hot shingle
+    rows[1] = (1, ["HOT", "u0a", "u1b"])
+    df = spark.createDataFrame(rows, "doc_id long, ngrams array<string>")
+    uncapped = containment_pairs(df, "doc_id", "ngrams", 0.3)
+    assert uncapped.count() == 20 * 19 // 2  # HOT pairs everyone
+    capped = containment_pairs(df, "doc_id", "ngrams", 0.3, max_doc_freq=5)
+    got = {(r["id_a"], r["id_b"]): r["containment"] for r in capped.collect()}
+    # only the real overlap survives: docs 0/1 share u0a of 2 surviving
+    # shingles each -> containment 0.5
+    assert got == {(0, 1): 0.5}
