@@ -73,6 +73,7 @@ HEADLINE = [
     "sink_reconciliation",
     "top_event_type_per_user",
     "docs_exact_dedup",
+    "docs_normalized_dedup",
     "docs_line_dedup",
     "events_value_median_by_type",
     "events_sliding_hour_counts",

@@ -1012,3 +1012,31 @@ def containment_pairs(
             ).alias("containment"),
         )
     )
+
+
+def normalized_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Normalize-then-hash exact dedup (CCNet-style): lowercase, strip
+    punctuation, squeeze whitespace, md5 the result — catching the
+    case/punctuation variants raw exact-dedup misses while staying
+    deterministic enough to be the FIRST pass before any fuzzy method.
+
+    Character classes are spelled explicitly ([ \\t\\n\\r]) instead of
+    \\s because Java regex (Spark) includes \\x0B in \\s and RE2
+    (DuckDB) does not — the one place the engines' regex dialects
+    diverge for this pipeline. One window shuffle on the fingerprint
+    assigns the canonical (min-id) representative per group.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 \\t\\n\\r]", " "),
+            "[ \\t\\n\\r]+",
+            " ",
+        )
+    )
+    base = df.select(F.col(id_col), F.md5(norm).alias("norm_fp"))
+    w = Window.partitionBy("norm_fp")
+    return (
+        base.withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("n_variants", F.count(F.lit(1)).over(w))
+        .select(id_col, "norm_fp", "canonical_id", "n_variants")
+    )

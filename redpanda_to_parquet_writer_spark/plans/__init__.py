@@ -61,6 +61,7 @@ _PRIORITY = [
     "parts_co_occurrence",
     "events_user_resample",
     "events_sketch_audit",
+    "docs_normalized_dedup",
     "multimodal_png_decode",
     "multimodal_mp4_probe",
     "multimodal_gif_roundtrip",

@@ -920,3 +920,31 @@ ORACLES["docs_containment_pairs"] = f"""
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE common * 1000000 >= {_CONT_MILL} * least(sa.n, sb.n)
 """
+
+
+def docs_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize-then-hash dedup groups (case/punct-invariant exact
+    dedup — the standard first pass before fuzzy methods; see
+    operators/text.py:normalized_fingerprint)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.normalized_fingerprint(docs, "text", "doc_id")
+
+
+QUERIES["docs_normalized_dedup"] = docs_normalized_dedup
+
+# DuckDB regexp_replace needs the 'g' flag (Spark replaces all matches
+# by default); explicit [ \t\n\r] classes keep Java-vs-RE2 \s drift out
+ORACLES["docs_normalized_dedup"] = r"""
+    WITH base AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 \t\n\r]', ' ', 'g'),
+               '[ \t\n\r]+', ' ', 'g'
+             ))) AS norm_fp
+      FROM documents
+    )
+    SELECT doc_id, norm_fp,
+           min(doc_id) OVER (PARTITION BY norm_fp) AS canonical_id,
+           count(*) OVER (PARTITION BY norm_fp) AS n_variants
+    FROM base
+"""

@@ -69,3 +69,24 @@ def test_redact_no_blocklist(spark):
     row = redact_text(df, "text", "doc_id").collect()[0]
     assert row["redacted"] == "a <NUM> b"
     assert row["n_terms"] == 0
+
+
+def test_normalized_fingerprint_collapses_variants(spark):
+    """Case/punctuation/whitespace variants share a fingerprint; truly
+    different texts do not."""
+    from redpanda_to_parquet_writer_spark.operators.text import normalized_fingerprint
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello   world"),
+            (3, "HELLO\tWORLD."),
+            (4, "goodbye world"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in normalized_fingerprint(df, "text", "doc_id").collect()}
+    assert rows[1]["norm_fp"] == rows[2]["norm_fp"] == rows[3]["norm_fp"]
+    assert rows[1]["canonical_id"] == 1 and rows[3]["canonical_id"] == 1
+    assert rows[1]["n_variants"] == 3
+    assert rows[4]["norm_fp"] != rows[1]["norm_fp"] and rows[4]["n_variants"] == 1
