@@ -257,3 +257,39 @@ def export_reference_layout(
         exported.append(dest)
     shutil.rmtree(tmp, ignore_errors=True)
     return exported
+
+
+def backfill_date_partitions(
+    df: DataFrame,
+    root: str,
+    files_per_date: int = 1,
+) -> list[str]:
+    """Reprocess specific dates IN PLACE: dynamic partition overwrite
+    replaces exactly the `date=` partitions present in `df` and leaves
+    every other date untouched — the "one bad day" recompute every
+    production sink eventually needs, without rewriting (or even
+    listing) the rest of a 100-TB table.
+
+    `df` must already carry the `date` partition column
+    (`with_event_date`). Returns the sorted list of overwritten dates
+    (driver-side: distinct over the tiny date set). The conf flips to
+    `dynamic` only for this write and is restored after — static mode
+    (the default) would wipe ALL partitions on overwrite.
+    """
+    spark = df.sparkSession
+    dates = sorted(
+        str(r["date"]) for r in df.select("date").distinct().collect()
+    )
+    out = df.repartition(files_per_date * max(len(dates), 1), "date")
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        (
+            out.sortWithinPartitions("kafka_partition", "kafka_offset")
+            if {"kafka_partition", "kafka_offset"} <= set(df.columns)
+            else out
+        ).write.mode("overwrite").partitionBy("date").parquet(root)
+    finally:
+        spark.conf.set(conf_key, old)
+    return dates

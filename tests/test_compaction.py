@@ -87,3 +87,34 @@ def test_reference_layout_round_trip(spark, sf_dir, tmp_path):
     pruned = read_reference_layout(spark, out, "t1", date=day)
     expected = env.filter(F.col("date") == day).count()
     assert pruned.count() == expected > 0
+
+
+def test_backfill_overwrites_only_target_dates(spark, sf_dir, tmp_path):
+    """Dynamic partition overwrite: recomputing one date replaces that
+    partition and leaves the others byte-identical."""
+    from pyspark.sql import functions as F
+
+    from redpanda_to_parquet_writer_spark.streaming.sink import (
+        backfill_date_partitions,
+    )
+
+    root = str(tmp_path / "sink")
+    base = spark.createDataFrame(
+        [(i, f"2024-01-0{1 + i % 3}", float(i)) for i in range(30)],
+        "rec_id long, d string, value double",
+    ).select("rec_id", F.col("d").cast("date").alias("date"), "value")
+    base.write.partitionBy("date").parquet(root)
+
+    # recompute day 2 with halved values
+    fixed = base.filter(F.col("date") == "2024-01-02").withColumn(
+        "value", F.col("value") / 2
+    )
+    dates = backfill_date_partitions(fixed, root)
+    assert dates == ["2024-01-02"]
+
+    got = spark.read.parquet(root)
+    assert got.count() == 30  # no rows lost from other dates
+    d2 = got.filter(F.col("date") == "2024-01-02")
+    assert d2.agg(F.max("value")).collect()[0][0] < 15  # halved
+    d1 = got.filter(F.col("date") == "2024-01-01").count()
+    assert d1 == base.filter(F.col("date") == "2024-01-01").count()
