@@ -62,6 +62,7 @@ _PRIORITY = [
     "events_user_resample",
     "events_sketch_audit",
     "docs_normalized_dedup",
+    "streaming_sliding_event_stats",
     "multimodal_png_decode",
     "multimodal_mp4_probe",
     "multimodal_gif_roundtrip",

@@ -256,9 +256,33 @@ def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(agg, "streaming_session_stats_sink", "complete")
 
 
+def streaming_sliding_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING windows under the oracle gate: 2-hour windows advancing
+    every hour (each event lands in exactly two windows), computed by
+    the streaming engine (availableNow -> memory sink) and hash-equal
+    to a batch unnest-the-offsets SQL. Completes the window-type
+    coverage: tumbling (hourly stats), session (gap merge), sliding."""
+    stream = _events_stream(spark, sf_dir)
+    ts = F.timestamp_micros(event_epoch_us(stream))
+    agg = (
+        stream.withColumn("evt_ts", ts)
+        .withWatermark("evt_ts", "3 hours")
+        .groupBy(F.window("evt_ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(
+                "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)"
+            ).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+    return _drain_to_memory(agg, "streaming_sliding_stats_sink", "complete")
+
+
 QUERIES = {
     "streaming_hourly_event_stats": streaming_hourly_event_stats,
     "streaming_session_stats": streaming_session_stats,
+    "streaming_sliding_event_stats": streaming_sliding_event_stats,
     "streaming_offset_gaps": streaming_offset_gaps,
     "streaming_interval_join": streaming_interval_join,
     "streaming_dedup_keys": streaming_dedup_keys,
@@ -327,6 +351,18 @@ ORACLES = {
         FROM events e
         JOIN nation n ON e.user_id % 25 = n.n_nationkey
         GROUP BY n.n_name
+    """,
+    # sliding windows: each event contributes to the two 2-hour windows
+    # whose hour-aligned starts cover it — batch replay via unnested
+    # window offsets
+    "streaming_sliding_event_stats": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) - k * INTERVAL '1 hour'
+                 AS window_start,
+               count(*) AS n,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS total_value
+        FROM events, LATERAL unnest([0, 1]) t(k)
+        GROUP BY 1
     """,
     # the streaming session_window merge must reproduce batch lag/cumsum
     # sessionization (new session when the gap is >= 30 min — the window
