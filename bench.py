@@ -103,6 +103,7 @@ HEADLINE = [
     "docs_incremental_neardup_filter",
     "docs_decontaminate",
     "docs_top_ngrams",
+    "docs_countmin_heavy_hitters",
     "docs_tfidf_top_terms",
     "docs_unigram_logprob",
     "docs_containment_pairs",

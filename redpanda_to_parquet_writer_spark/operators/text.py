@@ -1040,3 +1040,88 @@ def normalized_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFra
         .withColumn("n_variants", F.count(F.lit(1)).over(w))
         .select(id_col, "norm_fp", "canonical_id", "n_variants")
     )
+
+
+CM_DEPTH = 4
+CM_WIDTH = 256
+
+
+def _cm_bucket(term: Column | str, j: int, width: int) -> Column:
+    """Deterministic md5-derived count-min bucket for hash row `j` —
+    the engine-portable integer-hash idiom (docs_train_split)."""
+    col = F.col(term) if isinstance(term, str) else term
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), col)), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(width),
+    )
+
+
+def countmin_sketch(
+    term_counts: DataFrame,
+    term_col: str = "term",
+    count_col: str = "cnt",
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Build a count-min sketch from exact per-term counts: `depth`
+    hash rows x `width` buckets, each bucket the sum of counts of terms
+    hashing into it. The sketch is depth*width rows REGARDLESS of
+    vocabulary size — the fixed-memory summary that replaces an
+    unbounded term dictionary at corpus scale (heavy-hitter monitoring,
+    cross-day frequency joins).
+
+    Unlike library sketches, the hashes are md5-derived and the sums
+    exact integers, so the WHOLE structure is reproducible bit-for-bit
+    by any engine — the DuckDB oracle replays the sketch itself.
+    """
+    rows = term_counts.select(
+        F.col(count_col).alias("cnt"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cm_bucket(term_col, j, width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("h"),
+    )
+    return rows.groupBy(F.col("h.j").alias("j"), F.col("h.bucket").alias("bucket")).agg(
+        F.sum("cnt").alias("bucket_count")
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    term_col: str = "term",
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Point-estimate probe terms against a count-min sketch: the min
+    over the `depth` bucket counters (the CM guarantee: estimate >=
+    true count, with overshoot bounded by collisions). The sketch is
+    tiny (depth*width rows) and broadcasts; probes never shuffle."""
+    probe_rows = probes.select(
+        F.col(term_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cm_bucket(term_col, j, width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("h"),
+    ).select(term_col, F.col("h.j").alias("j"), F.col("h.bucket").alias("bucket"))
+    return (
+        probe_rows.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy(term_col)
+        .agg(F.min("bucket_count").alias("cm_estimate"))
+    )

@@ -63,6 +63,7 @@ _PRIORITY = [
     "events_sketch_audit",
     "docs_normalized_dedup",
     "streaming_sliding_event_stats",
+    "docs_countmin_heavy_hitters",
     "multimodal_png_decode",
     "multimodal_mp4_probe",
     "multimodal_gif_roundtrip",

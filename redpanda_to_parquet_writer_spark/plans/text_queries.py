@@ -948,3 +948,59 @@ ORACLES["docs_normalized_dedup"] = r"""
            count(*) OVER (PARTITION BY norm_fp) AS n_variants
     FROM base
 """
+
+
+CM_PROBE_K = 10
+
+
+def docs_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch under the oracle gate: exact corpus term counts
+    feed a 4x256 md5-hashed sketch, and the top-10 heavy hitters are
+    point-estimated back out of it (estimate >= exact by construction,
+    overshoot = hash collisions). Because the hashes are md5-derived
+    and the sums exact integers, the ENTIRE sketch is engine-portable —
+    the oracle rebuilds it bit-for-bit (operators/text.py:
+    countmin_sketch/countmin_estimate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.tokens("text")).alias("term"))
+    cnt = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    probes = cnt.orderBy(F.desc("cnt"), F.asc("term")).limit(CM_PROBE_K)
+    sketch = T.countmin_sketch(cnt)
+    est = T.countmin_estimate(sketch, probes.select("term"))
+    return probes.join(est, "term").select(
+        "term", F.col("cnt").alias("exact_count"), "cm_estimate"
+    )
+
+
+QUERIES["docs_countmin_heavy_hitters"] = docs_countmin_heavy_hitters
+
+ORACLES["docs_countmin_heavy_hitters"] = f"""
+    WITH toks AS (
+      SELECT tok AS term
+      FROM (SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents),
+           LATERAL unnest(t) u(tok)
+    ),
+    cnt AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+    probes AS (
+      SELECT term, cnt FROM cnt ORDER BY cnt DESC, term ASC LIMIT {CM_PROBE_K}
+    ),
+    hashes AS (
+      SELECT term, cnt, CAST(j AS INTEGER) AS j,
+             CAST(concat('0x', substring(
+               md5(concat(CAST(j AS VARCHAR), ':', term)), 1, 8)
+             ) AS BIGINT) % {T.CM_WIDTH} AS bucket
+      FROM cnt, LATERAL unnest(range({T.CM_DEPTH})) t(j)
+    ),
+    sketch AS (
+      SELECT j, bucket, CAST(sum(cnt) AS BIGINT) AS bucket_count
+      FROM hashes GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT h.term, min(s.bucket_count) AS cm_estimate
+      FROM hashes h JOIN sketch s USING (j, bucket)
+      WHERE h.term IN (SELECT term FROM probes)
+      GROUP BY h.term
+    )
+    SELECT p.term, CAST(p.cnt AS BIGINT) AS exact_count, e.cm_estimate
+    FROM probes p JOIN est e USING (term)
+"""
