@@ -104,6 +104,7 @@ HEADLINE = [
     "docs_decontaminate",
     "docs_top_ngrams",
     "docs_countmin_heavy_hitters",
+    "docs_bloom_prefilter",
     "docs_tfidf_top_terms",
     "docs_unigram_logprob",
     "docs_containment_pairs",

@@ -177,3 +177,90 @@ def exact_dedup_min_key(
     """
     cols = content_cols or content_columns(df)
     return df.groupBy(*cols).agg(F.min(order_col).alias(order_col))
+
+
+# --- Bloom-filter prefilter -------------------------------------------------
+# The standard ingest-dedup accelerator: a fixed-size bit array over the
+# seen-key set answers "definitely new" without touching the key table,
+# so the exact anti-join only processes the (few) maybe-seen rows. Words
+# are 63-bit so every mask and every OR stays a non-negative BIGINT in
+# both Spark and DuckDB (the 48-bit-simhash portability rule); hashes
+# are md5-derived — the oracle rebuilds the filter bit-for-bit.
+
+BLOOM_WORD_BITS = 63
+BLOOM_WORDS = 64  # 64 x 63 = 4032 bits
+BLOOM_HASHES = 3
+
+
+def _bloom_bit(key: Column | str, j: int, n_bits: int) -> Column:
+    col = F.col(key) if isinstance(key, str) else key
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), col)), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(n_bits),
+    )
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    n_words: int = BLOOM_WORDS,
+    word_bits: int = BLOOM_WORD_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Fold a key set into a Bloom bit array: `n_words` rows of
+    (word_idx, word) built by a bit_or aggregate — fixed size no matter
+    how many keys, partial-aggregated map-side, ONE tiny result to
+    broadcast at probe time."""
+    n_bits = n_words * word_bits
+    bits = keys.select(
+        F.explode(
+            F.array(
+                *[_bloom_bit(key_col, j, n_bits).alias(f"b{j}") for j in range(n_hashes)]
+            )
+        ).alias("bit")
+    )
+    return (
+        bits.select(
+            F.expr(f"bit DIV {word_bits}").alias("word_idx"),
+            F.expr(f"CAST(shiftleft(CAST(1 AS BIGINT), CAST(bit % {word_bits} AS INT)) AS BIGINT)").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").alias("word"))
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    n_words: int = BLOOM_WORDS,
+    word_bits: int = BLOOM_WORD_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Membership test against a broadcast Bloom filter: a probe is
+    `maybe_seen` iff ALL its hash bits are set (no false negatives —
+    the guarantee the oracle gate enforces; false positives are the
+    collision price the exact verify pays for). Adds `maybe_seen`
+    boolean; probes never shuffle (the filter broadcasts)."""
+    n_bits = n_words * word_bits
+    hashed = probes.select(
+        "*",
+        F.explode(
+            F.array(*[_bloom_bit(key_col, j, n_bits) for j in range(n_hashes)])
+        ).alias("bit"),
+    ).withColumn("word_idx", F.expr(f"bit DIV {word_bits}"))
+    joined = hashed.join(F.broadcast(bloom), "word_idx", "left").withColumn(
+        "hit",
+        F.expr(
+            f"CASE WHEN word IS NULL THEN 0"
+            f" WHEN (word DIV CAST(shiftleft(CAST(1 AS BIGINT), CAST(bit % {word_bits} AS INT)) AS BIGINT)) % 2 = 1"
+            f" THEN 1 ELSE 0 END"
+        ),
+    )
+    group_cols = [c for c in probes.columns]
+    return (
+        joined.groupBy(*group_cols)
+        .agg((F.sum("hit") == F.lit(n_hashes)).alias("maybe_seen"))
+    )

@@ -64,6 +64,7 @@ _PRIORITY = [
     "docs_normalized_dedup",
     "streaming_sliding_event_stats",
     "docs_countmin_heavy_hitters",
+    "docs_bloom_prefilter",
     "multimodal_png_decode",
     "multimodal_mp4_probe",
     "multimodal_gif_roundtrip",

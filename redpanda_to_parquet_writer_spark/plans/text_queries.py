@@ -1004,3 +1004,91 @@ ORACLES["docs_countmin_heavy_hitters"] = f"""
     SELECT p.term, CAST(p.cnt AS BIGINT) AS exact_count, e.cm_estimate
     FROM probes p JOIN est e USING (term)
 """
+
+
+BLOOM_DELTA_MOD = 20
+
+
+def docs_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter dedup prefilter under the oracle gate: the history
+    corpus's content keys fold into a 64x63-bit filter (fixed size, one
+    bit_or aggregate), and each delta doc is probed against the
+    BROADCAST filter before any exact work — `maybe_seen` rows go to
+    the exact verify, `definitely new` rows skip the key-table join
+    entirely (the ingest-dedup accelerator; see operators/dedup.py:
+    bloom_build/bloom_probe). The no-false-negative guarantee is what
+    the hash gate enforces: every actually_seen row must be maybe_seen.
+    """
+    from redpanda_to_parquet_writer_spark.operators.dedup import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("key")
+    )
+    hist = docs.filter(F.col("doc_id") % BLOOM_DELTA_MOD != 0)
+    delta = docs.filter(F.col("doc_id") % BLOOM_DELTA_MOD == 0)
+    bloom = bloom_build(hist.select("key"), "key")
+    probed = bloom_probe(delta, bloom, "key")
+    seen = hist.select("key").distinct().withColumn("__seen", F.lit(True))
+    return (
+        probed.join(seen, "key", "left")
+        .select(
+            "doc_id",
+            "maybe_seen",
+            F.coalesce(F.col("__seen"), F.lit(False)).alias("actually_seen"),
+        )
+    )
+
+
+QUERIES["docs_bloom_prefilter"] = docs_bloom_prefilter
+
+from redpanda_to_parquet_writer_spark.operators.dedup import (  # noqa: E402
+    BLOOM_HASHES as _BH,
+    BLOOM_WORD_BITS as _BWB,
+    BLOOM_WORDS as _BW,
+)
+
+_BLOOM_BITS = _BW * _BWB
+ORACLES["docs_bloom_prefilter"] = f"""
+    WITH keyed AS (SELECT doc_id, md5(text) AS key FROM documents),
+    hist AS (SELECT key FROM keyed WHERE doc_id % {BLOOM_DELTA_MOD} != 0),
+    delta AS (
+      SELECT doc_id, key FROM keyed WHERE doc_id % {BLOOM_DELTA_MOD} = 0
+    ),
+    bits AS (
+      SELECT CAST(concat('0x', substring(
+               md5(concat(CAST(j AS VARCHAR), ':', key)), 1, 8)
+             ) AS BIGINT) % {_BLOOM_BITS} AS bit
+      FROM hist, LATERAL unnest(range({_BH})) t(j)
+    ),
+    words AS (
+      SELECT bit // {_BWB} AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(bit % {_BWB} AS INTEGER)) AS word
+      FROM bits GROUP BY 1
+    ),
+    probe_bits AS (
+      SELECT d.doc_id, d.key,
+             CAST(concat('0x', substring(
+               md5(concat(CAST(j AS VARCHAR), ':', d.key)), 1, 8)
+             ) AS BIGINT) % {_BLOOM_BITS} AS bit
+      FROM delta d, LATERAL unnest(range({_BH})) t(j)
+    ),
+    hits AS (
+      SELECT p.doc_id, p.key,
+             CASE WHEN w.word IS NULL THEN 0
+                  WHEN (w.word // (CAST(1 AS BIGINT)
+                        << CAST(p.bit % {_BWB} AS INTEGER))) % 2 = 1
+                  THEN 1 ELSE 0 END AS hit
+      FROM probe_bits p LEFT JOIN words w ON w.word_idx = p.bit // {_BWB}
+    ),
+    agg AS (
+      SELECT doc_id, key, sum(hit) = {_BH} AS maybe_seen
+      FROM hits GROUP BY 1, 2
+    )
+    SELECT a.doc_id, a.maybe_seen,
+           COALESCE(h.__seen, FALSE) AS actually_seen
+    FROM agg a
+    LEFT JOIN (SELECT DISTINCT key, TRUE AS __seen FROM hist) h USING (key)
+"""

@@ -90,3 +90,30 @@ def test_normalized_fingerprint_collapses_variants(spark):
     assert rows[1]["canonical_id"] == 1 and rows[3]["canonical_id"] == 1
     assert rows[1]["n_variants"] == 3
     assert rows[4]["norm_fp"] != rows[1]["norm_fp"] and rows[4]["n_variants"] == 1
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every key that IS in the built set must probe maybe_seen=True —
+    the guarantee the prefilter's correctness rests on; false positives
+    are allowed (and measured small at this sizing)."""
+    from pyspark.sql import functions as F
+
+    from redpanda_to_parquet_writer_spark.operators.dedup import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    keys = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(300)], "key string"
+    )
+    bloom = bloom_build(keys, "key")
+    # probe 150 members + 150 non-members
+    probes = spark.createDataFrame(
+        [(i, f"key-{i}" if i < 150 else f"other-{i}") for i in range(300)],
+        "pid long, key string",
+    )
+    got = {r["pid"]: r["maybe_seen"] for r in bloom_probe(probes, bloom, "key").collect()}
+    assert all(got[i] for i in range(150)), "false negative!"
+    fp = sum(1 for i in range(150, 300) if got[i])
+    # 4032 bits / 300 keys / 3 hashes -> fp rate ~ (1-e^(-900/4032))^3 ~ 0.8%
+    assert fp <= 15, f"false-positive rate implausibly high: {fp}/150"
