@@ -81,6 +81,7 @@ HEADLINE = [
     "events_value_winsorized_stats",
     "events_zorder_key",
     "events_anomaly_zscore",
+    "events_value_percentile",
     "parts_co_occurrence",
     "events_user_resample",
     "events_sketch_audit",
@@ -105,6 +106,7 @@ HEADLINE = [
     "docs_top_ngrams",
     "docs_countmin_heavy_hitters",
     "docs_bloom_prefilter",
+    "docs_edit_distance_pairs",
     "docs_tfidf_top_terms",
     "docs_unigram_logprob",
     "docs_containment_pairs",

@@ -65,6 +65,8 @@ _PRIORITY = [
     "streaming_sliding_event_stats",
     "docs_countmin_heavy_hitters",
     "docs_bloom_prefilter",
+    "docs_edit_distance_pairs",
+    "events_value_percentile",
     "multimodal_png_decode",
     "multimodal_mp4_probe",
     "multimodal_gif_roundtrip",

@@ -308,6 +308,37 @@ def parts_co_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_value_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event percentile of `value` within its type — the
+    peer-comparison feature column ("this request was slower than 97%
+    of its class") every feature-engineering pipeline derives. Exact
+    rank arithmetic in half-up millionths (percentile = (rank-1)/(n-1);
+    single-member groups get 0); ONE hash exchange feeds both the rank
+    window and the count window.
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select("event_id", "event_type", "value")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    return ranked.select(
+        "event_id",
+        "event_type",
+        "value",
+        (
+            F.expr(
+                "CASE WHEN n = 1 THEN 0 ELSE"
+                " (2 * (CAST(rn AS BIGINT) - 1) * 1000000 + (n - 1))"
+                " DIV (2 * (n - 1)) END"
+            )
+            / F.lit(1000000.0)
+        ).alias("pct_rank"),
+    )
+
+
 SKETCH_TOL_PCT = 5
 
 
@@ -398,6 +429,7 @@ QUERIES = {
     "parts_co_occurrence": parts_co_occurrence,
     "events_user_resample": events_user_resample,
     "events_sketch_audit": events_sketch_audit,
+    "events_value_percentile": events_value_percentile,
     "events_zorder_key": events_zorder_key,
     "events_value_winsorized_stats": events_value_winsorized_stats,
     "forecast_revenue_change": forecast_revenue_change,
@@ -484,6 +516,21 @@ ORACLES = {
         )
         SELECT event_id, event_type, value, z
         FROM scored WHERE abs(z) > {ANOMALY_Z}
+    """,
+    "events_value_percentile": """
+        WITH ranked AS (
+          SELECT event_id, event_type, value,
+                 row_number() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+                 ) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+        )
+        SELECT event_id, event_type, value,
+               CASE WHEN n = 1 THEN 0 ELSE
+                 (2 * (rn - 1) * 1000000 + (n - 1)) // (2 * (n - 1)) END
+                 / 1000000.0 AS pct_rank
+        FROM ranked
     """,
     # the oracle states the sketch CONTRACT: exact values + literal TRUE
     # tolerance booleans — Spark's sketches must live inside their error

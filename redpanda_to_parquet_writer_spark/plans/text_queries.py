@@ -1092,3 +1092,35 @@ ORACLES["docs_bloom_prefilter"] = f"""
     FROM agg a
     LEFT JOIN (SELECT DISTINCT key, TRUE AS __seen FROM hist) h USING (key)
 """
+
+
+def docs_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance verify over the LSH candidate pairs — the
+    final fuzzy-dedup confirmation step: Levenshtein is O(len²) per
+    pair, affordable ONLY because banding already collapsed the pair
+    space (never run it all-pairs). Integer distances are engine-exact
+    (Spark and DuckDB implement the same DP definition)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = docs_minhash_lsh_pairs(spark, sf_dir)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__ta", "__tb").alias("edit_distance"),
+        )
+    )
+
+
+QUERIES["docs_edit_distance_pairs"] = docs_edit_distance_pairs
+
+ORACLES["docs_edit_distance_pairs"] = f"""
+    WITH lsh AS ({ORACLES["docs_minhash_lsh_pairs"]})
+    SELECT l.id_a, l.id_b, levenshtein(da.text, db.text) AS edit_distance
+    FROM lsh l
+    JOIN documents da ON da.doc_id = l.id_a
+    JOIN documents db ON db.doc_id = l.id_b
+"""
