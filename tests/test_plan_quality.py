@@ -437,3 +437,43 @@ def test_ivfadc_broadcasts_probes_and_lut(spark, sf_dir):
     plan = plan_str(QUERIES["ann_ivfadc_topk"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 3
     assert plan.count("SortMergeJoin") <= 1
+
+
+def test_countmin_sketch_broadcasts_at_estimate(spark, sf_dir):
+    """The sketch is depth*width rows — probing must broadcast it, and
+    the whole query must stay free of sort-merge joins."""
+    plan = plan_str(QUERIES["docs_countmin_heavy_hitters"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_probe_broadcasts_filter(spark, sf_dir):
+    """The 64-word filter must broadcast into the probe side; the
+    probes themselves never shuffle for the membership test."""
+    plan = plan_str(QUERIES["docs_bloom_prefilter"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_resample_single_key_shuffle(spark, sf_dir):
+    """The grouped-map resample is ONE shuffle on the key and one scan
+    — FlatMapGroupsInPandas (Arrow), no per-row Python path."""
+    plan = plan_str(QUERIES["events_user_resample"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_percentile_single_exchange(spark, sf_dir):
+    """Both windows (rank + count) must reuse one event_type exchange."""
+    plan = plan_str(QUERIES["events_value_percentile"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_edit_distance_rides_lsh_candidates(spark, sf_dir):
+    """Levenshtein must run on the banded candidate pairs only — one
+    signature pass (no duplicated corpus lineage on the pair side)."""
+    plan = plan_str(QUERIES["docs_edit_distance_pairs"](spark, sf_dir))
+    assert "levenshtein" in plan
+    # 3 scans: signature pass + the two text attach sides
+    assert plan.count("FileScan parquet") <= 3
