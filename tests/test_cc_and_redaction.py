@@ -117,3 +117,26 @@ def test_bloom_no_false_negatives(spark):
     fp = sum(1 for i in range(150, 300) if got[i])
     # 4032 bits / 300 keys / 3 hashes -> fp rate ~ (1-e^(-900/4032))^3 ~ 0.8%
     assert fp <= 15, f"false-positive rate implausibly high: {fp}/150"
+
+
+def test_countmin_never_underestimates(spark):
+    """The count-min guarantee: estimate >= exact for EVERY term (min
+    of counters that each include the term's full count), with equality
+    for terms that collide with nothing in some row."""
+    from pyspark.sql import functions as F
+
+    from redpanda_to_parquet_writer_spark.operators.text import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    counts = spark.createDataFrame(
+        [(f"t{i}", (i % 7) + 1) for i in range(400)], "term string, cnt long"
+    )
+    sketch = countmin_sketch(counts)
+    est = countmin_estimate(sketch, counts.select("term"))
+    joined = counts.join(est, "term")
+    viol = joined.filter(F.col("cm_estimate") < F.col("cnt")).count()
+    assert viol == 0, "count-min underestimated a term"
+    exact_hits = joined.filter(F.col("cm_estimate") == F.col("cnt")).count()
+    assert exact_hits > 0  # 4x256 counters over 400 keys: some collision-free
