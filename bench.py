@@ -55,6 +55,7 @@ HEADLINE = [
     "heavy_part_suppliers",
     "sole_late_supplier",
     "customer_order_distribution",
+    "orders_open_backlog",
     "nation_volume_shipping",
     "nation_market_share",
     "supplier_part_variety",

@@ -67,6 +67,7 @@ _PRIORITY = [
     "docs_bloom_prefilter",
     "docs_edit_distance_pairs",
     "events_value_percentile",
+    "orders_open_backlog",
     "multimodal_png_decode",
     "multimodal_mp4_probe",
     "multimodal_gif_roundtrip",

@@ -339,6 +339,50 @@ def events_value_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-concurrency sweep line: how many orders are OPEN (placed
+    but not fully shipped) on each day — the backlog/concurrency shape
+    (concurrent sessions, active jobs, WIP inventory) that naive
+    per-day × per-order joins turn into |days|·|orders| pairs.
+
+    Sweep formulation: each order emits +1 at its placement day and -1
+    the day after its LAST line ships; per-day deltas hash-aggregate
+    (calendar-bounded cardinality), then ONE running sum over days
+    yields the open count. The final window is a single partition over
+    per-day rows — provably tiny (one row per calendar day), unlike the
+    data-sized global windows the plan audit rejects. Days ride as
+    integer days-since-epoch (engine-portable, no date-type drift).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')").alias(
+            "start_day"
+        ),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01')").alias(
+            "ship_day"
+        ),
+    )
+    closes = li.groupBy("l_orderkey").agg(F.max("ship_day").alias("last_ship"))
+    starts = orders.select(F.col("start_day").alias("day"), F.lit(1).alias("delta"))
+    # orders with no lineitem rows never close (stay in the backlog)
+    ends = (
+        orders.join(closes, orders.o_orderkey == closes.l_orderkey)
+        .select((F.col("last_ship") + 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    deltas = starts.unionByName(ends).groupBy("day").agg(
+        F.sum("delta").alias("net")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return deltas.withColumn("open_orders", F.sum("net").over(w)).select(
+        "day", "net", "open_orders"
+    )
+
+
 SKETCH_TOL_PCT = 5
 
 
@@ -430,6 +474,7 @@ QUERIES = {
     "events_user_resample": events_user_resample,
     "events_sketch_audit": events_sketch_audit,
     "events_value_percentile": events_value_percentile,
+    "orders_open_backlog": orders_open_backlog,
     "events_zorder_key": events_zorder_key,
     "events_value_winsorized_stats": events_value_winsorized_stats,
     "forecast_revenue_change": forecast_revenue_change,
@@ -516,6 +561,34 @@ ORACLES = {
         )
         SELECT event_id, event_type, value, z
         FROM scored WHERE abs(z) > {ANOMALY_Z}
+    """,
+    "orders_open_backlog": """
+        WITH starts AS (
+          SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   AS day,
+                 1 AS delta
+          FROM orders
+        ),
+        closes AS (
+          SELECT l_orderkey,
+                 max(date_diff('day', DATE '1970-01-01',
+                               CAST(l_shipdate AS DATE))) AS last_ship
+          FROM lineitem GROUP BY l_orderkey
+        ),
+        ends AS (
+          SELECT c.last_ship + 1 AS day, -1 AS delta
+          FROM orders o JOIN closes c ON o.o_orderkey = c.l_orderkey
+        ),
+        deltas AS (
+          SELECT day, CAST(sum(delta) AS BIGINT) AS net
+          FROM (SELECT * FROM starts UNION ALL SELECT * FROM ends)
+          GROUP BY day
+        )
+        SELECT day, net,
+               CAST(sum(net) OVER (
+                 ORDER BY day ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS open_orders
+        FROM deltas
     """,
     "events_value_percentile": """
         WITH ranked AS (
