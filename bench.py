@@ -98,6 +98,7 @@ HEADLINE = [
     "docs_token_budget_cap",
     "docs_sequence_pack",
     "curation_pipeline",
+    "curation_pipeline_v2",
     "docs_minhash_lsh_pairs",
     "docs_jaccard_pairs",
     "docs_simhash",

@@ -68,6 +68,7 @@ _PRIORITY = [
     "docs_edit_distance_pairs",
     "events_value_percentile",
     "orders_open_backlog",
+    "curation_pipeline_v2",
     "multimodal_png_decode",
     "multimodal_mp4_probe",
     "multimodal_gif_roundtrip",

@@ -73,3 +73,46 @@ ORACLES = {
         {chunk_sql_tail('kept')}
     """,
 }
+
+
+LOGPROB_FLOOR = -3.41
+
+
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 composition, again as ONE Catalyst plan: normalize-then-
+    hash dedup (case/punct-invariant canonical per group) -> corpus-LM
+    quality gate (avg unigram log-prob above a floor set at roughly the
+    corpus 10th percentile — the gate SELECTS, it is not vacuous). The
+    survivor
+    set with its scores — the first two passes of a modern curation
+    stack, end-to-end hash-verified (the LM statistics are computed over
+    the FULL corpus, then the gate applies to dedup survivors: dedup
+    must not change what the LM sees, matching how corpus statistics
+    are computed in practice before filtering).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    canon = T.normalized_fingerprint(docs, "text", "doc_id").filter(
+        F.col("doc_id") == F.col("canonical_id")
+    )
+    scored = T.unigram_logprob(docs, "text", "doc_id")
+    return (
+        canon.select("doc_id", "n_variants")
+        .join(scored, "doc_id")
+        .filter(F.col("avg_logprob") >= LOGPROB_FLOOR)
+        .select("doc_id", "n_variants", "n_tokens", "avg_logprob")
+    )
+
+
+QUERIES["curation_pipeline_v2"] = curation_pipeline_v2
+
+from redpanda_to_parquet_writer_spark.plans.text_queries import (  # noqa: E402
+    ORACLES as _TEXT_ORACLES,
+)
+
+ORACLES["curation_pipeline_v2"] = f"""
+    WITH norm AS ({_TEXT_ORACLES["docs_normalized_dedup"]}),
+    lm AS ({_TEXT_ORACLES["docs_unigram_logprob"]})
+    SELECT n.doc_id, n.n_variants, lm.n_tokens, lm.avg_logprob
+    FROM norm n JOIN lm USING (doc_id)
+    WHERE n.doc_id = n.canonical_id AND lm.avg_logprob >= {LOGPROB_FLOOR}
+"""
