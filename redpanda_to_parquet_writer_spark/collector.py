@@ -115,6 +115,7 @@ class Collector:
                 f"{self.cfg.checkpoint_dir}/{topic}",
                 self.cfg,
                 query_name=query_name,
+                fmt=fmt,
             )
             listener.wait_quiesce(query_name=query_name)
         finally:

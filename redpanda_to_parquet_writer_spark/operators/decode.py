@@ -9,9 +9,11 @@ Spark realization:
   - JSON: `from_json` with a schema inferred from a driver-side sample
     (per micro-batch or per topic) — JVM-side, codegen'd, no Python.
   - MessagePack: no builtin, so an Arrow-vectorized pandas_udf
-    bytes -> JSON string, then the same `from_json`. Import-gated: the
-    container has no msgpack, so the UDF raises a clear error if used
-    without the library (SURVEY 2.11).
+    bytes -> JSON string, then the same `from_json`. The C msgpack
+    library is used when installed; otherwise the pure-stdlib codec
+    (`functions/msgpack_codec.py`) decodes the same spec — the path is
+    REAL and tested in every environment, not import-gated
+    (SURVEY 2.11).
   - Fallback: rows whose decode returned null keep `raw_value`
     (collector:241,256,402).
 """
@@ -24,13 +26,23 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructType
 
-try:  # not in the test container; real deployments pip-install it
+from redpanda_to_parquet_writer_spark.functions import msgpack_codec
+
+try:  # C extension when deployed; the stdlib codec otherwise
     import msgpack  # type: ignore
 
     HAS_MSGPACK = True
 except ImportError:
     msgpack = None
     HAS_MSGPACK = False
+
+
+def _msgpack_unpackb(b: bytes):
+    """Decode one MessagePack object — C library if present, else the
+    pure-stdlib codec (same spec, same rejection of ext types)."""
+    if HAS_MSGPACK:
+        return msgpack.unpackb(b, raw=False)
+    return msgpack_codec.unpackb(b)
 
 
 def _merge_types(a, b):
@@ -175,27 +187,22 @@ def msgpack_to_json_udf():
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    if not HAS_MSGPACK:
-        raise ImportError(
-            "msgpack is not installed; msgpack decode is unavailable in this "
-            "environment (JSON decode is unaffected)"
-        )
-
-    @pandas_udf(StringType())
-    def _decode(values: pd.Series) -> pd.Series:
+    def _decode(values):
         def one(b):
             if b is None:
                 return None
             try:
-                return json.dumps(
-                    msgpack.unpackb(bytes(b), raw=False), separators=(",", ":")
-                )
+                return json.dumps(_msgpack_unpackb(bytes(b)), separators=(",", ":"))
             except Exception:
                 return None
 
         return values.map(one)
 
-    return _decode
+    # annotations set as OBJECTS: the module's `from __future__ import
+    # annotations` turns inline hints into strings that pyspark's
+    # get_type_hints cannot resolve against module globals (pd is local)
+    _decode.__annotations__ = {"values": pd.Series, "return": pd.Series}
+    return pandas_udf(_decode, StringType())
 
 
 def detect_format(sample_values: list[bytes], threshold: float = 0.9) -> str:
@@ -206,13 +213,14 @@ def detect_format(sample_values: list[bytes], threshold: float = 0.9) -> str:
     """
     if not sample_values:
         return "json"
-    if not HAS_MSGPACK:
-        return "json"
     ok = 0
     for b in sample_values:
         try:
-            msgpack.unpackb(bytes(b), raw=False)
-            ok += 1
+            # maps/arrays only: JSON text never decodes as one, while a
+            # 1-byte JSON scalar like "7" IS a valid msgpack fixint —
+            # container-vote keeps the sampler from misrouting JSON
+            if isinstance(_msgpack_unpackb(bytes(b)), (dict, list)):
+                ok += 1
         except Exception:
             pass
     return "msgpack" if ok / len(sample_values) > threshold else "json"

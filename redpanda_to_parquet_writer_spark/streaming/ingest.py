@@ -50,6 +50,7 @@ def prepare_envelope_batch(
     batch_df: DataFrame,
     payload_schema: StructType | None = None,
     sample_size: int = 50,
+    fmt: str = "json",
 ) -> DataFrame:
     """Kafka-shaped batch -> flat, dated, reference-schema frame.
 
@@ -57,9 +58,20 @@ def prepare_envelope_batch(
     null timestamps (P5) -> event-date partition column (F1/T4).
 
     When `payload_schema` is None it is inferred from a bounded sample of
-    this batch (the per-micro-batch dynamic schema path).
+    this batch (the per-micro-batch dynamic schema path). `fmt` is the
+    topic's sampled verdict (S5): MessagePack payloads convert to JSON
+    strings through the Arrow-batched UDF first (C msgpack when
+    installed, the pure-stdlib codec otherwise), then share the JSON
+    inference/decode path — one decoder per topic, never a per-row
+    format cascade (collector:223-256).
     """
     env = project_kafka_envelope(batch_df) if "topic" in batch_df.columns else batch_df
+    if fmt == "msgpack":
+        from redpanda_to_parquet_writer_spark.operators.decode import (
+            msgpack_to_json_udf,
+        )
+
+        env = env.withColumn("value", msgpack_to_json_udf()(F.col("value")))
     if payload_schema is None:
         sample = [
             r["value"]
@@ -85,6 +97,7 @@ def make_merge_batch_writer(
     output_root: str,
     cfg: EngineConfig,
     payload_schema: StructType | None = None,
+    fmt: str = "json",
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch body: prepare + schema-version routing + dedup merge.
 
@@ -104,7 +117,9 @@ def make_merge_batch_writer(
         if cached:
             batch_df.persist()
         try:
-            prepared = prepare_envelope_batch(spark, batch_df, payload_schema)
+            prepared = prepare_envelope_batch(
+                spark, batch_df, payload_schema, fmt=fmt
+            )
             if not prepared.columns:
                 return
             target = output_root
@@ -134,6 +149,7 @@ def ingest_available_now(
     cfg: EngineConfig | None = None,
     payload_schema: StructType | None = None,
     query_name: str | None = None,
+    fmt: str = "json",
 ) -> None:
     """Drain everything available from a streaming source into the
     date-partitioned table, then stop (T1+T2+T5).
@@ -145,7 +161,7 @@ def ingest_available_now(
     name so per-topic metrics don't cross-contaminate.
     """
     cfg = cfg or EngineConfig()
-    writer = make_merge_batch_writer(spark, output_root, cfg, payload_schema)
+    writer = make_merge_batch_writer(spark, output_root, cfg, payload_schema, fmt=fmt)
     stream = source.writeStream.foreachBatch(writer)
     if query_name:
         stream = stream.queryName(query_name)

@@ -39,7 +39,7 @@ def test_multi_topic_run(spark, tmp_path, collector):
     assert [r.rows_written for r in run.reports] == [30, 40]
     assert run.total_rows == 70
     assert all(r.validation.status == PASS for r in run.reports)
-    assert all(r.fmt == "json" for r in run.reports)  # no msgpack lib -> json
+    assert all(r.fmt == "json" for r in run.reports)  # JSON payloads -> json verdict
     # listener-fed throughput: every fresh topic saw >= 1 micro-batch
     assert all(r.n_batches >= 1 and r.rows_per_sec > 0 for r in run.reports)
 
