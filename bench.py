@@ -123,6 +123,7 @@ HEADLINE = [
     "embeddings_semdedup_keep",
     "embeddings_norm_stats",
     "embeddings_random_projection",
+    "msgpack_roundtrip_decode",
     "multimodal_wav_roundtrip",
     "multimodal_image_resize",
     "multimodal_frame_sample",

@@ -69,6 +69,7 @@ _PRIORITY = [
     "events_value_percentile",
     "orders_open_backlog",
     "curation_pipeline_v2",
+    "msgpack_roundtrip_decode",
     "multimodal_png_decode",
     "multimodal_mp4_probe",
     "multimodal_gif_roundtrip",

@@ -383,6 +383,44 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def msgpack_roundtrip_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MessagePack codec under the driver gate: every event's
+    (type, value) packs into REAL MessagePack bytes (pure-stdlib
+    encoder, Arrow-batched), flows through the production decode chain
+    (`msgpack_to_json_udf` -> `from_json`), and the decoded columns
+    aggregate to results the oracle computes from the ORIGINAL table —
+    float64 survives bit-exactly (0xcb is a full double), so the
+    decimal sums match bitwise. Both codec stages are narrow; only the
+    aggregate leaves the blob rows.
+    """
+    import pandas as pd
+
+    from redpanda_to_parquet_writer_spark.functions.msgpack_codec import packb
+    from redpanda_to_parquet_writer_spark.operators.decode import (
+        msgpack_to_json_udf,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    pack = F.pandas_udf(
+        lambda et, v: pd.Series(
+            [packb({"t": a, "v": float(b)}) for a, b in zip(et, v)]
+        ),
+        "binary",
+    )
+    blobs = events.select(pack("event_type", "value").alias("blob"))
+    decoded = blobs.select(
+        F.from_json(
+            msgpack_to_json_udf()(F.col("blob")), "t string, v double"
+        ).alias("d")
+    ).select(F.col("d.t").alias("event_type"), F.col("d.v").alias("value"))
+    return decoded.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.expr(
+            "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)"
+        ).alias("total_value"),
+    )
+
+
 SKETCH_TOL_PCT = 5
 
 
@@ -475,6 +513,7 @@ QUERIES = {
     "events_sketch_audit": events_sketch_audit,
     "events_value_percentile": events_value_percentile,
     "orders_open_backlog": orders_open_backlog,
+    "msgpack_roundtrip_decode": msgpack_roundtrip_decode,
     "events_zorder_key": events_zorder_key,
     "events_value_winsorized_stats": events_value_winsorized_stats,
     "forecast_revenue_change": forecast_revenue_change,
@@ -561,6 +600,15 @@ ORACLES = {
         )
         SELECT event_id, event_type, value, z
         FROM scored WHERE abs(z) > {ANOMALY_Z}
+    """,
+    # the packed-and-decoded aggregate must equal the direct aggregate —
+    # any byte the codec mangles flips the hash
+    "msgpack_roundtrip_decode": """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS total_value
+        FROM events GROUP BY event_type
     """,
     "orders_open_backlog": """
         WITH starts AS (
