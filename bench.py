@@ -131,6 +131,7 @@ HEADLINE = [
     "multimodal_mp4_probe",
     "multimodal_gif_roundtrip",
     "multimodal_jpeg_probe",
+    "multimodal_jpeg_roundtrip",
 ]
 
 

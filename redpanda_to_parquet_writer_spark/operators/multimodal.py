@@ -13,13 +13,14 @@ in plans/multimodal_queries.py:
   - GIF: full codec (variable-width GIF-LZW, grayscale palette)
   - mp4: box-tree structure probe (brand, mvhd, tracks, mdat)
   - JPEG: marker-stream probe (SOF dims/components, table counts, scan
-    accounting)
+    accounting) AND a full baseline gray8 codec (numpy 8x8 DCT, Annex K
+    tables, canonical Huffman — `encode_jpeg_gray8`/`decode_jpeg_gray8`)
 
-Only LOSSY-codec sample decode (JPEG entropy+IDCT, mp4/avi video
-frames) stays stubbed — that genuinely needs libraries absent from this
-container; the stubs raise NotImplementedError unless a library-backed
-codec is injected. The pipeline shape (what runs where, batch sizes,
-schema contracts) is real and tested for every media type.
+Only color/subsampled JPEG and mp4/avi video-frame decode stay stubbed
+— multi-component chroma pipelines genuinely need an imaging library;
+the stubs raise NotImplementedError unless a library-backed codec is
+injected. The pipeline shape (what runs where, batch sizes, schema
+contracts) is real and tested for every media type.
 
 Scale notes: media blobs make rows huge — the mapInPandas stages are
 narrow (no shuffle), and `maxRecordsPerBatch` should be lowered so an
@@ -115,17 +116,19 @@ def with_media_metadata(
 def decode_image_stub(data: bytes) -> tuple[int, int, int]:
     """Decode (width, height, channels) from image bytes.
 
-    STUB for JPEG pixel decode only: DCT entropy coding requires an
-    imaging library (PIL/opencv) not present in this container — inject
-    a real codec via `map_media_batches(codec=...)`. PNG and GIF decode
-    fully library-free (`decode_png_gray8`, `decode_gif_gray8`), and
-    JPEG structure probes without decoding (`probe_jpeg`).
+    STUB for COLOR/subsampled JPEG pixel decode only: multi-component
+    chroma pipelines need an imaging library (PIL/opencv) not present in
+    this container — inject a real codec via
+    `map_media_batches(codec=...)`. PNG, GIF, and baseline GRAYSCALE
+    JPEG decode fully library-free (`decode_png_gray8`,
+    `decode_gif_gray8`, `decode_jpeg_gray8`), and any JPEG structure
+    probes without decoding (`probe_jpeg`).
     """
     raise NotImplementedError(
-        "JPEG pixel decode requires an imaging library (e.g. PIL); "
-        "PNG/GIF decode and JPEG probing are library-free (see "
-        "decode_png_gray8 / decode_gif_gray8 / probe_jpeg); inject a "
-        "codec callable into map_media_batches"
+        "color JPEG pixel decode requires an imaging library (e.g. PIL); "
+        "PNG/GIF/gray-JPEG decode and JPEG probing are library-free (see "
+        "decode_png_gray8 / decode_gif_gray8 / decode_jpeg_gray8 / "
+        "probe_jpeg); inject a codec callable into map_media_batches"
     )
 
 
@@ -1077,3 +1080,337 @@ def fake_image_codec(data: bytes) -> tuple[int, int, int]:
     if data is None or len(data) == 0:
         return (0, 0, 0)
     return (1 + data[0] % 64, 1 + data[-1] % 64, 3)
+
+
+# --- Baseline JPEG gray8 codec (pure numpy/stdlib) --------------------------
+# The last image format that was stub-only: baseline sequential JPEG for
+# single-component (grayscale) images, implemented from the public spec
+# (ITU T.81) — 2-D DCT as an 8x8 matrix product, Annex K quantization
+# and Huffman tables, canonical bit-level entropy coding with 0xFF00
+# stuffing. Lossy by design: the round-trip contract is dims exact +
+# bounded reconstruction error (quantization-table-bounded), which the
+# oracle-gated query enforces. Headers interoperate with `probe_jpeg`.
+
+_JPEG_QTABLE = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALUES = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALUES = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: symbol -> (code_length, code)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
+    return {lc: sym for sym, lc in _huff_codes(bits, values).items()}
+
+
+def _dct_matrix():
+    import math
+
+    import numpy as np
+
+    d = np.zeros((8, 8))
+    for k in range(8):
+        c = math.sqrt(1 / 8) if k == 0 else math.sqrt(2 / 8)
+        for n in range(8):
+            d[k, n] = c * math.cos((2 * n + 1) * k * math.pi / 16)
+    return d
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else v.bit_length() if v > 0 else (-v).bit_length()
+
+
+def encode_jpeg_gray8(width: int, height: int, pixels: bytes) -> bytes:
+    """Baseline sequential JPEG, one grayscale component, no
+    subsampling, Annex K tables. Deterministic: same pixels -> same
+    bytes."""
+    import struct as _s
+
+    import numpy as np
+
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match dims")
+    img = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(height, width)
+    ph = (height + 7) // 8 * 8
+    pw = (width + 7) // 8 * 8
+    padded = np.pad(img, ((0, ph - height), (0, pw - width)), mode="edge").astype(
+        np.float64
+    )
+    d = _dct_matrix()
+    q = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALUES)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALUES)
+    w = _BitWriter()
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = padded[by : by + 8, bx : bx + 8] - 128.0
+            coef = d @ block @ d.T
+            quant = np.rint(coef / q).astype(np.int64)
+            zz = [int(quant.flat[_ZIGZAG[i]]) for i in range(64)]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            s = _category(diff)
+            ln, code = dc_codes[s]
+            w.put(code, ln)
+            if s:
+                w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            last_nz = 0
+            for i in range(63, 0, -1):
+                if zz[i]:
+                    last_nz = i
+                    break
+            for i in range(1, last_nz + 1):
+                v = zz[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = ac_codes[0xF0]  # ZRL
+                    w.put(code, ln)
+                    run -= 16
+                s = _category(v)
+                ln, code = ac_codes[(run << 4) | s]
+                w.put(code, ln)
+                w.put(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                ln, code = ac_codes[0x00]  # EOB
+                w.put(code, ln)
+    entropy = w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return _s.pack(">HH", marker, len(payload) + 2) + payload
+
+    dqt = seg(0xFFDB, bytes([0]) + bytes(_JPEG_QTABLE[_ZIGZAG[i]] for i in range(64)))
+    sof = seg(0xFFC0, _s.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALUES)
+        + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALUES),
+    )
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy data")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker in entropy data")
+                self.pos += 1  # unstuff
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_gray8(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline single-component JPEG back to (width, height,
+    gray8 pixels). Accepts exactly the streams `encode_jpeg_gray8`
+    produces plus any spec-conforming baseline gray JPEG without
+    restart markers."""
+    import struct as _s
+
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    i = 2
+    qtab: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = None
+    dc_id = ac_id = 0
+    entropy_start = None
+    while i < len(data):
+        if i + 2 > len(data):
+            raise ValueError("truncated JPEG (marker cut off)")
+        if data[i] != 0xFF:
+            raise ValueError(f"expected marker at {i}")
+        m = data[i + 1]
+        if m == 0xD9:
+            break
+        if i + 4 > len(data):
+            raise ValueError("truncated JPEG (segment length cut off)")
+        length = _s.unpack_from(">H", data, i + 2)[0]
+        if i + 2 + length > len(data):
+            raise ValueError("truncated JPEG (segment body cut off)")
+        body = data[i + 4 : i + 2 + length]
+        if m == 0xDB:
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = list(body[j + 1 : j + 65])
+                tab = [0] * 64
+                for k in range(64):
+                    tab[_ZIGZAG[k]] = zz[k]
+                qtab[tq] = tab
+                j += 65
+        elif m == 0xC0:
+            height, width = _s.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            if ncomp != 1:
+                raise ValueError("only single-component (gray) JPEG supported")
+            qtab_id = body[8]
+        elif m in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif m == 0xC4:
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1 : j + 17])
+                n = sum(bits)
+                values = list(body[j + 17 : j + 17 + n])
+                huff[(tc, th)] = _huff_decode_table(bits, values)
+                j += 17 + n
+        elif m == 0xDA:
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            entropy_start = i + 2 + length
+            break
+        elif m == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        i += 2 + length
+    if width is None or entropy_start is None:
+        raise ValueError("missing SOF/SOS")
+    end = data.rfind(b"\xff\xd9")
+    if end < 0:
+        raise ValueError("missing EOI")
+    r = _BitReader(data[entropy_start:end])
+    dct = huff[(0, dc_id)]
+    act = huff[(1, ac_id)]
+
+    def read_symbol(table):
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | r.bit()
+            length += 1
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid Huffman code")
+
+    d = _dct_matrix()
+    q = np.array(qtab[qtab_id], dtype=np.float64).reshape(8, 8)
+    ph = (height + 7) // 8 * 8
+    pw = (width + 7) // 8 * 8
+    out = np.zeros((ph, pw), dtype=np.float64)
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            zz = [0] * 64
+            s = read_symbol(dct)
+            diff = _extend(r.bits(s), s) if s else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = read_symbol(act)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC run overflows block")
+                zz[k] = _extend(r.bits(size), size)
+                k += 1
+            coef = np.zeros(64)
+            for k in range(64):
+                coef[_ZIGZAG[k]] = zz[k]
+            block = d.T @ (coef.reshape(8, 8) * q) @ d + 128.0
+            out[by : by + 8, bx : bx + 8] = block
+    pixels = np.clip(np.rint(out[:height, :width]), 0, 255).astype(np.uint8)
+    return width, height, pixels.tobytes()

@@ -70,6 +70,7 @@ _PRIORITY = [
     "orders_open_backlog",
     "curation_pipeline_v2",
     "msgpack_roundtrip_decode",
+    "multimodal_jpeg_roundtrip",
     "multimodal_png_decode",
     "multimodal_mp4_probe",
     "multimodal_gif_roundtrip",

@@ -520,3 +520,58 @@ ORACLES = {
         GROUP BY doc_id, w, h, nf, n_out
     """,
 }
+
+
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-codec round trip: a smooth per-doc gradient (no value
+    wraps — linear ramps are what DCT quantization preserves) encodes as
+    a real baseline JPEG (pure numpy/stdlib: 8x8 DCT, Annex K tables,
+    canonical Huffman with byte stuffing) and decodes back
+    (`operators/multimodal.py:encode_jpeg_gray8/decode_jpeg_gray8`).
+    JPEG is lossy by design, so the gated contract is the honest one:
+    exact dimensions (closed-form oracle) plus a quantization-bounded
+    reconstruction error (within_tol literal TRUE — an encoder or
+    decoder bug blows the bound and flips the hash).
+    """
+    import pandas as pd
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_jpeg_gray8,
+        encode_jpeg_gray8,
+    )
+
+    docs = _doc_ids_spread(spark, sf_dir)
+
+    def _roundtrip(ids: pd.Series) -> pd.DataFrame:
+        rows = []
+        for i in ids:
+            i = int(i)
+            w = 16 + i % 17
+            h = 16 + (3 * i) % 23
+            img = bytes(
+                30 + (i % 50) + 2 * x + 3 * y for y in range(h) for x in range(w)
+            )
+            w2, h2, px = decode_jpeg_gray8(encode_jpeg_gray8(w, h, img))
+            err = max(abs(a - b) for a, b in zip(img, px))
+            rows.append((i, w2, h2, bool(err <= 8)))
+        return pd.DataFrame(rows, columns=["doc_id", "width", "height", "within_tol"])
+
+    def _batches(it):
+        for pdf in it:
+            yield _roundtrip(pdf["doc_id"])
+
+    return docs.mapInPandas(
+        _batches, "doc_id long, width int, height int, within_tol boolean"
+    )
+
+
+QUERIES["multimodal_jpeg_roundtrip"] = multimodal_jpeg_roundtrip
+
+# dims are closed-form; the reconstruction bound is the codec contract
+ORACLES["multimodal_jpeg_roundtrip"] = """
+    SELECT doc_id,
+           CAST(16 + doc_id % 17 AS INTEGER) AS width,
+           CAST(16 + (3 * doc_id) % 23 AS INTEGER) AS height,
+           TRUE AS within_tol
+    FROM documents
+"""

@@ -433,3 +433,57 @@ def test_jpeg_probe_local_and_corrupt():
         probe_jpeg(blob[:-2])
     with pytest.raises(ValueError):
         probe_jpeg(blob[:15])
+
+
+def test_jpeg_gray8_roundtrip_bounds():
+    """Baseline JPEG codec: deterministic bytes, exact dims, and a
+    quantization-bounded reconstruction on smooth content; constant
+    blocks reconstruct within 1 level."""
+    import numpy as np
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_jpeg_gray8,
+        encode_jpeg_gray8,
+        probe_jpeg,
+    )
+
+    w, h = 29, 18  # non-multiple-of-8 on both axes
+    img = bytes(int(40 + 150 * (x + y) / (w + h)) for y in range(h) for x in range(w))
+    blob = encode_jpeg_gray8(w, h, img)
+    assert blob == encode_jpeg_gray8(w, h, img)  # deterministic
+    w2, h2, px = decode_jpeg_gray8(blob)
+    assert (w2, h2) == (w, h) and len(px) == w * h
+    a = np.frombuffer(img, np.uint8).astype(int)
+    b = np.frombuffer(px, np.uint8).astype(int)
+    assert np.abs(a - b).max() <= 8
+
+    const = bytes([77]) * (w * h)
+    _, _, px3 = decode_jpeg_gray8(encode_jpeg_gray8(w, h, const))
+    assert np.abs(np.frombuffer(px3, np.uint8).astype(int) - 77).max() <= 1
+
+    # header interop with the marker-walk probe: dims + 1 component
+    probe = probe_jpeg(blob)
+    assert probe[0] == w and probe[1] == h and probe[2] == 1
+
+
+def test_jpeg_gray8_error_paths():
+    import pytest
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_jpeg_gray8,
+        encode_jpeg_gray8,
+    )
+
+    with pytest.raises(ValueError, match="pixel buffer"):
+        encode_jpeg_gray8(4, 4, b"\x00" * 15)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_gray8(b"not a jpeg")
+    blob = encode_jpeg_gray8(8, 8, bytes(range(64)))
+    with pytest.raises(ValueError):
+        decode_jpeg_gray8(blob[:40])  # truncated mid-segment
+    # progressive (SOF2) must be rejected loudly, not mis-decoded
+    import struct
+
+    prog = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_gray8(prog)
