@@ -450,7 +450,9 @@ def events_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = base.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users_exact"),
         F.approx_count_distinct("user_id", 0.02).alias("__hll"),
-        F.percentile_approx("value", 0.5, 10000).alias("__td"),
+        # 1/2000 rank error << the 5% contract; 10000 was 4x the cost
+        # for accuracy the tolerance can't see
+        F.percentile_approx("value", 0.5, 2000).alias("__td"),
     )
     tol = SKETCH_TOL_PCT / 100.0
     return (
