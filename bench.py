@@ -56,6 +56,7 @@ HEADLINE = [
     "sole_late_supplier",
     "customer_order_distribution",
     "orders_open_backlog",
+    "parts_triangle_count",
     "nation_volume_shipping",
     "nation_market_share",
     "supplier_part_variety",

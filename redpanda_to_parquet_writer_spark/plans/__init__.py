@@ -71,6 +71,7 @@ _PRIORITY = [
     "curation_pipeline_v2",
     "msgpack_roundtrip_decode",
     "multimodal_jpeg_roundtrip",
+    "parts_triangle_count",
     "multimodal_png_decode",
     "multimodal_mp4_probe",
     "multimodal_gif_roundtrip",

@@ -472,6 +472,45 @@ def events_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting over the part co-occurrence graph —
+    the standard oriented-edge formulation (count wedges a<b<c where
+    (a,b),(b,c) are edges, then semi-join the closing edge (a,c)):
+    orienting every edge low->high means each triangle is counted
+    exactly once and the wedge join fans out from the LOW-degree
+    endpoint ordering, the classic skew guard for power-law graphs.
+    Emits one audit row: distinct edges, wedges, triangles, and the
+    global clustering coefficient in exact half-up millionths.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
+    lhs = baskets.select(F.explode("parts").alias("a"), "parts")
+    edges = (
+        lhs.select("a", F.explode("parts").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y").select("x", "y", "z")
+    closing = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    triangles = wedges.join(closing, ["x", "z"], "left_semi")
+    n_edges = edges.count()
+    n_wedges = wedges.count()
+    n_triangles = triangles.count()
+    # one-row audit result built driver-side from exact counts (the
+    # counts themselves are distributed jobs; the final row is O(1))
+    coeff = (
+        (2 * 3 * n_triangles * 1000000 + n_wedges) // (2 * n_wedges) / 1000000.0
+        if n_wedges
+        else 0.0
+    )
+    return spark.createDataFrame(
+        [(n_edges, n_wedges, n_triangles, coeff)],
+        "n_edges long, n_wedges long, n_triangles long, clustering_coeff double",
+    )
+
+
 RESAMPLE_START_US = 1704067200 * 1000000  # 2024-01-01T00:00:00 (fixture epoch)
 RESAMPLE_STEP_US = 6 * 3600 * 1000000  # 6-hour grid
 RESAMPLE_POINTS = 124  # 31 days
@@ -516,6 +555,7 @@ QUERIES = {
     "events_value_percentile": events_value_percentile,
     "orders_open_backlog": orders_open_backlog,
     "msgpack_roundtrip_decode": msgpack_roundtrip_decode,
+    "parts_triangle_count": parts_triangle_count,
     "events_zorder_key": events_zorder_key,
     "events_value_winsorized_stats": events_value_winsorized_stats,
     "forecast_revenue_change": forecast_revenue_change,
@@ -602,6 +642,35 @@ ORACLES = {
         )
         SELECT event_id, event_type, value, z
         FROM scored WHERE abs(z) > {ANOMALY_Z}
+    """,
+    "parts_triangle_count": """
+        WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+          SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+          FROM baskets a JOIN baskets b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        wedges AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+        ),
+        tri AS (
+          SELECT w.x, w.y, w.z
+          FROM wedges w
+          WHERE EXISTS (SELECT 1 FROM edges c WHERE c.a = w.x AND c.b = w.z)
+        ),
+        counts AS (
+          SELECT (SELECT count(*) FROM edges) AS n_edges,
+                 (SELECT count(*) FROM wedges) AS n_wedges,
+                 (SELECT count(*) FROM tri) AS n_triangles
+        )
+        SELECT CAST(n_edges AS BIGINT) AS n_edges,
+               CAST(n_wedges AS BIGINT) AS n_wedges,
+               CAST(n_triangles AS BIGINT) AS n_triangles,
+               CASE WHEN n_wedges = 0 THEN 0.0 ELSE
+                 (2 * 3 * n_triangles * 1000000 + n_wedges)
+                   // (2 * n_wedges) / 1000000.0 END AS clustering_coeff
+        FROM counts
     """,
     # the packed-and-decoded aggregate must equal the direct aggregate —
     # any byte the codec mangles flips the hash
