@@ -56,7 +56,8 @@ HEADLINE = [
     "sole_late_supplier",
     "customer_order_distribution",
     "orders_open_backlog",
-    "parts_triangle_count",
+    # parts_triangle_count excluded: 49M wedges at sf0.1 (~9.5s) would
+    # dominate the headline total; the driver gate still runs it at sf0.01
     "nation_volume_shipping",
     "nation_market_share",
     "supplier_part_variety",
