@@ -85,6 +85,8 @@ HEADLINE = [
     "events_zorder_key",
     "events_anomaly_zscore",
     "events_value_percentile",
+    "events_transition_matrix",
+    "events_contract_violations",
     "parts_co_occurrence",
     "events_user_resample",
     "events_sketch_audit",

@@ -72,6 +72,8 @@ _PRIORITY = [
     "msgpack_roundtrip_decode",
     "multimodal_jpeg_roundtrip",
     "parts_triangle_count",
+    "events_transition_matrix",
+    "events_contract_violations",
     "multimodal_png_decode",
     "multimodal_mp4_probe",
     "multimodal_gif_roundtrip",

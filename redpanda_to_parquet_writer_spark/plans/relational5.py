@@ -421,6 +421,92 @@ def msgpack_roundtrip_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (the first-order Markov
+    matrix behavioral models start from): one lag window per user, then
+    a hash count per (from, to) pair with the transition probability in
+    exact half-up millionths of each from-state's total. One user_id
+    shuffle for the window, one tiny (from,to) aggregation."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        "event_type",
+        event_epoch_sec(events).alias("ts_sec"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    pairs = (
+        base.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (
+                F.expr("(2 * n * 1000000 + row_total) DIV (2 * row_total)")
+                / F.lit(1000000.0)
+            ).alias("p"),
+        )
+    )
+
+
+#: declared data contract for the events table: value in [0, 1000],
+#: event timestamps inside the fixture year, user/type non-null
+CONTRACT_VALUE_MAX = 1000.0
+
+
+def events_contract_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract gate: one scan counting violations of each declared
+    constraint (null keys, value range, timestamp window) plus the rows
+    passing ALL of them — the pre-publish validation every production
+    table runs, with per-rule counts so a breach is attributable. Pure
+    conditional aggregation; exact integers.
+    """
+    events = load_table(spark, sf_dir, "events")
+    sec = event_epoch_sec(events)
+    lo = 1704067200  # 2024-01-01
+    hi = 1735689600  # 2025-01-01
+    return events.select(
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+        sec.alias("sec"),
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.expr("CASE WHEN user_id IS NULL THEN 1 ELSE 0 END")).alias(
+            "null_user"
+        ),
+        F.sum(F.expr("CASE WHEN event_type IS NULL THEN 1 ELSE 0 END")).alias(
+            "null_type"
+        ),
+        F.sum(
+            F.expr(f"CASE WHEN value < 0 OR value > {CONTRACT_VALUE_MAX} THEN 1 ELSE 0 END")
+        ).alias("value_out_of_range"),
+        F.sum(
+            F.expr(f"CASE WHEN sec < {lo} OR sec >= {hi} THEN 1 ELSE 0 END")
+        ).alias("ts_out_of_window"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN user_id IS NOT NULL AND event_type IS NOT NULL"
+                f" AND value >= 0 AND value <= {CONTRACT_VALUE_MAX}"
+                f" AND sec >= {lo} AND sec < {hi} THEN 1 ELSE 0 END"
+            )
+        ).alias("n_conforming"),
+    )
+
+
 SKETCH_TOL_PCT = 5
 
 
@@ -556,6 +642,8 @@ QUERIES = {
     "orders_open_backlog": orders_open_backlog,
     "msgpack_roundtrip_decode": msgpack_roundtrip_decode,
     "parts_triangle_count": parts_triangle_count,
+    "events_transition_matrix": events_transition_matrix,
+    "events_contract_violations": events_contract_violations,
     "events_zorder_key": events_zorder_key,
     "events_value_winsorized_stats": events_value_winsorized_stats,
     "forecast_revenue_change": forecast_revenue_change,
@@ -642,6 +730,52 @@ ORACLES = {
         )
         SELECT event_id, event_type, value, z
         FROM scored WHERE abs(z) > {ANOMALY_Z}
+    """,
+    "events_transition_matrix": """
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_ns(ts) // 1000000000, event_id
+                 ) AS next_type
+          FROM events
+        ),
+        pairs AS (
+          SELECT event_type AS from_type, next_type AS to_type,
+                 count(*) AS n
+          FROM seq WHERE next_type IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        totals AS (
+          SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+          FROM pairs GROUP BY from_type
+        )
+        SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
+               (2 * p.n * 1000000 + t.row_total) // (2 * t.row_total)
+                 / 1000000.0 AS p
+        FROM pairs p JOIN totals t USING (from_type)
+    """,
+    "events_contract_violations": f"""
+        WITH base AS (
+          SELECT event_id, user_id, event_type, value,
+                 epoch_ns(ts) // 1000000000 AS sec
+          FROM events
+        )
+        SELECT count(*) AS n_rows,
+               CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS null_user,
+               CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS null_type,
+               CAST(sum(CASE WHEN value < 0 OR value > {CONTRACT_VALUE_MAX}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS value_out_of_range,
+               CAST(sum(CASE WHEN sec < 1704067200 OR sec >= 1735689600
+                        THEN 1 ELSE 0 END) AS BIGINT) AS ts_out_of_window,
+               CAST(sum(CASE WHEN user_id IS NOT NULL
+                         AND event_type IS NOT NULL
+                         AND value >= 0 AND value <= {CONTRACT_VALUE_MAX}
+                         AND sec >= 1704067200 AND sec < 1735689600
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_conforming
+        FROM base
     """,
     "parts_triangle_count": """
         WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
