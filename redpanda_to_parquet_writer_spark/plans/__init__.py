@@ -74,6 +74,7 @@ _PRIORITY = [
     "parts_triangle_count",
     "events_transition_matrix",
     "events_contract_violations",
+    "streaming_msgpack_ingest",
     "multimodal_png_decode",
     "multimodal_mp4_probe",
     "multimodal_gif_roundtrip",

@@ -279,8 +279,71 @@ def streaming_sliding_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     return _drain_to_memory(agg, "streaming_sliding_stats_sink", "complete")
 
 
+def streaming_msgpack_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE msgpack ingest pipeline under the oracle gate: every
+    event packs into a real MessagePack envelope (pure-stdlib encoder),
+    lands in a spool, and streams through the production path — file
+    stream -> format routing -> Arrow msgpack decode -> JSON inference
+    -> flatten -> event-date partitioning -> checkpointed dated parquet
+    via the merge-dedup writer — then the SINK is read back and
+    aggregated; the oracle computes the same aggregates from the
+    ORIGINAL events table. A wrong byte in the codec, a dropped row in
+    the merge, or a misrouted date flips the hash. Fresh private
+    dirs per invocation keep the driver's rerun-idempotence check
+    honest (each run re-ingests from scratch).
+    """
+    import tempfile
+
+    import pandas as pd
+
+    from redpanda_to_parquet_writer_spark.config import EngineConfig
+    from redpanda_to_parquet_writer_spark.functions.dates import event_epoch_ms
+    from redpanda_to_parquet_writer_spark.functions.msgpack_codec import packb
+    from redpanda_to_parquet_writer_spark.sources.parquet import load_table
+    from redpanda_to_parquet_writer_spark.streaming.ingest import (
+        ingest_available_now,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    pack = F.pandas_udf(
+        lambda et, v, u: pd.Series(
+            [
+                packb({"event_type": a, "value": float(b), "user_id": int(c)})
+                for a, b, c in zip(et, v, u)
+            ]
+        ),
+        "binary",
+    )
+    env = events.select(
+        F.lit("mp_topic").alias("kafka_topic"),
+        F.pmod("event_id", F.lit(4)).cast("long").alias("kafka_partition"),
+        F.col("event_id").alias("kafka_offset"),
+        event_epoch_ms(events).alias("kafka_timestamp"),
+        F.col("user_id").cast("string").alias("kafka_key"),
+        pack("event_type", "value", "user_id").alias("value"),
+    )
+    work = tempfile.mkdtemp(prefix="mp_ingest_")
+    src = f"{work}/src"
+    env.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    cfg = EngineConfig(output_dir=f"{work}/out", checkpoint_dir=f"{work}/ckpt")
+    ingest_available_now(
+        spark, stream, f"{work}/out", f"{work}/ckpt", cfg, fmt="msgpack"
+    )
+    sink = spark.read.parquet(f"{work}/out")
+    return sink.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.expr(
+            "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)"
+        ).alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("date").alias("n_dates"),
+    )
+
+
 QUERIES = {
     "streaming_hourly_event_stats": streaming_hourly_event_stats,
+    "streaming_msgpack_ingest": streaming_msgpack_ingest,
     "streaming_session_stats": streaming_session_stats,
     "streaming_sliding_event_stats": streaming_sliding_event_stats,
     "streaming_offset_gaps": streaming_offset_gaps,
@@ -351,6 +414,17 @@ ORACLES = {
         FROM events e
         JOIN nation n ON e.user_id % 25 = n.n_nationkey
         GROUP BY n.n_name
+    """,
+    # the full pack -> spool -> stream -> decode -> flatten -> dated-sink
+    # pipeline must reproduce the direct aggregation of the source table
+    "streaming_msgpack_ingest": """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS total_value,
+               count(DISTINCT user_id) AS n_users,
+               count(DISTINCT CAST(ts AS DATE)) AS n_dates
+        FROM events GROUP BY event_type
     """,
     # sliding windows: each event contributes to the two 2-hour windows
     # whose hour-aligned starts cover it — batch replay via unnested
