@@ -477,3 +477,20 @@ def test_edit_distance_rides_lsh_candidates(spark, sf_dir):
     assert "levenshtein" in plan
     # 3 scans: signature pass + the two text attach sides
     assert plan.count("FileScan parquet") <= 3
+
+
+def test_transition_matrix_partitioned_window_and_broadcast(spark, sf_dir):
+    """The lag window partitions per user (never a global sort) and the
+    5x5 row-total table joins back as a broadcast."""
+    plan = plan_str(QUERIES["events_transition_matrix"](spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_contract_violations_single_scan(spark, sf_dir):
+    """The data-contract gate is ONE pass: a single parquet scan,
+    partial-aggregated conditional sums, no hash shuffle at all."""
+    plan = plan_str(QUERIES["events_contract_violations"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange hashpartitioning" not in plan
+    assert "partial" in plan.lower()
