@@ -1177,10 +1177,18 @@ class _BitWriter:
             if byte == 0xFF:
                 self.out.append(0x00)  # byte stuffing
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.put((1 << pad) - 1, pad)  # pad with 1s per spec
+
+    def raw(self, b: bytes) -> None:
+        """Append marker bytes verbatim (markers are never stuffed)."""
+        self.align()
+        self.out += b
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -1188,10 +1196,14 @@ def _category(v: int) -> int:
     return 0 if v == 0 else v.bit_length() if v > 0 else (-v).bit_length()
 
 
-def encode_jpeg_gray8(width: int, height: int, pixels: bytes) -> bytes:
+def encode_jpeg_gray8(
+    width: int, height: int, pixels: bytes, restart_interval: int = 0
+) -> bytes:
     """Baseline sequential JPEG, one grayscale component, no
     subsampling, Annex K tables. Deterministic: same pixels -> same
-    bytes."""
+    bytes. `restart_interval` > 0 emits a DRI segment and RSTn markers
+    every N MCUs (byte-aligned, DC predictor reset) — the error-
+    resilience feature most camera JPEGs carry."""
     import struct as _s
 
     import numpy as np
@@ -1210,8 +1222,13 @@ def encode_jpeg_gray8(width: int, height: int, pixels: bytes) -> bytes:
     ac_codes = _huff_codes(_AC_BITS, _AC_VALUES)
     w = _BitWriter()
     prev_dc = 0
+    mcu = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.raw(bytes([0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]))
+                prev_dc = 0
+            mcu += 1
             block = padded[by : by + 8, bx : bx + 8] - 128.0
             coef = d @ block @ d.T
             quant = np.rint(coef / q).astype(np.int64)
@@ -1259,7 +1276,8 @@ def encode_jpeg_gray8(width: int, height: int, pixels: bytes) -> bytes:
         + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALUES),
     )
     sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+    dri = seg(0xFFDD, _s.pack(">H", restart_interval)) if restart_interval else b""
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + entropy + b"\xff\xd9"
 
 
 class _BitReader:
@@ -1290,6 +1308,17 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def expect_restart(self) -> None:
+        """Byte-align and consume the next RSTn marker (raw, unstuffed)."""
+        self.nbits = 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("expected restart marker in entropy data")
+        self.pos += 2
+
 
 def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
@@ -1312,6 +1341,7 @@ def decode_jpeg_gray8(data: bytes) -> tuple[int, int, bytes]:
     width = height = None
     dc_id = ac_id = 0
     entropy_start = None
+    restart_interval = 0
     while i < len(data):
         if i + 2 > len(data):
             raise ValueError("truncated JPEG (marker cut off)")
@@ -1360,7 +1390,7 @@ def decode_jpeg_gray8(data: bytes) -> tuple[int, int, bytes]:
             entropy_start = i + 2 + length
             break
         elif m == 0xDD:
-            raise ValueError("restart intervals unsupported")
+            restart_interval = _s.unpack_from(">H", body, 0)[0]
         i += 2 + length
     if width is None or entropy_start is None:
         raise ValueError("missing SOF/SOS")
@@ -1386,8 +1416,13 @@ def decode_jpeg_gray8(data: bytes) -> tuple[int, int, bytes]:
     pw = (width + 7) // 8 * 8
     out = np.zeros((ph, pw), dtype=np.float64)
     prev_dc = 0
+    mcu = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                r.expect_restart()
+                prev_dc = 0
+            mcu += 1
             zz = [0] * 64
             s = read_symbol(dct)
             diff = _extend(r.bits(s), s) if s else 0

@@ -487,3 +487,33 @@ def test_jpeg_gray8_error_paths():
     prog = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError, match="baseline"):
         decode_jpeg_gray8(prog)
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn support: restart markers byte-align the stream and
+    reset the DC predictor every N MCUs; reconstruction must match the
+    marker-free encoding of the same image."""
+    import numpy as np
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_jpeg_gray8,
+        encode_jpeg_gray8,
+    )
+
+    w, h = 29, 18
+    img = bytes(int(40 + 150 * (x + y) / (w + h)) for y in range(h) for x in range(w))
+    base = decode_jpeg_gray8(encode_jpeg_gray8(w, h, img))[2]
+    for ri in (1, 2, 5):
+        blob = encode_jpeg_gray8(w, h, img, restart_interval=ri)
+        assert blob.count(b"\xff\xdd") == 1  # DRI present
+        w2, h2, px = decode_jpeg_gray8(blob)
+        assert (w2, h2) == (w, h)
+        # same quantized coefficients -> identical reconstruction
+        assert px == base
+    # corrupt: remove one RST -> loud error, not silent garbage
+    import pytest
+
+    blob = encode_jpeg_gray8(w, h, img, restart_interval=2)
+    broken = blob.replace(b"\xff\xd0", b"", 1)
+    with pytest.raises(ValueError):
+        decode_jpeg_gray8(broken)
