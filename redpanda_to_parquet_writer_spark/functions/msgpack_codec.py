@@ -208,6 +208,11 @@ def _unpack_map(b: bytes, i: int, n: int) -> tuple[dict, int]:
     out = {}
     for _ in range(n):
         k, i = _unpack(b, i)
+        # container-typed keys (arrays/maps) are unhashable — reject them
+        # inside the documented MsgpackError contract instead of leaking
+        # TypeError out of decode on adversarial streams
+        if isinstance(k, (list, dict)):
+            raise MsgpackError(f"non-scalar map key of type {type(k).__name__}")
         v, i = _unpack(b, i)
         out[k] = v
     return out, i

@@ -138,10 +138,19 @@ def resample_locf(
     """
     import numpy as np
     import pandas as pd
+    from pyspark.sql.types import AtomicType
 
+    key_type = df.schema[key_col].dataType
+    if not isinstance(key_type, AtomicType):
+        raise ValueError(
+            f"resample_locf: key column {key_col!r} must be an atomic type "
+            f"(int/string/...), got {key_type.simpleString()}"
+        )
     grid = np.arange(grid_points, dtype=np.int64) * grid_step + grid_start
+    # output key type mirrors the input key type — integral and string
+    # keys both round-trip through Arrow unchanged
     out_schema = (
-        f"{key_col} long, grid_ts long, {value_col} double"
+        f"{key_col} {key_type.simpleString()}, grid_ts long, {value_col} double"
     )
 
     def resample(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -158,7 +167,7 @@ def resample_locf(
         out_vals[idx < 0] = pd.NA
         return pd.DataFrame(
             {
-                key_col: np.full(len(grid), key, dtype=np.int64),
+                key_col: pd.Series([key] * len(grid)),
                 "grid_ts": grid,
                 value_col: out_vals,
             }

@@ -260,7 +260,10 @@ def bloom_probe(
         ),
     )
     group_cols = [c for c in probes.columns]
+    # min(hit)==1 (not sum==n_hashes): duplicate probe rows collapse in
+    # the groupBy, which would make sum(hit) a multiple of n_hashes and
+    # turn seen keys into false negatives — min is duplicate-safe.
     return (
         joined.groupBy(*group_cols)
-        .agg((F.sum("hit") == F.lit(n_hashes)).alias("maybe_seen"))
+        .agg((F.min("hit") == F.lit(1)).alias("maybe_seen"))
     )

@@ -1176,6 +1176,9 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # drop emitted bits — an unmasked accumulator grows into an
+        # ever-larger bignum and makes encoding O(n^2) in output size
+        self.acc &= (1 << self.nbits) - 1
 
     def align(self) -> None:
         if self.nbits:

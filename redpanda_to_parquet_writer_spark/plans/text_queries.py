@@ -1084,7 +1084,7 @@ ORACLES["docs_bloom_prefilter"] = f"""
       FROM probe_bits p LEFT JOIN words w ON w.word_idx = p.bit // {_BWB}
     ),
     agg AS (
-      SELECT doc_id, key, sum(hit) = {_BH} AS maybe_seen
+      SELECT doc_id, key, min(hit) = 1 AS maybe_seen
       FROM hits GROUP BY 1, 2
     )
     SELECT a.doc_id, a.maybe_seen,

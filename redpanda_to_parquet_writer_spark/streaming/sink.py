@@ -280,7 +280,18 @@ def backfill_date_partitions(
     dates = sorted(
         str(r["date"]) for r in df.select("date").distinct().collect()
     )
-    out = df.repartition(files_per_date * max(len(dates), 1), "date")
+    # Hash-partitioning on "date" alone puts each date in ONE partition
+    # no matter the partition count; a bucket column spreads each date
+    # across exactly files_per_date writer tasks (then drops pre-write).
+    if files_per_date > 1:
+        bucket = (F.xxhash64(*[F.col(c) for c in df.columns]) % files_per_date)
+        out = (
+            df.withColumn("__bucket", bucket)
+            .repartition(files_per_date * max(len(dates), 1), "date", "__bucket")
+            .drop("__bucket")
+        )
+    else:
+        out = df.repartition(max(len(dates), 1), "date")
     conf_key = "spark.sql.sources.partitionOverwriteMode"
     old = spark.conf.get(conf_key, "static")
     spark.conf.set(conf_key, "dynamic")

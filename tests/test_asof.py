@@ -25,3 +25,42 @@ def test_asof_semantics(spark):
     assert out[3]["t_asof"] == 15 and out[3]["px_asof"] == 3.5  # latest before 20
     assert out[4]["t_asof"] is None  # key b has no right rows
     assert len(out) == 4  # exactly one output row per left row
+
+
+def test_resample_locf_string_keys(spark):
+    """resample_locf derives the key's output type from the input schema
+    — string (and any atomic) keys work, not just bigint (ADVICE r5)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from redpanda_to_parquet_writer_spark.operators.asof import resample_locf
+
+    df = spark.createDataFrame(
+        [("u-a", 3, 1.0, 0), ("u-a", 7, 2.0, 1), ("u-b", 5, 9.0, 0)],
+        "uid string, ts long, value double, seq long",
+    )
+    out = resample_locf(
+        df, "uid", "ts", "value", "seq", grid_start=0, grid_step=2, grid_points=5
+    )
+    assert out.schema["uid"].dataType.simpleString() == "string"
+    rows = {(r["uid"], r["grid_ts"]): r["value"] for r in out.collect()}
+    assert rows[("u-a", 2)] is None  # before first observation
+    assert rows[("u-a", 4)] == 1.0 and rows[("u-a", 8)] == 2.0
+    assert rows[("u-b", 6)] == 9.0
+    # non-atomic keys are rejected loudly, not at runtime inside Arrow
+    arr = df.withColumn("k", F.array("ts"))
+    with pytest.raises(ValueError, match="atomic"):
+        resample_locf(arr, "k", "ts", "value", "seq", 0, 2, 5)
+
+
+def test_bitwriter_accumulator_stays_bounded():
+    """_BitWriter masks emitted bits out of its accumulator — without
+    the mask the bignum grows with total output and encode goes
+    O(n^2) (ADVICE r5)."""
+    from redpanda_to_parquet_writer_spark.operators.multimodal import _BitWriter
+
+    w = _BitWriter()
+    for i in range(10_000):
+        w.put(i & 0x3FF, 10)
+    assert w.acc.bit_length() <= w.nbits <= 7
+    assert len(w.flush()) >= 12_500

@@ -119,6 +119,26 @@ def test_bloom_no_false_negatives(spark):
     assert fp <= 15, f"false-positive rate implausibly high: {fp}/150"
 
 
+def test_bloom_duplicate_probe_rows_no_false_negative(spark):
+    """Fully duplicate probe rows collapse in the probe's groupBy; the
+    membership aggregate must stay true for seen keys (min(hit)==1, not
+    sum(hit)==n_hashes, which a collapsed duplicate would inflate)."""
+    from redpanda_to_parquet_writer_spark.operators.dedup import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    keys = spark.createDataFrame([(f"key-{i}",) for i in range(50)], "key string")
+    bloom = bloom_build(keys, "key")
+    # every probe row appears 3x — the ingest-prefilter shape ADVICE flagged
+    probes = spark.createDataFrame(
+        [(i % 50, f"key-{i % 50}") for i in range(150)], "pid long, key string"
+    )
+    out = bloom_probe(probes, bloom, "key").collect()
+    assert len(out) == 50  # duplicates collapse to one row per probe key
+    assert all(r["maybe_seen"] for r in out), "duplicate probes caused false negatives"
+
+
 def test_countmin_never_underestimates(spark):
     """The count-min guarantee: estimate >= exact for EVERY term (min
     of counters that each include the term's full count), with equality

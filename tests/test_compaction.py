@@ -118,3 +118,29 @@ def test_backfill_overwrites_only_target_dates(spark, sf_dir, tmp_path):
     assert d2.agg(F.max("value")).collect()[0][0] < 15  # halved
     d1 = got.filter(F.col("date") == "2024-01-01").count()
     assert d1 == base.filter(F.col("date") == "2024-01-01").count()
+
+
+def test_backfill_files_per_date_splits_output(spark, tmp_path):
+    """files_per_date > 1 must yield multiple part files per date —
+    hash-partitioning on date alone would put each date in ONE
+    partition and leave the extras empty (ADVICE r5)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from redpanda_to_parquet_writer_spark.streaming.sink import (
+        backfill_date_partitions,
+    )
+
+    root = str(tmp_path / "sink")
+    base = spark.createDataFrame(
+        [(i, "2024-02-01", float(i)) for i in range(400)],
+        "rec_id long, d string, value double",
+    ).select("rec_id", F.col("d").cast("date").alias("date"), "value")
+    base.write.partitionBy("date").parquet(root)
+
+    backfill_date_partitions(base, root, files_per_date=3)
+    parts = glob.glob(os.path.join(root, "date=2024-02-01", "part-*.parquet"))
+    assert len(parts) >= 2, f"expected multiple files per date, got {len(parts)}"
+    assert spark.read.parquet(root).count() == 400

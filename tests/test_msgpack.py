@@ -84,6 +84,10 @@ def test_errors_are_loud():
         unpackb(b"\xd4\x01\x00")  # fixext1
     with pytest.raises(MsgpackError, match="cannot pack"):
         packb({1: object()})
+    # array-typed map key: must stay inside the MsgpackError contract,
+    # not leak TypeError: unhashable (ADVICE r5)
+    with pytest.raises(MsgpackError, match="non-scalar map key"):
+        unpackb(b"\x81\x91\x01\x02")  # fixmap{[1]: 2}
 
 
 def test_detect_format_votes_containers():
