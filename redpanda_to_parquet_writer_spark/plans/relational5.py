@@ -568,6 +568,10 @@ def parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emits one audit row: distinct edges, wedges, triangles, and the
     global clustering coefficient in exact half-up millionths.
     """
+    from redpanda_to_parquet_writer_spark.operators.graph import (
+        oriented_triangle_stats,
+    )
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
     lhs = baskets.select(F.explode("parts").alias("a"), "parts")
@@ -576,14 +580,10 @@ def parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") < F.col("b"))
         .distinct()
     )
-    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    wedges = e1.join(e2, "y").select("x", "y", "z")
-    closing = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    triangles = wedges.join(closing, ["x", "z"], "left_semi")
-    n_edges = edges.count()
-    n_wedges = wedges.count()
-    n_triangles = triangles.count()
+    # persisted multi-action counting + optional heavy-hitter degree cap
+    # live in operators/graph.py; no cap here — the oracle counts the
+    # full graph, and TPC-H co-occurrence has no power-law hubs
+    n_edges, n_wedges, n_triangles = oriented_triangle_stats(edges)
     # one-row audit result built driver-side from exact counts (the
     # counts themselves are distributed jobs; the final row is O(1))
     coeff = (
