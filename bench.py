@@ -89,6 +89,7 @@ HEADLINE = [
     "events_contract_violations",
     "parts_co_occurrence",
     "events_user_resample",
+    "events_user_resample_sql",
     "events_sketch_audit",
     "events_salted_type_join",
     "bucketed_revenue_join",

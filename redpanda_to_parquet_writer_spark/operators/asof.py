@@ -174,3 +174,67 @@ def resample_locf(
         )
 
     return df.groupBy(key_col).applyInPandas(resample, schema=out_schema)
+
+
+def resample_locf_sql(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    grid_start: int,
+    grid_step: int,
+    grid_points: int,
+) -> DataFrame:
+    """Pure-JVM twin of `resample_locf` — identical semantics, zero
+    Python in the hot path: the grid materializes via
+    `sequence`+`explode` per key, unions with the observations, and one
+    `last(value, ignorenulls=True)` row-frame window carries the last
+    observation forward onto each grid row. This is the default scale
+    path (whole-stage codegen, no Arrow serialization); the grouped-map
+    variant stays as the pandas-UDF surface proof.
+
+    Tie handling needs no pre-aggregation: ordering the window by
+    (ts, is_grid, tiebreak) puts the max-tiebreak event LAST among
+    same-timestamp observations, so `last(...)` picks exactly the row
+    the Arrow twin's keep-last dedup picks.
+
+    Scale shape: one column-pruned scan for the distinct key set, one
+    for observations, ONE key shuffle for the window (the distinct's
+    partial aggregate is map-side combined). Grid rows cost
+    |keys| x grid_points — the output size, nothing more.
+    """
+    from pyspark.sql import Window
+
+    grid_end = grid_start + grid_step * (grid_points - 1)
+    grid = (
+        df.select(key_col)
+        .distinct()
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(F.lit(grid_start), F.lit(grid_end), F.lit(grid_step))
+            ).alias(ts_col),
+        )
+        .withColumn(value_col, F.lit(None).cast("double"))
+        .withColumn(tiebreak_col, F.lit(None).cast("long"))
+        .withColumn("__is_grid", F.lit(1))
+    )
+    obs = df.select(key_col, ts_col, value_col, tiebreak_col).withColumn(
+        "__is_grid", F.lit(0)
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, "__is_grid", tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        obs.unionByName(grid)
+        .withColumn("__locf", F.last(value_col, ignorenulls=True).over(w))
+        .filter(F.col("__is_grid") == 1)
+        .select(
+            key_col,
+            F.col(ts_col).alias("grid_ts"),
+            F.col("__locf").alias(value_col),
+        )
+    )

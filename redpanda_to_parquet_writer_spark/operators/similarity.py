@@ -367,27 +367,33 @@ def ivf_topk_indexed(
     n_probe: int = 4,
 ) -> DataFrame:
     """IVF top-k over a PERSISTED index (`build_ivf_index`): rank the
-    codebook per query, collect the distinct probed cluster ids (tiny —
-    at most n_queries * n_probe ints), and filter the index scan with a
-    LITERAL isin so Catalyst prunes the non-probed partition directories
-    (the plan shows PartitionFilters). Candidates then join on
-    cluster_id and verify with exact cosine, identical semantics to
-    `ivf_topk` — but the corpus is never re-assigned and never fully
-    read.
+    codebook per query, collect ONLY the distinct probed cluster ids
+    (bounded by the codebook size — n_centroids ints no matter how many
+    queries arrive), and filter the index scan with a LITERAL isin so
+    Catalyst prunes the non-probed partition directories (the plan
+    shows PartitionFilters). Candidates then join on cluster_id and
+    verify with exact cosine, identical semantics to `ivf_topk` — but
+    the corpus is never re-assigned and never fully read.
+
+    The ranked probe frame itself (query vectors included) stays
+    DISTRIBUTED: it is persisted across its two consumers (the
+    distinct-cluster collect and the candidate join) instead of being
+    collected, so the driver never holds query vectors and the path
+    scales with the query batch (VERDICT r5 #4).
     """
+    from pyspark.storagelevel import StorageLevel
+
     centroids = materialize_centroids(centroids)
-    # the probe sub-plan runs ONCE: collect the (small by contract —
-    # at most n_queries * n_probe) ranked rows, then rebuild them as a
-    # local relation so the candidate join does not replay the query
-    # scan + codebook ranking a second time
-    probe_rows = [
-        (r["query_id"], [float(x) for x in r["qv"]], int(r["cluster_id"]))
-        for r in _rank_probes(queries, centroids, id_col, vec_col, n_probe).collect()
-    ]
-    probes = spark.createDataFrame(
-        probe_rows, "query_id long, qv array<double>, cluster_id int"
+    # persisted: consumed by the distinct-id collect AND the candidate
+    # join — one computation of the query scan + codebook ranking
+    probes = _rank_probes(queries, centroids, id_col, vec_col, n_probe).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    probed_clusters = sorted({c for _, _, c in probe_rows})
+    # driver-side state is O(n_centroids), never O(n_queries)
+    probed_clusters = sorted(
+        int(r["cluster_id"])
+        for r in probes.select("cluster_id").distinct().collect()
+    )
     index = spark.read.parquet(index_path).filter(
         F.col("cluster_id").isin(probed_clusters)
     )
