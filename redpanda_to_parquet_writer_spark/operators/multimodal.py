@@ -61,12 +61,13 @@ def _malformed_raises_value_error(fn: Callable) -> Callable:
     those."""
     import functools
     import struct as _struct
+    import zlib as _zlib
 
     @functools.wraps(fn)
     def wrapped(*args, **kwargs):
         try:
             return fn(*args, **kwargs)
-        except (_struct.error, IndexError) as exc:
+        except (_struct.error, IndexError, _zlib.error) as exc:
             raise ValueError(f"malformed input: {exc}") from exc
 
     return wrapped
@@ -876,8 +877,11 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def encode_png_gray8(w: int, h: int, pixels: bytes, filter_cycle: bool = True) -> bytes:
-    """Encode a raw gray8 bitmap as a valid PNG (stdlib + numpy).
+def _encode_png(
+    w: int, h: int, pixels: bytes, channels: int, filter_cycle: bool = True
+) -> bytes:
+    """Encode a raw gray8 (channels=1) or RGB8 (channels=3) bitmap as a
+    valid PNG (stdlib + numpy).
 
     `filter_cycle=True` applies filter type y % 5 to row y, so a single
     encoded image exercises every scanline filter the decoder must
@@ -885,22 +889,25 @@ def encode_png_gray8(w: int, h: int, pixels: bytes, filter_cycle: bool = True) -
 
     Every encode filter references ORIGINAL pixel values (not
     reconstructed ones), so all five vectorize as whole-image numpy
-    shifts — no per-pixel Python.
+    shifts — no per-pixel Python. Multi-byte pixels filter against the
+    byte `bpp` positions back (per the PNG spec), which is the same
+    shift with a wider stride.
     """
     import struct
     import zlib
 
     import numpy as np
 
-    if len(pixels) != w * h:
-        raise ValueError(f"expected {w * h} pixels, got {len(pixels)}")
-    img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w).astype(np.int16)
+    bpp = channels
+    if len(pixels) != w * h * bpp:
+        raise ValueError(f"expected {w * h * bpp} pixel bytes, got {len(pixels)}")
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w * bpp).astype(np.int16)
     left = np.zeros_like(img)
-    left[:, 1:] = img[:, :-1]
+    left[:, bpp:] = img[:, :-bpp]
     up = np.zeros_like(img)
     up[1:, :] = img[:-1, :]
     upleft = np.zeros_like(img)
-    upleft[1:, 1:] = img[:-1, :-1]
+    upleft[1:, bpp:] = img[:-1, :-bpp]
     # Paeth predictor, elementwise
     p = left + up - upleft
     pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
@@ -929,7 +936,8 @@ def encode_png_gray8(w: int, h: int, pixels: bytes, filter_cycle: bool = True) -
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # gray8, no interlace
+    color_type = 0 if channels == 1 else 2  # gray8 / truecolor RGB8
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     return (
         PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -938,23 +946,41 @@ def encode_png_gray8(w: int, h: int, pixels: bytes, filter_cycle: bool = True) -
     )
 
 
-@_malformed_raises_value_error
-def decode_png_gray8(data: bytes) -> tuple[int, int, bytes]:
-    """REAL PNG decode for grayscale-8 non-interlaced images — stdlib
-    `zlib` + `struct`: signature check, chunk walk with CRC verification,
-    inflate, per-scanline unfiltering of all five filter types.
+def encode_png_gray8(w: int, h: int, pixels: bytes, filter_cycle: bool = True) -> bytes:
+    """Encode a raw gray8 bitmap as a valid PNG (see `_encode_png`)."""
+    return _encode_png(w, h, pixels, channels=1, filter_cycle=filter_cycle)
 
-    Returns (width, height, row-major pixel bytes). Raises ValueError on
-    anything malformed (bad signature, CRC mismatch, truncated stream,
-    unsupported color type) — pair with `map_media_batches(on_error=
-    "null")` for per-row corrupt-blob tolerance at corpus scale.
+
+def encode_png_rgb8(w: int, h: int, pixels: bytes, filter_cycle: bool = True) -> bytes:
+    """Encode raw interleaved RGB8 (3 bytes/pixel, row-major) as a valid
+    truecolor PNG (see `_encode_png`)."""
+    return _encode_png(w, h, pixels, channels=3, filter_cycle=filter_cycle)
+
+
+#: PNG color type -> interleaved channel count (supported subset:
+#: grayscale and truecolor; palette/alpha variants stay out of scope)
+_PNG_CHANNELS = {0: 1, 2: 3}
+
+
+def _decode_png(data: bytes, allowed_color_types: frozenset) -> tuple[int, int, int, bytes]:
+    """REAL PNG decode for 8-bit non-interlaced gray (color type 0) and
+    truecolor RGB (color type 2) — stdlib `zlib` + `struct`: signature
+    check, chunk walk with CRC verification, inflate, per-scanline
+    unfiltering of all five filter types (multi-byte pixels unfilter
+    against the byte `bpp` positions back, per spec).
+
+    Returns (width, height, channels, row-major interleaved pixel
+    bytes). Raises ValueError on anything malformed (bad signature, CRC
+    mismatch, truncated stream, unsupported color type) — pair with
+    `map_media_batches(on_error="null")` for per-row corrupt-blob
+    tolerance at corpus scale.
     """
     import struct
     import zlib
 
     if data[:8] != PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
-    pos, idat, w, h = 8, bytearray(), None, None
+    pos, idat, w, h, bpp = 8, bytearray(), None, None, 1
     while pos + 12 <= len(data):
         ln, tag = struct.unpack(">I4s", data[pos : pos + 8])
         body = data[pos + 8 : pos + 8 + ln]
@@ -968,8 +994,12 @@ def decode_png_gray8(data: bytes) -> tuple[int, int, bytes]:
             w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if bit_depth != 8 or color_type != 0 or interlace:
-                raise ValueError("only gray8 non-interlaced PNG supported")
+            if bit_depth != 8 or color_type not in allowed_color_types or interlace:
+                raise ValueError(
+                    f"unsupported PNG (bit_depth={bit_depth}, "
+                    f"color_type={color_type}, interlace={interlace})"
+                )
+            bpp = _PNG_CHANNELS[color_type]
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -978,42 +1008,62 @@ def decode_png_gray8(data: bytes) -> tuple[int, int, bytes]:
     if w is None:
         raise ValueError("missing IHDR")
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (w + 1):
+    rw = w * bpp  # row width in bytes
+    if len(raw) != h * (rw + 1):
         raise ValueError("decompressed size mismatch")
-    # unfilter: None/Sub/Up vectorize (copy / mod-256 cumsum / add-prev);
-    # Average and Paeth reference RECONSTRUCTED left neighbors, so those
-    # rows run a per-pixel loop — 2 of 5 row types on cycled input
+    # unfilter: None/Sub/Up vectorize (copy / per-channel mod-256 cumsum /
+    # add-prev); Average and Paeth reference RECONSTRUCTED left neighbors,
+    # so those rows run a per-pixel loop — 2 of 5 row types on cycled input
     import numpy as np
 
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, rw + 1)
     fts = rows[:, 0]
     lines = rows[:, 1:].astype(np.int16)
-    out = np.zeros((h, w), dtype=np.int16)
-    prev = np.zeros(w, dtype=np.int16)
+    out = np.zeros((h, rw), dtype=np.int16)
+    prev = np.zeros(rw, dtype=np.int16)
     for y in range(h):
         ft = int(fts[y])
         line = lines[y]
         if ft == 0:
             rec = line
-        elif ft == 1:  # Sub: prefix sum mod 256
-            rec = np.cumsum(line, dtype=np.int64) & 0xFF
+        elif ft == 1:  # Sub: per-channel prefix sum mod 256
+            rec = (
+                np.cumsum(line.reshape(w, bpp), axis=0, dtype=np.int64) & 0xFF
+            ).reshape(rw)
         elif ft == 2:  # Up
             rec = (line + prev) & 0xFF
         elif ft in (3, 4):  # Average / Paeth: sequential left-dependency
-            rec = np.zeros(w, dtype=np.int16)
-            for x in range(w):
-                a = int(rec[x - 1]) if x else 0
+            rec = np.zeros(rw, dtype=np.int16)
+            for x in range(rw):
+                a = int(rec[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
                 if ft == 3:
                     rec[x] = (int(line[x]) + (a + b) // 2) & 0xFF
                 else:
-                    c = int(prev[x - 1]) if x else 0
+                    c = int(prev[x - bpp]) if x >= bpp else 0
                     rec[x] = (int(line[x]) + _paeth(a, b, c)) & 0xFF
         else:
             raise ValueError(f"bad filter type {ft}")
         out[y] = rec
         prev = out[y]
-    return (int(w), int(h), out.astype(np.uint8).tobytes())
+    return (int(w), int(h), bpp, out.astype(np.uint8).tobytes())
+
+
+@_malformed_raises_value_error
+def decode_png_gray8(data: bytes) -> tuple[int, int, bytes]:
+    """Grayscale-only PNG decode (see `_decode_png`); returns
+    (width, height, pixel bytes). RGB blobs raise ValueError — callers
+    that expect gray bitmaps keep their strict contract."""
+    w, h, _c, px = _decode_png(data, frozenset({0}))
+    return (w, h, px)
+
+
+@_malformed_raises_value_error
+def decode_png_rgb8(data: bytes) -> tuple[int, int, bytes]:
+    """Truecolor-only PNG decode (see `_decode_png`); returns
+    (width, height, interleaved RGB bytes)."""
+    w, h, _c, px = _decode_png(data, frozenset({2}))
+    return (w, h, px)
 
 
 DECODED_PNG_SCHEMA = StructType(
@@ -1037,6 +1087,16 @@ def decode_png_features(data: bytes) -> tuple[int, int, int, int, int, int, int]
     return (w, h, 8, 1, px[0], px[-1], sum(px))
 
 
+@_malformed_raises_value_error
+def decode_png_any_features(data: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """Color-type-agnostic PNG feature probe: decodes gray8 OR truecolor
+    RGB8 and reports the ACTUAL channel count alongside dimensions,
+    first/last byte and the exact sum over all interleaved channel
+    bytes — the per-blob stats row a media-curation pass keys on."""
+    w, h, c, px = _decode_png(data, frozenset({0, 2}))
+    return (w, h, 8, c, px[0], px[-1], sum(px))
+
+
 #: deterministic gray8 test-image parameters (shared with the analytic
 #: oracle): w = 16 + seed % 17, h = 16 + (3*seed) % 23,
 #: pixel(x, y) = (seed + 7*x + 13*y) % 256
@@ -1054,6 +1114,24 @@ def synth_gray_image(seed: int) -> tuple[int, int, bytes]:
     h = GRAY8_H[0] + (GRAY8_H[1] * seed) % GRAY8_H[2]
     y, x = np.mgrid[0:h, 0:w]
     img = (seed + GRAY8_PIX[0] * x + GRAY8_PIX[1] * y) % 256
+    return (w, h, img.astype("uint8").tobytes())
+
+
+#: per-channel offset for the deterministic RGB bitmap (shared with the
+#: analytic oracle): channel ch of pixel(x, y) =
+#: (seed + 7*x + 13*y + 29*ch) % 256, dimensions as synth_gray_image
+RGB8_CH = 29
+
+
+def synth_rgb_image(seed: int) -> tuple[int, int, bytes]:
+    """Deterministic raw interleaved RGB8 bitmap from an integer seed;
+    returns (width, height, row-major R,G,B,R,G,B,... bytes)."""
+    import numpy as np
+
+    w = GRAY8_W[0] + seed % GRAY8_W[1]
+    h = GRAY8_H[0] + (GRAY8_H[1] * seed) % GRAY8_H[2]
+    y, x, ch = np.mgrid[0:h, 0:w, 0:3]
+    img = (seed + GRAY8_PIX[0] * x + GRAY8_PIX[1] * y + RGB8_CH * ch) % 256
     return (w, h, img.astype("uint8").tobytes())
 
 

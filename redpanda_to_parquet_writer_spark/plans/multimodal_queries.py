@@ -189,6 +189,43 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_png_rgb_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truecolor PNG round trip (VERDICT r5 #6): a deterministic
+    interleaved-RGB8 bitmap per doc is encoded as a real color-type-2
+    PNG (same stdlib chunk/filter machinery as gray8 with 3-byte
+    pixels), magic-sniffed JVM-side, then decoded by the
+    color-type-AGNOSTIC probe (`decode_png_any_features`) which reports
+    the actual channel count — verified against a closed-form oracle
+    over (doc_id, x, y, channel). Same 100-TB shape as the gray query:
+    blobs in a binary column, narrow Arrow-batched mapInPandas, only
+    typed features leave the blob row.
+    """
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        DECODED_PNG_SCHEMA,
+        decode_png_any_features,
+        encode_png_rgb8,
+        synth_rgb_image,
+    )
+
+    docs = _doc_ids_spread(spark, sf_dir)
+
+    def _png(i: int) -> bytes:
+        return encode_png_rgb8(*synth_rgb_image(int(i)))
+
+    synth = F.pandas_udf(lambda ids: ids.map(_png), "binary")
+    blobs = docs.withColumn("blob", synth("doc_id"))
+    with_meta = with_media_metadata(blobs, "blob", media_type="image").select(
+        "doc_id", "blob", F.col("media_meta.format").alias("format")
+    )
+    return map_media_batches(
+        with_meta,
+        "blob",
+        DECODED_PNG_SCHEMA,
+        codec=decode_png_any_features,
+        passthrough=["doc_id", "format"],
+    )
+
+
 def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF codec end-to-end: the same deterministic gray8 bitmap as
     the PNG query, encoded as a real GIF89a (stdlib variable-width LZW +
@@ -340,6 +377,7 @@ QUERIES = {
     "multimodal_image_resize": multimodal_image_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_png_decode": multimodal_png_decode,
+    "multimodal_png_rgb_decode": multimodal_png_rgb_decode,
     "multimodal_mp4_probe": multimodal_mp4_probe,
     "multimodal_gif_roundtrip": multimodal_gif_roundtrip,
     "multimodal_jpeg_probe": multimodal_jpeg_probe,
@@ -486,6 +524,38 @@ ORACLES = {
                CAST(1 AS BIGINT) AS channels,
                CAST(doc_id % 256 AS BIGINT) AS p00,
                CAST((doc_id + 7 * (w - 1) + 13 * (h - 1)) % 256 AS BIGINT) AS p_last,
+               CAST(sum(pix) AS BIGINT) AS pixel_sum
+        FROM grid
+        GROUP BY doc_id, w, h
+    """,
+    # closed-form replay of the truecolor PNG round trip: the decoder
+    # recovers the deterministic interleaved-RGB source exactly, so the
+    # channel count, corner bytes and full byte sum are integer
+    # expressions of (doc_id, x, y, channel)
+    "multimodal_png_rgb_decode": """
+        WITH base AS (
+          SELECT doc_id,
+                 16 + doc_id % 17 AS w,
+                 16 + (3 * doc_id) % 23 AS h
+          FROM documents
+        ),
+        grid AS (
+          SELECT b.doc_id, b.w, b.h,
+                 (b.doc_id + 7 * xs.x + 13 * ys.y + 29 * cs.ch) % 256 AS pix
+          FROM base b,
+               LATERAL (SELECT unnest(range(b.w)) AS x) xs,
+               LATERAL (SELECT unnest(range(b.h)) AS y) ys,
+               LATERAL (SELECT unnest(range(3)) AS ch) cs
+        )
+        SELECT doc_id,
+               'png' AS format,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(8 AS BIGINT) AS bit_depth,
+               CAST(3 AS BIGINT) AS channels,
+               CAST(doc_id % 256 AS BIGINT) AS p00,
+               CAST((doc_id + 7 * (w - 1) + 13 * (h - 1) + 29 * 2) % 256
+                    AS BIGINT) AS p_last,
                CAST(sum(pix) AS BIGINT) AS pixel_sum
         FROM grid
         GROUP BY doc_id, w, h

@@ -216,6 +216,80 @@ def test_png_roundtrip_arbitrary_images(w, h, seed, cycle):
 
 
 @given(
+    st.integers(min_value=1, max_value=25),
+    st.integers(min_value=1, max_value=25),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_rgb_roundtrip_arbitrary_images(w, h, seed, cycle):
+    """Truecolor PNG encode->decode is the identity on arbitrary RGB8
+    bitmaps (multi-byte-pixel filters use the bpp-back left neighbor),
+    and the color-agnostic probe reports 3 channels."""
+    import random as _random
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_png_any_features,
+        decode_png_gray8,
+        decode_png_rgb8,
+        encode_png_rgb8,
+    )
+
+    rng = _random.Random(seed)
+    px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    blob = encode_png_rgb8(w, h, px, filter_cycle=cycle)
+    assert decode_png_rgb8(blob) == (w, h, px)
+    assert decode_png_any_features(blob) == (w, h, 8, 3, px[0], px[-1], sum(px))
+    try:
+        decode_png_gray8(blob)
+        raise AssertionError("gray-only decoder accepted a truecolor PNG")
+    except ValueError:
+        pass
+
+
+def test_png_rgb_corrupt_blobs_raise_value_error():
+    """Every malformed RGB blob stays inside the ValueError contract
+    (the on_error='null' tolerance path depends on it)."""
+    import pytest
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_png_rgb8,
+        encode_png_rgb8,
+        synth_rgb_image,
+    )
+
+    import struct
+    import zlib
+
+    w, h, px = synth_rgb_image(9)
+    good = encode_png_rgb8(w, h, px)
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # valid chunks/CRCs but the IDAT payload is not a deflate stream:
+    # zlib.error must surface as ValueError, not escape the contract
+    sig, ihdr = good[:8], good[8:33]
+    bad_deflate = sig + ihdr + chunk(b"IDAT", b"garbage!") + chunk(b"IEND", b"")
+
+    for bad in (
+        b"",  # empty
+        b"not a png",  # bad signature
+        good[:30],  # truncated mid-IHDR
+        good[:17] + bytes([good[17] ^ 0xFF]) + good[18:],  # flipped IHDR byte -> CRC fail
+        good[:-13],  # IEND gone and IDAT CRC truncated
+        bad_deflate,
+    ):
+        with pytest.raises(ValueError):
+            decode_png_rgb8(bad)
+
+
+@given(
     st.lists(
         st.lists(st.sampled_from("abcd"), min_size=0, max_size=25).map(" ".join),
         min_size=1,
