@@ -281,9 +281,16 @@ def _verify_and_rank_topk(
     candidates: DataFrame, probes: DataFrame, k: int
 ) -> DataFrame:
     """Exact-cosine verify + per-query top-k over (cluster_id-joined)
-    candidates — the shared tail of both IVF paths."""
+    candidates — the shared tail of both IVF paths.
+
+    The probe side is a QUERY BATCH (n_queries x n_probe rows) — small
+    by contract relative to the corpus-sized candidate side, so it
+    broadcasts: without the hint Spark's stats for the windowed probe
+    sub-plan overshoot the auto-broadcast threshold and the join falls
+    back to SortMerge, shuffling the whole assigned corpus on
+    cluster_id (the r5 bench drift's cause)."""
     scored = (
-        candidates.join(probes, on="cluster_id")
+        candidates.join(F.broadcast(probes), on="cluster_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("sim", cosine(F.col("qv"), F.col("v")))
         .select("query_id", "neighbor_id", "sim")
