@@ -45,61 +45,23 @@ _MERGED_QUERIES = {
 # at the tail (they are the most-recently-verified ones: the whole r4
 # window was green).
 _PRIORITY = [
-    # new or implementation-changed this round (ADVICE r4: anything whose
-    # implementation or oracle changed goes to the top of the window)
-    "events_value_trend_by_type",
-    "events_zorder_key",
-    "streaming_session_stats",
-    "ann_recall_audit",
-    "ann_pq_adc_topk",
-    "docs_unigram_logprob",
-    "events_value_winsorized_stats",
-    "forecast_revenue_change",
-    "ann_ivfadc_topk",
-    "docs_containment_pairs",
-    "events_anomaly_zscore",
-    "parts_co_occurrence",
-    "events_user_resample",
-    "events_sketch_audit",
-    "docs_normalized_dedup",
-    "streaming_sliding_event_stats",
-    "docs_countmin_heavy_hitters",
-    "docs_bloom_prefilter",
-    "docs_edit_distance_pairs",
-    "events_value_percentile",
-    "orders_open_backlog",
-    "curation_pipeline_v2",
-    "msgpack_roundtrip_decode",
-    "multimodal_jpeg_roundtrip",
-    "parts_triangle_count",
-    "events_transition_matrix",
-    "events_contract_violations",
-    "streaming_msgpack_ingest",
-    "multimodal_png_decode",
-    "multimodal_mp4_probe",
-    "multimodal_gif_roundtrip",
-    "multimodal_jpeg_probe",
-    "streaming_offset_gaps",
-    "streaming_interval_join",
-    "cheapest_supplier_per_part",
-    "nation_part_profit",
-    "important_suppliers",
-    "heavy_part_suppliers",
-    "events_value_median_by_type",
-    "events_sliding_hour_counts",
-    "events_salted_type_join",
-    "bucketed_revenue_join",
-    "docs_line_dedup",
-    "embeddings_random_projection",
-    "streaming_dedup_keys",
-    "streaming_static_enrichment",
-    "ann_ivf_topk",
-    "ann_ivf_indexed_topk",
-    # rewritten in r4 (union-of-aggs -> stack unpivot) but landed outside
-    # the r4 window — driver-verify the rewrite first (ADVICE r4)
-    "numeric_profile_events",
-    # stale: last driver-green in round 1
-    "docs_chunked",
+    # --- new or implementation-changed in round 6 (anything whose
+    # implementation, shared operator code, or oracle changed goes to
+    # the top of the window) ---
+    "events_user_resample_sql",  # new: JVM resample twin
+    "multimodal_png_rgb_decode",  # new: truecolor PNG codec
+    "docs_bloom_prefilter",  # min(hit) aggregate fix (impl + oracle)
+    "parts_triangle_count",  # persisted + operator extraction
+    "events_user_resample",  # resample_locf key-type derivation
+    "ann_ivf_topk",  # broadcast probe hint in shared verify tail
+    "ann_ivf_indexed_topk",  # probe persist + distinct-id collect
+    "ann_ivfadc_topk",  # shares _verify_and_rank_topk
+    "ann_recall_audit",  # consumes ivf_topk
+    "multimodal_png_decode",  # gray decode now wraps _decode_png
+    "multimodal_jpeg_roundtrip",  # _BitWriter accumulator mask
+    "msgpack_roundtrip_decode",  # map-key rejection in codec
+    "streaming_msgpack_ingest",  # same codec path
+    # --- stale: last driver-green in round 1 (VERDICT r5 #1) ---
     "docs_redacted",
     "docs_train_split",
     "docs_dedup_clusters",
@@ -108,14 +70,7 @@ _PRIORITY = [
     "docs_stratified_sample",
     "docs_tfidf_top_terms",
     "ann_cosine_topk",
-    "docs_token_stats",
-    "docs_stopword_stats",
-    "docs_language_id",
-    "docs_minhash_lsh_pairs",
-    "docs_jaccard_pairs",
-    "docs_simhash",
-    "docs_fingerprint",
-    # stale: last driver-green in rounds 2-3
+    # --- stale: last driver-green in round 3 (VERDICT r5 #1) ---
     "topk_events_by_type",
     "events_locf_gap_fill",
     "offset_recovery",
@@ -143,6 +98,58 @@ _PRIORITY = [
     "docs_exact_dedup",
     "docs_quality_score",
     "docs_bpe_token_stats",
+    # --- last driver-green in round 4, oldest first (fill the window;
+    # everything below position 50 keeps accumulating age until a
+    # later round rotates it in) ---
+    "docs_token_stats",
+    "docs_stopword_stats",
+    "docs_language_id",
+    "docs_minhash_lsh_pairs",
+    "docs_jaccard_pairs",
+    "docs_simhash",
+    "docs_fingerprint",
+    "json_extract_props",
+    "date_partition_counts",
+    "hourly_event_stats",
+    "events_sessionization",
+    "clicks_asof_purchases",
+    "purchase_attribution_window",
+    "sole_late_supplier",
+    "customer_order_distribution",
+    "order_priority_counts",
+    "small_quantity_revenue",
+    "discounted_brand_revenue",
+    "large_order_customers",
+    "customer_balance_quartiles",
+    "events_value_histogram",
+    "inter_event_gap_stats",
+    "sink_reconciliation",
+    "top_event_type_per_user",
+    "priority_shipping_stats",
+    "promo_revenue_pct",
+    "top_revenue_supplier",
+    "rich_inactive_customers",
+    "nation_volume_shipping",
+    "nation_market_share",
+    "supplier_part_variety",
+    "events_funnel_conversion",
+    "events_weekly_cohorts",
+    "streaming_hourly_event_stats",
+    "docs_repetition_stats",
+    "docs_token_budget_cap",
+    "docs_sequence_pack",
+    "docs_simhash_neardup_pairs",
+    "docs_incremental_neardup_filter",
+    "embeddings_label_centroids",
+    "embeddings_neardup_pairs",
+    "embeddings_lsh_neardup_pairs",
+    "embeddings_semdedup_keep",
+    "embeddings_norm_stats",
+    "multimodal_byte_stats",
+    "multimodal_wav_roundtrip",
+    "multimodal_image_resize",
+    "multimodal_frame_sample",
+    "curation_pipeline",
 ]
 
 
