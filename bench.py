@@ -90,6 +90,7 @@ HEADLINE = [
     "parts_co_occurrence",
     "events_user_resample",
     "events_user_resample_sql",
+    "multimodal_jpeg_color_roundtrip",
     "events_sketch_audit",
     "events_salted_type_join",
     "bucketed_revenue_join",

@@ -9,18 +9,21 @@ in plans/multimodal_queries.py:
 
   - WAV: full codec (stdlib `wave`, container + 16-bit PCM)
   - PNG: full codec (`zlib`+`struct`: chunk walk, CRC check, inflate,
-    all five scanline filters)
+    all five scanline filters) for gray8 AND truecolor RGB8
   - GIF: full codec (variable-width GIF-LZW, grayscale palette)
   - mp4: box-tree structure probe (brand, mvhd, tracks, mdat)
   - JPEG: marker-stream probe (SOF dims/components, table counts, scan
-    accounting) AND a full baseline gray8 codec (numpy 8x8 DCT, Annex K
-    tables, canonical Huffman — `encode_jpeg_gray8`/`decode_jpeg_gray8`)
+    accounting), a full baseline gray8 codec (numpy 8x8 DCT, Annex K
+    tables, canonical Huffman — `encode_jpeg_gray8`/`decode_jpeg_gray8`),
+    AND a full baseline COLOR codec (JFIF YCbCr transform, 4:2:0 chroma
+    subsampling, interleaved MCUs, Annex K chroma tables —
+    `encode_jpeg_color`/`decode_jpeg_color`)
 
-Only color/subsampled JPEG and mp4/avi video-frame decode stay stubbed
-— multi-component chroma pipelines genuinely need an imaging library;
-the stubs raise NotImplementedError unless a library-backed codec is
-injected. The pipeline shape (what runs where, batch sizes, schema
-contracts) is real and tested for every media type.
+Only mp4/avi video-frame decode stays stubbed — compressed video
+(H.264 etc.) genuinely needs a codec library; the stub raises
+NotImplementedError unless a library-backed codec is injected. The
+pipeline shape (what runs where, batch sizes, schema contracts) is
+real and tested for every media type.
 
 Scale notes: media blobs make rows huge — the mapInPandas stages are
 narrow (no shuffle), and `maxRecordsPerBatch` should be lowered so an
@@ -117,19 +120,21 @@ def with_media_metadata(
 def decode_image_stub(data: bytes) -> tuple[int, int, int]:
     """Decode (width, height, channels) from image bytes.
 
-    STUB for COLOR/subsampled JPEG pixel decode only: multi-component
-    chroma pipelines need an imaging library (PIL/opencv) not present in
-    this container — inject a real codec via
-    `map_media_batches(codec=...)`. PNG, GIF, and baseline GRAYSCALE
-    JPEG decode fully library-free (`decode_png_gray8`,
-    `decode_gif_gray8`, `decode_jpeg_gray8`), and any JPEG structure
-    probes without decoding (`probe_jpeg`).
+    STUB for formats beyond the library-free codecs only (e.g.
+    progressive JPEG, WebP, TIFF): inject a real codec via
+    `map_media_batches(codec=...)`. PNG (gray8 + RGB8), GIF, baseline
+    GRAYSCALE and baseline COLOR (YCbCr) JPEG all decode fully
+    library-free (`decode_png_gray8`/`decode_png_rgb8`,
+    `decode_gif_gray8`, `decode_jpeg_gray8`/`decode_jpeg_color`), and
+    any JPEG structure probes without decoding (`probe_jpeg`).
     """
     raise NotImplementedError(
-        "color JPEG pixel decode requires an imaging library (e.g. PIL); "
-        "PNG/GIF/gray-JPEG decode and JPEG probing are library-free (see "
-        "decode_png_gray8 / decode_gif_gray8 / decode_jpeg_gray8 / "
-        "probe_jpeg); inject a codec callable into map_media_batches"
+        "no library-free codec for this image format (progressive "
+        "JPEG/WebP/TIFF need an imaging library); PNG/GIF/baseline-JPEG "
+        "gray+color decode library-free (see decode_png_gray8 / "
+        "decode_png_rgb8 / decode_gif_gray8 / decode_jpeg_gray8 / "
+        "decode_jpeg_color / probe_jpeg); inject a codec callable into "
+        "map_media_batches"
     )
 
 
@@ -452,12 +457,12 @@ def decode_gif_features(data: bytes) -> tuple[int, int, int, int, int, int, int]
 
 # --- image: REAL JPEG header/marker prober (stdlib only) -------------------
 #
-# Full JPEG DECODE (huffman entropy + IDCT) genuinely needs a codec
-# library and stays stubbed — but the marker stream is plain structure:
-# SOI, length-prefixed segments, entropy-coded scan with 0xFF00
-# stuffing, EOI. Probing dimensions/components/table counts without
-# decoding is the standard first pass over image corpora (filter by
-# size/type before paying decode cost).
+# Full baseline JPEG decode exists further down (gray8 AND color codecs),
+# but the marker stream is plain structure: SOI, length-prefixed
+# segments, entropy-coded scan with 0xFF00 stuffing, EOI. Probing
+# dimensions/components/table counts without decoding is the standard
+# first pass over image corpora (filter by size/type before paying
+# decode cost).
 
 
 def encode_jpeg_skeleton(w: int, h: int) -> bytes:
@@ -816,10 +821,10 @@ def resize_gray8_batches(
     features derived from them) is exactly reproducible by closed-form
     arithmetic — which is how the oracle verifies this stage.
 
-    Container formats (JPEG/PNG) still require the stubbed library
-    codec to DECODE to a raw bitmap first; this is the post-decode
-    resize stage, Arrow-batched and shuffle-free like the other media
-    stages.
+    Container formats decode to a raw bitmap first (the library-free
+    PNG/GIF/JPEG codecs in this module, or an injected library codec
+    for other formats); this is the post-decode resize stage,
+    Arrow-batched and shuffle-free like the other media stages.
     """
     import numpy as np
 
@@ -857,11 +862,12 @@ def resize_gray8_batches(
 
 # --- image: REAL PNG codec (stdlib zlib + struct, no external library) -----
 #
-# PNG grayscale-8 is fully decodable with the stdlib: chunk walk with CRC
-# verification, one zlib inflate, then per-scanline unfiltering (the five
-# standard filters: None/Sub/Up/Average/Paeth). This replaces the image
-# stub for PNG blobs; JPEG stays stubbed (DCT entropy coding genuinely
-# needs a library).
+# PNG (gray8 and truecolor RGB8) is fully decodable with the stdlib:
+# chunk walk with CRC verification, one zlib inflate, then per-scanline
+# unfiltering (the five standard filters: None/Sub/Up/Average/Paeth,
+# with the bpp-back left neighbor for multi-byte pixels). This replaces
+# the image stub for PNG blobs; baseline JPEG has its own real codecs
+# further down.
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -1277,6 +1283,88 @@ def _category(v: int) -> int:
     return 0 if v == 0 else v.bit_length() if v > 0 else (-v).bit_length()
 
 
+def _encode_block(w, block, q, d, dc_codes, ac_codes, prev_dc: int) -> int:
+    """Forward-DCT + quantize + entropy-code ONE 8x8 block (level-shifted
+    input in 0..255); returns the new DC predictor. Shared by the gray
+    and color encoders so their entropy coding cannot drift apart."""
+    import numpy as np
+
+    coef = d @ (block - 128.0) @ d.T
+    quant = np.rint(coef / q).astype(np.int64)
+    zz = [int(quant.flat[_ZIGZAG[i]]) for i in range(64)]
+    diff = zz[0] - prev_dc
+    s = _category(diff)
+    ln, code = dc_codes[s]
+    w.put(code, ln)
+    if s:
+        w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        v = zz[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_codes[0xF0]  # ZRL
+            w.put(code, ln)
+            run -= 16
+        s = _category(v)
+        ln, code = ac_codes[(run << 4) | s]
+        w.put(code, ln)
+        w.put(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        ln, code = ac_codes[0x00]  # EOB
+        w.put(code, ln)
+    return zz[0]
+
+
+def _read_symbol(r, table) -> int:
+    length, code = 0, 0
+    while length < 16:
+        code = (code << 1) | r.bit()
+        length += 1
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid Huffman code")
+
+
+def _decode_block(r, dct, act, q, d, prev_dc: int):
+    """Entropy-decode + dequantize + inverse-DCT ONE 8x8 block; returns
+    (8x8 float block in 0..255 space, new DC predictor). Shared by the
+    gray and color decoders."""
+    import numpy as np
+
+    zz = [0] * 64
+    s = _read_symbol(r, dct)
+    diff = _extend(r.bits(s), s) if s else 0
+    prev_dc += diff
+    zz[0] = prev_dc
+    k = 1
+    while k < 64:
+        sym = _read_symbol(r, act)
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0x0F
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC run overflows block")
+        zz[k] = _extend(r.bits(size), size)
+        k += 1
+    coef = np.zeros(64)
+    for k in range(64):
+        coef[_ZIGZAG[k]] = zz[k]
+    return d.T @ (coef.reshape(8, 8) * q) @ d + 128.0, prev_dc
+
+
 def encode_jpeg_gray8(
     width: int, height: int, pixels: bytes, restart_interval: int = 0
 ) -> bytes:
@@ -1310,40 +1398,9 @@ def encode_jpeg_gray8(
                 w.raw(bytes([0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]))
                 prev_dc = 0
             mcu += 1
-            block = padded[by : by + 8, bx : bx + 8] - 128.0
-            coef = d @ block @ d.T
-            quant = np.rint(coef / q).astype(np.int64)
-            zz = [int(quant.flat[_ZIGZAG[i]]) for i in range(64)]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            s = _category(diff)
-            ln, code = dc_codes[s]
-            w.put(code, ln)
-            if s:
-                w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
-            run = 0
-            last_nz = 0
-            for i in range(63, 0, -1):
-                if zz[i]:
-                    last_nz = i
-                    break
-            for i in range(1, last_nz + 1):
-                v = zz[i]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    ln, code = ac_codes[0xF0]  # ZRL
-                    w.put(code, ln)
-                    run -= 16
-                s = _category(v)
-                ln, code = ac_codes[(run << 4) | s]
-                w.put(code, ln)
-                w.put(v if v > 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last_nz < 63:
-                ln, code = ac_codes[0x00]  # EOB
-                w.put(code, ln)
+            prev_dc = _encode_block(
+                w, padded[by : by + 8, bx : bx + 8], q, d, dc_codes, ac_codes, prev_dc
+            )
     entropy = w.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -1481,16 +1538,6 @@ def decode_jpeg_gray8(data: bytes) -> tuple[int, int, bytes]:
     r = _BitReader(data[entropy_start:end])
     dct = huff[(0, dc_id)]
     act = huff[(1, ac_id)]
-
-    def read_symbol(table):
-        length, code = 0, 0
-        while length < 16:
-            code = (code << 1) | r.bit()
-            length += 1
-            if (length, code) in table:
-                return table[(length, code)]
-        raise ValueError("invalid Huffman code")
-
     d = _dct_matrix()
     q = np.array(qtab[qtab_id], dtype=np.float64).reshape(8, 8)
     ph = (height + 7) // 8 * 8
@@ -1504,29 +1551,255 @@ def decode_jpeg_gray8(data: bytes) -> tuple[int, int, bytes]:
                 r.expect_restart()
                 prev_dc = 0
             mcu += 1
-            zz = [0] * 64
-            s = read_symbol(dct)
-            diff = _extend(r.bits(s), s) if s else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = read_symbol(act)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC run overflows block")
-                zz[k] = _extend(r.bits(size), size)
-                k += 1
-            coef = np.zeros(64)
-            for k in range(64):
-                coef[_ZIGZAG[k]] = zz[k]
-            block = d.T @ (coef.reshape(8, 8) * q) @ d + 128.0
+            block, prev_dc = _decode_block(r, dct, act, q, d, prev_dc)
             out[by : by + 8, bx : bx + 8] = block
     pixels = np.clip(np.rint(out[:height, :width]), 0, 255).astype(np.uint8)
     return width, height, pixels.tobytes()
+
+
+# --- Baseline COLOR JPEG codec (YCbCr 4:2:0, pure numpy/stdlib) -------------
+# Chroma extension of the gray8 codec above: JFIF RGB<->YCbCr color
+# transform, 2x2 chroma subsampling, interleaved 16x16 MCUs (4 luma +
+# Cb + Cr blocks), Annex K chroma quantization and Huffman tables.
+# Shares _encode_block/_decode_block with the gray path — the entropy
+# layer is identical, only the MCU structure and color planes differ.
+
+_JPEG_QTABLE_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+_DC_BITS_CHROMA = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_VALUES_CHROMA = list(range(12))
+_AC_BITS_CHROMA = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_VALUES_CHROMA = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def encode_jpeg_color(
+    width: int, height: int, rgb: bytes, restart_interval: int = 0
+) -> bytes:
+    """Baseline sequential COLOR JPEG: JFIF YCbCr transform, 4:2:0
+    chroma subsampling (2x2 mean), interleaved 16x16 MCUs with four
+    luma blocks then Cb then Cr, Annex K luma+chroma tables.
+    Deterministic: same pixels -> same bytes. `restart_interval` > 0
+    emits DRI/RSTn every N MCUs with all three DC predictors reset."""
+    import struct as _s
+
+    import numpy as np
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("pixel buffer does not match dims")
+    img = np.frombuffer(bytes(rgb), dtype=np.uint8).reshape(height, width, 3).astype(
+        np.float64
+    )
+    R, G, B = img[..., 0], img[..., 1], img[..., 2]
+    # JFIF color transform; planes kept in 0..255 space (the shared
+    # block codec level-shifts by 128 itself)
+    Y = 0.299 * R + 0.587 * G + 0.114 * B
+    Cb = 128.0 - 0.168736 * R - 0.331264 * G + 0.5 * B
+    Cr = 128.0 + 0.5 * R - 0.418688 * G - 0.081312 * B
+    ph = (height + 15) // 16 * 16
+    pw = (width + 15) // 16 * 16
+    pad = ((0, ph - height), (0, pw - width))
+    Yp = np.pad(Y, pad, mode="edge")
+    # chroma: pad then 2x2 mean -> one sample per 2x2 luma patch
+    Cbs = np.pad(Cb, pad, mode="edge").reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    Crs = np.pad(Cr, pad, mode="edge").reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    d = _dct_matrix()
+    ql = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    qc = np.array(_JPEG_QTABLE_CHROMA, dtype=np.float64).reshape(8, 8)
+    ldc = _huff_codes(_DC_BITS, _DC_VALUES)
+    lac = _huff_codes(_AC_BITS, _AC_VALUES)
+    cdc = _huff_codes(_DC_BITS_CHROMA, _DC_VALUES_CHROMA)
+    cac = _huff_codes(_AC_BITS_CHROMA, _AC_VALUES_CHROMA)
+    w = _BitWriter()
+    prev = [0, 0, 0]  # Y, Cb, Cr DC predictors
+    mcu = 0
+    for my in range(0, ph, 16):
+        for mx in range(0, pw, 16):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.raw(bytes([0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]))
+                prev = [0, 0, 0]
+            mcu += 1
+            for dy, dx in ((0, 0), (0, 8), (8, 0), (8, 8)):  # 4 luma blocks
+                prev[0] = _encode_block(
+                    w, Yp[my + dy : my + dy + 8, mx + dx : mx + dx + 8],
+                    ql, d, ldc, lac, prev[0],
+                )
+            cy, cx = my // 2, mx // 2
+            prev[1] = _encode_block(
+                w, Cbs[cy : cy + 8, cx : cx + 8], qc, d, cdc, cac, prev[1]
+            )
+            prev[2] = _encode_block(
+                w, Crs[cy : cy + 8, cx : cx + 8], qc, d, cdc, cac, prev[2]
+            )
+    entropy = w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return _s.pack(">HH", marker, len(payload) + 2) + payload
+
+    dqt = seg(
+        0xFFDB,
+        bytes([0]) + bytes(_JPEG_QTABLE[_ZIGZAG[i]] for i in range(64))
+        + bytes([1]) + bytes(_JPEG_QTABLE_CHROMA[_ZIGZAG[i]] for i in range(64)),
+    )
+    # components: Y id1 sampling 2x2 qtab0; Cb id2 1x1 qtab1; Cr id3 1x1 qtab1
+    sof = seg(
+        0xFFC0,
+        _s.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALUES)
+        + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALUES)
+        + bytes([0x01]) + bytes(_DC_BITS_CHROMA) + bytes(_DC_VALUES_CHROMA)
+        + bytes([0x11]) + bytes(_AC_BITS_CHROMA) + bytes(_AC_VALUES_CHROMA),
+    )
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    dri = seg(0xFFDD, _s.pack(">H", restart_interval)) if restart_interval else b""
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + entropy + b"\xff\xd9"
+
+
+def decode_jpeg_color(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline interleaved 3-component (YCbCr) JPEG back to
+    (width, height, interleaved RGB bytes). Supports per-component
+    sampling factors up to 2x2 (covers 4:2:0, 4:2:2, 4:4:4), multiple
+    DQT/DHT tables, and DRI/RSTn restart markers. Raises ValueError on
+    malformed streams or non-baseline frames."""
+    import struct as _s
+
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    i = 2
+    qtab: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = None
+    comps: list[tuple[int, int, int, int]] = []  # (id, h, v, qtab_id)
+    scan_tables: dict[int, tuple[int, int]] = {}  # comp id -> (dc_id, ac_id)
+    entropy_start = None
+    restart_interval = 0
+    while i < len(data):
+        if i + 2 > len(data):
+            raise ValueError("truncated JPEG (marker cut off)")
+        if data[i] != 0xFF:
+            raise ValueError(f"expected marker at {i}")
+        m = data[i + 1]
+        if m == 0xD9:
+            break
+        if i + 4 > len(data):
+            raise ValueError("truncated JPEG (segment length cut off)")
+        length = _s.unpack_from(">H", data, i + 2)[0]
+        if i + 2 + length > len(data):
+            raise ValueError("truncated JPEG (segment body cut off)")
+        body = data[i + 4 : i + 2 + length]
+        if m == 0xDB:
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = list(body[j + 1 : j + 65])
+                tab = [0] * 64
+                for k in range(64):
+                    tab[_ZIGZAG[k]] = zz[k]
+                qtab[tq] = tab
+                j += 65
+        elif m == 0xC0:
+            height, width = _s.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            if ncomp != 3:
+                raise ValueError("decode_jpeg_color expects a 3-component frame")
+            for c in range(3):
+                cid = body[6 + 3 * c]
+                hv = body[7 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * c]))
+        elif m in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif m == 0xC4:
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1 : j + 17])
+                n = sum(bits)
+                values = list(body[j + 17 : j + 17 + n])
+                huff[(tc, th)] = _huff_decode_table(bits, values)
+                j += 17 + n
+        elif m == 0xDA:
+            ns = body[0]
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                scan_tables[cid] = (body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F)
+            entropy_start = i + 2 + length
+            break
+        elif m == 0xDD:
+            restart_interval = _s.unpack_from(">H", body, 0)[0]
+        i += 2 + length
+    if width is None or entropy_start is None or not comps:
+        raise ValueError("missing SOF/SOS")
+    end = data.rfind(b"\xff\xd9")
+    if end < 0:
+        raise ValueError("missing EOI")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax > 2 or vmax > 2 or any(c[1] < 1 or c[2] < 1 for c in comps):
+        raise ValueError("sampling factors beyond 2x2 unsupported")
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    d = _dct_matrix()
+    planes = []
+    for cid, ch, cv, tq in comps:
+        planes.append(np.zeros((mcus_y * 8 * cv, mcus_x * 8 * ch), dtype=np.float64))
+    r = _BitReader(data[entropy_start:end])
+    prev = [0, 0, 0]
+    mcu = 0
+    for myi in range(mcus_y):
+        for mxi in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                r.expect_restart()
+                prev = [0, 0, 0]
+            mcu += 1
+            for ci, (cid, ch, cv, tq) in enumerate(comps):
+                dct = huff[(0, scan_tables[cid][0])]
+                act = huff[(1, scan_tables[cid][1])]
+                q = np.array(qtab[tq], dtype=np.float64).reshape(8, 8)
+                for by in range(cv):
+                    for bx in range(ch):
+                        block, prev[ci] = _decode_block(r, dct, act, q, d, prev[ci])
+                        y0 = (myi * cv + by) * 8
+                        x0 = (mxi * ch + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    # upsample each component to full resolution (sample replication)
+    full = []
+    for (cid, ch, cv, tq), plane in zip(comps, planes):
+        up = np.repeat(np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1)
+        full.append(up[:height, :width])
+    Y, Cb, Cr = full[0], full[1] - 128.0, full[2] - 128.0
+    R = Y + 1.402 * Cr
+    G = Y - 0.344136 * Cb - 0.714136 * Cr
+    B = Y + 1.772 * Cb
+    rgb = np.clip(np.rint(np.stack([R, G, B], axis=-1)), 0, 255).astype(np.uint8)
+    return width, height, rgb.tobytes()

@@ -645,3 +645,64 @@ ORACLES["multimodal_jpeg_roundtrip"] = """
            TRUE AS within_tol
     FROM documents
 """
+
+
+def multimodal_jpeg_color_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL color JPEG round trip — the chroma pipeline that was the
+    last honest stub: per-doc smooth RGB ramps encode as a real
+    baseline YCbCr 4:2:0 JPEG (JFIF color transform, 2x2 chroma
+    subsampling, interleaved 16x16 MCUs, Annex K luma+chroma tables —
+    `operators/multimodal.py:encode_jpeg_color/decode_jpeg_color`) and
+    decode back. Lossy contract like the gray query: exact dimensions
+    (closed-form oracle) + a subsampling/quantization-bounded max
+    channel error (within_tol literal TRUE — a codec bug blows the
+    bound and flips the hash).
+    """
+    import pandas as pd
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_jpeg_color,
+        encode_jpeg_color,
+    )
+
+    docs = _doc_ids_spread(spark, sf_dir)
+
+    def _roundtrip(ids: pd.Series) -> pd.DataFrame:
+        rows = []
+        for i in ids:
+            i = int(i)
+            w = 16 + i % 17
+            h = 16 + (3 * i) % 23
+            img = bytes(
+                v
+                for y in range(h)
+                for x in range(w)
+                for v in (
+                    30 + (i % 40) + 2 * x + y,
+                    50 + ((3 * i) % 30) + x + 2 * y,
+                    70 + ((7 * i) % 20) + x + y,
+                )
+            )
+            w2, h2, px = decode_jpeg_color(encode_jpeg_color(w, h, img))
+            err = max(abs(a - b) for a, b in zip(img, px))
+            rows.append((i, w2, h2, bool(err <= 10)))
+        return pd.DataFrame(rows, columns=["doc_id", "width", "height", "within_tol"])
+
+    def _batches(it):
+        for pdf in it:
+            yield _roundtrip(pdf["doc_id"])
+
+    return docs.mapInPandas(
+        _batches, "doc_id long, width int, height int, within_tol boolean"
+    )
+
+
+QUERIES["multimodal_jpeg_color_roundtrip"] = multimodal_jpeg_color_roundtrip
+
+ORACLES["multimodal_jpeg_color_roundtrip"] = """
+    SELECT doc_id,
+           CAST(16 + doc_id % 17 AS INTEGER) AS width,
+           CAST(16 + (3 * doc_id) % 23 AS INTEGER) AS height,
+           TRUE AS within_tol
+    FROM documents
+"""

@@ -247,6 +247,71 @@ def test_png_rgb_roundtrip_arbitrary_images(w, h, seed, cycle):
         pass
 
 
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.sampled_from([0, 2]),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_color_roundtrip_bounded_error(w, h, seed, ri):
+    """Color JPEG (YCbCr 4:2:0) round trip on arbitrary linear RGB
+    ramps: dimensions exact, max channel error bounded by the
+    quantization + subsampling budget — with and without restart
+    markers. Linear ramps are what DCT quantization preserves; the
+    bound is the codec contract the gated query also enforces."""
+    import random as _random
+
+    import numpy as np
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_jpeg_color,
+        encode_jpeg_color,
+    )
+
+    rng = _random.Random(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    chans = []
+    for _ in range(3):
+        a, bx_, cy_ = rng.randrange(30, 120), rng.randrange(4), rng.randrange(4)
+        chans.append(a + bx_ * x + cy_ * y)
+    img = np.clip(np.stack(chans, axis=-1), 0, 255).astype(np.uint8)
+    raw = img.tobytes()
+    w2, h2, out = decode_jpeg_color(encode_jpeg_color(w, h, raw, restart_interval=ri))
+    assert (w2, h2) == (w, h)
+    err = int(
+        np.abs(
+            np.frombuffer(out, dtype=np.uint8).astype(np.int64)
+            - np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+        ).max()
+    )
+    assert err <= 10, f"reconstruction error {err} blew the codec budget"
+
+
+def test_jpeg_color_rejects_malformed_and_cross_decodes():
+    """Contract edges: gray decoder rejects 3-component streams, color
+    decoder rejects 1-component streams, and corrupt color blobs stay
+    inside ValueError."""
+    import pytest
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_jpeg_color,
+        decode_jpeg_gray8,
+        encode_jpeg_color,
+        encode_jpeg_gray8,
+    )
+
+    color = encode_jpeg_color(16, 16, bytes(range(256)) * 3)
+    gray = encode_jpeg_gray8(16, 16, bytes(range(256)))
+    with pytest.raises(ValueError, match="single-component"):
+        decode_jpeg_gray8(color)
+    with pytest.raises(ValueError, match="3-component"):
+        decode_jpeg_color(gray)
+    for bad in (b"", b"\xff\xd8ab", color[:40], color[:-2]):
+        with pytest.raises(ValueError):
+            decode_jpeg_color(bad)
+
+
 def test_png_rgb_corrupt_blobs_raise_value_error():
     """Every malformed RGB blob stays inside the ValueError contract
     (the on_error='null' tolerance path depends on it)."""
