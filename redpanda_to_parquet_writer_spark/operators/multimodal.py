@@ -198,10 +198,63 @@ def map_media_batches(
 
 
 def frame_sample_stub(data: bytes, every_n: int = 30) -> list[bytes]:
-    """Sample CONTAINER video frames (mp4/avi). STUB: requires a video
-    library (ffmpeg/cv2) to demux+decode; raw frame streams go through
-    `frame_sample_gray8_batches` below, which is real."""
-    raise NotImplementedError("container video frame sampling requires ffmpeg/opencv")
+    """Sample COMPRESSED-container video frames (mp4/avi with H.264
+    etc.). STUB: inter-frame codecs require a video library
+    (ffmpeg/cv2) to demux+decode. MJPEG streams split+decode fully
+    library-free (`split_mjpeg`/`sample_mjpeg_gray8`), and raw frame
+    streams go through `frame_sample_gray8_batches` below — both
+    real."""
+    raise NotImplementedError(
+        "compressed video (H.264/H.265) frame sampling requires "
+        "ffmpeg/opencv; MJPEG streams decode library-free via "
+        "split_mjpeg/sample_mjpeg_gray8"
+    )
+
+
+def split_mjpeg(data: bytes) -> list[bytes]:
+    """Split a raw MJPEG stream (back-to-back baseline JPEG frames —
+    the classic IP-camera/AVI-MJPC payload) into its frames by scanning
+    for EOI markers. Sound for baseline streams whose entropy data is
+    0xFF-stuffed (the spec) and whose table segments avoid a literal
+    0xFFD9 (true of Annex K tables); each frame must then open with
+    SOI. Raises ValueError on trailing garbage or non-JPEG frames."""
+    frames = []
+    start = 0
+    i = 0
+    n = len(data)
+    while i < n - 1:
+        if data[i] == 0xFF and data[i + 1] == 0xD9:
+            frame = data[start : i + 2]
+            if frame[:2] != b"\xff\xd8":
+                raise ValueError(f"frame {len(frames)} does not start with SOI")
+            frames.append(frame)
+            i += 2
+            start = i
+        else:
+            i += 1
+    if start != n:
+        raise ValueError("trailing bytes after last EOI")
+    if not frames:
+        raise ValueError("no JPEG frames in stream")
+    return frames
+
+
+def sample_mjpeg_gray8(
+    data: bytes, every_n: int
+) -> list[tuple[int, int, int, bytes]]:
+    """REAL library-free video sampling: split an MJPEG stream, keep
+    every `every_n`-th frame, and fully decode each kept frame with the
+    baseline gray8 JPEG codec. Returns [(frame_idx, width, height,
+    pixels), ...] — the temporal-subsample + decode stage a video
+    curation pipeline runs before feature extraction."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    out = []
+    for idx, frame in enumerate(split_mjpeg(data)):
+        if idx % every_n == 0:
+            w, h, px = decode_jpeg_gray8(frame)
+            out.append((idx, w, h, px))
+    return out
 
 
 SAMPLED_VIDEO_SCHEMA = StructType(

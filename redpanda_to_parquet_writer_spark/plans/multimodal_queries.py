@@ -699,6 +699,82 @@ def multimodal_jpeg_color_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
 
 QUERIES["multimodal_jpeg_color_roundtrip"] = multimodal_jpeg_color_roundtrip
 
+
+def multimodal_mjpeg_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL library-free VIDEO pipeline (MJPEG): per doc, a deterministic
+    multi-frame gray ramp sequence encodes as a raw MJPEG stream
+    (back-to-back baseline JPEGs), then the sampler splits the stream
+    on EOI markers, keeps every 3rd frame, and FULLY DECODES each kept
+    frame with the baseline JPEG codec
+    (`operators/multimodal.py:split_mjpeg/sample_mjpeg_gray8`) —
+    temporal subsample + decode, the stage a video curation pipeline
+    runs before feature extraction. Frame/sample counts and dimensions
+    are closed-form; per-frame reconstruction is the lossy JPEG
+    contract (within_tol)."""
+    import pandas as pd
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        encode_jpeg_gray8,
+        sample_mjpeg_gray8,
+        split_mjpeg,
+    )
+
+    docs = _doc_ids_spread(spark, sf_dir)
+
+    def _run(ids: pd.Series) -> pd.DataFrame:
+        rows = []
+        for i in ids:
+            i = int(i)
+            w = 16 + i % 9
+            h = 16 + (3 * i) % 11
+            nf = 4 + i % 9
+            frames = []
+            srcs = []
+            for f in range(nf):
+                img = bytes(
+                    20 + (i % 30) + 2 * f + 2 * x + y
+                    for y in range(h)
+                    for x in range(w)
+                )
+                srcs.append(img)
+                frames.append(encode_jpeg_gray8(w, h, img))
+            stream = b"".join(frames)
+            assert len(split_mjpeg(stream)) == nf
+            sampled = sample_mjpeg_gray8(stream, every_n=3)
+            ok = all(
+                (fw, fh) == (w, h)
+                and max(abs(a - b) for a, b in zip(srcs[idx], px)) <= 8
+                for idx, fw, fh, px in sampled
+            )
+            rows.append((i, nf, len(sampled), w, h, bool(ok)))
+        return pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_frames", "n_sampled", "width", "height", "within_tol"],
+        )
+
+    def _batches(it):
+        for pdf in it:
+            yield _run(pdf["doc_id"])
+
+    return docs.mapInPandas(
+        _batches,
+        "doc_id long, n_frames long, n_sampled long, width int, height int, "
+        "within_tol boolean",
+    )
+
+
+QUERIES["multimodal_mjpeg_frame_decode"] = multimodal_mjpeg_frame_decode
+
+ORACLES["multimodal_mjpeg_frame_decode"] = """
+    SELECT doc_id,
+           CAST(4 + doc_id % 9 AS BIGINT) AS n_frames,
+           CAST((4 + doc_id % 9 + 2) // 3 AS BIGINT) AS n_sampled,
+           CAST(16 + doc_id % 9 AS INTEGER) AS width,
+           CAST(16 + (3 * doc_id) % 11 AS INTEGER) AS height,
+           TRUE AS within_tol
+    FROM documents
+"""
+
 ORACLES["multimodal_jpeg_color_roundtrip"] = """
     SELECT doc_id,
            CAST(16 + doc_id % 17 AS INTEGER) AS width,

@@ -285,7 +285,10 @@ def test_jpeg_color_roundtrip_bounded_error(w, h, seed, ri):
             - np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
         ).max()
     )
-    assert err <= 10, f"reconstruction error {err} blew the codec budget"
+    # budget 16: slopes up to 3/pixel/channel + edge padding of tiny
+    # images to the 16x16 MCU grid add high-frequency content the
+    # gated query's gentler ramps (slope <= 2, bound 10) don't have
+    assert err <= 16, f"reconstruction error {err} blew the codec budget"
 
 
 def test_jpeg_color_rejects_malformed_and_cross_decodes():
@@ -310,6 +313,44 @@ def test_jpeg_color_rejects_malformed_and_cross_decodes():
     for bad in (b"", b"\xff\xd8ab", color[:40], color[:-2]):
         with pytest.raises(ValueError):
             decode_jpeg_color(bad)
+
+
+def test_mjpeg_split_sample_decode():
+    """MJPEG stream: EOI-scan split recovers exactly the encoded frames,
+    every-Nth sampling keeps the right indices, each sampled frame
+    fully decodes within the lossy budget, and malformed streams raise
+    ValueError."""
+    import pytest
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        encode_jpeg_gray8,
+        sample_mjpeg_gray8,
+        split_mjpeg,
+    )
+
+    w, h, nf = 19, 21, 8
+    srcs = [
+        bytes(25 + 3 * f + 2 * x + y for y in range(h) for x in range(w))
+        for f in range(nf)
+    ]
+    frames = [encode_jpeg_gray8(w, h, s) for s in srcs]
+    stream = b"".join(frames)
+    assert split_mjpeg(stream) == frames
+    sampled = sample_mjpeg_gray8(stream, every_n=3)
+    assert [s[0] for s in sampled] == [0, 3, 6]
+    for idx, fw, fh, px in sampled:
+        assert (fw, fh) == (w, h)
+        assert max(abs(a - b) for a, b in zip(srcs[idx], px)) <= 8
+    # every_n=1 decodes everything
+    assert len(sample_mjpeg_gray8(stream, every_n=1)) == nf
+    with pytest.raises(ValueError, match="trailing"):
+        split_mjpeg(stream + b"xx")
+    with pytest.raises(ValueError, match="SOI"):
+        split_mjpeg(b"ab\xff\xd9")
+    with pytest.raises(ValueError, match="no JPEG frames"):
+        split_mjpeg(b"")
+    with pytest.raises(ValueError):
+        sample_mjpeg_gray8(stream, every_n=0)
 
 
 def test_png_rgb_corrupt_blobs_raise_value_error():
