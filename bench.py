@@ -92,6 +92,7 @@ HEADLINE = [
     "events_user_resample_sql",
     "multimodal_jpeg_color_roundtrip",
     "multimodal_mjpeg_frame_decode",
+    "multimodal_avi_mjpg_decode",
     "events_sketch_audit",
     "events_salted_type_join",
     "bucketed_revenue_join",

@@ -257,6 +257,157 @@ def sample_mjpeg_gray8(
     return out
 
 
+# --- AVI (RIFF) MJPG container: writer, prober, demuxer ---------------------
+# The standard camera/capture container for MJPEG payloads. RIFF is a
+# plain tagged-chunk format (little-endian, even-padded), so a writer,
+# a structure prober, and a frame demuxer are all stdlib `struct`
+# work — composed with the real JPEG codec this gives a full
+# container-to-pixels video path; only inter-frame codecs (H.264+)
+# keep the demux-and-decode stub.
+
+
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct as _s
+
+    pad = b"\x00" if len(body) % 2 else b""
+    return tag + _s.pack("<I", len(body)) + body + pad
+
+
+def _riff_list(kind: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", kind + body)
+
+
+def encode_avi_mjpg(
+    width: int, height: int, frames: list[bytes], fps: int = 30
+) -> bytes:
+    """Write a minimal valid AVI-MJPG file: RIFF('AVI ') with an hdrl
+    list (avih main header + one 'vids'/'MJPG' stream with a
+    BITMAPINFOHEADER) and a movi list of '00dc' chunks, one JPEG frame
+    each. Deterministic bytes for deterministic inputs."""
+    import struct as _s
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    max_bytes = max(len(f) for f in frames)
+    usec = 1_000_000 // fps
+    avih = _s.pack(
+        "<14I",
+        usec, max_bytes * fps, 0, 0x10,  # usec/frame, bytes/sec, pad, HASINDEX-less flags
+        len(frames), 0, 1, max_bytes,  # total frames, initial, streams, bufsize
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + _s.pack("<10I", 0, 0, 0, 1, fps, 0, len(frames), max_bytes, 0xFFFFFFFF, 0)
+        + _s.pack("<4H", 0, 0, width, height)
+    )
+    strf = _s.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(b"movi", b"".join(_riff_chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
+def _walk_riff(data: bytes, start: int, end: int):
+    """Yield (tag, body_start, body_len) over a RIFF chunk run."""
+    import struct as _s
+
+    i = start
+    while i + 8 <= end:
+        tag = data[i : i + 4]
+        (ln,) = _s.unpack_from("<I", data, i + 4)
+        if i + 8 + ln > end:
+            raise ValueError(f"truncated RIFF chunk {tag!r}")
+        yield tag, i + 8, ln
+        i += 8 + ln + (ln % 2)  # even padding
+
+
+@_malformed_raises_value_error
+def probe_avi(data: bytes) -> tuple[int, int, int, int, int, int]:
+    """REAL AVI structure probe (stdlib struct): walks the RIFF tree
+    and returns (width, height, n_frames, usec_per_frame,
+    n_video_chunks, video_bytes) — the corpus-filtering first pass
+    before paying demux+decode cost. Raises ValueError on anything
+    malformed or non-AVI."""
+    import struct as _s
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI (bad RIFF header)")
+    (riff_len,) = _s.unpack_from("<I", data, 4)
+    if 8 + riff_len > len(data):
+        raise ValueError("truncated RIFF body")
+    width = height = n_frames = usec = None
+    n_chunks = 0
+    vbytes = 0
+    for tag, bs, ln in _walk_riff(data, 12, 8 + riff_len):
+        if tag == b"LIST":
+            kind = data[bs : bs + 4]
+            if kind == b"hdrl":
+                for t2, b2, l2 in _walk_riff(data, bs + 4, bs + ln):
+                    if t2 == b"avih":
+                        usec, _bps, _pad, _flags, n_frames = _s.unpack_from(
+                            "<5I", data, b2
+                        )
+                    elif t2 == b"LIST" and data[b2 : b2 + 4] == b"strl":
+                        for t3, b3, l3 in _walk_riff(data, b2 + 4, b2 + l2):
+                            if t3 == b"strf":
+                                _sz, width, height = _s.unpack_from("<Iii", data, b3)
+            elif kind == b"movi":
+                for t2, b2, l2 in _walk_riff(data, bs + 4, bs + ln):
+                    if t2[2:4] in (b"dc", b"db"):
+                        n_chunks += 1
+                        vbytes += l2
+    if width is None or n_frames is None:
+        raise ValueError("missing avih/strf headers")
+    return (int(width), int(height), int(n_frames), int(usec), n_chunks, vbytes)
+
+
+@_malformed_raises_value_error
+def demux_avi_mjpg(data: bytes) -> list[bytes]:
+    """Extract the compressed video frames ('00dc'/'00db' chunk
+    payloads) from an AVI in stream order — for MJPG streams each
+    payload is a complete baseline JPEG, decodable by
+    `decode_jpeg_gray8`/`decode_jpeg_color`."""
+    import struct as _s
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI (bad RIFF header)")
+    (riff_len,) = _s.unpack_from("<I", data, 4)
+    frames = []
+    for tag, bs, ln in _walk_riff(data, 12, min(8 + riff_len, len(data))):
+        if tag == b"LIST" and data[bs : bs + 4] == b"movi":
+            for t2, b2, l2 in _walk_riff(data, bs + 4, bs + ln):
+                if t2[2:4] in (b"dc", b"db"):
+                    frames.append(data[b2 : b2 + l2])
+    if not frames:
+        raise ValueError("no video chunks in AVI")
+    return frames
+
+
+def sample_avi_mjpg_gray8(
+    data: bytes, every_n: int
+) -> list[tuple[int, int, int, bytes]]:
+    """Container-to-pixels video sampling, fully library-free: demux
+    the AVI, keep every `every_n`-th frame, decode each kept frame with
+    the baseline gray8 JPEG codec. Same return shape as
+    `sample_mjpeg_gray8`."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    out = []
+    for idx, frame in enumerate(demux_avi_mjpg(data)):
+        if idx % every_n == 0:
+            w, h, px = decode_jpeg_gray8(frame)
+            out.append((idx, w, h, px))
+    return out
+
+
 SAMPLED_VIDEO_SCHEMA = StructType(
     [
         StructField("n_frames_in", LongType()),

@@ -765,6 +765,88 @@ def multimodal_mjpeg_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame
 
 QUERIES["multimodal_mjpeg_frame_decode"] = multimodal_mjpeg_frame_decode
 
+
+def multimodal_avi_mjpg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container-to-pixels VIDEO pipeline: per doc, JPEG frames
+    wrap into a real AVI-MJPG file (RIFF writer), the structure probe
+    reads dims/frame-count/frame-rate without decoding, then the
+    demuxer extracts the '00dc' payloads and every 3rd frame fully
+    decodes through the baseline JPEG codec
+    (`operators/multimodal.py:encode_avi_mjpg/probe_avi/
+    sample_avi_mjpg_gray8`). Counts, dims and timing are closed-form;
+    per-frame reconstruction is the lossy JPEG contract."""
+    import pandas as pd
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        encode_avi_mjpg,
+        encode_jpeg_gray8,
+        probe_avi,
+        sample_avi_mjpg_gray8,
+    )
+
+    docs = _doc_ids_spread(spark, sf_dir)
+
+    def _run(ids: pd.Series) -> pd.DataFrame:
+        rows = []
+        for i in ids:
+            i = int(i)
+            w = 14 + i % 9
+            h = 14 + (3 * i) % 11
+            nf = 4 + i % 9
+            srcs = [
+                bytes(
+                    20 + (i % 30) + 2 * f + 2 * x + y
+                    for y in range(h)
+                    for x in range(w)
+                )
+                for f in range(nf)
+            ]
+            avi = encode_avi_mjpg(
+                w, h, [encode_jpeg_gray8(w, h, s) for s in srcs], fps=25
+            )
+            pw, ph, pnf, usec, nchunks, _vb = probe_avi(avi)
+            sampled = sample_avi_mjpg_gray8(avi, every_n=3)
+            ok = (
+                (pw, ph, pnf, nchunks) == (w, h, nf, nf)
+                and all(
+                    (fw, fh) == (w, h)
+                    and max(abs(a - b) for a, b in zip(srcs[idx], px)) <= 8
+                    for idx, fw, fh, px in sampled
+                )
+            )
+            rows.append((i, pw, ph, pnf, usec, len(sampled), bool(ok)))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "n_frames", "usec_per_frame",
+                "n_sampled", "within_tol",
+            ],
+        )
+
+    def _batches(it):
+        for pdf in it:
+            yield _run(pdf["doc_id"])
+
+    return docs.mapInPandas(
+        _batches,
+        "doc_id long, width int, height int, n_frames int, usec_per_frame int, "
+        "n_sampled long, within_tol boolean",
+    )
+
+
+QUERIES["multimodal_avi_mjpg_decode"] = multimodal_avi_mjpg_decode
+
+ORACLES["multimodal_avi_mjpg_decode"] = """
+    SELECT doc_id,
+           CAST(14 + doc_id % 9 AS INTEGER) AS width,
+           CAST(14 + (3 * doc_id) % 11 AS INTEGER) AS height,
+           CAST(4 + doc_id % 9 AS INTEGER) AS n_frames,
+           CAST(40000 AS INTEGER) AS usec_per_frame,
+           CAST((4 + doc_id % 9 + 2) // 3 AS BIGINT) AS n_sampled,
+           TRUE AS within_tol
+    FROM documents
+"""
+
 ORACLES["multimodal_mjpeg_frame_decode"] = """
     SELECT doc_id,
            CAST(4 + doc_id % 9 AS BIGINT) AS n_frames,

@@ -353,6 +353,47 @@ def test_mjpeg_split_sample_decode():
         sample_mjpeg_gray8(stream, every_n=0)
 
 
+def test_avi_mjpg_container_roundtrip():
+    """AVI-MJPG: the RIFF writer/prober/demuxer agree (probe reads
+    dims/frame-count/rate without decoding; demux recovers the exact
+    JPEG payloads; container-to-pixels sampling decodes within the
+    lossy budget) and malformed containers stay inside ValueError."""
+    import pytest
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        demux_avi_mjpg,
+        encode_avi_mjpg,
+        encode_jpeg_gray8,
+        probe_avi,
+        sample_avi_mjpg_gray8,
+    )
+
+    w, h, nf = 19, 17, 7
+    srcs = [
+        bytes(25 + 3 * f + 2 * x + y for y in range(h) for x in range(w))
+        for f in range(nf)
+    ]
+    frames = [encode_jpeg_gray8(w, h, s) for s in srcs]
+    avi = encode_avi_mjpg(w, h, frames, fps=25)
+    assert probe_avi(avi) == (w, h, nf, 40000, nf, sum(len(f) for f in frames))
+    assert demux_avi_mjpg(avi) == frames
+    sampled = sample_avi_mjpg_gray8(avi, 3)
+    assert [s[0] for s in sampled] == [0, 3, 6]
+    for idx, fw, fh, px in sampled:
+        assert (fw, fh) == (w, h)
+        assert max(abs(a - b) for a, b in zip(srcs[idx], px)) <= 8
+    for bad in (
+        b"",
+        b"RIFFxxxxAVI ",  # length points past the end
+        avi[:50],  # truncated mid-header
+        b"RIFF" + avi[4:8] + b"WAVE" + avi[12:],  # wrong form type
+    ):
+        with pytest.raises(ValueError):
+            probe_avi(bad)
+    with pytest.raises(ValueError, match="no video chunks"):
+        demux_avi_mjpg(b"RIFF\x04\x00\x00\x00AVI ")
+
+
 def test_png_rgb_corrupt_blobs_raise_value_error():
     """Every malformed RGB blob stays inside the ValueError contract
     (the on_error='null' tolerance path depends on it)."""
