@@ -53,11 +53,15 @@ def oriented_triangle_stats(
     edges: DataFrame, max_degree: int | None = None
 ) -> tuple[int, int, int]:
     """Count (edges, wedges, triangles) over an oriented low->high edge
-    list with ONE computation of each intermediate: the (capped) edge
-    list and the wedge set are persisted for their multiple consumers
-    and unpersisted before returning. Returns exact integer counts
-    (driver-side O(1) state). When `max_degree` is set, all three
-    counts describe the capped graph."""
+    list with ONE computation of each intermediate. The edge list is
+    persisted for its multiple consumers (e1/e2/closing + its own
+    count) and unpersisted before returning; the wedge set — the
+    O(sum d²) blowup that must NEVER be cached (49M rows at sf0.1,
+    arbitrarily large on real graphs) — streams through a SINGLE pass:
+    a left join against the (unique-keyed) closing edges feeds one
+    aggregate computing wedge count and triangle count together.
+    Returns exact integer counts (driver-side O(1) state). When
+    `max_degree` is set, all three counts describe the capped graph."""
     raw = edges.persist(StorageLevel.MEMORY_AND_DISK)
     capped = raw
     try:
@@ -65,18 +69,25 @@ def oriented_triangle_stats(
             capped = degree_cap_edges(raw, max_degree).persist(
                 StorageLevel.MEMORY_AND_DISK
             )
+        n_edges = capped.count()
         e1 = capped.select(F.col("a").alias("x"), F.col("b").alias("y"))
         e2 = capped.select(F.col("a").alias("y"), F.col("b").alias("z"))
-        wedges = e1.join(e2, "y").select("x", "y", "z").persist(
-            StorageLevel.MEMORY_AND_DISK
+        wedges = e1.join(e2, "y").select("x", "z")
+        # closing edges have UNIQUE (x, z) keys (the edge list is
+        # distinct), so the left join preserves the wedge count and
+        # count(__closed) counts exactly the closed wedges = triangles
+        closing = capped.select(
+            F.col("a").alias("x"), F.col("b").alias("z"), F.lit(1).alias("__closed")
         )
-        try:
-            n_edges = capped.count()
-            n_wedges = wedges.count()
-            closing = capped.select(F.col("a").alias("x"), F.col("b").alias("z"))
-            n_triangles = wedges.join(closing, ["x", "z"], "left_semi").count()
-        finally:
-            wedges.unpersist()
+        row = (
+            wedges.join(closing, ["x", "z"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_wedges"),
+                F.count("__closed").alias("n_triangles"),
+            )
+            .collect()[0]
+        )
+        n_wedges, n_triangles = int(row["n_wedges"]), int(row["n_triangles"])
     finally:
         if capped is not raw:
             capped.unpersist()

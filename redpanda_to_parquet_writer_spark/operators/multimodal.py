@@ -1801,11 +1801,16 @@ _AC_VALUES_CHROMA = [
 
 
 def encode_jpeg_color(
-    width: int, height: int, rgb: bytes, restart_interval: int = 0
+    width: int,
+    height: int,
+    rgb: bytes,
+    restart_interval: int = 0,
+    subsample: bool = True,
 ) -> bytes:
     """Baseline sequential COLOR JPEG: JFIF YCbCr transform, 4:2:0
-    chroma subsampling (2x2 mean), interleaved 16x16 MCUs with four
-    luma blocks then Cb then Cr, Annex K luma+chroma tables.
+    chroma subsampling (2x2 mean; `subsample=False` writes 4:4:4 —
+    full-resolution chroma, 8x8 MCUs), interleaved MCUs with the luma
+    block(s) then Cb then Cr, Annex K luma+chroma tables.
     Deterministic: same pixels -> same bytes. `restart_interval` > 0
     emits DRI/RSTn every N MCUs with all three DC predictors reset."""
     import struct as _s
@@ -1823,13 +1828,22 @@ def encode_jpeg_color(
     Y = 0.299 * R + 0.587 * G + 0.114 * B
     Cb = 128.0 - 0.168736 * R - 0.331264 * G + 0.5 * B
     Cr = 128.0 + 0.5 * R - 0.418688 * G - 0.081312 * B
-    ph = (height + 15) // 16 * 16
-    pw = (width + 15) // 16 * 16
+    mcusz = 16 if subsample else 8
+    ph = (height + mcusz - 1) // mcusz * mcusz
+    pw = (width + mcusz - 1) // mcusz * mcusz
     pad = ((0, ph - height), (0, pw - width))
     Yp = np.pad(Y, pad, mode="edge")
-    # chroma: pad then 2x2 mean -> one sample per 2x2 luma patch
-    Cbs = np.pad(Cb, pad, mode="edge").reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-    Crs = np.pad(Cr, pad, mode="edge").reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    if subsample:
+        # chroma: pad then 2x2 mean -> one sample per 2x2 luma patch
+        Cbs = (
+            np.pad(Cb, pad, mode="edge").reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        )
+        Crs = (
+            np.pad(Cr, pad, mode="edge").reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        )
+    else:
+        Cbs = np.pad(Cb, pad, mode="edge")
+        Crs = np.pad(Cr, pad, mode="edge")
     d = _dct_matrix()
     ql = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
     qc = np.array(_JPEG_QTABLE_CHROMA, dtype=np.float64).reshape(8, 8)
@@ -1840,18 +1854,19 @@ def encode_jpeg_color(
     w = _BitWriter()
     prev = [0, 0, 0]  # Y, Cb, Cr DC predictors
     mcu = 0
-    for my in range(0, ph, 16):
-        for mx in range(0, pw, 16):
+    luma_offsets = ((0, 0), (0, 8), (8, 0), (8, 8)) if subsample else ((0, 0),)
+    for my in range(0, ph, mcusz):
+        for mx in range(0, pw, mcusz):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 w.raw(bytes([0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]))
                 prev = [0, 0, 0]
             mcu += 1
-            for dy, dx in ((0, 0), (0, 8), (8, 0), (8, 8)):  # 4 luma blocks
+            for dy, dx in luma_offsets:
                 prev[0] = _encode_block(
                     w, Yp[my + dy : my + dy + 8, mx + dx : mx + dx + 8],
                     ql, d, ldc, lac, prev[0],
                 )
-            cy, cx = my // 2, mx // 2
+            cy, cx = (my // 2, mx // 2) if subsample else (my, mx)
             prev[1] = _encode_block(
                 w, Cbs[cy : cy + 8, cx : cx + 8], qc, d, cdc, cac, prev[1]
             )
@@ -1868,11 +1883,12 @@ def encode_jpeg_color(
         bytes([0]) + bytes(_JPEG_QTABLE[_ZIGZAG[i]] for i in range(64))
         + bytes([1]) + bytes(_JPEG_QTABLE_CHROMA[_ZIGZAG[i]] for i in range(64)),
     )
-    # components: Y id1 sampling 2x2 qtab0; Cb id2 1x1 qtab1; Cr id3 1x1 qtab1
+    # components: Y id1 (2x2 for 4:2:0, 1x1 for 4:4:4) qtab0; Cb/Cr 1x1 qtab1
+    y_sampling = 0x22 if subsample else 0x11
     sof = seg(
         0xFFC0,
         _s.pack(">BHHB", 8, height, width, 3)
-        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        + bytes([1, y_sampling, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
     dht = seg(
         0xFFC4,

@@ -6,6 +6,9 @@ from redpanda_to_parquet_writer_spark.session import get_spark
 from redpanda_to_parquet_writer_spark.plans import QUERIES, ORACLES
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# optional arg 2: comma-separated query names (exact) to run a subset,
+# e.g. re-verifying the tail after an interrupted sweep
+ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 spark = get_spark(EngineConfig(shuffle_partitions=16, master="local[8]"), "verify")
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
@@ -21,6 +24,8 @@ def norm(v):
 
 fails = []
 for name in sorted(QUERIES):
+    if ONLY is not None and name not in ONLY:
+        continue
     t0 = time.time()
     try:
         sdf = QUERIES[name](spark, SF)

@@ -252,9 +252,10 @@ def test_png_rgb_roundtrip_arbitrary_images(w, h, seed, cycle):
     st.integers(min_value=1, max_value=40),
     st.integers(min_value=0, max_value=2**32 - 1),
     st.sampled_from([0, 2]),
+    st.booleans(),
 )
 @settings(max_examples=25, deadline=None)
-def test_jpeg_color_roundtrip_bounded_error(w, h, seed, ri):
+def test_jpeg_color_roundtrip_bounded_error(w, h, seed, ri, subsample):
     """Color JPEG (YCbCr 4:2:0) round trip on arbitrary linear RGB
     ramps: dimensions exact, max channel error bounded by the
     quantization + subsampling budget — with and without restart
@@ -277,7 +278,9 @@ def test_jpeg_color_roundtrip_bounded_error(w, h, seed, ri):
         chans.append(a + bx_ * x + cy_ * y)
     img = np.clip(np.stack(chans, axis=-1), 0, 255).astype(np.uint8)
     raw = img.tobytes()
-    w2, h2, out = decode_jpeg_color(encode_jpeg_color(w, h, raw, restart_interval=ri))
+    w2, h2, out = decode_jpeg_color(
+        encode_jpeg_color(w, h, raw, restart_interval=ri, subsample=subsample)
+    )
     assert (w2, h2) == (w, h)
     err = int(
         np.abs(
