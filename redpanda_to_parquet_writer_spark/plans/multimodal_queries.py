@@ -613,16 +613,22 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _doc_ids_spread(spark, sf_dir)
 
     def _roundtrip(ids: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
         rows = []
         for i in ids:
             i = int(i)
             w = 16 + i % 17
             h = 16 + (3 * i) % 23
-            img = bytes(
-                30 + (i % 50) + 2 * x + 3 * y for y in range(h) for x in range(w)
-            )
+            yg, xg = np.mgrid[0:h, 0:w]
+            img = (30 + (i % 50) + 2 * xg + 3 * yg).astype(np.uint8).tobytes()
             w2, h2, px = decode_jpeg_gray8(encode_jpeg_gray8(w, h, img))
-            err = max(abs(a - b) for a, b in zip(img, px))
+            err = int(
+                np.abs(
+                    np.frombuffer(px, np.uint8).astype(np.int16)
+                    - np.frombuffer(img, np.uint8).astype(np.int16)
+                ).max()
+            )
             rows.append((i, w2, h2, bool(err <= 8)))
         return pd.DataFrame(rows, columns=["doc_id", "width", "height", "within_tol"])
 
@@ -668,23 +674,33 @@ def multimodal_jpeg_color_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     docs = _doc_ids_spread(spark, sf_dir)
 
     def _roundtrip(ids: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
         rows = []
         for i in ids:
             i = int(i)
             w = 16 + i % 17
             h = 16 + (3 * i) % 23
-            img = bytes(
-                v
-                for y in range(h)
-                for x in range(w)
-                for v in (
-                    30 + (i % 40) + 2 * x + y,
-                    50 + ((3 * i) % 30) + x + 2 * y,
-                    70 + ((7 * i) % 20) + x + y,
+            yg, xg = np.mgrid[0:h, 0:w]
+            img = (
+                np.stack(
+                    [
+                        30 + (i % 40) + 2 * xg + yg,
+                        50 + ((3 * i) % 30) + xg + 2 * yg,
+                        70 + ((7 * i) % 20) + xg + yg,
+                    ],
+                    axis=-1,
                 )
+                .astype(np.uint8)
+                .tobytes()
             )
             w2, h2, px = decode_jpeg_color(encode_jpeg_color(w, h, img))
-            err = max(abs(a - b) for a, b in zip(img, px))
+            err = int(
+                np.abs(
+                    np.frombuffer(px, np.uint8).astype(np.int16)
+                    - np.frombuffer(img, np.uint8).astype(np.int16)
+                ).max()
+            )
             rows.append((i, w2, h2, bool(err <= 10)))
         return pd.DataFrame(rows, columns=["doc_id", "width", "height", "within_tol"])
 
@@ -722,28 +738,31 @@ def multimodal_mjpeg_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = _doc_ids_spread(spark, sf_dir)
 
     def _run(ids: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
         rows = []
         for i in ids:
             i = int(i)
-            w = 16 + i % 9
-            h = 16 + (3 * i) % 11
-            nf = 4 + i % 9
-            frames = []
-            srcs = []
-            for f in range(nf):
-                img = bytes(
-                    20 + (i % 30) + 2 * f + 2 * x + y
-                    for y in range(h)
-                    for x in range(w)
-                )
-                srcs.append(img)
-                frames.append(encode_jpeg_gray8(w, h, img))
-            stream = b"".join(frames)
+            w = 10 + i % 7
+            h = 10 + (3 * i) % 9
+            nf = 3 + i % 5
+            yg, xg = np.mgrid[0:h, 0:w]
+            srcs = [
+                (20 + (i % 30) + 2 * f + 2 * xg + yg).astype(np.uint8).tobytes()
+                for f in range(nf)
+            ]
+            stream = b"".join(encode_jpeg_gray8(w, h, s) for s in srcs)
             assert len(split_mjpeg(stream)) == nf
             sampled = sample_mjpeg_gray8(stream, every_n=3)
             ok = all(
                 (fw, fh) == (w, h)
-                and max(abs(a - b) for a, b in zip(srcs[idx], px)) <= 8
+                and int(
+                    np.abs(
+                        np.frombuffer(px, np.uint8).astype(np.int16)
+                        - np.frombuffer(srcs[idx], np.uint8).astype(np.int16)
+                    ).max()
+                )
+                <= 8
                 for idx, fw, fh, px in sampled
             )
             rows.append((i, nf, len(sampled), w, h, bool(ok)))
@@ -787,18 +806,17 @@ def multimodal_avi_mjpg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _doc_ids_spread(spark, sf_dir)
 
     def _run(ids: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
         rows = []
         for i in ids:
             i = int(i)
-            w = 14 + i % 9
-            h = 14 + (3 * i) % 11
-            nf = 4 + i % 9
+            w = 10 + i % 7
+            h = 10 + (3 * i) % 9
+            nf = 3 + i % 5
+            yg, xg = np.mgrid[0:h, 0:w]
             srcs = [
-                bytes(
-                    20 + (i % 30) + 2 * f + 2 * x + y
-                    for y in range(h)
-                    for x in range(w)
-                )
+                (20 + (i % 30) + 2 * f + 2 * xg + yg).astype(np.uint8).tobytes()
                 for f in range(nf)
             ]
             avi = encode_avi_mjpg(
@@ -810,7 +828,13 @@ def multimodal_avi_mjpg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (pw, ph, pnf, nchunks) == (w, h, nf, nf)
                 and all(
                     (fw, fh) == (w, h)
-                    and max(abs(a - b) for a, b in zip(srcs[idx], px)) <= 8
+                    and int(
+                        np.abs(
+                            np.frombuffer(px, np.uint8).astype(np.int16)
+                            - np.frombuffer(srcs[idx], np.uint8).astype(np.int16)
+                        ).max()
+                    )
+                    <= 8
                     for idx, fw, fh, px in sampled
                 )
             )
@@ -838,21 +862,21 @@ QUERIES["multimodal_avi_mjpg_decode"] = multimodal_avi_mjpg_decode
 
 ORACLES["multimodal_avi_mjpg_decode"] = """
     SELECT doc_id,
-           CAST(14 + doc_id % 9 AS INTEGER) AS width,
-           CAST(14 + (3 * doc_id) % 11 AS INTEGER) AS height,
-           CAST(4 + doc_id % 9 AS INTEGER) AS n_frames,
+           CAST(10 + doc_id % 7 AS INTEGER) AS width,
+           CAST(10 + (3 * doc_id) % 9 AS INTEGER) AS height,
+           CAST(3 + doc_id % 5 AS INTEGER) AS n_frames,
            CAST(40000 AS INTEGER) AS usec_per_frame,
-           CAST((4 + doc_id % 9 + 2) // 3 AS BIGINT) AS n_sampled,
+           CAST((3 + doc_id % 5 + 2) // 3 AS BIGINT) AS n_sampled,
            TRUE AS within_tol
     FROM documents
 """
 
 ORACLES["multimodal_mjpeg_frame_decode"] = """
     SELECT doc_id,
-           CAST(4 + doc_id % 9 AS BIGINT) AS n_frames,
-           CAST((4 + doc_id % 9 + 2) // 3 AS BIGINT) AS n_sampled,
-           CAST(16 + doc_id % 9 AS INTEGER) AS width,
-           CAST(16 + (3 * doc_id) % 11 AS INTEGER) AS height,
+           CAST(3 + doc_id % 5 AS BIGINT) AS n_frames,
+           CAST((3 + doc_id % 5 + 2) // 3 AS BIGINT) AS n_sampled,
+           CAST(10 + doc_id % 7 AS INTEGER) AS width,
+           CAST(10 + (3 * doc_id) % 9 AS INTEGER) AS height,
            TRUE AS within_tol
     FROM documents
 """

@@ -170,3 +170,53 @@ def test_collector_ingests_msgpack_topic(spark, tmp_path):
     got = {r["symbol"] for r in out.select("symbol").distinct().collect()}
     assert got == {f"SYM{i}" for i in range(5)}
     assert out.filter("price = 103.0").count() == 1
+
+
+def test_unpackb_is_total_on_arbitrary_bytes():
+    """Fuzz the decoder: ANY byte string either decodes or raises
+    MsgpackError — no TypeError/KeyError/RecursionError may escape the
+    documented contract (the format sampler feeds it raw Kafka
+    payloads)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.binary(max_size=80))
+    @settings(max_examples=300, deadline=None)
+    def run(buf):
+        try:
+            unpackb(buf)
+        except MsgpackError:
+            pass
+
+    run()
+
+
+def test_roundtrip_arbitrary_json_like_values():
+    """packb/unpackb is the identity on arbitrary JSON-like trees
+    (the payload shapes the collector actually carries)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    scalars = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**63), max_value=2**64 - 1),
+        st.floats(allow_nan=False, width=64),
+        st.text(max_size=40),
+        st.binary(max_size=40),
+    )
+    trees = st.recursive(
+        scalars,
+        lambda kids: st.one_of(
+            st.lists(kids, max_size=5),
+            st.dictionaries(st.text(max_size=8), kids, max_size=5),
+        ),
+        max_leaves=25,
+    )
+
+    @given(trees)
+    @settings(max_examples=150, deadline=None)
+    def run(obj):
+        assert unpackb(packb(obj)) == obj
+
+    run()
