@@ -1487,16 +1487,43 @@ def _category(v: int) -> int:
     return 0 if v == 0 else v.bit_length() if v > 0 else (-v).bit_length()
 
 
-def _encode_block(w, block, q, d, dc_codes, ac_codes, prev_dc: int) -> int:
-    """Forward-DCT + quantize + entropy-code ONE 8x8 block (level-shifted
-    input in 0..255); returns the new DC predictor. Shared by the gray
-    and color encoders so their entropy coding cannot drift apart."""
+def _dct_quant_plane(plane, q, d):
+    """Vectorized forward-DCT + quantize + zigzag for EVERY 8x8 block of
+    a plane (dims multiples of 8) in one einsum — the per-block Python
+    loop only does entropy coding. Returns int64 (n_block_rows,
+    n_block_cols, 64) in zigzag order."""
     import numpy as np
 
-    coef = d @ (block - 128.0) @ d.T
-    quant = np.rint(coef / q).astype(np.int64)
-    zz = [int(quant.flat[_ZIGZAG[i]]) for i in range(64)]
-    diff = zz[0] - prev_dc
+    h, w = plane.shape
+    blocks = (
+        np.asarray(plane, dtype=np.float64)
+        .reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        - 128.0
+    )
+    coefs = np.einsum("ij,abjk,lk->abil", d, blocks, d)
+    quant = np.rint(coefs / q).astype(np.int64).reshape(h // 8, w // 8, 64)
+    return quant[:, :, _ZIGZAG]
+
+
+def _idct_blocks(zzarr, q, d):
+    """Vectorized dequantize + inverse-DCT for a stack of zigzag
+    coefficient blocks: (n, 64) int -> (n, 8, 8) float in 0..255
+    space."""
+    import numpy as np
+
+    n = len(zzarr)
+    nat = np.zeros((n, 64), dtype=np.float64)
+    nat[:, _ZIGZAG] = np.asarray(zzarr, dtype=np.float64)
+    mats = nat.reshape(n, 8, 8) * q
+    return np.einsum("ji,njk,kl->nil", d, mats, d) + 128.0
+
+
+def _entropy_encode_block(w, zz, dc_codes, ac_codes, prev_dc: int) -> int:
+    """Huffman entropy coding of ONE pre-quantized zigzag block;
+    returns the new DC predictor. Shared by the gray and color
+    encoders so their entropy coding cannot drift apart."""
+    diff = int(zz[0]) - prev_dc
     s = _category(diff)
     ln, code = dc_codes[s]
     w.put(code, ln)
@@ -1509,7 +1536,7 @@ def _encode_block(w, block, q, d, dc_codes, ac_codes, prev_dc: int) -> int:
             last_nz = i
             break
     for i in range(1, last_nz + 1):
-        v = zz[i]
+        v = int(zz[i])
         if v == 0:
             run += 1
             continue
@@ -1525,7 +1552,7 @@ def _encode_block(w, block, q, d, dc_codes, ac_codes, prev_dc: int) -> int:
     if last_nz < 63:
         ln, code = ac_codes[0x00]  # EOB
         w.put(code, ln)
-    return zz[0]
+    return int(zz[0])
 
 
 def _read_symbol(r, table) -> int:
@@ -1538,12 +1565,11 @@ def _read_symbol(r, table) -> int:
     raise ValueError("invalid Huffman code")
 
 
-def _decode_block(r, dct, act, q, d, prev_dc: int):
-    """Entropy-decode + dequantize + inverse-DCT ONE 8x8 block; returns
-    (8x8 float block in 0..255 space, new DC predictor). Shared by the
-    gray and color decoders."""
-    import numpy as np
-
+def _entropy_decode_block(r, dct, act, prev_dc: int):
+    """Huffman entropy-decode ONE block to its zigzag coefficient list;
+    returns (zz list of 64 ints, new DC predictor). Dequantize + IDCT
+    happen vectorized afterwards (`_idct_blocks`). Shared by the gray
+    and color decoders."""
     zz = [0] * 64
     s = _read_symbol(r, dct)
     diff = _extend(r.bits(s), s) if s else 0
@@ -1563,10 +1589,7 @@ def _decode_block(r, dct, act, q, d, prev_dc: int):
             raise ValueError("AC run overflows block")
         zz[k] = _extend(r.bits(size), size)
         k += 1
-    coef = np.zeros(64)
-    for k in range(64):
-        coef[_ZIGZAG[k]] = zz[k]
-    return d.T @ (coef.reshape(8, 8) * q) @ d + 128.0, prev_dc
+    return zz, prev_dc
 
 
 def encode_jpeg_gray8(
@@ -1593,18 +1616,17 @@ def encode_jpeg_gray8(
     q = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
     dc_codes = _huff_codes(_DC_BITS, _DC_VALUES)
     ac_codes = _huff_codes(_AC_BITS, _AC_VALUES)
+    zzp = _dct_quant_plane(padded, q, d)
     w = _BitWriter()
     prev_dc = 0
     mcu = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 w.raw(bytes([0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]))
                 prev_dc = 0
             mcu += 1
-            prev_dc = _encode_block(
-                w, padded[by : by + 8, bx : bx + 8], q, d, dc_codes, ac_codes, prev_dc
-            )
+            prev_dc = _entropy_encode_block(w, zzp[by, bx], dc_codes, ac_codes, prev_dc)
     entropy = w.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -1746,17 +1768,22 @@ def decode_jpeg_gray8(data: bytes) -> tuple[int, int, bytes]:
     q = np.array(qtab[qtab_id], dtype=np.float64).reshape(8, 8)
     ph = (height + 7) // 8 * 8
     pw = (width + 7) // 8 * 8
-    out = np.zeros((ph, pw), dtype=np.float64)
     prev_dc = 0
     mcu = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                r.expect_restart()
-                prev_dc = 0
-            mcu += 1
-            block, prev_dc = _decode_block(r, dct, act, q, d, prev_dc)
-            out[by : by + 8, bx : bx + 8] = block
+    zzs = []
+    for _ in range((ph // 8) * (pw // 8)):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            r.expect_restart()
+            prev_dc = 0
+        mcu += 1
+        zz, prev_dc = _entropy_decode_block(r, dct, act, prev_dc)
+        zzs.append(zz)
+    blocks = _idct_blocks(zzs, q, d)  # (n, 8, 8), row-major block order
+    out = (
+        blocks.reshape(ph // 8, pw // 8, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(ph, pw)
+    )
     pixels = np.clip(np.rint(out[:height, :width]), 0, 255).astype(np.uint8)
     return width, height, pixels.tobytes()
 
@@ -1851,10 +1878,13 @@ def encode_jpeg_color(
     lac = _huff_codes(_AC_BITS, _AC_VALUES)
     cdc = _huff_codes(_DC_BITS_CHROMA, _DC_VALUES_CHROMA)
     cac = _huff_codes(_AC_BITS_CHROMA, _AC_VALUES_CHROMA)
+    zzY = _dct_quant_plane(Yp, ql, d)
+    zzCb = _dct_quant_plane(Cbs, qc, d)
+    zzCr = _dct_quant_plane(Crs, qc, d)
     w = _BitWriter()
     prev = [0, 0, 0]  # Y, Cb, Cr DC predictors
     mcu = 0
-    luma_offsets = ((0, 0), (0, 8), (8, 0), (8, 8)) if subsample else ((0, 0),)
+    luma_offsets = ((0, 0), (0, 1), (1, 0), (1, 1)) if subsample else ((0, 0),)
     for my in range(0, ph, mcusz):
         for mx in range(0, pw, mcusz):
             if restart_interval and mcu and mcu % restart_interval == 0:
@@ -1862,17 +1892,12 @@ def encode_jpeg_color(
                 prev = [0, 0, 0]
             mcu += 1
             for dy, dx in luma_offsets:
-                prev[0] = _encode_block(
-                    w, Yp[my + dy : my + dy + 8, mx + dx : mx + dx + 8],
-                    ql, d, ldc, lac, prev[0],
+                prev[0] = _entropy_encode_block(
+                    w, zzY[my // 8 + dy, mx // 8 + dx], ldc, lac, prev[0]
                 )
-            cy, cx = (my // 2, mx // 2) if subsample else (my, mx)
-            prev[1] = _encode_block(
-                w, Cbs[cy : cy + 8, cx : cx + 8], qc, d, cdc, cac, prev[1]
-            )
-            prev[2] = _encode_block(
-                w, Crs[cy : cy + 8, cx : cx + 8], qc, d, cdc, cac, prev[2]
-            )
+            cy, cx = (my // 16, mx // 16) if subsample else (my // 8, mx // 8)
+            prev[1] = _entropy_encode_block(w, zzCb[cy, cx], cdc, cac, prev[1])
+            prev[2] = _entropy_encode_block(w, zzCr[cy, cx], cdc, cac, prev[2])
     entropy = w.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -1996,6 +2021,14 @@ def decode_jpeg_color(data: bytes) -> tuple[int, int, bytes]:
     r = _BitReader(data[entropy_start:end])
     prev = [0, 0, 0]
     mcu = 0
+    dct_c = [huff[(0, scan_tables[cid][0])] for cid, _h, _v, _t in comps]
+    act_c = [huff[(1, scan_tables[cid][1])] for cid, _h, _v, _t in comps]
+    q_c = [
+        np.array(qtab[tq], dtype=np.float64).reshape(8, 8)
+        for _cid, _h, _v, tq in comps
+    ]
+    zz_c: list[list] = [[] for _ in comps]
+    pos_c: list[list] = [[] for _ in comps]
     for myi in range(mcus_y):
         for mxi in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
@@ -2003,15 +2036,18 @@ def decode_jpeg_color(data: bytes) -> tuple[int, int, bytes]:
                 prev = [0, 0, 0]
             mcu += 1
             for ci, (cid, ch, cv, tq) in enumerate(comps):
-                dct = huff[(0, scan_tables[cid][0])]
-                act = huff[(1, scan_tables[cid][1])]
-                q = np.array(qtab[tq], dtype=np.float64).reshape(8, 8)
                 for by in range(cv):
                     for bx in range(ch):
-                        block, prev[ci] = _decode_block(r, dct, act, q, d, prev[ci])
-                        y0 = (myi * cv + by) * 8
-                        x0 = (mxi * ch + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+                        zz, prev[ci] = _entropy_decode_block(
+                            r, dct_c[ci], act_c[ci], prev[ci]
+                        )
+                        zz_c[ci].append(zz)
+                        pos_c[ci].append((myi * cv + by, mxi * ch + bx))
+    # batched dequant + IDCT per component, then place blocks
+    for ci in range(len(comps)):
+        blocks = _idct_blocks(zz_c[ci], q_c[ci], d)
+        for (byi, bxi), block in zip(pos_c[ci], blocks):
+            planes[ci][byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = block
     # upsample each component to full resolution (sample replication)
     full = []
     for (cid, ch, cv, tq), plane in zip(comps, planes):
