@@ -81,21 +81,30 @@ _MAGIC = {
     "jpeg": "ffd8ff",
     "png": "89504e47",
     "gif": "47494638",
-    "riff": "52494646",  # wav/avi
+    "riff": "52494646",  # wav/avi (disambiguated on the form type)
     "mp4": "66747970",  # at offset 4; checked separately
 }
 
 
 def sniff_format(binary_col: F.Column) -> F.Column:
     """Container-format sniff from magic bytes — hex prefix comparison,
-    entirely JVM-side (no UDF)."""
+    entirely JVM-side (no UDF). RIFF containers disambiguate on the
+    form-type fourcc at offset 8: 'WAVE' -> wav, 'AVI ' -> avi, any
+    other RIFF form stays the generic 'riff'."""
     prefix = F.lower(F.hex(F.substring(binary_col, 1, 4)))
-    expr = F.lit("unknown")
+    form = F.lower(F.hex(F.substring(binary_col, 9, 4)))
     mp4_marker = F.lower(F.hex(F.substring(binary_col, 5, 4)))
-    expr = F.when(mp4_marker == _MAGIC["mp4"], F.lit("mp4")).otherwise(expr)
-    for name, magic in (("jpeg", "ffd8ff"), ("png", "89504e47"), ("gif", "47494638"), ("riff", "52494646")):
-        expr = F.when(prefix.startswith(magic), F.lit(name)).otherwise(expr)
-    return expr
+    riff = prefix.startswith(_MAGIC["riff"])
+    return (
+        F.when(prefix.startswith(_MAGIC["jpeg"]), F.lit("jpeg"))
+        .when(prefix.startswith(_MAGIC["png"]), F.lit("png"))
+        .when(prefix.startswith(_MAGIC["gif"]), F.lit("gif"))
+        .when(riff & (form == "57415645"), F.lit("wav"))  # 'WAVE'
+        .when(riff & (form == "41564920"), F.lit("avi"))  # 'AVI '
+        .when(riff, F.lit("riff"))
+        .when(mp4_marker == _MAGIC["mp4"], F.lit("mp4"))
+        .otherwise(F.lit("unknown"))
+    )
 
 
 def with_media_metadata(

@@ -398,7 +398,7 @@ ORACLES = {
     # n_bytes/peak/mean-square are pure integer expressions of doc_id
     "multimodal_wav_roundtrip": """
         SELECT doc_id,
-               'riff' AS format,
+               'wav' AS format,
                44 + 2 * (200 + doc_id % 300) AS n_bytes,
                1 AS n_channels,
                8000 AS sample_rate,

@@ -247,7 +247,17 @@ def test_wav_codec_through_spark(spark):
     rows = [(i, synth_square_wav(i)) for i in (0, 1, 7, 299, 12345)]
     df = spark.createDataFrame(rows, "id long, blob binary")
     meta = with_media_metadata(df, "blob", media_type="audio")
-    assert {r["media_meta"]["format"] for r in meta.collect()} == {"riff"}
+    # RIFF disambiguates on the form type: WAVE payloads sniff as wav
+    assert {r["media_meta"]["format"] for r in meta.collect()} == {"wav"}
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        encode_avi_mjpg,
+        encode_jpeg_gray8,
+    )
+
+    avi_blob = encode_avi_mjpg(8, 8, [encode_jpeg_gray8(8, 8, bytes(64))])
+    avi_df = spark.createDataFrame([(1, avi_blob)], "id long, blob binary")
+    avi_meta = with_media_metadata(avi_df, "blob", media_type="video")
+    assert avi_meta.collect()[0]["media_meta"]["format"] == "avi"
     out = {
         r["id"]: r
         for r in map_media_batches(
