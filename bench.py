@@ -127,6 +127,7 @@ HEADLINE = [
     "ann_recall_audit",
     "ann_pq_adc_topk",
     "ann_ivfadc_topk",
+    "ann_ivfadc_indexed_topk",
     "embeddings_lsh_neardup_pairs",
     "embeddings_semdedup_keep",
     "embeddings_norm_stats",

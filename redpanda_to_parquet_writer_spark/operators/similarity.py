@@ -800,12 +800,30 @@ def ivfadc_topk(
     probes = _rank_probes(queries, centroids, id_col, vec_col, n_probe).select(
         "query_id", "cluster_id"
     )
+    lut = _pq_query_lut(queries, codebooks, m, dim, id_col, vec_col)
+    return _adc_score_rank(index, probes, lut, k)
+
+
+def _pq_query_lut(
+    queries: DataFrame, codebooks: DataFrame, m: int, dim: int,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """Per-query (subspace, code) -> exact-decimal distance lookup table
+    (m*ksub rows per query) — the ADC table built once per query batch
+    and broadcast to the candidate scoring join."""
     qsub = _pq_subvectors(queries, m, dim // m, id_col, vec_col, "query_id")
-    lut = (
+    return (
         qsub.join(F.broadcast(codebooks), "subspace")
         .withColumn("ddec", F.expr(f"CAST(round({_PQ_L2}, 6) AS DECIMAL(18,6))"))
         .select("query_id", "subspace", "code", "ddec")
     )
+
+
+def _adc_score_rank(index: DataFrame, probes: DataFrame, lut: DataFrame, k: int) -> DataFrame:
+    """Shared IVFADC scoring tail: candidates from the probed lists join
+    the broadcast LUT, accumulate exact decimals, rank per query. Both
+    the inline and the persisted-index paths end here, so their scoring
+    semantics cannot drift apart."""
     scored = (
         index.join(F.broadcast(probes), "cluster_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -826,3 +844,79 @@ def ivfadc_topk(
             "rank",
         )
     )
+
+
+def build_ivfadc_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    path: str,
+    m: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVFADC index as cluster_id-partitioned parquet of
+    (neighbor_id, subspace, code) rows — assignment AND PQ encoding run
+    ONCE at build time; the float vectors never appear in the index.
+    At 100 TB this is the billion-vector serving layout: each query
+    batch directory-prunes to its probed lists and reads only byte
+    codes (~32x smaller than the embeddings)."""
+    _pq_check(m, dim)
+    centroids = materialize_centroids(centroids)
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    assigned = ivf_assign(c, centroids, "neighbor_id", "v").select(
+        "neighbor_id", "cluster_id"
+    )
+    codes = pq_encode(df, codebooks, m, dim, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    (
+        assigned.join(codes, "neighbor_id")
+        .repartition("cluster_id")
+        .write.partitionBy("cluster_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivfadc_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    dim: int,
+    k: int = 3,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC over a PERSISTED index (`build_ivfadc_index`): rank the
+    codebook per query, collect only the distinct probed cluster ids
+    (O(n_centroids) driver state), filter the index scan with a LITERAL
+    isin so partition pruning reads n_probe/n_centroids of the codes,
+    and score with the shared broadcast-LUT tail — identical semantics
+    to `ivfadc_topk`, but the corpus is never re-assigned, never
+    re-encoded, and never read outside the probed directories."""
+    from pyspark.storagelevel import StorageLevel
+
+    _pq_check(m, dim)
+    centroids = materialize_centroids(centroids)
+    probes = (
+        _rank_probes(queries, centroids, id_col, vec_col, n_probe)
+        .select("query_id", "cluster_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    probed_clusters = sorted(
+        int(r["cluster_id"])
+        for r in probes.select("cluster_id").distinct().collect()
+    )
+    index = spark.read.parquet(index_path).filter(
+        F.col("cluster_id").isin(probed_clusters)
+    )
+    lut = _pq_query_lut(queries, codebooks, m, dim, id_col, vec_col)
+    return _adc_score_rank(index, probes, lut, k)

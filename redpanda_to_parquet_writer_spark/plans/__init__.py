@@ -53,6 +53,7 @@ _PRIORITY = [
     "multimodal_jpeg_color_roundtrip",  # new: color (YCbCr 4:2:0) JPEG codec
     "multimodal_mjpeg_frame_decode",  # new: MJPEG split/sample/decode video path
     "multimodal_avi_mjpg_decode",  # new: AVI container probe/demux/decode
+    "ann_ivfadc_indexed_topk",  # new: persisted IVFADC serving index
     "docs_bloom_prefilter",  # min(hit) aggregate fix (impl + oracle)
     "parts_triangle_count",  # persisted + operator extraction
     "events_user_resample",  # resample_locf key-type derivation

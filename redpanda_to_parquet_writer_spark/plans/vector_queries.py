@@ -166,6 +166,30 @@ def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivfadc_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC over a PERSISTED cluster-partitioned codes index — the
+    billion-vector serving shape end to end: `build_ivfadc_index`
+    assigns AND PQ-encodes the corpus once (float vectors never enter
+    the index), then the probe directory-prunes to the probed lists and
+    scores byte codes via the shared broadcast-LUT tail. Same semantics
+    and oracle as `ann_ivfadc_topk` (see
+    operators/similarity.py:ivfadc_topk_indexed)."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = S.materialize_centroids(
+        S.deterministic_centroids(emb, IVF_CENTROIDS, "vec_id", "embedding")
+    )
+    cb = S.pq_codebooks(emb, PQ_M, PQ_KSUB, EMB_DIM)
+    # fresh private dir per invocation (see ann_ivf_indexed_topk)
+    path = tempfile.mkdtemp(prefix="ivfadc_index_")
+    S.build_ivfadc_index(emb, centroids, cb, path, PQ_M, EMB_DIM)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return S.ivfadc_topk_indexed(
+        spark, path, queries, centroids, cb, PQ_M, EMB_DIM, TOPK_K, IVF_PROBE
+    )
+
+
 def embeddings_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # restrict the exact-quadratic check to one label's vectors: the
@@ -276,6 +300,7 @@ QUERIES = {
     "ann_recall_audit": ann_recall_audit,
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_ivfadc_topk": ann_ivfadc_topk,
+    "ann_ivfadc_indexed_topk": ann_ivfadc_indexed_topk,
     "embeddings_neardup_pairs": embeddings_neardup_pairs,
     "embeddings_lsh_neardup_pairs": embeddings_lsh_neardup_pairs,
     "embeddings_semdedup_keep": embeddings_semdedup_keep,
@@ -669,3 +694,6 @@ ORACLES["ann_recall_audit"] = f"""
       ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
     GROUP BY e.query_id
 """
+
+# the persisted-index IVFADC twin computes the identical result
+ORACLES["ann_ivfadc_indexed_topk"] = ORACLES["ann_ivfadc_topk"]

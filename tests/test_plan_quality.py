@@ -330,6 +330,22 @@ def test_ivf_indexed_probe_prunes_partitions(spark, sf_dir):
     assert "cluster_id" in pf and ("IN" in pf or "in(" in pf.lower()), pf
 
 
+def test_ivfadc_indexed_probe_prunes_partitions(spark, sf_dir):
+    """The persisted IVFADC codes index must directory-prune to the
+    probed clusters exactly like the IVF index — and its scan reads
+    only (neighbor_id, subspace, code), never a float vector."""
+    df = QUERIES["ann_ivfadc_indexed_topk"](spark, sf_dir)
+    plan = plan_str(df)
+    idx = plan.index("ivfadc_index_")
+    pf_at = plan.index("PartitionFilters", idx)
+    pf = plan[pf_at : pf_at + 200]
+    assert "cluster_id" in pf and ("IN" in pf or "in(" in pf.lower()), pf
+    # the index scan's schema is codes-only
+    rs_at = plan.index("ReadSchema", idx)
+    rs = plan[rs_at : rs_at + 200]
+    assert "embedding" not in rs, rs
+
+
 def test_salted_join_spreads_hot_keys(spark, sf_dir):
     """The skew-mitigation join must key on (event_type, __salt) — a
     plain event_type key would put every hot key on one reducer when the
