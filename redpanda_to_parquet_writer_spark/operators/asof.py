@@ -207,6 +207,11 @@ def resample_locf_sql(
     from pyspark.sql import Window
 
     grid_end = grid_start + grid_step * (grid_points - 1)
+    # null placeholders typed from the INPUT schema so the union is
+    # type-exact for any value/tiebreak column types (string tiebreaks
+    # included)
+    value_type = df.schema[value_col].dataType.simpleString()
+    tiebreak_type = df.schema[tiebreak_col].dataType.simpleString()
     grid = (
         df.select(key_col)
         .distinct()
@@ -216,8 +221,8 @@ def resample_locf_sql(
                 F.sequence(F.lit(grid_start), F.lit(grid_end), F.lit(grid_step))
             ).alias(ts_col),
         )
-        .withColumn(value_col, F.lit(None).cast("double"))
-        .withColumn(tiebreak_col, F.lit(None).cast("long"))
+        .withColumn(value_col, F.lit(None).cast(value_type))
+        .withColumn(tiebreak_col, F.lit(None).cast(tiebreak_type))
         .withColumn("__is_grid", F.lit(1))
     )
     obs = df.select(key_col, ts_col, value_col, tiebreak_col).withColumn(

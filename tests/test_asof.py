@@ -53,6 +53,37 @@ def test_resample_locf_string_keys(spark):
         resample_locf(arr, "k", "ts", "value", "seq", 0, 2, 5)
 
 
+def test_resample_locf_sql_matches_arrow_twin(spark):
+    """The pure-JVM twin computes exactly what the Arrow grouped-map
+    computes — including string keys, string tiebreaks, and the
+    keep-last tie collapse via window order."""
+    from redpanda_to_parquet_writer_spark.operators.asof import (
+        resample_locf,
+        resample_locf_sql,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("u-a", 3, 1.0, 0),
+            ("u-a", 3, 5.0, 9),  # tie at ts=3 -> max tiebreak (5.0) wins
+            ("u-a", 7, 2.0, 1),
+            ("u-b", 5, 9.0, 0),
+        ],
+        "uid string, ts long, value double, seq long",
+    )
+    args = ("uid", "ts", "value", "seq", 0, 2, 6)
+    arrow = {(r["uid"], r["grid_ts"]): r["value"] for r in resample_locf(df, *args).collect()}
+    jvm = {(r["uid"], r["grid_ts"]): r["value"] for r in resample_locf_sql(df, *args).collect()}
+    assert arrow == jvm
+    assert jvm[("u-a", 4)] == 5.0  # the tie collapsed to max-seq value
+
+    # string tiebreak column: the grid's null placeholder must take the
+    # input's type or the union fails
+    sdf = df.withColumn("seq", df.seq.cast("string"))
+    out = resample_locf_sql(sdf, "uid", "ts", "value", "seq", 0, 2, 6)
+    assert out.count() == 12
+
+
 def test_bitwriter_accumulator_stays_bounded():
     """_BitWriter masks emitted bits out of its accumulator — without
     the mask the bignum grows with total output and encode goes
