@@ -1836,23 +1836,35 @@ _AC_VALUES_CHROMA = [
 ]
 
 
+#: chroma subsampling modes -> (horizontal, vertical) luma sampling factors
+_JPEG_SUBSAMPLE = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
 def encode_jpeg_color(
     width: int,
     height: int,
     rgb: bytes,
     restart_interval: int = 0,
-    subsample: bool = True,
+    subsample: bool | str = "420",
 ) -> bytes:
-    """Baseline sequential COLOR JPEG: JFIF YCbCr transform, 4:2:0
-    chroma subsampling (2x2 mean; `subsample=False` writes 4:4:4 —
-    full-resolution chroma, 8x8 MCUs), interleaved MCUs with the luma
-    block(s) then Cb then Cr, Annex K luma+chroma tables.
+    """Baseline sequential COLOR JPEG: JFIF YCbCr transform, chroma
+    subsampling per `subsample` ("420" default — 2x2 mean; "422" —
+    horizontal 2:1; "444" — full-resolution chroma; booleans accepted
+    for compatibility: True="420", False="444"), interleaved MCUs with
+    the luma block(s) then Cb then Cr, Annex K luma+chroma tables.
     Deterministic: same pixels -> same bytes. `restart_interval` > 0
     emits DRI/RSTn every N MCUs with all three DC predictors reset."""
     import struct as _s
 
     import numpy as np
 
+    if subsample is True:
+        subsample = "420"
+    elif subsample is False:
+        subsample = "444"
+    if subsample not in _JPEG_SUBSAMPLE:
+        raise ValueError(f"subsample must be one of {sorted(_JPEG_SUBSAMPLE)}")
+    hs, vs = _JPEG_SUBSAMPLE[subsample]
     if len(rgb) != width * height * 3:
         raise ValueError("pixel buffer does not match dims")
     img = np.frombuffer(bytes(rgb), dtype=np.uint8).reshape(height, width, 3).astype(
@@ -1864,22 +1876,18 @@ def encode_jpeg_color(
     Y = 0.299 * R + 0.587 * G + 0.114 * B
     Cb = 128.0 - 0.168736 * R - 0.331264 * G + 0.5 * B
     Cr = 128.0 + 0.5 * R - 0.418688 * G - 0.081312 * B
-    mcusz = 16 if subsample else 8
-    ph = (height + mcusz - 1) // mcusz * mcusz
-    pw = (width + mcusz - 1) // mcusz * mcusz
+    mw, mh = 8 * hs, 8 * vs  # MCU pixel dims
+    ph = (height + mh - 1) // mh * mh
+    pw = (width + mw - 1) // mw * mw
     pad = ((0, ph - height), (0, pw - width))
     Yp = np.pad(Y, pad, mode="edge")
-    if subsample:
-        # chroma: pad then 2x2 mean -> one sample per 2x2 luma patch
-        Cbs = (
-            np.pad(Cb, pad, mode="edge").reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-        )
-        Crs = (
-            np.pad(Cr, pad, mode="edge").reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-        )
-    else:
-        Cbs = np.pad(Cb, pad, mode="edge")
-        Crs = np.pad(Cr, pad, mode="edge")
+
+    def _sub(plane):
+        # mean over each (vs x hs) luma patch -> one chroma sample
+        p = np.pad(plane, pad, mode="edge")
+        return p.reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
+
+    Cbs, Crs = _sub(Cb), _sub(Cr)
     d = _dct_matrix()
     ql = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
     qc = np.array(_JPEG_QTABLE_CHROMA, dtype=np.float64).reshape(8, 8)
@@ -1893,9 +1901,9 @@ def encode_jpeg_color(
     w = _BitWriter()
     prev = [0, 0, 0]  # Y, Cb, Cr DC predictors
     mcu = 0
-    luma_offsets = ((0, 0), (0, 1), (1, 0), (1, 1)) if subsample else ((0, 0),)
-    for my in range(0, ph, mcusz):
-        for mx in range(0, pw, mcusz):
+    luma_offsets = [(dy, dx) for dy in range(vs) for dx in range(hs)]
+    for my in range(0, ph, mh):
+        for mx in range(0, pw, mw):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 w.raw(bytes([0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]))
                 prev = [0, 0, 0]
@@ -1904,7 +1912,7 @@ def encode_jpeg_color(
                 prev[0] = _entropy_encode_block(
                     w, zzY[my // 8 + dy, mx // 8 + dx], ldc, lac, prev[0]
                 )
-            cy, cx = (my // 16, mx // 16) if subsample else (my // 8, mx // 8)
+            cy, cx = my // mh, mx // mw  # one chroma block per MCU
             prev[1] = _entropy_encode_block(w, zzCb[cy, cx], cdc, cac, prev[1])
             prev[2] = _entropy_encode_block(w, zzCr[cy, cx], cdc, cac, prev[2])
     entropy = w.flush()
@@ -1917,8 +1925,8 @@ def encode_jpeg_color(
         bytes([0]) + bytes(_JPEG_QTABLE[_ZIGZAG[i]] for i in range(64))
         + bytes([1]) + bytes(_JPEG_QTABLE_CHROMA[_ZIGZAG[i]] for i in range(64)),
     )
-    # components: Y id1 (2x2 for 4:2:0, 1x1 for 4:4:4) qtab0; Cb/Cr 1x1 qtab1
-    y_sampling = 0x22 if subsample else 0x11
+    # components: Y id1 with the mode's (h, v) sampling, qtab0; Cb/Cr 1x1 qtab1
+    y_sampling = (hs << 4) | vs
     sof = seg(
         0xFFC0,
         _s.pack(">BHHB", 8, height, width, 3)
