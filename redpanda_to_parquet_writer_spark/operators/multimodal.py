@@ -593,17 +593,11 @@ def encode_gif_gray8(w: int, h: int, pixels: bytes) -> bytes:
     return bytes(out)
 
 
-@_malformed_raises_value_error
-def decode_gif_gray8(data: bytes) -> tuple[int, int, bytes]:
-    """REAL GIF decode for non-interlaced single-frame grayscale GIFs —
-    stdlib only: header/LSD parse, palette read, sub-block reassembly,
-    full variable-width LZW decompression, palette application.
-
-    Returns (width, height, row-major gray8 bytes — palette applied, so
-    the round trip with `encode_gif_gray8` is the identity). Raises
-    ValueError on malformed input; pair with `map_media_batches(
-    on_error="null")` for per-row corrupt-blob tolerance.
-    """
+def _decode_gif(data: bytes) -> tuple[int, int, bytes, list[int]]:
+    """Shared GIF walk: header/LSD parse, palette read, sub-block
+    reassembly, full variable-width LZW decompression. Returns
+    (width, height, palette bytes, pixel index list) — the gray and RGB
+    decoders differ only in how they apply the palette."""
     import struct
 
     if data[:6] not in (b"GIF87a", b"GIF89a"):
@@ -650,14 +644,71 @@ def decode_gif_gray8(data: bytes) -> tuple[int, int, bytes]:
             indices = _gif_lzw_decode(bytes(lzw), min_code)
             if len(indices) != iw * ih:
                 raise ValueError("decoded pixel count mismatch")
-            # palette application: gray value = red channel
-            px = bytes(palette[3 * i] for i in indices)
-            return (int(iw), int(ih), px)
+            if max(indices, default=0) * 3 + 3 > len(palette):
+                raise ValueError("pixel index outside color table")
+            return (int(iw), int(ih), bytes(palette), list(indices))
         elif marker == 0x3B:
             break
         else:
             raise ValueError(f"unknown block marker {marker:#x}")
     raise ValueError("no image descriptor found")
+
+
+@_malformed_raises_value_error
+def decode_gif_gray8(data: bytes) -> tuple[int, int, bytes]:
+    """REAL GIF decode for non-interlaced single-frame grayscale GIFs —
+    stdlib only (see `_decode_gif`). Returns (width, height, row-major
+    gray8 bytes — palette's red channel applied, so the round trip with
+    `encode_gif_gray8` is the identity). Raises ValueError on malformed
+    input; pair with `map_media_batches(on_error="null")` for per-row
+    corrupt-blob tolerance."""
+    w, h, palette, indices = _decode_gif(data)
+    return (w, h, bytes(palette[3 * i] for i in indices))
+
+
+@_malformed_raises_value_error
+def decode_gif_rgb(data: bytes) -> tuple[int, int, bytes]:
+    """Color GIF decode: full palette lookup to interleaved RGB bytes
+    (GIF is inherently palette-indexed, so ANY single-frame
+    non-interlaced GIF decodes through this — grayscale ones just have
+    a gray palette)."""
+    w, h, palette, indices = _decode_gif(data)
+    return (w, h, b"".join(palette[3 * i : 3 * i + 3] for i in indices))
+
+
+def encode_gif_rgb(w: int, h: int, rgb: bytes) -> bytes:
+    """Encode interleaved RGB8 as a valid color GIF89a: the palette is
+    the image's distinct colors in sorted order (deterministic). GIF is
+    a palette format — sources with more than 256 distinct colors need
+    a quantization pass first (median-cut etc.), which is a LOSSY design
+    choice this codec refuses to make silently: such inputs raise
+    ValueError instead."""
+    import struct
+
+    import numpy as np
+
+    if len(rgb) != w * h * 3:
+        raise ValueError(f"expected {w * h * 3} pixel bytes, got {len(rgb)}")
+    arr = np.frombuffer(bytes(rgb), dtype=np.uint8).reshape(-1, 3)
+    colors, inverse = np.unique(arr, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(
+            f"{len(colors)} distinct colors exceed GIF's 256-entry palette; "
+            "quantize first"
+        )
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global table, 256 colors
+    out += colors.astype(np.uint8).tobytes()
+    out += bytes(3 * (256 - len(colors)))  # pad the table to 256 entries
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+    out.append(8)  # LZW min code size
+    lzw = _gif_lzw_encode(bytes(inverse.astype(np.uint8)))
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
 
 
 def decode_gif_features(data: bytes) -> tuple[int, int, int, int, int, int, int]:

@@ -318,6 +318,56 @@ def test_jpeg_color_rejects_malformed_and_cross_decodes():
             decode_jpeg_color(bad)
 
 
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.integers(min_value=1, max_value=256),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_rgb_roundtrip_arbitrary_palettes(w, h, seed, n_colors):
+    """Color GIF encode->decode is the identity for any image within
+    the 256-color palette budget; the gray decoder coexists (same walk,
+    different palette application) and >256-color inputs refuse loudly
+    instead of quantizing silently."""
+    import random as _random
+
+    import numpy as np
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_gif_rgb,
+        encode_gif_rgb,
+    )
+
+    rng = np.random.RandomState(seed % 2**31)
+    pal = rng.randint(0, 256, (n_colors, 3)).astype(np.uint8)
+    raw = pal[rng.randint(0, n_colors, (h, w))].tobytes()
+    assert decode_gif_rgb(encode_gif_rgb(w, h, raw)) == (w, h, raw)
+
+
+def test_gif_rgb_refuses_oversized_palettes():
+    import numpy as np
+    import pytest
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_gif_gray8,
+        decode_gif_rgb,
+        encode_gif_gray8,
+        encode_gif_rgb,
+    )
+
+    v = np.arange(600, dtype=np.int32)
+    big = np.stack([v % 256, v // 256, np.zeros_like(v)], axis=-1).astype(np.uint8)
+    with pytest.raises(ValueError, match="palette"):
+        encode_gif_rgb(600, 1, big.tobytes())
+    # a gray GIF decodes through the RGB reader as replicated channels
+    gp = bytes(range(64))
+    gw, gh, grgb = decode_gif_rgb(encode_gif_gray8(8, 8, gp))
+    assert (gw, gh) == (8, 8)
+    assert grgb == b"".join(bytes((x, x, x)) for x in gp)
+    assert decode_gif_gray8(encode_gif_gray8(8, 8, gp)) == (8, 8, gp)
+
+
 def test_mjpeg_split_sample_decode():
     """MJPEG stream: EOI-scan split recovers exactly the encoded frames,
     every-Nth sampling keeps the right indices, each sampled frame
