@@ -249,19 +249,22 @@ def split_mjpeg(data: bytes) -> list[bytes]:
 
 
 def sample_mjpeg_gray8(
-    data: bytes, every_n: int
+    data: bytes, every_n: int, decoder=None
 ) -> list[tuple[int, int, int, bytes]]:
     """REAL library-free video sampling: split an MJPEG stream, keep
     every `every_n`-th frame, and fully decode each kept frame with the
-    baseline gray8 JPEG codec. Returns [(frame_idx, width, height,
-    pixels), ...] — the temporal-subsample + decode stage a video
-    curation pipeline runs before feature extraction."""
+    baseline JPEG codec (`decoder` defaults to the gray8 decoder; pass
+    `decode_jpeg_color` for color camera streams). Returns
+    [(frame_idx, width, height, pixels), ...] — the temporal-subsample
+    + decode stage a video curation pipeline runs before feature
+    extraction."""
     if every_n < 1:
         raise ValueError("every_n must be >= 1")
+    decoder = decoder or decode_jpeg_gray8
     out = []
     for idx, frame in enumerate(split_mjpeg(data)):
         if idx % every_n == 0:
-            w, h, px = decode_jpeg_gray8(frame)
+            w, h, px = decoder(frame)
             out.append((idx, w, h, px))
     return out
 
@@ -401,18 +404,19 @@ def demux_avi_mjpg(data: bytes) -> list[bytes]:
 
 
 def sample_avi_mjpg_gray8(
-    data: bytes, every_n: int
+    data: bytes, every_n: int, decoder=None
 ) -> list[tuple[int, int, int, bytes]]:
     """Container-to-pixels video sampling, fully library-free: demux
-    the AVI, keep every `every_n`-th frame, decode each kept frame with
-    the baseline gray8 JPEG codec. Same return shape as
-    `sample_mjpeg_gray8`."""
+    the AVI, keep every `every_n`-th frame, decode each kept frame
+    (`decoder` defaults to gray8; pass `decode_jpeg_color` for color
+    MJPG cameras). Same return shape as `sample_mjpeg_gray8`."""
     if every_n < 1:
         raise ValueError("every_n must be >= 1")
+    decoder = decoder or decode_jpeg_gray8
     out = []
     for idx, frame in enumerate(demux_avi_mjpg(data)):
         if idx % every_n == 0:
-            w, h, px = decode_jpeg_gray8(frame)
+            w, h, px = decoder(frame)
             out.append((idx, w, h, px))
     return out
 
@@ -1111,6 +1115,55 @@ def resize_gray8_batches(
                 thumbs.append(thumb.tobytes())
                 p00s.append(int(thumb[0, 0]))
                 plasts.append(int(thumb[-1, -1]))
+                sums.append(int(thumb.astype(np.int64).sum()))
+            out = pdf[passthrough].copy()
+            out["thumb"] = thumbs
+            out["thumb_w"] = out_w
+            out["thumb_h"] = out_h
+            out["p00"] = p00s
+            out["p_last"] = plasts
+            out["pixel_sum"] = sums
+            yield out
+
+    return df.mapInPandas(run, result_schema)
+
+
+def resize_rgb8_batches(
+    df: DataFrame,
+    binary_col: str,
+    w_col: str,
+    h_col: str,
+    out_w: int = 8,
+    out_h: int = 8,
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """Nearest-neighbor resize of interleaved RGB8 bitmaps — the same
+    floor-mapping as `resize_gray8_batches` applied to the spatial axes
+    with the channel axis preserved (p00/p_last are the first/last
+    channel BYTES; pixel_sum runs over all interleaved bytes, matching
+    `decode_png_any_features`). The post-decode stage for the color
+    PNG/JPEG/GIF codecs in this module."""
+    import numpy as np
+
+    passthrough = passthrough or [
+        c for c in df.columns if c not in (binary_col, w_col, h_col)
+    ]
+    result_schema = StructType(
+        [f for f in df.schema.fields if f.name in passthrough]
+        + list(RESIZED_IMAGE_SCHEMA.fields)
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            thumbs, p00s, plasts, sums = [], [], [], []
+            for data, w, h in zip(pdf[binary_col], pdf[w_col], pdf[h_col]):
+                img = np.frombuffer(data, dtype=np.uint8).reshape(int(h), int(w), 3)
+                ys = (np.arange(out_h) * int(h)) // out_h
+                xs = (np.arange(out_w) * int(w)) // out_w
+                thumb = img[np.ix_(ys, xs)]
+                thumbs.append(thumb.tobytes())
+                p00s.append(int(thumb[0, 0, 0]))
+                plasts.append(int(thumb[-1, -1, -1]))
                 sums.append(int(thumb.astype(np.int64).sum()))
             out = pdf[passthrough].copy()
             out["thumb"] = thumbs

@@ -406,6 +406,43 @@ def test_mjpeg_split_sample_decode():
         sample_mjpeg_gray8(stream, every_n=0)
 
 
+def test_color_mjpeg_stream_samples_and_decodes():
+    """A COLOR camera stream (back-to-back YCbCr JPEGs, in a raw MJPEG
+    stream and inside an AVI) samples and decodes via the decoder
+    parameter — the realistic IP-camera shape."""
+    import numpy as np
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_jpeg_color,
+        encode_avi_mjpg,
+        encode_jpeg_color,
+        sample_avi_mjpg_gray8,
+        sample_mjpeg_gray8,
+    )
+
+    w, h, nf = 18, 14, 5
+    y, x = np.mgrid[0:h, 0:w]
+    srcs = [
+        np.stack([30 + 2 * f + 2 * x + y, 60 + x + 2 * y, 90 + x + y], axis=-1)
+        .clip(0, 255)
+        .astype(np.uint8)
+        .tobytes()
+        for f in range(nf)
+    ]
+    frames = [encode_jpeg_color(w, h, s) for s in srcs]
+    for sampled in (
+        sample_mjpeg_gray8(b"".join(frames), 2, decoder=decode_jpeg_color),
+        sample_avi_mjpg_gray8(
+            encode_avi_mjpg(w, h, frames), 2, decoder=decode_jpeg_color
+        ),
+    ):
+        assert [s[0] for s in sampled] == [0, 2, 4]
+        for idx, fw, fh, px in sampled:
+            assert (fw, fh) == (w, h) and len(px) == w * h * 3
+            err = max(abs(a - b) for a, b in zip(srcs[idx], px))
+            assert err <= 12
+
+
 def test_avi_mjpg_container_roundtrip():
     """AVI-MJPG: the RIFF writer/prober/demuxer agree (probe reads
     dims/frame-count/rate without decoding; demux recovers the exact

@@ -151,6 +151,31 @@ def test_media_decode_corrupt_tolerance(spark):
     assert out[1]["n_frames"] == 201 and out[3]["n_frames"] == 203
 
 
+def test_rgb8_resize_through_spark(spark):
+    """RGB nearest-neighbor resize: the same floor-mapping as gray8 on
+    the spatial axes with channels preserved — verified against a
+    hand-computed numpy model."""
+    import numpy as np
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        resize_rgb8_batches,
+        synth_rgb_image,
+    )
+
+    w, h, px = synth_rgb_image(5)
+    df = spark.createDataFrame([(1, px, w, h)], "id long, blob binary, w int, h int")
+    row = resize_rgb8_batches(df, "blob", "w", "h", out_w=4, out_h=4).collect()[0]
+    img = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+    ys = (np.arange(4) * h) // 4
+    xs = (np.arange(4) * w) // 4
+    model = img[np.ix_(ys, xs)]
+    assert row["thumb"] == model.tobytes()
+    assert row["p00"] == int(model[0, 0, 0])
+    assert row["p_last"] == int(model[-1, -1, -1])
+    assert row["pixel_sum"] == int(model.astype(np.int64).sum())
+    assert (row["thumb_w"], row["thumb_h"]) == (4, 4)
+
+
 def test_gray8_resize_through_spark(spark):
     """REAL nearest-neighbor resize on raw gray8 bitmaps (numpy, no
     imaging lib): floor index mapping verified against a hand model."""
