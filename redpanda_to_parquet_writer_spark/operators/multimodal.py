@@ -89,8 +89,9 @@ _MAGIC = {
 def sniff_format(binary_col: F.Column) -> F.Column:
     """Container-format sniff from magic bytes — hex prefix comparison,
     entirely JVM-side (no UDF). RIFF containers disambiguate on the
-    form-type fourcc at offset 8: 'WAVE' -> wav, 'AVI ' -> avi, any
-    other RIFF form stays the generic 'riff'."""
+    form-type fourcc at offset 8: 'WAVE' -> wav, 'AVI ' -> avi,
+    'WEBP' -> webp; any other RIFF form stays the generic 'riff'.
+    TIFF matches either byte order ('II*\\0' / 'MM\\0*')."""
     prefix = F.lower(F.hex(F.substring(binary_col, 1, 4)))
     form = F.lower(F.hex(F.substring(binary_col, 9, 4)))
     mp4_marker = F.lower(F.hex(F.substring(binary_col, 5, 4)))
@@ -101,7 +102,9 @@ def sniff_format(binary_col: F.Column) -> F.Column:
         .when(prefix.startswith(_MAGIC["gif"]), F.lit("gif"))
         .when(riff & (form == "57415645"), F.lit("wav"))  # 'WAVE'
         .when(riff & (form == "41564920"), F.lit("avi"))  # 'AVI '
+        .when(riff & (form == "57454250"), F.lit("webp"))  # 'WEBP'
         .when(riff, F.lit("riff"))
+        .when(prefix.isin("49492a00", "4d4d002a"), F.lit("tiff"))
         .when(mp4_marker == _MAGIC["mp4"], F.lit("mp4"))
         .otherwise(F.lit("unknown"))
     )

@@ -280,9 +280,21 @@ def test_wav_codec_through_spark(spark):
     )
 
     avi_blob = encode_avi_mjpg(8, 8, [encode_jpeg_gray8(8, 8, bytes(64))])
-    avi_df = spark.createDataFrame([(1, avi_blob)], "id long, blob binary")
-    avi_meta = with_media_metadata(avi_df, "blob", media_type="video")
-    assert avi_meta.collect()[0]["media_meta"]["format"] == "avi"
+    sniff_rows = [
+        (1, avi_blob, "avi"),
+        (2, b"RIFF\x10\x00\x00\x00WEBPVP8 ", "webp"),
+        (3, b"RIFF\x10\x00\x00\x00XXXX", "riff"),  # unknown RIFF form
+        (4, b"II*\x00rest-of-tiff", "tiff"),
+        (5, b"MM\x00*rest-of-tiff", "tiff"),
+    ]
+    sniff_df = spark.createDataFrame(
+        [(i, b) for i, b, _ in sniff_rows], "id long, blob binary"
+    )
+    got = {
+        r["id"]: r["media_meta"]["format"]
+        for r in with_media_metadata(sniff_df, "blob", media_type="video").collect()
+    }
+    assert got == {i: f for i, _, f in sniff_rows}
     out = {
         r["id"]: r
         for r in map_media_batches(
