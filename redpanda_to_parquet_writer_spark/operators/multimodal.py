@@ -223,6 +223,84 @@ def frame_sample_stub(data: bytes, every_n: int = 30) -> list[bytes]:
     )
 
 
+@_malformed_raises_value_error
+def probe_tiff(data: bytes) -> tuple[int, int, int, int, int, int]:
+    """REAL TIFF structure probe (stdlib struct): parse the byte-order
+    header and walk IFD0's entries, returning (width, height,
+    bits_per_sample, samples_per_pixel, compression, n_ifd_entries) —
+    the corpus-filtering first pass for TIFF blobs (decode needs an
+    imaging library; structure does not). Handles both byte orders;
+    inline SHORT/LONG tag values only (offset-valued tags read as their
+    first inline word where the count is 1, else default). Raises
+    ValueError on malformed input."""
+    import struct as _s
+
+    if len(data) < 8:
+        raise ValueError("truncated TIFF header")
+    if data[:2] == b"II":
+        end = "<"
+    elif data[:2] == b"MM":
+        end = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    magic, ifd_off = _s.unpack_from(f"{end}HI", data, 2)
+    if magic != 42:
+        raise ValueError("not a TIFF (bad magic)")
+    if ifd_off + 2 > len(data):
+        raise ValueError("IFD offset past end of data")
+    (n,) = _s.unpack_from(f"{end}H", data, ifd_off)
+    if ifd_off + 2 + 12 * n > len(data):
+        raise ValueError("truncated IFD")
+    tags = {}
+    for i in range(n):
+        tag, typ, cnt, raw = _s.unpack_from(
+            f"{end}HHII", data, ifd_off + 2 + 12 * i
+        )
+        if cnt == 1 and typ == 3:  # SHORT: value in the first 2 bytes
+            (val,) = _s.unpack_from(f"{end}H", data, ifd_off + 2 + 12 * i + 8)
+            tags[tag] = val
+        elif cnt == 1 and typ == 4:  # LONG: inline
+            tags[tag] = raw
+    width = tags.get(256)
+    height = tags.get(257)
+    if width is None or height is None:
+        raise ValueError("missing ImageWidth/ImageLength tags")
+    return (
+        int(width),
+        int(height),
+        int(tags.get(258, 1)),  # BitsPerSample default 1 per spec
+        int(tags.get(277, 1)),  # SamplesPerPixel default 1
+        int(tags.get(259, 1)),  # Compression default none
+        int(n),
+    )
+
+
+def encode_tiff_skeleton(
+    w: int, h: int, bits: int = 8, samples: int = 1
+) -> bytes:
+    """Minimal VALID little-endian TIFF header + IFD0 (no pixel data) —
+    the structural twin for probe testing, like `encode_jpeg_skeleton`
+    and `encode_mp4_skeleton`."""
+    import struct as _s
+
+    entries = [
+        (256, 4, 1, w),        # ImageWidth LONG
+        (257, 4, 1, h),        # ImageLength LONG
+        (258, 3, 1, bits),     # BitsPerSample SHORT
+        (259, 3, 1, 1),        # Compression: none
+        (277, 3, 1, samples),  # SamplesPerPixel
+    ]
+    out = bytearray(b"II" + _s.pack("<HI", 42, 8))
+    out += _s.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if typ == 3:
+            out += _s.pack("<HHIHH", tag, typ, cnt, val, 0)
+        else:
+            out += _s.pack("<HHII", tag, typ, cnt, val)
+    out += _s.pack("<I", 0)  # no next IFD
+    return bytes(out)
+
+
 def split_mjpeg(data: bytes) -> list[bytes]:
     """Split a raw MJPEG stream (back-to-back baseline JPEG frames —
     the classic IP-camera/AVI-MJPC payload) into its frames by scanning

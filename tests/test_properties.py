@@ -406,6 +406,39 @@ def test_mjpeg_split_sample_decode():
         sample_mjpeg_gray8(stream, every_n=0)
 
 
+def test_tiff_probe_both_byte_orders():
+    """TIFF structure probe: skeleton round trip, a hand-built
+    big-endian IFD, and malformed inputs inside the ValueError
+    contract."""
+    import struct
+
+    import pytest
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        encode_tiff_skeleton,
+        probe_tiff,
+    )
+
+    assert probe_tiff(encode_tiff_skeleton(640, 480, bits=8, samples=3)) == (
+        640, 480, 8, 3, 1, 5,
+    )
+    be = bytearray(b"MM" + struct.pack(">HI", 42, 8))
+    be += struct.pack(">H", 2)
+    be += struct.pack(">HHII", 256, 4, 1, 33)
+    be += struct.pack(">HHIHH", 257, 3, 1, 44, 0)
+    be += struct.pack(">I", 0)
+    assert probe_tiff(bytes(be)) == (33, 44, 1, 1, 1, 2)
+    for bad in (
+        b"",
+        b"II*",  # truncated header
+        b"XX\x2a\x00aaaa",  # bad byte-order mark
+        encode_tiff_skeleton(1, 1)[:-10],  # truncated IFD
+        b"II" + struct.pack("<HI", 42, 9999),  # IFD offset past end
+    ):
+        with pytest.raises(ValueError):
+            probe_tiff(bad)
+
+
 def test_color_mjpeg_stream_samples_and_decodes():
     """A COLOR camera stream (back-to-back YCbCr JPEGs, in a raw MJPEG
     stream and inside an AVI) samples and decodes via the decoder
@@ -532,6 +565,8 @@ def test_media_decoders_total_on_magic_prefixed_garbage(buf):
         split_mjpeg,
     )
 
+    from redpanda_to_parquet_writer_spark.operators.multimodal import probe_tiff
+
     cases = (
         (decode_png_gray8, PNG_SIG + buf),
         (decode_gif_gray8, b"GIF89a" + buf),
@@ -540,6 +575,7 @@ def test_media_decoders_total_on_magic_prefixed_garbage(buf):
         (probe_jpeg, b"\xff\xd8" + buf),
         (probe_avi, b"RIFF" + len(buf).to_bytes(4, "little") + b"AVI " + buf),
         (split_mjpeg, b"\xff\xd8" + buf + b"\xff\xd9"),
+        (probe_tiff, b"II\x2a\x00" + buf),
     )
     for fn, data in cases:
         try:
