@@ -64,13 +64,20 @@ def _malformed_raises_value_error(fn: Callable) -> Callable:
     those."""
     import functools
     import struct as _struct
+    import wave as _wave
     import zlib as _zlib
 
     @functools.wraps(fn)
     def wrapped(*args, **kwargs):
         try:
             return fn(*args, **kwargs)
-        except (_struct.error, IndexError, _zlib.error) as exc:
+        except (
+            _struct.error,
+            IndexError,
+            _zlib.error,
+            _wave.Error,  # stdlib wave's container errors
+            EOFError,  # wave/chunk input exhaustion
+        ) as exc:
             raise ValueError(f"malformed input: {exc}") from exc
 
     return wrapped

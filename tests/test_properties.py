@@ -517,8 +517,8 @@ def test_avi_mjpg_container_roundtrip():
         demux_avi_mjpg(b"RIFF\x04\x00\x00\x00AVI ")
 
 
-@given(st.binary(max_size=200), st.integers(min_value=0, max_value=5))
-@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=200), st.integers(min_value=0, max_value=9))
+@settings(max_examples=250, deadline=None)
 def test_media_decoders_are_total_on_arbitrary_bytes(buf, which):
     """Fuzz every media decoder: arbitrary bytes either decode or raise
     ValueError — struct.error/IndexError/zlib.error/KeyError must never
@@ -527,20 +527,28 @@ def test_media_decoders_are_total_on_arbitrary_bytes(buf, which):
     this is the pure-garbage path."""
     from redpanda_to_parquet_writer_spark.operators.multimodal import (
         decode_gif_gray8,
+        decode_gif_rgb,
         decode_jpeg_color,
         decode_jpeg_gray8,
         decode_png_gray8,
         decode_png_rgb8,
+        decode_wav,
         probe_avi,
+        probe_mp4,
+        probe_tiff,
     )
 
     fn = (
         decode_png_gray8,
         decode_png_rgb8,
         decode_gif_gray8,
+        decode_gif_rgb,
         decode_jpeg_gray8,
         decode_jpeg_color,
+        decode_wav,
         probe_avi,
+        probe_mp4,
+        probe_tiff,
     )[which]
     try:
         fn(buf)
