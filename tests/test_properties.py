@@ -568,6 +568,7 @@ def test_media_decoders_total_on_magic_prefixed_garbage(buf):
         decode_jpeg_color,
         decode_jpeg_gray8,
         decode_png_gray8,
+        decode_wav,
         probe_avi,
         probe_jpeg,
         split_mjpeg,
@@ -584,6 +585,7 @@ def test_media_decoders_total_on_magic_prefixed_garbage(buf):
         (probe_avi, b"RIFF" + len(buf).to_bytes(4, "little") + b"AVI " + buf),
         (split_mjpeg, b"\xff\xd8" + buf + b"\xff\xd9"),
         (probe_tiff, b"II\x2a\x00" + buf),
+        (decode_wav, b"RIFF" + (len(buf) + 4).to_bytes(4, "little") + b"WAVE" + buf),
     )
     for fn, data in cases:
         try:
