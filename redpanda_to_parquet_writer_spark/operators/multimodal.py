@@ -1132,12 +1132,18 @@ def decode_wav(data: bytes) -> tuple[int, int, int, int, int, int]:
     import io
     import wave
 
-    with wave.open(io.BytesIO(data), "rb") as w:
-        n_channels = w.getnchannels()
-        sample_rate = w.getframerate()
-        n_frames = w.getnframes()
-        bit_depth = w.getsampwidth() * 8
-        frames = w.readframes(n_frames)
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            n_channels = w.getnchannels()
+            sample_rate = w.getframerate()
+            n_frames = w.getnframes()
+            bit_depth = w.getsampwidth() * 8
+            frames = w.readframes(n_frames)
+    except RuntimeError as exc:
+        # stdlib wave raises a BARE RuntimeError on some malformed chunk
+        # sizes (cpython wave.py); keep it inside the ValueError contract
+        # here rather than catching RuntimeError globally in the decorator
+        raise ValueError(f"malformed wav: {exc or 'chunk parse error'}") from exc
     if bit_depth != 16:
         raise ValueError(f"only 16-bit PCM supported, got {bit_depth}-bit")
     pcm = array.array("h")
