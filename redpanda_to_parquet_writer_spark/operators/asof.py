@@ -199,6 +199,13 @@ def resample_locf_sql(
     same-timestamp observations, so `last(...)` picks exactly the row
     the Arrow twin's keep-last dedup picks.
 
+    NULL observations carry forward as NULL (identical to the Arrow
+    twin): the window takes the last non-null STRUCT-wrapped
+    observation — observation rows always wrap (a struct of a null
+    value is itself non-null), grid rows contribute null structs — and
+    the value is extracted afterwards, so `ignorenulls` skips grid
+    rows, never null-valued observations.
+
     Scale shape: one column-pruned scan for the distinct key set, one
     for observations, ONE key shuffle for the window (the distinct's
     partial aggregate is map-side combined). Grid rows cost
@@ -233,13 +240,16 @@ def resample_locf_sql(
         .orderBy(ts_col, "__is_grid", tiebreak_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    obs_struct = F.when(
+        F.col("__is_grid") == 0, F.struct(F.col(value_col).alias("v"))
+    )
     return (
         obs.unionByName(grid)
-        .withColumn("__locf", F.last(value_col, ignorenulls=True).over(w))
+        .withColumn("__locf", F.last(obs_struct, ignorenulls=True).over(w))
         .filter(F.col("__is_grid") == 1)
         .select(
             key_col,
             F.col(ts_col).alias("grid_ts"),
-            F.col("__locf").alias(value_col),
+            F.col("__locf.v").alias(value_col),
         )
     )

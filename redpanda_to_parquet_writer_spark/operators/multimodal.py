@@ -74,6 +74,9 @@ def _malformed_raises_value_error(fn: Callable) -> Callable:
         except (
             _struct.error,
             IndexError,
+            KeyError,  # table lookups keyed by untrusted bytes (e.g. a
+            # JPEG scan referencing a Huffman/quant table id that no DHT/
+            # DQT defined)
             _zlib.error,
             _wave.Error,  # stdlib wave's container errors
             EOFError,  # wave/chunk input exhaustion
@@ -392,7 +395,9 @@ def encode_avi_mjpg(
     usec = 1_000_000 // fps
     avih = _s.pack(
         "<14I",
-        usec, max_bytes * fps, 0, 0x10,  # usec/frame, bytes/sec, pad, HASINDEX-less flags
+        # usec/frame, bytes/sec, padding, flags=0 (no idx1 chunk is
+        # written, so AVIF_HASINDEX must NOT be promised)
+        usec, max_bytes * fps, 0, 0,
         len(frames), 0, 1, max_bytes,  # total frames, initial, streams, bufsize
         width, height, 0, 0, 0, 0,
     )
@@ -429,13 +434,26 @@ def _walk_riff(data: bytes, start: int, end: int):
         i += 8 + ln + (ln % 2)  # even padding
 
 
+def _walk_movi(data: bytes, start: int, end: int):
+    """Yield (tag, body_start, body_len) for the video chunks of a movi
+    run, RECURSING into LIST('rec ') groups — interleaved-playback AVIs
+    (most capture software) wrap their frame chunks in rec lists."""
+    for tag, bs, ln in _walk_riff(data, start, end):
+        if tag == b"LIST" and data[bs : bs + 4] == b"rec ":
+            yield from _walk_movi(data, bs + 4, bs + ln)
+        elif tag[2:4] in (b"dc", b"db"):
+            yield tag, bs, ln
+
+
 @_malformed_raises_value_error
 def probe_avi(data: bytes) -> tuple[int, int, int, int, int, int]:
     """REAL AVI structure probe (stdlib struct): walks the RIFF tree
     and returns (width, height, n_frames, usec_per_frame,
     n_video_chunks, video_bytes) — the corpus-filtering first pass
-    before paying demux+decode cost. Raises ValueError on anything
-    malformed or non-AVI."""
+    before paying demux+decode cost. Dimensions come from the FIRST
+    'vids' stream's strf (an audio strl's WAVEFORMATEX must not clobber
+    them); frame chunks are counted through 'rec ' groups. Raises
+    ValueError on anything malformed or non-AVI."""
     import struct as _s
 
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
@@ -456,25 +474,29 @@ def probe_avi(data: bytes) -> tuple[int, int, int, int, int, int]:
                             "<5I", data, b2
                         )
                     elif t2 == b"LIST" and data[b2 : b2 + 4] == b"strl":
+                        # dims only from a VIDEO stream's format chunk:
+                        # strh declares the type, strf follows it
+                        is_vids = False
                         for t3, b3, l3 in _walk_riff(data, b2 + 4, b2 + l2):
-                            if t3 == b"strf":
+                            if t3 == b"strh":
+                                is_vids = data[b3 : b3 + 4] == b"vids"
+                            elif t3 == b"strf" and is_vids and width is None:
                                 _sz, width, height = _s.unpack_from("<Iii", data, b3)
             elif kind == b"movi":
-                for t2, b2, l2 in _walk_riff(data, bs + 4, bs + ln):
-                    if t2[2:4] in (b"dc", b"db"):
-                        n_chunks += 1
-                        vbytes += l2
+                for t2, b2, l2 in _walk_movi(data, bs + 4, bs + ln):
+                    n_chunks += 1
+                    vbytes += l2
     if width is None or n_frames is None:
-        raise ValueError("missing avih/strf headers")
+        raise ValueError("missing avih/vids-strf headers")
     return (int(width), int(height), int(n_frames), int(usec), n_chunks, vbytes)
 
 
 @_malformed_raises_value_error
 def demux_avi_mjpg(data: bytes) -> list[bytes]:
     """Extract the compressed video frames ('00dc'/'00db' chunk
-    payloads) from an AVI in stream order — for MJPG streams each
-    payload is a complete baseline JPEG, decodable by
-    `decode_jpeg_gray8`/`decode_jpeg_color`."""
+    payloads, including inside 'rec ' groups) from an AVI in stream
+    order — for MJPG streams each payload is a complete baseline JPEG,
+    decodable by `decode_jpeg_gray8`/`decode_jpeg_color`."""
     import struct as _s
 
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
@@ -483,9 +505,8 @@ def demux_avi_mjpg(data: bytes) -> list[bytes]:
     frames = []
     for tag, bs, ln in _walk_riff(data, 12, min(8 + riff_len, len(data))):
         if tag == b"LIST" and data[bs : bs + 4] == b"movi":
-            for t2, b2, l2 in _walk_riff(data, bs + 4, bs + ln):
-                if t2[2:4] in (b"dc", b"db"):
-                    frames.append(data[b2 : b2 + l2])
+            for t2, b2, l2 in _walk_movi(data, bs + 4, bs + ln):
+                frames.append(data[b2 : b2 + l2])
     if not frames:
         raise ValueError("no video chunks in AVI")
     return frames
@@ -1198,28 +1219,9 @@ def resize_gray8_batches(
         + list(RESIZED_IMAGE_SCHEMA.fields)
     )
 
-    def run(batches: Iterator) -> Iterator:
-        for pdf in batches:
-            thumbs, p00s, plasts, sums = [], [], [], []
-            for data, w, h in zip(pdf[binary_col], pdf[w_col], pdf[h_col]):
-                img = np.frombuffer(data, dtype=np.uint8).reshape(int(h), int(w))
-                ys = (np.arange(out_h) * int(h)) // out_h
-                xs = (np.arange(out_w) * int(w)) // out_w
-                thumb = img[np.ix_(ys, xs)]
-                thumbs.append(thumb.tobytes())
-                p00s.append(int(thumb[0, 0]))
-                plasts.append(int(thumb[-1, -1]))
-                sums.append(int(thumb.astype(np.int64).sum()))
-            out = pdf[passthrough].copy()
-            out["thumb"] = thumbs
-            out["thumb_w"] = out_w
-            out["thumb_h"] = out_h
-            out["p00"] = p00s
-            out["p_last"] = plasts
-            out["pixel_sum"] = sums
-            yield out
-
-    return df.mapInPandas(run, result_schema)
+    return _resize_batches(
+        df, binary_col, w_col, h_col, 1, out_w, out_h, passthrough
+    )
 
 
 def resize_rgb8_batches(
@@ -1237,6 +1239,23 @@ def resize_rgb8_batches(
     channel BYTES; pixel_sum runs over all interleaved bytes, matching
     `decode_png_any_features`). The post-decode stage for the color
     PNG/JPEG/GIF codecs in this module."""
+    return _resize_batches(
+        df, binary_col, w_col, h_col, 3, out_w, out_h, passthrough
+    )
+
+
+def _resize_batches(
+    df: DataFrame,
+    binary_col: str,
+    w_col: str,
+    h_col: str,
+    channels: int,
+    out_w: int,
+    out_h: int,
+    passthrough: list[str] | None,
+) -> DataFrame:
+    """Shared resize core for the gray and RGB stages: one floor-mapping
+    implementation so the two cannot drift apart."""
     import numpy as np
 
     passthrough = passthrough or [
@@ -1251,13 +1270,14 @@ def resize_rgb8_batches(
         for pdf in batches:
             thumbs, p00s, plasts, sums = [], [], [], []
             for data, w, h in zip(pdf[binary_col], pdf[w_col], pdf[h_col]):
-                img = np.frombuffer(data, dtype=np.uint8).reshape(int(h), int(w), 3)
+                shape = (int(h), int(w)) if channels == 1 else (int(h), int(w), channels)
+                img = np.frombuffer(data, dtype=np.uint8).reshape(shape)
                 ys = (np.arange(out_h) * int(h)) // out_h
                 xs = (np.arange(out_w) * int(w)) // out_w
                 thumb = img[np.ix_(ys, xs)]
                 thumbs.append(thumb.tobytes())
-                p00s.append(int(thumb[0, 0, 0]))
-                plasts.append(int(thumb[-1, -1, -1]))
+                p00s.append(int(thumb.flat[0]))
+                plasts.append(int(thumb.flat[-1]))
                 sums.append(int(thumb.astype(np.int64).sum()))
             out = pdf[passthrough].copy()
             out["thumb"] = thumbs
@@ -1895,11 +1915,12 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+@_malformed_raises_value_error
 def decode_jpeg_gray8(data: bytes) -> tuple[int, int, bytes]:
     """Decode a baseline single-component JPEG back to (width, height,
     gray8 pixels). Accepts exactly the streams `encode_jpeg_gray8`
     produces plus any spec-conforming baseline gray JPEG without
-    restart markers."""
+    restart markers. Raises ValueError on anything malformed."""
     import struct as _s
 
     import numpy as np
@@ -2142,6 +2163,7 @@ def encode_jpeg_color(
     return b"\xff\xd8" + dqt + sof + dht + dri + sos + entropy + b"\xff\xd9"
 
 
+@_malformed_raises_value_error
 def decode_jpeg_color(data: bytes) -> tuple[int, int, bytes]:
     """Decode a baseline interleaved 3-component (YCbCr) JPEG back to
     (width, height, interleaved RGB bytes). Supports per-component

@@ -383,19 +383,16 @@ def ivf_topk_indexed(
     the corpus is never re-assigned and never fully read.
 
     The ranked probe frame itself (query vectors included) stays
-    DISTRIBUTED: it is persisted across its two consumers (the
-    distinct-cluster collect and the candidate join) instead of being
-    collected, so the driver never holds query vectors and the path
-    scales with the query batch (VERDICT r5 #4).
+    DISTRIBUTED: only the distinct probed cluster ids reach the driver,
+    so the path scales with the query batch (VERDICT r5 #4). The probe
+    sub-plan is intentionally recomputed by its two consumers (the
+    distinct-id collect and the candidate join) rather than persisted —
+    it is a bounded query-batch lineage (one projected scan + a
+    broadcast codebook + a small window), and an un-unpersisted cache
+    would accumulate executor storage across serving calls.
     """
-    from pyspark.storagelevel import StorageLevel
-
     centroids = materialize_centroids(centroids)
-    # persisted: consumed by the distinct-id collect AND the candidate
-    # join — one computation of the query scan + codebook ranking
-    probes = _rank_probes(queries, centroids, id_col, vec_col, n_probe).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    probes = _rank_probes(queries, centroids, id_col, vec_col, n_probe)
     # driver-side state is O(n_centroids), never O(n_queries)
     probed_clusters = sorted(
         int(r["cluster_id"])
@@ -901,15 +898,14 @@ def ivfadc_topk_indexed(
     isin so partition pruning reads n_probe/n_centroids of the codes,
     and score with the shared broadcast-LUT tail — identical semantics
     to `ivfadc_topk`, but the corpus is never re-assigned, never
-    re-encoded, and never read outside the probed directories."""
-    from pyspark.storagelevel import StorageLevel
-
+    re-encoded, and never read outside the probed directories. Like
+    `ivf_topk_indexed`, the bounded probe sub-plan is recomputed by its
+    two consumers instead of persisted (no cache accumulation across
+    serving calls)."""
     _pq_check(m, dim)
     centroids = materialize_centroids(centroids)
-    probes = (
-        _rank_probes(queries, centroids, id_col, vec_col, n_probe)
-        .select("query_id", "cluster_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    probes = _rank_probes(queries, centroids, id_col, vec_col, n_probe).select(
+        "query_id", "cluster_id"
     )
     probed_clusters = sorted(
         int(r["cluster_id"])

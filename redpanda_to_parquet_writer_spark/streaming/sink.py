@@ -284,7 +284,11 @@ def backfill_date_partitions(
     # no matter the partition count; a bucket column spreads each date
     # across exactly files_per_date writer tasks (then drops pre-write).
     if files_per_date > 1:
-        bucket = (F.xxhash64(*[F.col(c) for c in df.columns]) % files_per_date)
+        # pmod, not %: xxhash64 is signed, and a negative remainder would
+        # double the distinct bucket count (up to 2*files_per_date-1 files)
+        bucket = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(files_per_date)
+        )
         out = (
             df.withColumn("__bucket", bucket)
             .repartition(files_per_date * max(len(dates), 1), "date", "__bucket")

@@ -68,6 +68,8 @@ def test_resample_locf_sql_matches_arrow_twin(spark):
             ("u-a", 3, 5.0, 9),  # tie at ts=3 -> max tiebreak (5.0) wins
             ("u-a", 7, 2.0, 1),
             ("u-b", 5, 9.0, 0),
+            ("u-c", 1, 4.0, 0),
+            ("u-c", 5, None, 0),  # NULL observation must carry forward as NULL
         ],
         "uid string, ts long, value double, seq long",
     )
@@ -76,12 +78,15 @@ def test_resample_locf_sql_matches_arrow_twin(spark):
     jvm = {(r["uid"], r["grid_ts"]): r["value"] for r in resample_locf_sql(df, *args).collect()}
     assert arrow == jvm
     assert jvm[("u-a", 4)] == 5.0  # the tie collapsed to max-seq value
+    # a null OBSERVATION is the latest state, not something to skip past
+    # (review finding: bare last(value, ignorenulls) would return 4.0)
+    assert jvm[("u-c", 2)] == 4.0 and jvm[("u-c", 6)] is None
 
     # string tiebreak column: the grid's null placeholder must take the
     # input's type or the union fails
     sdf = df.withColumn("seq", df.seq.cast("string"))
     out = resample_locf_sql(sdf, "uid", "ts", "value", "seq", 0, 2, 6)
-    assert out.count() == 12
+    assert out.count() == 18  # 3 keys x 6 grid points
 
 
 def test_bitwriter_accumulator_stays_bounded():

@@ -142,5 +142,7 @@ def test_backfill_files_per_date_splits_output(spark, tmp_path):
 
     backfill_date_partitions(base, root, files_per_date=3)
     parts = glob.glob(os.path.join(root, "date=2024-02-01", "part-*.parquet"))
-    assert len(parts) >= 2, f"expected multiple files per date, got {len(parts)}"
+    # pmod bucketing: more than one file, and never MORE than requested
+    # (a signed % would produce up to 2*files_per_date-1 buckets)
+    assert 2 <= len(parts) <= 3, f"expected 2-3 files per date, got {len(parts)}"
     assert spark.read.parquet(root).count() == 400

@@ -294,6 +294,39 @@ def test_jpeg_color_roundtrip_bounded_error(w, h, seed, ri, subsample):
     assert err <= 16, f"reconstruction error {err} blew the codec budget"
 
 
+def test_jpeg_decoders_value_error_on_crafted_segments():
+    """Review-found contract holes: short DQT bodies (IndexError), short
+    SOF (struct.error), and scans referencing undefined Huffman/quant
+    tables (KeyError) must all surface as ValueError — the fuzz's random
+    bytes rarely form valid segment headers, so pin the crafted cases."""
+    import pytest
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_jpeg_color,
+        decode_jpeg_gray8,
+        encode_jpeg_gray8,
+    )
+
+    crafted = [
+        b"\xff\xd8\xff\xdb\x00\x03\x00",  # DQT promising a table, body short
+        b"\xff\xd8\xff\xc0\x00\x04\x00\x00",  # SOF body too short to unpack
+    ]
+    # a valid gray JPEG with its DHT segment stripped: the scan then
+    # references Huffman table ids no DHT defined -> KeyError path
+    good = encode_jpeg_gray8(16, 16, bytes(256))
+    dht_at = good.find(b"\xff\xc4")
+    assert dht_at > 0
+    import struct
+
+    dht_len = struct.unpack_from(">H", good, dht_at + 2)[0]
+    crafted.append(good[:dht_at] + good[dht_at + 2 + dht_len :])
+    for blob in crafted:
+        with pytest.raises(ValueError):
+            decode_jpeg_gray8(blob)
+        with pytest.raises(ValueError):
+            decode_jpeg_color(blob)
+
+
 def test_jpeg_color_rejects_malformed_and_cross_decodes():
     """Contract edges: gray decoder rejects 3-component streams, color
     decoder rejects 1-component streams, and corrupt color blobs stay
@@ -437,6 +470,60 @@ def test_tiff_probe_both_byte_orders():
     ):
         with pytest.raises(ValueError):
             probe_tiff(bad)
+
+
+def test_avi_with_audio_stream_and_rec_groups():
+    """Real camera-file layout (review findings): an audio strl follows
+    the video strl (its WAVEFORMATEX must NOT clobber the video dims)
+    and frame chunks are wrapped in LIST('rec ') groups for interleaved
+    playback — probe and demux must see through both."""
+    import struct
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        _riff_chunk,
+        _riff_list,
+        demux_avi_mjpg,
+        encode_jpeg_gray8,
+        probe_avi,
+    )
+
+    w, h, nf = 11, 9, 4
+    frames = [
+        encode_jpeg_gray8(w, h, bytes((20 + f + i) % 256 for i in range(w * h)))
+        for f in range(nf)
+    ]
+    avih = struct.pack("<14I", 40000, 1000, 0, 0, nf, 0, 2, 1000, w, h, 0, 0, 0, 0)
+    vids_strh = b"vids" + b"MJPG" + struct.pack("<10I", *([0] * 10)) + struct.pack(
+        "<4H", 0, 0, w, h
+    )
+    vids_strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", 0, 0, 0, 0, 0)
+    auds_strh = b"auds" + b"\x00" * 4 + struct.pack("<10I", *([0] * 10)) + struct.pack(
+        "<4H", 0, 0, 0, 0
+    )
+    # WAVEFORMATEX: wFormatTag=1, ch=2, rate=44100 — would read as
+    # width=131073, height=44100 if strf selection ignored stream type
+    auds_strf = struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", vids_strh) + _riff_chunk(b"strf", vids_strf))
+        + _riff_list(b"strl", _riff_chunk(b"strh", auds_strh) + _riff_chunk(b"strf", auds_strf)),
+    )
+    movi = _riff_list(
+        b"movi",
+        b"".join(
+            _riff_list(b"rec ", _riff_chunk(b"00dc", f) + _riff_chunk(b"01wb", b"\x00\x01"))
+            for f in frames
+        ),
+    )
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    pw, ph, pnf, usec, nchunks, vbytes = probe_avi(avi)
+    assert (pw, ph) == (w, h), "audio WAVEFORMATEX clobbered the video dims"
+    assert (pnf, nchunks) == (nf, nf)
+    assert vbytes == sum(len(f) for f in frames)  # audio '01wb' not counted
+    assert demux_avi_mjpg(avi) == frames
 
 
 def test_color_mjpeg_stream_samples_and_decodes():
