@@ -88,7 +88,10 @@ HEADLINE = [
     "events_transition_matrix",
     "events_contract_violations",
     "parts_co_occurrence",
-    "events_user_resample",
+    # events_user_resample (Arrow grouped-map variant) excluded from the
+    # headline set (VERDICT r6 #6): the recommended scale plan is the
+    # JVM twin below (8x faster, same oracle); the Arrow variant stays
+    # registry-gated + pytest-covered as the grouped-map surface proof
     "events_user_resample_sql",
     "multimodal_jpeg_color_roundtrip",
     "multimodal_mjpeg_frame_decode",
@@ -260,26 +263,44 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — the JSON line must still emit
         ingest = {"err": f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"}
     med = sorted(ok.values())
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(ok.values()), 4),
-                "unit": "sec",
-                "n_queries": len(ok),
-                "n_errors": len(timings) - len(ok),
-                "sec_per_query": round(sum(ok.values()) / max(len(ok), 1), 4),
-                # ADVICE r4: when a query errors, the total's denominator
-                # shrinks silently; median + the exact ok-set make rounds
-                # comparable (diff ok_queries before trusting value)
-                "median_sec": round(med[len(med) // 2], 4) if med else None,
-                "ok_queries": sorted(ok),
-                "queries": timings,
-                "ingest": ingest,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    full = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(ok.values()), 4),
+        "unit": "sec",
+        "n_queries": len(ok),
+        "n_errors": len(timings) - len(ok),
+        "sec_per_query": round(sum(ok.values()) / max(len(ok), 1), 4),
+        # ADVICE r4: when a query errors, the total's denominator
+        # shrinks silently; median + the exact ok-set make rounds
+        # comparable (diff ok_queries before trusting value)
+        "median_sec": round(med[len(med) // 2], 4) if med else None,
+        "ok_queries": sorted(ok),
+        "queries": timings,
+        "ingest": ingest,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # VERDICT r6 #5: the driver wrapper records only the LAST 2000 chars
+    # of stdout and json-parses them — a single line carrying all 100+
+    # per-query timings cannot fit, so r6's artifact lost the first ~50
+    # queries and "parsed" was null. Split the contract: the COMPLETE
+    # payload goes to bench_full.json beside this script (committed each
+    # round — scripts/bench_diff.py prefers it), and the printed line
+    # stays compact enough to survive the truncation whole: summary
+    # stats + ingest + the slowest queries that fit the budget.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_full.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    compact = {k: v for k, v in full.items() if k not in ("ok_queries", "queries")}
+    compact["full"] = "bench_full.json"
+    compact["queries"] = {}
+    budget = 1900 - len(json.dumps(compact, separators=(",", ":")))
+    for name in sorted(ok, key=ok.get, reverse=True):
+        entry = len(name) + len(str(ok[name])) + 4  # "name":val,
+        if budget - entry < 0:
+            break
+        compact["queries"][name] = ok[name]
+        budget -= entry
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":
