@@ -132,6 +132,59 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivfadc_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVFADC serving path against the exact brute-force
+    baseline (VERDICT r6 #2) — `ann_recall_audit`'s twin for the
+    quantized index: where the IVF audit measures only probe loss, this
+    one also charges the PQ/ADC approximation (candidates the byte-code
+    distance mis-ranks out of the top-k). The audited side is the
+    PERSISTED index (`ivfadc_topk_indexed`), i.e. the plan a 100-TB
+    serving tier actually runs; it is oracle-equated with `ivfadc_topk`,
+    so the audit measures quantization error, not implementation drift.
+
+    Same output contract as `ann_recall_audit`: per query n_exact (=k),
+    n_matched, and recall as exact integer half-up millionths — no
+    double ratio crosses the engine boundary.
+    """
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    centroids = S.materialize_centroids(
+        S.deterministic_centroids(emb, IVF_CENTROIDS, "vec_id", "embedding")
+    )
+    cb = S.pq_codebooks(emb, PQ_M, PQ_KSUB, EMB_DIM)
+    path = tempfile.mkdtemp(prefix="ivfadc_recall_")
+    S.build_ivfadc_index(emb, centroids, cb, path, PQ_M, EMB_DIM)
+    exact = S.brute_force_topk(emb, queries, "vec_id", "embedding", TOPK_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        S.ivfadc_topk_indexed(
+            spark, path, queries, centroids, cb, PQ_M, EMB_DIM, TOPK_K, IVF_PROBE
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("m", F.lit(1))
+    )
+    per_q = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.coalesce(F.col("m"), F.lit(0))).alias("n_matched"),
+        )
+    )
+    return per_q.select(
+        "query_id",
+        "n_exact",
+        "n_matched",
+        (
+            F.expr("(n_matched * 2000000 + n_exact) DIV (2 * n_exact)")
+            / F.lit(1000000.0)
+        ).alias("recall"),
+    )
+
+
 PQ_M = 8
 PQ_KSUB = 16
 
@@ -301,6 +354,7 @@ QUERIES = {
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_ivfadc_topk": ann_ivfadc_topk,
     "ann_ivfadc_indexed_topk": ann_ivfadc_indexed_topk,
+    "ann_ivfadc_recall_audit": ann_ivfadc_recall_audit,
     "embeddings_neardup_pairs": embeddings_neardup_pairs,
     "embeddings_lsh_neardup_pairs": embeddings_lsh_neardup_pairs,
     "embeddings_semdedup_keep": embeddings_semdedup_keep,
@@ -697,3 +751,38 @@ ORACLES["ann_recall_audit"] = f"""
 
 # the persisted-index IVFADC twin computes the identical result
 ORACLES["ann_ivfadc_indexed_topk"] = ORACLES["ann_ivfadc_topk"]
+
+# IVFADC recall audit: the ALREADY-GATED ivfadc oracle nests verbatim as
+# the approx side (identity with the serving plan by construction), the
+# exact side replays the brute-force ranking, and the aggregation is the
+# same integer half-up-millionths recall as ann_recall_audit
+ORACLES["ann_ivfadc_recall_audit"] = f"""
+    WITH ivfadc_topk AS (
+      {ORACLES["ann_ivfadc_topk"]}
+    ),
+    all_vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    exact_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_cos('q.v', 'c.v')} DESC, c.vec_id ASC
+               ) AS rank
+        FROM all_vecs q JOIN all_vecs c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < {N_QUERY_VECS}
+      ) WHERE rank <= {TOPK_K}
+    )
+    SELECT e.query_id,
+           count(*) AS n_exact,
+           CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched,
+           (CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) * 2000000 + count(*)) // (2 * count(*))
+             / 1000000.0 AS recall
+    FROM exact_topk e
+    LEFT JOIN ivfadc_topk i
+      ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+    GROUP BY e.query_id
+"""
