@@ -49,17 +49,41 @@ def degree_cap_edges(edges: DataFrame, max_degree: int) -> DataFrame:
     )
 
 
+def _single_pass_counts(edges: DataFrame) -> tuple[int, int, int]:
+    """(edges, wedges, triangles) over a persisted oriented edge list.
+    The wedge set — the O(sum d²) blowup that must NEVER be cached (49M
+    rows at sf0.1, arbitrarily large on real graphs) — streams through a
+    SINGLE pass: a left join against the (unique-keyed) closing edges
+    feeds one aggregate computing wedge count and triangle count
+    together. Caller persists `edges` (4 consumers here)."""
+    n_edges = edges.count()
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y").select("x", "z")
+    # closing edges have UNIQUE (x, z) keys (the edge list is
+    # distinct), so the left join preserves the wedge count and
+    # count(__closed) counts exactly the closed wedges = triangles
+    closing = edges.select(
+        F.col("a").alias("x"), F.col("b").alias("z"), F.lit(1).alias("__closed")
+    )
+    row = (
+        wedges.join(closing, ["x", "z"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_wedges"),
+            F.count("__closed").alias("n_triangles"),
+        )
+        .collect()[0]
+    )
+    return n_edges, int(row["n_wedges"]), int(row["n_triangles"])
+
+
 def oriented_triangle_stats(
     edges: DataFrame, max_degree: int | None = None
 ) -> tuple[int, int, int]:
     """Count (edges, wedges, triangles) over an oriented low->high edge
     list with ONE computation of each intermediate. The edge list is
     persisted for its multiple consumers (e1/e2/closing + its own
-    count) and unpersisted before returning; the wedge set — the
-    O(sum d²) blowup that must NEVER be cached (49M rows at sf0.1,
-    arbitrarily large on real graphs) — streams through a SINGLE pass:
-    a left join against the (unique-keyed) closing edges feeds one
-    aggregate computing wedge count and triangle count together.
+    count) and unpersisted before returning; see `_single_pass_counts`.
     Returns exact integer counts (driver-side O(1) state). When
     `max_degree` is set, all three counts describe the capped graph."""
     raw = edges.persist(StorageLevel.MEMORY_AND_DISK)
@@ -69,27 +93,75 @@ def oriented_triangle_stats(
             capped = degree_cap_edges(raw, max_degree).persist(
                 StorageLevel.MEMORY_AND_DISK
             )
-        n_edges = capped.count()
-        e1 = capped.select(F.col("a").alias("x"), F.col("b").alias("y"))
-        e2 = capped.select(F.col("a").alias("y"), F.col("b").alias("z"))
-        wedges = e1.join(e2, "y").select("x", "z")
-        # closing edges have UNIQUE (x, z) keys (the edge list is
-        # distinct), so the left join preserves the wedge count and
-        # count(__closed) counts exactly the closed wedges = triangles
-        closing = capped.select(
-            F.col("a").alias("x"), F.col("b").alias("z"), F.lit(1).alias("__closed")
-        )
-        row = (
-            wedges.join(closing, ["x", "z"], "left")
-            .agg(
-                F.count(F.lit(1)).alias("n_wedges"),
-                F.count("__closed").alias("n_triangles"),
-            )
-            .collect()[0]
-        )
-        n_wedges, n_triangles = int(row["n_wedges"]), int(row["n_triangles"])
+        return _single_pass_counts(capped)
     finally:
         if capped is not raw:
             capped.unpersist()
         raw.unpersist()
-    return n_edges, n_wedges, n_triangles
+
+
+def degree_cap_audit(edges: DataFrame, max_degree: int) -> dict[str, int]:
+    """Make the `max_degree` approximation MEASURABLE (VERDICT r6 #3):
+    count the exact and the capped graph side by side and report what
+    the cap dropped, plus the cheap upper bound a 100-TB run would use
+    when the exact count is unaffordable.
+
+    Returned keys:
+      n_heavy              vertices with degree > max_degree
+      dropped_edges        edges incident to a heavy vertex
+      n_edges/wedges/triangles            exact graph
+      capped_edges/wedges/triangles       capped graph
+      dropped_triangles    exact - capped (exact delta; audit-scale only)
+      dropped_triangle_bound  sum over heavy v of C(deg_v, 2) — every
+        dropped triangle contains >=1 heavy vertex and each triangle
+        containing v closes exactly one wedge centered at v, so the
+        bound needs ONLY the degree table: at production scale it is
+        computable when the exact count is not. dropped_triangles <=
+        bound always (property-tested).
+
+    Persisted frames: the raw edge list (degree agg + exact counts +
+    cap anti-join consumers) and the capped edge list (its 4 counting
+    consumers); the wedge sets stream, never cached."""
+    raw = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        deg = (
+            raw.select(F.col("a").alias("v"))
+            .unionAll(raw.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("deg"))
+        )
+        heavy_row = (
+            deg.filter(F.col("deg") > max_degree)
+            .agg(
+                F.count(F.lit(1)).alias("n_heavy"),
+                # sum the EVEN term deg*(deg-1) and halve driver-side:
+                # stays integer-exact (no double division inside the agg)
+                F.coalesce(
+                    F.sum(F.col("deg") * (F.col("deg") - 1)), F.lit(0)
+                ).alias("bound2x"),
+            )
+            .collect()[0]
+        )
+        n_heavy, bound = int(heavy_row["n_heavy"]), int(heavy_row["bound2x"]) // 2
+        n_edges, n_wedges, n_triangles = _single_pass_counts(raw)
+        capped = degree_cap_edges(raw, max_degree).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            c_edges, c_wedges, c_triangles = _single_pass_counts(capped)
+        finally:
+            capped.unpersist()
+    finally:
+        raw.unpersist()
+    return {
+        "n_heavy": n_heavy,
+        "dropped_edges": n_edges - c_edges,
+        "n_edges": n_edges,
+        "n_wedges": n_wedges,
+        "n_triangles": n_triangles,
+        "capped_edges": c_edges,
+        "capped_wedges": c_wedges,
+        "capped_triangles": c_triangles,
+        "dropped_triangles": n_triangles - c_triangles,
+        "dropped_triangle_bound": bound,
+    }

@@ -597,6 +597,41 @@ def parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: bites at every fixture scale (sf0.001 max degree 138, sf0.01 max 206
+#: with median 115) so the audit always measures a real drop
+TRIANGLE_CAP_DEGREE = 128
+
+
+def parts_triangle_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped-vs-exact triangle delta (VERDICT r6 #3) — the graph
+    analogue of `ann_recall_audit`: `max_degree` silently drops hub
+    triangles, so this audit counts the exact and the degree-capped
+    co-occurrence graph side by side and reports the drop, plus the
+    degree-table-only upper bound (sum over heavy v of C(deg_v, 2))
+    that a 100-TB run checks when the exact count is unaffordable.
+    `dropped_triangles <= dropped_triangle_bound` is property-tested in
+    tests/test_graph.py; here the oracle replays every count exactly.
+    """
+    from redpanda_to_parquet_writer_spark.operators.graph import degree_cap_audit
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
+    lhs = baskets.select(F.explode("parts").alias("a"), "parts")
+    edges = (
+        lhs.select("a", F.explode("parts").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    a = degree_cap_audit(edges, TRIANGLE_CAP_DEGREE)
+    cols = (
+        "n_heavy dropped_edges n_edges n_wedges n_triangles capped_edges "
+        "capped_wedges capped_triangles dropped_triangles dropped_triangle_bound"
+    ).split()
+    return spark.createDataFrame(
+        [tuple(a[c] for c in cols)], ", ".join(f"{c} long" for c in cols)
+    )
+
+
 RESAMPLE_START_US = 1704067200 * 1000000  # 2024-01-01T00:00:00 (fixture epoch)
 RESAMPLE_STEP_US = 6 * 3600 * 1000000  # 6-hour grid
 RESAMPLE_POINTS = 124  # 31 days
@@ -673,6 +708,7 @@ QUERIES = {
     "orders_open_backlog": orders_open_backlog,
     "msgpack_roundtrip_decode": msgpack_roundtrip_decode,
     "parts_triangle_count": parts_triangle_count,
+    "parts_triangle_cap_audit": parts_triangle_cap_audit,
     "events_transition_matrix": events_transition_matrix,
     "events_contract_violations": events_contract_violations,
     "events_zorder_key": events_zorder_key,
@@ -835,6 +871,65 @@ ORACLES = {
                CASE WHEN n_wedges = 0 THEN 0.0 ELSE
                  (2 * 3 * n_triangles * 1000000 + n_wedges)
                    // (2 * n_wedges) / 1000000.0 END AS clustering_coeff
+        FROM counts
+    """,
+    # capped-vs-exact triangle audit: degrees, the heavy set, the capped
+    # graph, and BOTH graphs' wedge/triangle counts replayed exactly;
+    # the bound sums the even term deg*(deg-1) then halves (integer)
+    "parts_triangle_cap_audit": f"""
+        WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+          SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+          FROM baskets a JOIN baskets b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        deg AS (
+          SELECT v, count(*) AS deg FROM (
+            SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+          ) GROUP BY v
+        ),
+        heavy AS (SELECT v, deg FROM deg WHERE deg > {TRIANGLE_CAP_DEGREE}),
+        capped AS (
+          SELECT a, b FROM edges
+          WHERE a NOT IN (SELECT v FROM heavy)
+            AND b NOT IN (SELECT v FROM heavy)
+        ),
+        wedges AS (
+          SELECT e1.a AS x, e2.b AS z FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+        ),
+        tri AS (
+          SELECT 1 FROM wedges w
+          WHERE EXISTS (SELECT 1 FROM edges c WHERE c.a = w.x AND c.b = w.z)
+        ),
+        cwedges AS (
+          SELECT e1.a AS x, e2.b AS z FROM capped e1 JOIN capped e2 ON e1.b = e2.a
+        ),
+        ctri AS (
+          SELECT 1 FROM cwedges w
+          WHERE EXISTS (SELECT 1 FROM capped c WHERE c.a = w.x AND c.b = w.z)
+        ),
+        counts AS (
+          SELECT (SELECT count(*) FROM heavy) AS n_heavy,
+                 (SELECT coalesce(sum(deg * (deg - 1)), 0) // 2 FROM heavy)
+                   AS bound,
+                 (SELECT count(*) FROM edges) AS n_edges,
+                 (SELECT count(*) FROM wedges) AS n_wedges,
+                 (SELECT count(*) FROM tri) AS n_triangles,
+                 (SELECT count(*) FROM capped) AS capped_edges,
+                 (SELECT count(*) FROM cwedges) AS capped_wedges,
+                 (SELECT count(*) FROM ctri) AS capped_triangles
+        )
+        SELECT CAST(n_heavy AS BIGINT) AS n_heavy,
+               CAST(n_edges - capped_edges AS BIGINT) AS dropped_edges,
+               CAST(n_edges AS BIGINT) AS n_edges,
+               CAST(n_wedges AS BIGINT) AS n_wedges,
+               CAST(n_triangles AS BIGINT) AS n_triangles,
+               CAST(capped_edges AS BIGINT) AS capped_edges,
+               CAST(capped_wedges AS BIGINT) AS capped_wedges,
+               CAST(capped_triangles AS BIGINT) AS capped_triangles,
+               CAST(n_triangles - capped_triangles AS BIGINT)
+                 AS dropped_triangles,
+               CAST(bound AS BIGINT) AS dropped_triangle_bound
         FROM counts
     """,
     # the packed-and-decoded aggregate must equal the direct aggregate —

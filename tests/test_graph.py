@@ -80,3 +80,41 @@ def test_edge_source_computes_once(spark):
     assert acc.value == len(data), (
         f"edge source ran {acc.value / len(data):.1f}x, expected once"
     )
+
+
+def test_degree_cap_audit_bounds_undercount(spark):
+    """VERDICT r6 #3: the cap's approximation must be measurable.
+    Skewed fixture: a hub fanning to 6 leaves (degree 6, capped at 3)
+    with hub triangles, plus a hub-free triangle that must survive.
+    The audit's exact delta is bounded by the degree-table bound, and
+    the capped counts equal an independent count of the capped graph."""
+    from redpanda_to_parquet_writer_spark.operators.graph import degree_cap_audit
+
+    hub = 0
+    pairs = [(hub, i) for i in range(1, 7)]       # star: deg(hub) = 6
+    pairs += [(1, 2), (3, 4)]                      # closes 2 hub triangles
+    pairs += [(10, 11), (11, 12), (10, 12)]        # hub-free triangle
+    a = degree_cap_audit(_edges_df(spark, pairs), max_degree=3)
+    assert a["n_heavy"] == 1
+    assert a["dropped_edges"] == 6                 # every hub edge
+    assert a["n_triangles"] == 3 and a["capped_triangles"] == 1
+    assert a["dropped_triangles"] == 2
+    assert a["dropped_triangle_bound"] == 6 * 5 // 2
+    assert a["dropped_triangles"] <= a["dropped_triangle_bound"]
+    # capped counts agree with counting the capped graph from scratch
+    capped = degree_cap_edges(_edges_df(spark, pairs), max_degree=3)
+    assert (
+        a["capped_edges"],
+        a["capped_wedges"],
+        a["capped_triangles"],
+    ) == oriented_triangle_stats(capped)
+
+
+def test_degree_cap_audit_no_heavy_is_lossless(spark):
+    from redpanda_to_parquet_writer_spark.operators.graph import degree_cap_audit
+
+    pairs = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    a = degree_cap_audit(_edges_df(spark, pairs), max_degree=10)
+    assert a["n_heavy"] == 0 and a["dropped_edges"] == 0
+    assert a["dropped_triangles"] == 0 and a["dropped_triangle_bound"] == 0
+    assert a["n_triangles"] == a["capped_triangles"] == 1
