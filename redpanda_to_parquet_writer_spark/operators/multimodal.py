@@ -1315,10 +1315,17 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def _encode_png(
-    w: int, h: int, pixels: bytes, channels: int, filter_cycle: bool = True
+    w: int,
+    h: int,
+    pixels: bytes,
+    channels: int,
+    filter_cycle: bool = True,
+    color_type: int | None = None,
+    extra_chunks: list[tuple[bytes, bytes]] = (),
 ) -> bytes:
-    """Encode a raw gray8 (channels=1) or RGB8 (channels=3) bitmap as a
-    valid PNG (stdlib + numpy).
+    """Encode a raw gray8 (channels=1), RGB8 (3) or RGBA8 (4) bitmap —
+    or 1-byte palette indices with an explicit `color_type=3` and a
+    PLTE in `extra_chunks` — as a valid PNG (stdlib + numpy).
 
     `filter_cycle=True` applies filter type y % 5 to row y, so a single
     encoded image exercises every scanline filter the decoder must
@@ -1373,11 +1380,13 @@ def _encode_png(
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    color_type = 0 if channels == 1 else 2  # gray8 / truecolor RGB8
+    if color_type is None:
+        color_type = {1: 0, 3: 2, 4: 6}[channels]  # gray8 / RGB8 / RGBA8
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     return (
         PNG_SIG
         + chunk(b"IHDR", ihdr)
+        + b"".join(chunk(t, b) for t, b in extra_chunks)
         + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + chunk(b"IEND", b"")
     )
@@ -1394,23 +1403,59 @@ def encode_png_rgb8(w: int, h: int, pixels: bytes, filter_cycle: bool = True) ->
     return _encode_png(w, h, pixels, channels=3, filter_cycle=filter_cycle)
 
 
-#: PNG color type -> interleaved channel count (supported subset:
-#: grayscale and truecolor; palette/alpha variants stay out of scope)
-_PNG_CHANNELS = {0: 1, 2: 3}
+def encode_png_rgba8(w: int, h: int, pixels: bytes, filter_cycle: bool = True) -> bytes:
+    """Encode raw interleaved RGBA8 (4 bytes/pixel, row-major) as a
+    valid truecolor+alpha PNG (color type 6; see `_encode_png`)."""
+    return _encode_png(w, h, pixels, channels=4, filter_cycle=filter_cycle)
+
+
+def encode_png_palette8(
+    w: int,
+    h: int,
+    indices: bytes,
+    palette: bytes,
+    trns: bytes | None = None,
+    filter_cycle: bool = True,
+) -> bytes:
+    """Encode 1-byte palette indices as a valid color-type-3 PNG: PLTE
+    carries the interleaved RGB palette (len % 3 == 0, <= 256 entries),
+    optional tRNS carries per-entry alpha. Scanline filtering is the
+    same 1-byte-pixel machinery as gray8 (the spec filters INDEX bytes,
+    not expanded colors)."""
+    if len(palette) % 3 or not 3 <= len(palette) <= 256 * 3:
+        raise ValueError(f"ragged palette (length {len(palette)})")
+    if max(indices, default=0) >= len(palette) // 3:
+        raise ValueError("palette index out of range")
+    if trns is not None and len(trns) > len(palette) // 3:
+        raise ValueError("tRNS longer than palette")
+    extra = [(b"PLTE", palette)] + ([(b"tRNS", trns)] if trns is not None else [])
+    return _encode_png(
+        w, h, indices, channels=1, filter_cycle=filter_cycle,
+        color_type=3, extra_chunks=extra,
+    )
+
+
+#: PNG color type -> bytes per pixel IN THE FILTERED SCANLINES
+#: (palette rows carry 1-byte indices; expansion to RGB happens after
+#: unfiltering). Supported: gray8, truecolor, paletted, truecolor+alpha.
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
 
 
 def _decode_png(data: bytes, allowed_color_types: frozenset) -> tuple[int, int, int, bytes]:
-    """REAL PNG decode for 8-bit non-interlaced gray (color type 0) and
-    truecolor RGB (color type 2) — stdlib `zlib` + `struct`: signature
-    check, chunk walk with CRC verification, inflate, per-scanline
-    unfiltering of all five filter types (multi-byte pixels unfilter
-    against the byte `bpp` positions back, per spec).
+    """REAL PNG decode for 8-bit non-interlaced gray (color type 0),
+    truecolor RGB (2), paletted (3, PLTE lookup + optional tRNS
+    validation) and truecolor+alpha (6) — stdlib `zlib` + `struct`:
+    signature check, chunk walk with CRC verification, inflate,
+    per-scanline unfiltering of all five filter types (multi-byte
+    pixels unfilter against the byte `bpp` positions back, per spec).
+    Paletted indices expand to interleaved RGB AFTER unfiltering.
 
     Returns (width, height, channels, row-major interleaved pixel
     bytes). Raises ValueError on anything malformed (bad signature, CRC
-    mismatch, truncated stream, unsupported color type) — pair with
-    `map_media_batches(on_error="null")` for per-row corrupt-blob
-    tolerance at corpus scale.
+    mismatch, truncated stream, unsupported color type, Adam7
+    interlace, missing/ragged PLTE, palette index or tRNS out of
+    range) — pair with `map_media_batches(on_error="null")` for
+    per-row corrupt-blob tolerance at corpus scale.
     """
     import struct
     import zlib
@@ -1418,6 +1463,7 @@ def _decode_png(data: bytes, allowed_color_types: frozenset) -> tuple[int, int, 
     if data[:8] != PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, idat, w, h, bpp = 8, bytearray(), None, None, 1
+    color_type, plte, trns = None, None, None
     while pos + 12 <= len(data):
         ln, tag = struct.unpack(">I4s", data[pos : pos + 8])
         body = data[pos + 8 : pos + 8 + ln]
@@ -1437,6 +1483,12 @@ def _decode_png(data: bytes, allowed_color_types: frozenset) -> tuple[int, int, 
                     f"color_type={color_type}, interlace={interlace})"
                 )
             bpp = _PNG_CHANNELS[color_type]
+        elif tag == b"PLTE":
+            if ln % 3 or not 3 <= ln <= 256 * 3:
+                raise ValueError(f"ragged PLTE (length {ln})")
+            plte = body
+        elif tag == b"tRNS":
+            trns = body
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -1444,6 +1496,11 @@ def _decode_png(data: bytes, allowed_color_types: frozenset) -> tuple[int, int, 
         pos += 12 + ln
     if w is None:
         raise ValueError("missing IHDR")
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("paletted PNG missing PLTE")
+        if trns is not None and len(trns) > len(plte) // 3:
+            raise ValueError("tRNS longer than palette")
     raw = zlib.decompress(bytes(idat))
     rw = w * bpp  # row width in bytes
     if len(raw) != h * (rw + 1):
@@ -1483,7 +1540,13 @@ def _decode_png(data: bytes, allowed_color_types: frozenset) -> tuple[int, int, 
             raise ValueError(f"bad filter type {ft}")
         out[y] = rec
         prev = out[y]
-    return (int(w), int(h), bpp, out.astype(np.uint8).tobytes())
+    px = out.astype(np.uint8)
+    if color_type == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(px.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of range")
+        return (int(w), int(h), 3, pal[px.reshape(-1)].tobytes())
+    return (int(w), int(h), bpp, px.tobytes())
 
 
 @_malformed_raises_value_error
@@ -1500,6 +1563,24 @@ def decode_png_rgb8(data: bytes) -> tuple[int, int, bytes]:
     """Truecolor-only PNG decode (see `_decode_png`); returns
     (width, height, interleaved RGB bytes)."""
     w, h, _c, px = _decode_png(data, frozenset({2}))
+    return (w, h, px)
+
+
+@_malformed_raises_value_error
+def decode_png_palette(data: bytes) -> tuple[int, int, bytes]:
+    """Paletted-only PNG decode (color type 3): unfilters the index
+    scanlines, validates every index against PLTE (and tRNS length if
+    present), and returns the EXPANDED (width, height, interleaved RGB
+    bytes) — same output contract as `decode_png_rgb8`."""
+    w, h, _c, px = _decode_png(data, frozenset({3}))
+    return (w, h, px)
+
+
+@_malformed_raises_value_error
+def decode_png_rgba8(data: bytes) -> tuple[int, int, bytes]:
+    """Truecolor+alpha-only PNG decode (color type 6); returns
+    (width, height, interleaved RGBA bytes)."""
+    w, h, _c, px = _decode_png(data, frozenset({6}))
     return (w, h, px)
 
 
@@ -1526,12 +1607,25 @@ def decode_png_features(data: bytes) -> tuple[int, int, int, int, int, int, int]
 
 @_malformed_raises_value_error
 def decode_png_any_features(data: bytes) -> tuple[int, int, int, int, int, int, int]:
-    """Color-type-agnostic PNG feature probe: decodes gray8 OR truecolor
-    RGB8 and reports the ACTUAL channel count alongside dimensions,
-    first/last byte and the exact sum over all interleaved channel
-    bytes — the per-blob stats row a media-curation pass keys on."""
-    w, h, c, px = _decode_png(data, frozenset({0, 2}))
+    """Color-type-agnostic PNG feature probe: decodes gray8, truecolor
+    RGB8, paletted (expanded to RGB) or RGBA8 and reports the ACTUAL
+    post-expansion channel count alongside dimensions, first/last byte
+    and the exact sum over all interleaved channel bytes — the per-blob
+    stats row a media-curation pass keys on."""
+    w, h, c, px = _decode_png(data, frozenset({0, 2, 3, 6}))
     return (w, h, 8, c, px[0], px[-1], sum(px))
+
+
+@_malformed_raises_value_error
+def decode_png_palette_features(
+    data: bytes,
+) -> tuple[int, int, int, int, int, int, int]:
+    """Paletted-PNG feature probe (strict color-type-3 contract of
+    `decode_png_palette`): dimensions + corner bytes + exact byte sum of
+    the palette-EXPANDED RGB — closed-form verifiable when index grid
+    and palette are deterministic."""
+    w, h, px = decode_png_palette(data)
+    return (w, h, 8, 3, px[0], px[-1], sum(px))
 
 
 #: deterministic gray8 test-image parameters (shared with the analytic
@@ -1570,6 +1664,37 @@ def synth_rgb_image(seed: int) -> tuple[int, int, bytes]:
     y, x, ch = np.mgrid[0:h, 0:w, 0:3]
     img = (seed + GRAY8_PIX[0] * x + GRAY8_PIX[1] * y + RGB8_CH * ch) % 256
     return (w, h, img.astype("uint8").tobytes())
+
+
+#: deterministic paletted-image parameters (shared with the analytic
+#: oracle): n_colors = 16, index(x, y) = (seed + 7*x + 13*y) % 16,
+#: palette entry i channel ch = (seed + (3 + 2*ch) * i) % 256,
+#: tRNS alpha entry i (8 entries) = (seed + 11*i) % 256
+PAL8_COLORS = 16
+PAL8_CH = (3, 5, 7)
+PAL8_TRNS = (8, 11)
+
+
+def synth_palette_image(seed: int) -> tuple[int, int, bytes, bytes, bytes]:
+    """Deterministic paletted bitmap from an integer seed; returns
+    (width, height, index bytes, interleaved-RGB palette, tRNS bytes).
+    Dimensions follow synth_gray_image."""
+    import numpy as np
+
+    w = GRAY8_W[0] + seed % GRAY8_W[1]
+    h = GRAY8_H[0] + (GRAY8_H[1] * seed) % GRAY8_H[2]
+    y, x = np.mgrid[0:h, 0:w]
+    idx = (seed + GRAY8_PIX[0] * x + GRAY8_PIX[1] * y) % PAL8_COLORS
+    i, ch = np.mgrid[0:PAL8_COLORS, 0:3]
+    pal = (seed + (PAL8_CH[0] + 2 * ch) * i) % 256
+    trns = bytes((seed + PAL8_TRNS[1] * i) % 256 for i in range(PAL8_TRNS[0]))
+    return (
+        w,
+        h,
+        idx.astype("uint8").tobytes(),
+        pal.astype("uint8").tobytes(),
+        trns,
+    )
 
 
 #: deterministic square-wave generator parameters (shared by the

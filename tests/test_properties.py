@@ -663,8 +663,15 @@ def test_media_decoders_total_on_magic_prefixed_garbage(buf):
 
     from redpanda_to_parquet_writer_spark.operators.multimodal import probe_tiff
 
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_png_palette,
+        decode_png_rgba8,
+    )
+
     cases = (
         (decode_png_gray8, PNG_SIG + buf),
+        (decode_png_palette, PNG_SIG + buf),
+        (decode_png_rgba8, PNG_SIG + buf),
         (decode_gif_gray8, b"GIF89a" + buf),
         (decode_jpeg_gray8, b"\xff\xd8" + buf),
         (decode_jpeg_color, b"\xff\xd8" + buf),
@@ -721,6 +728,67 @@ def test_png_rgb_corrupt_blobs_raise_value_error():
     ):
         with pytest.raises(ValueError):
             decode_png_rgb8(bad)
+
+
+def test_png_palette_crafted_contract_holes():
+    """VERDICT r6 #7 corpora: the paletted decoder's spec-level error
+    paths — missing PLTE, ragged PLTE, palette index past the table,
+    tRNS longer than the palette, and the Adam7 interlace flag — must
+    each surface as ValueError (the on_error='null' tolerance path
+    depends on the contract holding on STRUCTURED corruption, not just
+    the fuzz's random bytes)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_png_palette,
+        decode_png_rgba8,
+        encode_png_palette8,
+        encode_png_rgba8,
+        synth_palette_image,
+    )
+
+    w, h, idx, pal, trns = synth_palette_image(7)
+    good = encode_png_palette8(w, h, idx, pal, trns)
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def rebuild(palette=None, trns_body=None, interlace=0, drop_plte=False):
+        ihdr_body = bytearray(good[16:29])
+        ihdr_body[12] = interlace
+        out = good[:8] + chunk(b"IHDR", bytes(ihdr_body))
+        if not drop_plte:
+            out += chunk(b"PLTE", pal if palette is None else palette)
+        if trns_body is not None:
+            out += chunk(b"tRNS", trns_body)
+        idat_at = good.find(b"IDAT") - 4
+        return out + good[idat_at:]
+
+    with pytest.raises(ValueError, match="missing PLTE"):
+        decode_png_palette(rebuild(drop_plte=True))
+    with pytest.raises(ValueError, match="ragged PLTE"):
+        decode_png_palette(rebuild(palette=pal[:-1]))
+    # shrink the palette below the max index used by the grid
+    with pytest.raises(ValueError, match="index out of range"):
+        decode_png_palette(rebuild(palette=pal[: 3 * 3]))
+    with pytest.raises(ValueError, match="tRNS longer"):
+        decode_png_palette(rebuild(trns_body=bytes(len(pal) // 3 + 1)))
+    with pytest.raises(ValueError, match="interlace=1"):
+        decode_png_palette(rebuild(interlace=1))
+    # strict single-type contracts reject the other color types
+    with pytest.raises(ValueError, match="color_type=3"):
+        decode_png_rgba8(good)
+    rgba = encode_png_rgba8(2, 2, bytes(range(16)))
+    with pytest.raises(ValueError, match="color_type=6"):
+        decode_png_palette(rgba)
 
 
 @given(
