@@ -339,8 +339,37 @@ def split_mjpeg(data: bytes) -> list[bytes]:
     return frames
 
 
+def _sample_decode_frames(
+    frames: list[bytes], every_n: int, decoder, on_error: str
+) -> list[tuple[int, int | None, int | None, bytes | None]]:
+    """Shared temporal-subsample + decode tail for the MJPEG/AVI
+    samplers. `on_error` is the PER-FRAME degradation contract (the
+    frame-level analogue of `map_media_batches(on_error=...)`):
+    'raise' fails the whole blob on the first bad frame, 'null' keeps
+    the kept-frame slot with (idx, None, None, None) so downstream
+    counts stay aligned, 'skip' drops it silently."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    if on_error not in ("raise", "null", "skip"):
+        raise ValueError(f"on_error must be raise|null|skip, got {on_error!r}")
+    out = []
+    for idx, frame in enumerate(frames):
+        if idx % every_n:
+            continue
+        try:
+            w, h, px = decoder(frame)
+        except ValueError:
+            if on_error == "raise":
+                raise
+            if on_error == "null":
+                out.append((idx, None, None, None))
+            continue
+        out.append((idx, w, h, px))
+    return out
+
+
 def sample_mjpeg_gray8(
-    data: bytes, every_n: int, decoder=None
+    data: bytes, every_n: int, decoder=None, on_error: str = "raise"
 ) -> list[tuple[int, int, int, bytes]]:
     """REAL library-free video sampling: split an MJPEG stream, keep
     every `every_n`-th frame, and fully decode each kept frame with the
@@ -348,16 +377,11 @@ def sample_mjpeg_gray8(
     `decode_jpeg_color` for color camera streams). Returns
     [(frame_idx, width, height, pixels), ...] — the temporal-subsample
     + decode stage a video curation pipeline runs before feature
-    extraction."""
-    if every_n < 1:
-        raise ValueError("every_n must be >= 1")
-    decoder = decoder or decode_jpeg_gray8
-    out = []
-    for idx, frame in enumerate(split_mjpeg(data)):
-        if idx % every_n == 0:
-            w, h, px = decoder(frame)
-            out.append((idx, w, h, px))
-    return out
+    extraction. See `_sample_decode_frames` for the per-frame
+    `on_error` degradation contract."""
+    return _sample_decode_frames(
+        split_mjpeg(data), every_n, decoder or decode_jpeg_gray8, on_error
+    )
 
 
 # --- AVI (RIFF) MJPG container: writer, prober, demuxer ---------------------
@@ -513,21 +537,16 @@ def demux_avi_mjpg(data: bytes) -> list[bytes]:
 
 
 def sample_avi_mjpg_gray8(
-    data: bytes, every_n: int, decoder=None
+    data: bytes, every_n: int, decoder=None, on_error: str = "raise"
 ) -> list[tuple[int, int, int, bytes]]:
     """Container-to-pixels video sampling, fully library-free: demux
     the AVI, keep every `every_n`-th frame, decode each kept frame
     (`decoder` defaults to gray8; pass `decode_jpeg_color` for color
-    MJPG cameras). Same return shape as `sample_mjpeg_gray8`."""
-    if every_n < 1:
-        raise ValueError("every_n must be >= 1")
-    decoder = decoder or decode_jpeg_gray8
-    out = []
-    for idx, frame in enumerate(demux_avi_mjpg(data)):
-        if idx % every_n == 0:
-            w, h, px = decoder(frame)
-            out.append((idx, w, h, px))
-    return out
+    MJPG cameras). Same return shape and per-frame `on_error`
+    degradation contract as `sample_mjpeg_gray8`."""
+    return _sample_decode_frames(
+        demux_avi_mjpg(data), every_n, decoder or decode_jpeg_gray8, on_error
+    )
 
 
 SAMPLED_VIDEO_SCHEMA = StructType(

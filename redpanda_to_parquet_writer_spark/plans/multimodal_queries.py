@@ -935,6 +935,111 @@ def multimodal_avi_mjpg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["multimodal_avi_mjpg_decode"] = multimodal_avi_mjpg_decode
 
+
+def multimodal_avi_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR container-to-pixels video (VERDICT r6 #8): per doc, smooth
+    RGB ramp frames encode as real YCbCr 4:2:0 baseline JPEGs, wrap
+    into a real AVI-MJPG file, then probe → demux → every-3rd-frame
+    FULL COLOR decode (`sample_avi_mjpg_gray8(decoder=
+    decode_jpeg_color, on_error='null')` — a corrupt frame degrades to
+    a null slot instead of failing the blob; this stream has none, so
+    n_decoded == n_sampled). Counts/dims/timing are closed-form;
+    per-frame RGB reconstruction is the lossy color-JPEG contract
+    (subsampling+quantization bound, fuzz-established budget 16 for
+    MCU-padded small frames). Zero shuffle: one Arrow-batched
+    mapInPandas over the doc ids, only typed features leave the row."""
+    import pandas as pd
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_jpeg_color,
+        encode_avi_mjpg,
+        encode_jpeg_color,
+        probe_avi,
+        sample_avi_mjpg_gray8,
+    )
+
+    docs = _doc_ids_spread(spark, sf_dir)
+
+    def _run(ids: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        rows = []
+        for i in ids:
+            i = int(i)
+            w = 10 + i % 7
+            h = 10 + (3 * i) % 9
+            nf = 3 + i % 5
+            yg, xg = np.mgrid[0:h, 0:w]
+            srcs = [
+                np.stack(
+                    [
+                        30 + (i % 40) + 2 * f + 2 * xg + yg,
+                        50 + ((3 * i) % 30) + 2 * f + xg + 2 * yg,
+                        70 + ((7 * i) % 20) + 2 * f + xg + yg,
+                    ],
+                    axis=-1,
+                )
+                .astype(np.uint8)
+                .tobytes()
+                for f in range(nf)
+            ]
+            avi = encode_avi_mjpg(
+                w, h, [encode_jpeg_color(w, h, s) for s in srcs], fps=25
+            )
+            pw, ph, pnf, usec, nchunks, _vb = probe_avi(avi)
+            sampled = sample_avi_mjpg_gray8(
+                avi, every_n=3, decoder=decode_jpeg_color, on_error="null"
+            )
+            n_decoded = sum(1 for _idx, _fw, _fh, px in sampled if px is not None)
+            ok = (
+                (pw, ph, pnf, nchunks) == (w, h, nf, nf)
+                and n_decoded == len(sampled)
+                and all(
+                    (fw, fh) == (w, h)
+                    and int(
+                        np.abs(
+                            np.frombuffer(px, np.uint8).astype(np.int16)
+                            - np.frombuffer(srcs[idx], np.uint8).astype(np.int16)
+                        ).max()
+                    )
+                    <= 16
+                    for idx, fw, fh, px in sampled
+                )
+            )
+            rows.append((i, pw, ph, pnf, usec, len(sampled), n_decoded, bool(ok)))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "n_frames", "usec_per_frame",
+                "n_sampled", "n_decoded", "within_tol",
+            ],
+        )
+
+    def _batches(it):
+        for pdf in it:
+            yield _run(pdf["doc_id"])
+
+    return docs.mapInPandas(
+        _batches,
+        "doc_id long, width int, height int, n_frames int, usec_per_frame int, "
+        "n_sampled long, n_decoded long, within_tol boolean",
+    )
+
+
+QUERIES["multimodal_avi_color_decode"] = multimodal_avi_color_decode
+
+ORACLES["multimodal_avi_color_decode"] = """
+    SELECT doc_id,
+           CAST(10 + doc_id % 7 AS INTEGER) AS width,
+           CAST(10 + (3 * doc_id) % 9 AS INTEGER) AS height,
+           CAST(3 + doc_id % 5 AS INTEGER) AS n_frames,
+           CAST(40000 AS INTEGER) AS usec_per_frame,
+           CAST((3 + doc_id % 5 + 2) // 3 AS BIGINT) AS n_sampled,
+           CAST((3 + doc_id % 5 + 2) // 3 AS BIGINT) AS n_decoded,
+           TRUE AS within_tol
+    FROM documents
+"""
+
 ORACLES["multimodal_avi_mjpg_decode"] = """
     SELECT doc_id,
            CAST(10 + doc_id % 7 AS INTEGER) AS width,

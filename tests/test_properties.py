@@ -820,3 +820,47 @@ def test_line_dedup_invariants(spark, texts):
     all_lines = [ln for t in texts for ln in lines(t)]
     assert sum(r["n_kept"] for r in rows) == len(set(all_lines))
     assert sum(r["n_lines"] for r in rows) == len(all_lines)
+
+
+def test_frame_sampler_on_error_degradation():
+    """Per-frame on_error contract (VERDICT r6 #8): a corrupt frame in
+    an otherwise good stream degrades to a null slot ('null'), drops
+    silently ('skip'), or fails the blob ('raise') — and the good
+    frames around it always decode."""
+    import numpy as np
+    import pytest
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        encode_avi_mjpg,
+        encode_jpeg_gray8,
+        sample_avi_mjpg_gray8,
+        sample_mjpeg_gray8,
+    )
+
+    w, h, nf = 12, 10, 4
+    y, x = np.mgrid[0:h, 0:w]
+    frames = [
+        encode_jpeg_gray8(w, h, ((20 + 2 * f + 2 * x + y) % 256).astype(np.uint8).tobytes())
+        for f in range(nf)
+    ]
+    # corrupt frame 2's entropy data but keep its SOI/EOI framing so the
+    # splitter/demuxer still see a frame and only the DECODE fails
+    bad = bytearray(frames[2])
+    bad[len(bad) // 2 : len(bad) // 2 + 4] = b"\xff\xc4\x00\x00"
+    frames[2] = bytes(bad)
+    stream = b"".join(frames)
+    avi = encode_avi_mjpg(w, h, frames)
+
+    for sample, src in (
+        (sample_mjpeg_gray8, stream),
+        (sample_avi_mjpg_gray8, avi),
+    ):
+        with pytest.raises(ValueError):
+            sample(src, 2, on_error="raise")
+        nulled = sample(src, 2, on_error="null")
+        assert [s[0] for s in nulled] == [0, 2]
+        assert nulled[0][3] is not None and nulled[1][3] is None
+        skipped = sample(src, 2, on_error="skip")
+        assert [s[0] for s in skipped] == [0]
+        with pytest.raises(ValueError, match="on_error"):
+            sample(src, 2, on_error="bogus")
