@@ -45,68 +45,24 @@ _MERGED_QUERIES = {
 # at the tail (they are the most-recently-verified ones: the whole r4
 # window was green).
 _PRIORITY = [
-    # --- new or implementation-changed in round 6 (anything whose
-    # implementation, shared operator code, or oracle changed goes to
-    # the top of the window) ---
-    "events_user_resample_sql",  # new: JVM resample twin
-    "multimodal_png_rgb_decode",  # new: truecolor PNG codec
-    "multimodal_jpeg_color_roundtrip",  # new: color (YCbCr 4:2:0) JPEG codec
-    "multimodal_mjpeg_frame_decode",  # new: MJPEG split/sample/decode video path
-    "multimodal_avi_mjpg_decode",  # new: AVI container probe/demux/decode
-    "ann_ivfadc_indexed_topk",  # new: persisted IVFADC serving index
-    "docs_bloom_prefilter",  # min(hit) aggregate fix (impl + oracle)
-    "parts_triangle_count",  # persisted + operator extraction
-    "events_user_resample",  # resample_locf key-type derivation
-    "ann_ivf_topk",  # broadcast probe hint in shared verify tail
-    "ann_ivf_indexed_topk",  # probe persist + distinct-id collect
-    "ann_ivfadc_topk",  # shares _verify_and_rank_topk
-    "ann_recall_audit",  # consumes ivf_topk
-    "multimodal_jpeg_roundtrip",  # DCT einsum batching can shift entropy bytes
-    "multimodal_wav_roundtrip",  # RIFF sniff now disambiguates wav/avi (oracle changed)
-    # (multimodal_png_decode / msgpack queries also had internal
-    # refactors this round, but their outputs are provably unchanged —
-    # bitwise-verified locally — and r5-green, so they stay in the
-    # tail to keep every r1/r3-stale row inside the 50-query window)
-    # --- stale: last driver-green in round 1 (VERDICT r5 #1) ---
-    "docs_redacted",
-    "docs_train_split",
-    "docs_dedup_clusters",
-    "docs_decontaminate",
-    "docs_top_ngrams",
-    "docs_stratified_sample",
-    "docs_tfidf_top_terms",
-    "ann_cosine_topk",
-    # --- stale: last driver-green in round 3 (VERDICT r5 #1) ---
-    "topk_events_by_type",
-    "events_locf_gap_fill",
-    "offset_recovery",
-    "partition_counts",
-    "distinct_event_types",
-    "null_counts_events",
-    "dedup_anti_join",
-    "dedup_content_keep_first",
-    "union_dedup_count",
-    "pricing_summary",
-    "revenue_by_region",
-    "shipping_priority",
-    "top_brands_by_revenue",
-    "returned_item_revenue",
-    "global_stats_lineitem",
-    "local_supplier_volume",
-    "running_max_value",
-    "events_rollup",
-    "events_cube",
-    "events_pivot",
-    "events_except_intersect",
-    "distinct_users_by_type",
-    "offset_gap_check",
-    "top_parts_per_brand",
-    "docs_exact_dedup",
-    "docs_quality_score",
-    "docs_bpe_token_stats",
-    # --- last driver-green in round 4, oldest first (fill the window;
-    # everything below position 50 keeps accumulating age until a
-    # later round rotates it in) ---
+    # --- NEW in round 7 (never driver-verified; VERDICT r6 #2/#3/#7/#8).
+    # Queries whose shared operator code changed this round but whose
+    # outputs were bitwise-verified unchanged (scripts/bitcheck.py) stay
+    # in the tail, per the r6 precedent: ann_ivf_indexed_topk /
+    # ann_ivfadc_indexed_topk (probe localCheckpoint),
+    # parts_triangle_count (counting-helper extraction),
+    # multimodal_png_decode / _png_rgb_decode (decoder color-type
+    # extension), multimodal_mjpeg_frame_decode / _avi_mjpg_decode
+    # (sampler on_error plumbing) — all r6-green. ---
+    "ann_ivfadc_recall_audit",
+    "parts_triangle_cap_audit",
+    "multimodal_png_palette_decode",
+    "multimodal_avi_color_decode",
+    # --- stale: last driver-green in round 4, the whole cohort
+    # (VERDICT r6 #1: lead with these; 46 of 48 fit the 50-row window
+    # behind the 4 new queries — the 2 overflow rows below the window
+    # boundary are the ones whose code paths have the freshest sibling
+    # coverage, and they lead round 8) ---
     "docs_token_stats",
     "docs_stopword_stats",
     "docs_language_id",
@@ -140,7 +96,6 @@ _PRIORITY = [
     "supplier_part_variety",
     "events_funnel_conversion",
     "events_weekly_cohorts",
-    "streaming_hourly_event_stats",
     "docs_repetition_stats",
     "docs_token_budget_cap",
     "docs_sequence_pack",
@@ -151,10 +106,61 @@ _PRIORITY = [
     "embeddings_lsh_neardup_pairs",
     "embeddings_semdedup_keep",
     "embeddings_norm_stats",
-    "multimodal_byte_stats",
     "multimodal_image_resize",
     "multimodal_frame_sample",
     "curation_pipeline",
+    # ---- 50-query window boundary (4 + 46 above) ----
+    # r4-cohort overflow: freshest sibling coverage (hourly twin is in
+    # the window; byte stats' multimodal siblings are r6/r7-green).
+    # These two lead round 8's window.
+    "streaming_hourly_event_stats",
+    "multimodal_byte_stats",
+    # --- last driver-green in round 5, in their r5 window order (they
+    # age next; round 8 rotates them in behind the two rows above) ---
+    "numeric_profile_events",
+    "cheapest_supplier_per_part",
+    "nation_part_profit",
+    "important_suppliers",
+    "heavy_part_suppliers",
+    "events_value_median_by_type",
+    "events_sliding_hour_counts",
+    "events_salted_type_join",
+    "bucketed_revenue_join",
+    "events_value_trend_by_type",
+    "events_anomaly_zscore",
+    "parts_co_occurrence",
+    "events_sketch_audit",
+    "events_value_percentile",
+    "orders_open_backlog",
+    "msgpack_roundtrip_decode",
+    "events_transition_matrix",
+    "events_contract_violations",
+    "events_zorder_key",
+    "events_value_winsorized_stats",
+    "forecast_revenue_change",
+    "streaming_msgpack_ingest",
+    "streaming_session_stats",
+    "streaming_sliding_event_stats",
+    "streaming_offset_gaps",
+    "streaming_interval_join",
+    "streaming_dedup_keys",
+    "streaming_static_enrichment",
+    "docs_line_dedup",
+    "docs_chunked",
+    "docs_unigram_logprob",
+    "docs_containment_pairs",
+    "docs_normalized_dedup",
+    "docs_countmin_heavy_hitters",
+    "docs_edit_distance_pairs",
+    "ann_pq_adc_topk",
+    "embeddings_random_projection",
+    "multimodal_png_decode",
+    "multimodal_mp4_probe",
+    "multimodal_gif_roundtrip",
+    "multimodal_jpeg_probe",
+    "curation_pipeline_v2",
+    # (everything absent from this list is the round-6-green cohort —
+    # the youngest rows — and keeps merge order at the very tail)
 ]
 
 
