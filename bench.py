@@ -131,6 +131,7 @@ HEADLINE = [
     "ann_pq_adc_topk",
     "ann_ivfadc_topk",
     "ann_ivfadc_indexed_topk",
+    "ann_ivfadc_recall_audit",
     "embeddings_lsh_neardup_pairs",
     "embeddings_semdedup_keep",
     "embeddings_norm_stats",
@@ -144,6 +145,11 @@ HEADLINE = [
     "multimodal_gif_roundtrip",
     "multimodal_jpeg_probe",
     "multimodal_jpeg_roundtrip",
+    "multimodal_png_palette_decode",
+    "multimodal_avi_color_decode",
+    # parts_triangle_cap_audit excluded for the same reason as
+    # parts_triangle_count: it counts the exact AND capped wedge sets
+    # (2x the 49M-wedge job at sf0.1); the driver gate runs it at sf0.01
 ]
 
 

@@ -5,11 +5,16 @@ flagged the round they appear instead of being noticed by a reviewer
 two rounds later.
 
 Accepts either format:
-  - bench.py's own JSON line ({"queries": {...}, ...}), e.g. from
-    `python bench.py > bench_now.json`
+  - bench.py's complete payload ({"queries": {...}, ...}) — since r7
+    that is `bench_full.json`, written beside bench.py on every run and
+    committed per round (PREFER this for cross-round diffs: it always
+    carries the whole query map)
   - the driver's BENCH_r{N}.json wrapper, whose "tail" string holds a
-    (possibly front-truncated) copy of that line — per-query pairs are
+    (possibly truncated) copy of the stdout line — per-query pairs are
     regex-recovered, and only names present in BOTH files compare.
+    From r7 the stdout line is compact (summary + slowest queries), so
+    the wrapper alone covers only the expensive tail; diff the
+    committed bench_full.json files for full coverage.
 
 Usage:
   python scripts/bench_diff.py BENCH_r05.json bench_now.json [--threshold 1.5]
