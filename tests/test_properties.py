@@ -864,3 +864,42 @@ def test_frame_sampler_on_error_degradation():
         assert [s[0] for s in skipped] == [0]
         with pytest.raises(ValueError, match="on_error"):
             sample(src, 2, on_error="bogus")
+
+
+@given(
+    st.integers(min_value=1, max_value=25),
+    st.integers(min_value=1, max_value=25),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.integers(min_value=1, max_value=256),
+    st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_palette_rgba_roundtrip_arbitrary_images(w, h, seed, ncol, cycle):
+    """Paletted PNG decode expands to exactly palette[index] for
+    arbitrary palettes/grids (indices filtered as 1-byte pixels), and
+    RGBA encode->decode is the identity at the 4-byte stride."""
+    import random as _random
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_png_palette,
+        decode_png_rgba8,
+        encode_png_palette8,
+        encode_png_rgba8,
+    )
+
+    rng = _random.Random(seed)
+    pal = bytes(rng.randrange(256) for _ in range(3 * ncol))
+    idx = bytes(rng.randrange(ncol) for _ in range(w * h))
+    trns = bytes(rng.randrange(256) for _ in range(rng.randrange(ncol + 1)))
+    got = decode_png_palette(
+        encode_png_palette8(w, h, idx, pal, trns, filter_cycle=cycle)
+    )
+    expected = b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+    assert got == (w, h, expected)
+
+    rgba = bytes(rng.randrange(256) for _ in range(w * h * 4))
+    assert decode_png_rgba8(encode_png_rgba8(w, h, rgba, filter_cycle=cycle)) == (
+        w,
+        h,
+        rgba,
+    )

@@ -390,6 +390,21 @@ def test_ivfadc_recall_audit_and_probe_tradeoff(spark, sf_dir, tmp_path):
     # (b) probe tradeoff: full probe recall bounds partial from above
     assert len(full & exact) >= len(partial & exact)
 
+    # (c) codebook-size tradeoff: a larger PQ codebook (lower
+    # quantization error) must not lose recall on the fixture — the
+    # measured knob a pipeline turns when the audit's recall is low
+    small_cb = pq_codebooks(emb, PQ_M, 4, EMB_DIM)
+    small_path = str(tmp_path / "ivfadc_idx_small")
+    build_ivfadc_index(emb, centroids, small_cb, small_path, PQ_M, EMB_DIM)
+    small_hits = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfadc_topk_indexed(
+            spark, small_path, queries, centroids, small_cb,
+            PQ_M, EMB_DIM, TOPK_K, IVF_PROBE,
+        ).collect()
+    }
+    assert len(partial & exact) >= len(small_hits & exact)
+
     # (a) the audit's aggregate matches the set comparison exactly
     audit = {r["query_id"]: r for r in ann_ivfadc_recall_audit(spark, sf_dir).collect()}
     assert set(audit) == {r[0] for r in exact}
