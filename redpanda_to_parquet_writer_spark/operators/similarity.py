@@ -363,6 +363,40 @@ def build_ivf_index(
     )
 
 
+def append_ivf_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """INCREMENTAL index maintenance: assign ONLY the new vectors
+    against the (frozen) codebook and append their rows into the
+    existing cluster-partitioned layout — the existing inverted lists
+    are never read, never rewritten. At 100 TB this is how a serving
+    index tracks a growing corpus: each ingest batch costs one
+    broadcast-assign + a partitioned append of just its own rows, and
+    `ivf_topk_indexed` reads the union transparently (new part files
+    land inside the same cluster_id= directories).
+
+    The codebook must be the one the index was built with — appending
+    under a different quantizer silently corrupts list membership, so
+    callers snapshot centroids alongside the index (same contract as
+    PQ codebooks in `build_ivfadc_index`). Append-equals-rebuild is
+    oracle-gated (`ann_ivf_append_topk` shares `ann_ivf_topk`'s
+    oracle) and property-tested."""
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    assigned = ivf_assign(c, materialize_centroids(centroids), "neighbor_id", "v")
+    (
+        assigned.repartition("cluster_id")
+        .write.partitionBy("cluster_id")
+        .mode("append")
+        .parquet(path)
+    )
+
+
 def ivf_topk_indexed(
     spark,
     index_path: str,

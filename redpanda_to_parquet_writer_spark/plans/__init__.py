@@ -112,9 +112,12 @@ _PRIORITY = [
     # ---- 50-query window boundary (4 + 46 above) ----
     # r4-cohort overflow: freshest sibling coverage (hourly twin is in
     # the window; byte stats' multimodal siblings are r6/r7-green).
-    # These two lead round 8's window.
+    # These lead round 8's window, with the one new query deliberately
+    # held OUT of this round's window to protect the stale rotation
+    # (it is bitcheck- and sweep-verified locally).
     "streaming_hourly_event_stats",
     "multimodal_byte_stats",
+    "ann_ivf_append_topk",
     # --- last driver-green in round 5, in their r5 window order (they
     # age next; round 8 rotates them in behind the two rows above) ---
     "numeric_profile_events",

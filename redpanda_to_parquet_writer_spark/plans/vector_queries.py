@@ -89,6 +89,36 @@ def ann_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental serving-index maintenance under the oracle gate:
+    build the IVF index on HALF the corpus (even vec_ids), APPEND the
+    other half (`append_ivf_index` — assigns only the new vectors
+    against the frozen codebook, existing lists never read or
+    rewritten), then serve with `ivf_topk_indexed`. Shares
+    `ann_ivf_topk`'s oracle, so append-equals-rebuild is the gated
+    property: any row the append path drops, duplicates or mis-assigns
+    flips the hash. The 100-TB shape: per-ingest-batch cost is one
+    broadcast-assign + a partitioned append of just the batch's rows.
+    """
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = S.materialize_centroids(
+        S.deterministic_centroids(emb, IVF_CENTROIDS, "vec_id", "embedding")
+    )
+    path = tempfile.mkdtemp(prefix="ivf_append_")
+    S.build_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), centroids, path, "vec_id", "embedding"
+    )
+    S.append_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 1), centroids, path, "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return S.ivf_topk_indexed(
+        spark, path, queries, centroids, "vec_id", "embedding", TOPK_K, IVF_PROBE
+    )
+
+
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the IVF scale path against the exact baseline — the
     "measure, don't guess" audit every approximate index needs before a
@@ -350,6 +380,7 @@ QUERIES = {
     "embeddings_label_centroids": embeddings_label_centroids,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_indexed_topk": ann_ivf_indexed_topk,
+    "ann_ivf_append_topk": ann_ivf_append_topk,
     "ann_recall_audit": ann_recall_audit,
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_ivfadc_topk": ann_ivfadc_topk,
@@ -526,6 +557,10 @@ ORACLES = {
 # identical semantics by construction — one oracle gates both IVF paths,
 # so a fix to one can never silently desync the other
 ORACLES["ann_ivf_indexed_topk"] = ORACLES["ann_ivf_topk"]
+
+# append-equals-rebuild: the half-build + half-append index must serve
+# the exact rows the full-corpus oracle ranks
+ORACLES["ann_ivf_append_topk"] = ORACLES["ann_ivf_topk"]
 
 # recall@k audit: exact top-k LEFT JOIN the IVF candidate ranking —
 # the CTE chain replays both already-gated plans, then aggregates to

@@ -414,3 +414,45 @@ def test_ivfadc_recall_audit_and_probe_tradeoff(spark, sf_dir, tmp_path):
         assert row["n_matched"] == n_matched
         # recall recorded as exact half-up millionths of n_matched/k
         assert row["recall"] == (n_matched * 2_000_000 + TOPK_K) // (2 * TOPK_K) / 1e6
+
+
+def test_append_ivf_index_equals_rebuild(spark, sf_dir, tmp_path):
+    """Incremental maintenance contract: building on half the corpus
+    then appending the other half serves EXACTLY what a full rebuild
+    serves (rows compared exactly), appended rows land inside the same
+    cluster_id= directories (no new top-level dirs), and the appended
+    index contains every corpus row exactly once."""
+    import os
+
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        deterministic_centroids,
+        ivf_topk_indexed,
+        materialize_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = materialize_centroids(deterministic_centroids(emb, 8))
+    full_path, inc_path = str(tmp_path / "full"), str(tmp_path / "inc")
+    build_ivf_index(emb, centroids, full_path)
+    build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), centroids, inc_path)
+    dirs_before = {d for d in os.listdir(inc_path) if d.startswith("cluster_id=")}
+    append_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), centroids, inc_path)
+    dirs_after = {d for d in os.listdir(inc_path) if d.startswith("cluster_id=")}
+    assert dirs_after <= {f"cluster_id={i}" for i in range(8)}
+
+    n = emb.count()
+    inc_rows = spark.read.parquet(inc_path)
+    assert inc_rows.count() == n
+    assert inc_rows.select("neighbor_id").distinct().count() == n
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    serve = lambda p: sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in ivf_topk_indexed(spark, p, queries, centroids, k=5, n_probe=3).collect()
+    )
+    assert serve(inc_path) == serve(full_path)
+    # dirs_before may lack clusters no even-id vector mapped to; append
+    # is allowed to create those
+    assert dirs_before <= dirs_after
