@@ -899,6 +899,40 @@ def build_ivfadc_index(
     At 100 TB this is the billion-vector serving layout: each query
     batch directory-prunes to its probed lists and reads only byte
     codes (~32x smaller than the embeddings)."""
+    _write_ivfadc_rows(
+        df, centroids, codebooks, path, m, dim, id_col, vec_col, "overwrite"
+    )
+
+
+def append_ivfadc_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    path: str,
+    m: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance for the IVFADC byte-code index — the
+    `append_ivf_index` twin: new vectors assign against the FROZEN
+    coarse quantizer and PQ-encode against the FROZEN codebooks, then
+    append into the existing cluster_id= directories; existing code
+    rows are never read or rewritten. Both quantizers must be the ones
+    the index was built with (snapshot them beside the index) —
+    appending under different ones silently corrupts list membership
+    and code semantics. Append-equals-rebuild is property-tested; after
+    many small appends, `sources.parquet.compact_parquet(...,
+    partition_by=['cluster_id'])` rewrites the lists at target file
+    size with serving results unchanged (also tested)."""
+    _write_ivfadc_rows(
+        df, centroids, codebooks, path, m, dim, id_col, vec_col, "append"
+    )
+
+
+def _write_ivfadc_rows(
+    df, centroids, codebooks, path, m, dim, id_col, vec_col, mode
+) -> None:
     _pq_check(m, dim)
     centroids = materialize_centroids(centroids)
     c = df.select(
@@ -914,7 +948,7 @@ def build_ivfadc_index(
         assigned.join(codes, "neighbor_id")
         .repartition("cluster_id")
         .write.partitionBy("cluster_id")
-        .mode("overwrite")
+        .mode(mode)
         .parquet(path)
     )
 

@@ -456,3 +456,87 @@ def test_append_ivf_index_equals_rebuild(spark, sf_dir, tmp_path):
     # dirs_before may lack clusters no even-id vector mapped to; append
     # is allowed to create those
     assert dirs_before <= dirs_after
+
+
+def test_append_ivfadc_index_and_compaction(spark, sf_dir, tmp_path):
+    """IVFADC incremental maintenance + operational compaction: (a)
+    half-build + half-append under the frozen quantizers serves EXACTLY
+    what a full rebuild serves; (b) after several small appends,
+    compact_parquet(partition_by=['cluster_id']) collapses the part
+    files and the compacted index serves identical rows."""
+    import os
+
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        append_ivfadc_index,
+        build_ivfadc_index,
+        deterministic_centroids,
+        ivfadc_topk_indexed,
+        materialize_centroids,
+        pq_codebooks,
+    )
+    from redpanda_to_parquet_writer_spark.plans.vector_queries import (
+        EMB_DIM,
+        PQ_KSUB,
+        PQ_M,
+    )
+    from redpanda_to_parquet_writer_spark.sources.parquet import compact_parquet
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = materialize_centroids(deterministic_centroids(emb, 8))
+    cb = pq_codebooks(emb, PQ_M, PQ_KSUB, EMB_DIM)
+    full_path, inc_path = str(tmp_path / "full"), str(tmp_path / "inc")
+    build_ivfadc_index(emb, centroids, cb, full_path, PQ_M, EMB_DIM)
+    build_ivfadc_index(
+        emb.filter(F.col("vec_id") % 3 == 0), centroids, cb, inc_path, PQ_M, EMB_DIM
+    )
+    for r in (1, 2):  # two small ingest batches
+        append_ivfadc_index(
+            emb.filter(F.col("vec_id") % 3 == r), centroids, cb, inc_path,
+            PQ_M, EMB_DIM,
+        )
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    serve = lambda p: sorted(
+        tuple(r)
+        for r in ivfadc_topk_indexed(
+            spark, p, queries, centroids, cb, PQ_M, EMB_DIM, 5, 3
+        ).collect()
+    )
+    assert serve(inc_path) == serve(full_path)
+
+    compact_path = str(tmp_path / "compacted")
+    stats = compact_parquet(
+        spark, inc_path, compact_path, partition_by=["cluster_id"]
+    )
+    assert stats["files_after"] < stats["files_before"]
+    assert serve(compact_path) == serve(full_path)
+
+
+def test_append_under_wrong_codebook_is_callers_contract(spark, sf_dir, tmp_path):
+    """The documented contract hole, demonstrated: appending under a
+    DIFFERENT coarse quantizer mis-assigns list membership — serving
+    results diverge from the rebuild. (The engine cannot detect this
+    cheaply; the docstring tells callers to snapshot quantizers beside
+    the index. This test pins that the failure mode is real, so the
+    doc claim stays honest.)"""
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        deterministic_centroids,
+        ivf_topk_indexed,
+        materialize_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c8 = materialize_centroids(deterministic_centroids(emb, 8))
+    c4 = materialize_centroids(deterministic_centroids(emb, 4))
+    full_path, bad_path = str(tmp_path / "full"), str(tmp_path / "bad")
+    build_ivf_index(emb, c8, full_path)
+    build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), c8, bad_path)
+    append_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), c4, bad_path)
+    queries = emb.filter(F.col("vec_id") < 10)
+    serve = lambda p: sorted(
+        tuple(r)
+        for r in ivf_topk_indexed(spark, p, queries, c8, k=5, n_probe=3).collect()
+    )
+    assert serve(bad_path) != serve(full_path)
