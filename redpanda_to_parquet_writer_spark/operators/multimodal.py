@@ -143,20 +143,23 @@ def decode_image_stub(data: bytes) -> tuple[int, int, int]:
     """Decode (width, height, channels) from image bytes.
 
     STUB for formats beyond the library-free codecs only (e.g.
-    progressive JPEG, WebP, TIFF): inject a real codec via
-    `map_media_batches(codec=...)`. PNG (gray8 + RGB8), GIF, baseline
-    GRAYSCALE and baseline COLOR (YCbCr) JPEG all decode fully
-    library-free (`decode_png_gray8`/`decode_png_rgb8`,
-    `decode_gif_gray8`, `decode_jpeg_gray8`/`decode_jpeg_color`), and
-    any JPEG structure probes without decoding (`probe_jpeg`).
+    progressive COLOR JPEG, WebP, TIFF): inject a real codec via
+    `map_media_batches(codec=...)`. PNG (gray8/RGB8/paletted/RGBA),
+    GIF, baseline GRAYSCALE and baseline COLOR (YCbCr) JPEG, and
+    PROGRESSIVE (SOF2) gray JPEG all decode fully library-free
+    (`decode_png_gray8`/`decode_png_rgb8`/`decode_png_palette`,
+    `decode_gif_gray8`, `decode_jpeg_gray8`/`decode_jpeg_color`/
+    `decode_jpeg_gray8_progressive`), and any JPEG structure probes
+    without decoding (`probe_jpeg`).
     """
     raise NotImplementedError(
         "no library-free codec for this image format (progressive "
-        "JPEG/WebP/TIFF need an imaging library); PNG/GIF/baseline-JPEG "
-        "gray+color decode library-free (see decode_png_gray8 / "
-        "decode_png_rgb8 / decode_gif_gray8 / decode_jpeg_gray8 / "
-        "decode_jpeg_color / probe_jpeg); inject a codec callable into "
-        "map_media_batches"
+        "COLOR JPEG/WebP/TIFF need an imaging library); "
+        "PNG/GIF/baseline-JPEG gray+color and PROGRESSIVE gray JPEG "
+        "decode library-free (see decode_png_gray8 / decode_png_rgb8 / "
+        "decode_png_palette / decode_gif_gray8 / decode_jpeg_gray8 / "
+        "decode_jpeg_color / decode_jpeg_gray8_progressive / "
+        "probe_jpeg); inject a codec callable into map_media_batches"
     )
 
 
@@ -2158,6 +2161,445 @@ def decode_jpeg_gray8(data: bytes) -> tuple[int, int, bytes]:
     )
     pixels = np.clip(np.rint(out[:height, :width]), 0, 255).astype(np.uint8)
     return width, height, pixels.tobytes()
+
+
+# --- PROGRESSIVE (SOF2) gray JPEG codec -------------------------------------
+# Spectral selection + successive approximation + EOBRUN (ITU T.81
+# Annex G), pure stdlib/numpy on top of the baseline entropy layer.
+# The quantized coefficients of a progressive stream are IDENTICAL to
+# the sequential encoding of the same image — progressive only changes
+# the transmission order — so the decoder is verified by bitwise
+# equality against the baseline decoder's pixels (no tolerance).
+
+
+#: AC Huffman table for the progressive scans: the sequential Annex K
+#: table has no codes for the EOBn symbols (0x10..0xE0), so progressive
+#: encoders ship their own. This one covers the ENTIRE symbol alphabet
+#: canonically — 128 symbols at 8 bits + 128 at 9 bits (Kraft sum 0.75,
+#: valid DHT) — trading compression for a table that can express every
+#: run/size, ZRL and EOBn combination.
+_AC_BITS_PROG = [0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0]
+_AC_VALUES_PROG = list(range(256))
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al rounding toward zero
+    (T.81 G.1.2.2; DC uses the arithmetic shift instead)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _flush_eobrun(w, ac_codes, eobrun: int, pend: list[int]) -> int:
+    """Emit a pending end-of-band run (EOBn symbol + length extension
+    bits) followed by any buffered correction bits; returns 0."""
+    if eobrun:
+        rr = eobrun.bit_length() - 1
+        ln, code = ac_codes[rr << 4]
+        w.put(code, ln)
+        if rr:
+            w.put(eobrun - (1 << rr), rr)
+        for b in pend:
+            w.put(b, 1)
+        pend.clear()
+    return 0
+
+
+def _encode_ac_first(w, blocks, ss: int, se: int, al: int, ac_codes) -> None:
+    """AC first scan for band [ss..se] at point transform al (G.1.2.2):
+    sequential-style run/size coding of the point-transformed
+    coefficients, with EOB generalized to EOBn runs across blocks."""
+    eobrun = 0
+    for blk in blocks:
+        t = [_pt_ac(int(blk[k]), al) for k in range(ss, se + 1)]
+        nz = [i for i, v in enumerate(t) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eobrun(w, ac_codes, eobrun, [])
+            continue
+        eobrun = _flush_eobrun(w, ac_codes, eobrun, [])
+        run = 0
+        for i in range(nz[-1] + 1):
+            v = t[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_codes[0xF0]
+                w.put(code, ln)
+                run -= 16
+            s = _category(v)
+            ln, code = ac_codes[(run << 4) | s]
+            w.put(code, ln)
+            w.put(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if nz[-1] < se - ss:
+            eobrun = 1
+    _flush_eobrun(w, ac_codes, eobrun, [])
+
+
+def _encode_ac_refine(w, blocks, ss: int, se: int, al: int, ac_codes) -> None:
+    """AC refinement scan (G.1.2.3): newly-significant coefficients are
+    coded as run/1 + sign, correction bits for already-nonzero
+    coefficients are buffered and appended after the next emitted
+    symbol (including across EOBn runs)."""
+    eobrun = 0
+    pend: list[int] = []
+    for blk in blocks:
+        absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        newly = [i for i, a in enumerate(absv) if a == 1]
+        if not newly:
+            # only correction bits (if any) — the block joins the EOB run
+            pend.extend(a & 1 for a in absv if a > 1)
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eobrun(w, ac_codes, eobrun, pend)
+            continue
+        eobrun = _flush_eobrun(w, ac_codes, eobrun, pend)
+        run = 0
+        last_new = newly[-1]
+        for i, a in enumerate(absv):
+            if i > last_new:
+                break
+            if a == 0:
+                run += 1
+                continue
+            # ZRL must fire at ANY nonzero position once the
+            # zero-history run exceeds 15 — including already-nonzero
+            # correction positions — or the decoder's ZRL advance
+            # consumes a different set of buffered correction bits
+            # than the encoder attached (jpeglib's `r > 15 && k <= EOB`;
+            # the i <= last_new bound makes the EOB guard implicit,
+            # and runs in the tail fold into the EOB below)
+            while run > 15:
+                ln, code = ac_codes[0xF0]
+                w.put(code, ln)
+                run -= 16
+                for b in pend:
+                    w.put(b, 1)
+                pend.clear()
+            if a > 1:
+                pend.append(a & 1)
+                continue
+            ln, code = ac_codes[(run << 4) | 1]
+            w.put(code, ln)
+            w.put(1 if int(blk[ss + i]) > 0 else 0, 1)
+            for b in pend:
+                w.put(b, 1)
+            pend.clear()
+            run = 0
+        # any tail beyond the last newly-significant coefficient —
+        # zero-history runs AND already-nonzero correction bits alike —
+        # must close with an EOB, or the decoder would read the next
+        # block's symbol while still inside this band
+        if last_new < se - ss:
+            pend.extend(a & 1 for a in absv[last_new + 1 :] if a > 1)
+            eobrun = 1
+    _flush_eobrun(w, ac_codes, eobrun, pend)
+
+
+def encode_jpeg_gray8_progressive(width: int, height: int, pixels: bytes) -> bytes:
+    """REAL progressive (SOF2) gray JPEG encoder: the same DCT +
+    quantization as the baseline encoder, transmitted as six scans
+    exercising the full progressive feature set — DC first (Al=1), AC
+    first for bands 1-5 and 6-63 (Al=1, EOBn runs), DC refinement, and
+    AC refinement for both bands (correction bits). Decodes to pixels
+    BITWISE-IDENTICAL to the baseline encoding of the same image
+    (property-tested), because the coefficients are the same — only
+    the transmission order differs."""
+    import struct as _s
+
+    import numpy as np
+
+    if len(pixels) != width * height:
+        raise ValueError(f"expected {width * height} pixel bytes")
+    img = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(height, width)
+    ph, pw = (height + 7) // 8 * 8, (width + 7) // 8 * 8
+    padded = np.pad(img, ((0, ph - height), (0, pw - width)), mode="edge").astype(
+        np.float64
+    )
+    d = _dct_matrix()
+    q = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    blocks = _dct_quant_plane(padded, q, d).reshape(-1, 64)
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALUES)
+    ac_codes = _huff_codes(_AC_BITS_PROG, _AC_VALUES_PROG)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return _s.pack(">HH", marker, len(payload) + 2) + payload
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        return seg(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, bytes([0]) + bytes(_JPEG_QTABLE[_ZIGZAG[i]] for i in range(64)))
+    out += seg(0xFFC2, _s.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    out += seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALUES)
+        + bytes([0x10]) + bytes(_AC_BITS_PROG) + bytes(_AC_VALUES_PROG),
+    )
+
+    # scan 1: DC first, Al=1 (arithmetic shift per G.1.2.1)
+    w = _BitWriter()
+    prev = 0
+    for blk in blocks:
+        v = int(blk[0]) >> 1
+        diff = v - prev
+        prev = v
+        s = _category(diff)
+        ln, code = dc_codes[s]
+        w.put(code, ln)
+        if s:
+            w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    out += sos(0, 0, 0, 1) + w.flush()
+    # scans 2-3: AC first per band, Al=1
+    for ss, se in ((1, 5), (6, 63)):
+        w = _BitWriter()
+        _encode_ac_first(w, blocks, ss, se, 1, ac_codes)
+        out += sos(ss, se, 0, 1) + w.flush()
+    # scan 4: DC refinement — one raw bit per block
+    w = _BitWriter()
+    for blk in blocks:
+        w.put(int(blk[0]) & 1, 1)
+    out += sos(0, 0, 1, 0) + w.flush()
+    # scans 5-6: AC refinement per band
+    for ss, se in ((1, 5), (6, 63)):
+        w = _BitWriter()
+        _encode_ac_refine(w, blocks, ss, se, 0, ac_codes)
+        out += sos(ss, se, 1, 0) + w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_ac_first_scan(r, blocks, ss, se, al, act) -> None:
+    eobrun = 0
+    for blk in blocks:
+        if eobrun:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            sym = _read_symbol(r, act)
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run == 15:
+                    k += 16
+                    continue
+                eobrun = (1 << run) + (r.bits(run) if run else 0) - 1
+                break
+            k += run
+            if k > se:
+                raise ValueError("AC run overflows band")
+            blk[k] = _extend(r.bits(size), size) << al
+            k += 1
+
+
+def _decode_ac_refine_scan(r, blocks, ss, se, al, act) -> None:
+    p1 = 1 << al
+    eobrun = 0
+    for blk in blocks:
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = _read_symbol(r, act)
+                run, size = sym >> 4, sym & 0x0F
+                val = 0
+                if size == 0:
+                    if run != 15:
+                        eobrun = (1 << run) + (r.bits(run) if run else 0)
+                        break
+                    # ZRL: pass 16 zero-history coefficients
+                else:
+                    if size != 1:
+                        raise ValueError("refinement size must be 1")
+                    val = p1 if r.bit() else -p1
+                # advance over `run` zero-history positions, correcting
+                # nonzero-history coefficients along the way
+                while k <= se:
+                    if blk[k]:
+                        if r.bit() and not (abs(int(blk[k])) & p1):
+                            blk[k] += p1 if blk[k] > 0 else -p1
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if val:
+                    if k > se:
+                        raise ValueError("refinement run overflows band")
+                    blk[k] = val
+                k += 1
+        if eobrun:
+            # inside an EOB run: only correction bits for the block's
+            # remaining nonzero-history coefficients
+            while k <= se:
+                if blk[k]:
+                    if r.bit() and not (abs(int(blk[k])) & p1):
+                        blk[k] += p1 if blk[k] > 0 else -p1
+                k += 1
+            eobrun -= 1
+
+
+@_malformed_raises_value_error
+def decode_jpeg_gray8_progressive(data: bytes) -> tuple[int, int, bytes]:
+    """REAL progressive (SOF2) gray JPEG decoder: multi-scan entropy
+    decode with spectral selection, successive approximation (DC and AC
+    first + refinement) and EOBn runs, accumulating the coefficient
+    array across scans, then one vectorized dequantize+IDCT. Restart
+    markers inside progressive scans are not supported (our encoder
+    never emits them); everything malformed raises ValueError."""
+    import struct as _s
+
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    i = 2
+    qtab: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = None
+    qtab_id = 0
+    blocks = None
+    dc_done = False
+    while i < len(data):
+        if i + 2 > len(data):
+            raise ValueError("truncated JPEG (marker cut off)")
+        if data[i] != 0xFF:
+            raise ValueError(f"expected marker at {i}")
+        m = data[i + 1]
+        if m == 0xD9:
+            break
+        if i + 4 > len(data):
+            raise ValueError("truncated JPEG (segment length cut off)")
+        length = _s.unpack_from(">H", data, i + 2)[0]
+        if i + 2 + length > len(data):
+            raise ValueError("truncated JPEG (segment body cut off)")
+        body = data[i + 4 : i + 2 + length]
+        if m == 0xDB:
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = list(body[j + 1 : j + 65])
+                tab = [0] * 64
+                for k in range(64):
+                    tab[_ZIGZAG[k]] = zz[k]
+                qtab[tq] = tab
+                j += 65
+        elif m == 0xC2:
+            height, width = _s.unpack_from(">HH", body, 1)
+            if body[5] != 1:
+                raise ValueError("only single-component progressive supported")
+            qtab_id = body[8]
+            nb = ((height + 7) // 8) * ((width + 7) // 8)
+            blocks = [[0] * 64 for _ in range(nb)]
+        elif m in (0xC0, 0xC1, 0xC3):
+            raise ValueError("not a progressive (SOF2) stream")
+        elif m == 0xC4:
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1 : j + 17])
+                n = sum(bits)
+                values = list(body[j + 17 : j + 17 + n])
+                huff[(tc, th)] = _huff_decode_table(bits, values)
+                j += 17 + n
+        elif m == 0xDD:
+            if _s.unpack_from(">H", body, 0)[0]:
+                raise ValueError("restart markers unsupported in progressive")
+        elif m == 0xDA:
+            if blocks is None:
+                raise ValueError("SOS before SOF2")
+            if body[0] != 1:
+                raise ValueError("only single-component scans supported")
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            ss, se, ahl = body[3], body[4], body[5]
+            ah, al = ahl >> 4, ahl & 0x0F
+            if se > 63 or ss > se:
+                raise ValueError("bad spectral band")
+            # entropy data: up to the next real marker (stuffed 0x00 and
+            # RSTn bytes belong to the scan)
+            j = i + 2 + length
+            while j + 1 < len(data) and not (
+                data[j] == 0xFF
+                and data[j + 1] != 0x00
+                and not 0xD0 <= data[j + 1] <= 0xD7
+            ):
+                j += 1
+            r = _BitReader(data[i + 2 + length : j])
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("DC scan must have Se=0")
+                if ah == 0:
+                    prev = 0
+                    dct = huff.get((0, dc_id))
+                    if dct is None:
+                        raise ValueError("missing DC Huffman table")
+                    for blk in blocks:
+                        s = _read_symbol(r, dct)
+                        prev += _extend(r.bits(s), s) if s else 0
+                        blk[0] = prev << al
+                    dc_done = True
+                else:
+                    for blk in blocks:
+                        if r.bit():
+                            blk[0] |= 1 << al
+            else:
+                if not dc_done:
+                    raise ValueError("AC scan before first DC scan")
+                act = huff.get((1, ac_id))
+                if act is None:
+                    raise ValueError("missing AC Huffman table")
+                if ah == 0:
+                    _decode_ac_first_scan(r, blocks, ss, se, al, act)
+                else:
+                    if al != ah - 1:
+                        raise ValueError("refinement must lower Al by 1")
+                    _decode_ac_refine_scan(r, blocks, ss, se, al, act)
+            i = j
+            continue
+        i += 2 + length
+    if width is None or blocks is None or not dc_done:
+        raise ValueError("missing SOF2/DC scan")
+    d = _dct_matrix()
+    q = np.array(qtab[qtab_id], dtype=np.float64).reshape(8, 8)
+    ph, pw = (height + 7) // 8 * 8, (width + 7) // 8 * 8
+    out = (
+        _idct_blocks(blocks, q, d)
+        .reshape(ph // 8, pw // 8, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(ph, pw)
+    )
+    pixels = np.clip(np.rint(out[:height, :width]), 0, 255).astype(np.uint8)
+    return width, height, pixels.tobytes()
+
+
+@_malformed_raises_value_error
+def decode_jpeg_gray8_any(data: bytes) -> tuple[int, int, bytes]:
+    """Gray JPEG decode dispatching on the frame type: SOF0 baseline
+    streams take the sequential decoder, SOF2 takes the progressive
+    one — the single entry point a curation pass uses when the corpus
+    mixes both. The frame type comes from a real marker walk (a naive
+    byte search would trip on 0xFFC2 inside table segment bodies)."""
+    import struct as _s
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            raise ValueError(f"expected marker at {i}")
+        m = data[i + 1]
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):  # a SOF marker
+            return (
+                decode_jpeg_gray8_progressive(data)
+                if m == 0xC2
+                else decode_jpeg_gray8(data)
+            )
+        if m == 0xD9 or m == 0xDA:
+            break
+        i += 2 + _s.unpack_from(">H", data, i + 2)[0]
+    raise ValueError("no frame header before scan/EOI")
 
 
 # --- Baseline COLOR JPEG codec (YCbCr 4:2:0, pure numpy/stdlib) -------------

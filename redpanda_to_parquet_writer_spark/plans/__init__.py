@@ -118,6 +118,7 @@ _PRIORITY = [
     "streaming_hourly_event_stats",
     "multimodal_byte_stats",
     "ann_ivf_append_topk",
+    "multimodal_jpeg_progressive_decode",
     # --- last driver-green in round 5, in their r5 window order (they
     # age next; round 8 rotates them in behind the two rows above) ---
     "numeric_profile_events",

@@ -668,10 +668,17 @@ def test_media_decoders_total_on_magic_prefixed_garbage(buf):
         decode_png_rgba8,
     )
 
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_jpeg_gray8_any,
+        decode_jpeg_gray8_progressive,
+    )
+
     cases = (
         (decode_png_gray8, PNG_SIG + buf),
         (decode_png_palette, PNG_SIG + buf),
         (decode_png_rgba8, PNG_SIG + buf),
+        (decode_jpeg_gray8_progressive, b"\xff\xd8" + buf),
+        (decode_jpeg_gray8_any, b"\xff\xd8" + buf),
         (decode_gif_gray8, b"GIF89a" + buf),
         (decode_jpeg_gray8, b"\xff\xd8" + buf),
         (decode_jpeg_color, b"\xff\xd8" + buf),
@@ -903,3 +910,68 @@ def test_png_palette_rgba_roundtrip_arbitrary_images(w, h, seed, ncol, cycle):
         h,
         rgba,
     )
+
+
+@given(
+    st.integers(min_value=1, max_value=48),
+    st.integers(min_value=1, max_value=48),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_progressive_jpeg_equals_sequential(w, h, seed):
+    """The progressive (SOF2) stream carries the SAME quantized
+    coefficients as the sequential encoding — so on arbitrary noise
+    images the progressive decode must be BITWISE equal to the baseline
+    decoder's pixels (no tolerance): any EOBn/refinement/point-
+    transform bug in either direction breaks equality."""
+    import random as _random
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_jpeg_gray8,
+        decode_jpeg_gray8_any,
+        decode_jpeg_gray8_progressive,
+        encode_jpeg_gray8,
+        encode_jpeg_gray8_progressive,
+        probe_jpeg,
+    )
+
+    rng = _random.Random(seed)
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    blob = encode_jpeg_gray8_progressive(w, h, px)
+    assert probe_jpeg(blob)[5] == 1  # structure probe flags SOF2
+    got = decode_jpeg_gray8_progressive(blob)
+    assert got == decode_jpeg_gray8(encode_jpeg_gray8(w, h, px))
+    # the dispatcher routes by a real marker walk on both frame types
+    assert decode_jpeg_gray8_any(blob) == got
+    assert decode_jpeg_gray8_any(encode_jpeg_gray8(w, h, px)) == got
+
+
+def test_progressive_jpeg_crafted_contract_holes():
+    """Structured corruption stays inside ValueError: baseline decoder
+    rejects SOF2, progressive decoder rejects SOF0, AC-before-DC scan
+    order, truncated scans, and restart intervals."""
+    import pytest
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_jpeg_gray8,
+        decode_jpeg_gray8_progressive,
+        encode_jpeg_gray8,
+        encode_jpeg_gray8_progressive,
+        synth_gray_image,
+    )
+
+    w, h, px = synth_gray_image(11)
+    prog = encode_jpeg_gray8_progressive(w, h, px)
+    base = encode_jpeg_gray8(w, h, px)
+    with pytest.raises(ValueError, match="SOF0"):
+        decode_jpeg_gray8(prog)
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg_gray8_progressive(base)
+    # drop everything from the first SOS up to the second one: the
+    # stream then opens with an AC scan before any DC scan
+    first_sos = prog.find(b"\xff\xda")
+    second_sos = prog.find(b"\xff\xda", first_sos + 2)
+    with pytest.raises(ValueError, match="AC scan before first DC"):
+        decode_jpeg_gray8_progressive(prog[:first_sos] + prog[second_sos:])
+    with pytest.raises(ValueError):
+        decode_jpeg_gray8_progressive(prog[: len(prog) // 2])
