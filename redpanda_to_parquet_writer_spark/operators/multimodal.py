@@ -143,23 +143,23 @@ def decode_image_stub(data: bytes) -> tuple[int, int, int]:
     """Decode (width, height, channels) from image bytes.
 
     STUB for formats beyond the library-free codecs only (e.g.
-    progressive COLOR JPEG, WebP, TIFF): inject a real codec via
+    WebP, TIFF pixel data): inject a real codec via
     `map_media_batches(codec=...)`. PNG (gray8/RGB8/paletted/RGBA),
-    GIF, baseline GRAYSCALE and baseline COLOR (YCbCr) JPEG, and
-    PROGRESSIVE (SOF2) gray JPEG all decode fully library-free
+    GIF, baseline GRAYSCALE and COLOR (YCbCr) JPEG, and PROGRESSIVE
+    (SOF2) gray AND color JPEG all decode fully library-free
     (`decode_png_gray8`/`decode_png_rgb8`/`decode_png_palette`,
     `decode_gif_gray8`, `decode_jpeg_gray8`/`decode_jpeg_color`/
-    `decode_jpeg_gray8_progressive`), and any JPEG structure probes
-    without decoding (`probe_jpeg`).
+    `decode_jpeg_gray8_progressive`/`decode_jpeg_color_progressive`),
+    and any JPEG structure probes without decoding (`probe_jpeg`).
     """
     raise NotImplementedError(
-        "no library-free codec for this image format (progressive "
-        "COLOR JPEG/WebP/TIFF need an imaging library); "
-        "PNG/GIF/baseline-JPEG gray+color and PROGRESSIVE gray JPEG "
-        "decode library-free (see decode_png_gray8 / decode_png_rgb8 / "
-        "decode_png_palette / decode_gif_gray8 / decode_jpeg_gray8 / "
-        "decode_jpeg_color / decode_jpeg_gray8_progressive / "
-        "probe_jpeg); inject a codec callable into map_media_batches"
+        "no library-free codec for this image format (WebP/TIFF pixel "
+        "data need an imaging library); PNG/GIF and baseline+"
+        "progressive JPEG gray+color decode library-free (see "
+        "decode_png_gray8 / decode_png_rgb8 / decode_png_palette / "
+        "decode_gif_gray8 / decode_jpeg_gray8 / decode_jpeg_color / "
+        "decode_jpeg_gray8_progressive / decode_jpeg_color_progressive "
+        "/ probe_jpeg); inject a codec callable into map_media_batches"
     )
 
 
@@ -2645,22 +2645,13 @@ _AC_VALUES_CHROMA = [
 _JPEG_SUBSAMPLE = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
 
 
-def encode_jpeg_color(
-    width: int,
-    height: int,
-    rgb: bytes,
-    restart_interval: int = 0,
-    subsample: bool | str = "420",
-) -> bytes:
-    """Baseline sequential COLOR JPEG: JFIF YCbCr transform, chroma
-    subsampling per `subsample` ("420" default — 2x2 mean; "422" —
-    horizontal 2:1; "444" — full-resolution chroma; booleans accepted
-    for compatibility: True="420", False="444"), interleaved MCUs with
-    the luma block(s) then Cb then Cr, Annex K luma+chroma tables.
-    Deterministic: same pixels -> same bytes. `restart_interval` > 0
-    emits DRI/RSTn every N MCUs with all three DC predictors reset."""
-    import struct as _s
-
+def _color_quant_blocks(width, height, rgb, subsample):
+    """Shared color-plane preparation for the sequential AND progressive
+    color encoders: JFIF RGB->YCbCr, MCU-aligned edge padding, chroma
+    mean-subsampling, vectorized DCT+quantize per plane. Returns
+    (hs, vs, ph, pw, zzY, zzCb, zzCr) with zigzag block grids — both
+    encoders transmitting the SAME coefficients is what makes the
+    progressive round trip bitwise-comparable to the sequential one."""
     import numpy as np
 
     if subsample is True:
@@ -2696,13 +2687,43 @@ def encode_jpeg_color(
     d = _dct_matrix()
     ql = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
     qc = np.array(_JPEG_QTABLE_CHROMA, dtype=np.float64).reshape(8, 8)
+    return (
+        hs,
+        vs,
+        ph,
+        pw,
+        _dct_quant_plane(Yp, ql, d),
+        _dct_quant_plane(Cbs, qc, d),
+        _dct_quant_plane(Crs, qc, d),
+    )
+
+
+def encode_jpeg_color(
+    width: int,
+    height: int,
+    rgb: bytes,
+    restart_interval: int = 0,
+    subsample: bool | str = "420",
+) -> bytes:
+    """Baseline sequential COLOR JPEG: JFIF YCbCr transform, chroma
+    subsampling per `subsample` ("420" default — 2x2 mean; "422" —
+    horizontal 2:1; "444" — full-resolution chroma; booleans accepted
+    for compatibility: True="420", False="444"), interleaved MCUs with
+    the luma block(s) then Cb then Cr, Annex K luma+chroma tables.
+    Deterministic: same pixels -> same bytes. `restart_interval` > 0
+    emits DRI/RSTn every N MCUs with all three DC predictors reset."""
+    import struct as _s
+
+    import numpy as np
+
+    hs, vs, ph, pw, zzY, zzCb, zzCr = _color_quant_blocks(
+        width, height, rgb, subsample
+    )
+    mw, mh = 8 * hs, 8 * vs  # MCU pixel dims
     ldc = _huff_codes(_DC_BITS, _DC_VALUES)
     lac = _huff_codes(_AC_BITS, _AC_VALUES)
     cdc = _huff_codes(_DC_BITS_CHROMA, _DC_VALUES_CHROMA)
     cac = _huff_codes(_AC_BITS_CHROMA, _AC_VALUES_CHROMA)
-    zzY = _dct_quant_plane(Yp, ql, d)
-    zzCb = _dct_quant_plane(Cbs, qc, d)
-    zzCr = _dct_quant_plane(Crs, qc, d)
     w = _BitWriter()
     prev = [0, 0, 0]  # Y, Cb, Cr DC predictors
     mcu = 0
@@ -2882,3 +2903,320 @@ def decode_jpeg_color(data: bytes) -> tuple[int, int, bytes]:
     B = Y + 1.772 * Cb
     rgb = np.clip(np.rint(np.stack([R, G, B], axis=-1)), 0, 255).astype(np.uint8)
     return width, height, rgb.tobytes()
+
+
+# --- PROGRESSIVE (SOF2) COLOR JPEG codec ------------------------------------
+# The gray progressive machinery applied to YCbCr: ONE interleaved DC
+# scan pair (MCU order, per-component predictors — required first by
+# the spec) and per-component AC scan pairs (progressive AC scans are
+# always non-interleaved, covering the component's OWN block grid, not
+# the MCU-padded one). Coefficients are byte-for-byte the sequential
+# encoder's, so the round trip is verified by bitwise pixel equality
+# against decode_jpeg_color of the sequential stream.
+
+
+def _comp_spec_grid(width, height, ch, cv, hmax, vmax):
+    """Block rows/cols of a component's NON-interleaved scan per T.81
+    A.2.2: computed from the component's own sample dims, a subgrid of
+    the MCU-padded plane grid."""
+    cw = -(-width * ch // hmax)
+    chh = -(-height * cv // vmax)
+    return -(-chh // 8), -(-cw // 8)
+
+
+def encode_jpeg_color_progressive(
+    width: int, height: int, rgb: bytes, subsample: bool | str = "420"
+) -> bytes:
+    """REAL progressive (SOF2) COLOR JPEG encoder: the sequential color
+    encoder's exact coefficient planes transmitted as 10 scans —
+    interleaved DC first (Al=1) + DC refinement over all three
+    components in MCU order, then per-component AC first/refinement
+    pairs for band 1-63 with EOBn runs. Pixels decode bitwise-equal to
+    the sequential stream's (property-tested)."""
+    import struct as _s
+
+    hs, vs, ph, pw, zzY, zzCb, zzCr = _color_quant_blocks(
+        width, height, rgb, subsample
+    )
+    ldc = _huff_codes(_DC_BITS, _DC_VALUES)
+    cdc = _huff_codes(_DC_BITS_CHROMA, _DC_VALUES_CHROMA)
+    pac = _huff_codes(_AC_BITS_PROG, _AC_VALUES_PROG)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return _s.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xFFDB,
+        bytes([0]) + bytes(_JPEG_QTABLE[_ZIGZAG[i]] for i in range(64))
+        + bytes([1]) + bytes(_JPEG_QTABLE_CHROMA[_ZIGZAG[i]] for i in range(64)),
+    )
+    y_sampling = (hs << 4) | vs
+    out += seg(
+        0xFFC2,
+        _s.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, y_sampling, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALUES)
+        + bytes([0x01]) + bytes(_DC_BITS_CHROMA) + bytes(_DC_VALUES_CHROMA)
+        + bytes([0x10]) + bytes(_AC_BITS_PROG) + bytes(_AC_VALUES_PROG),
+    )
+    dc_tables = (ldc, cdc, cdc)
+    luma_offsets = [(dy, dx) for dy in range(vs) for dx in range(hs)]
+
+    def mcu_blocks():
+        """Every coefficient block in interleaved MCU order, tagged
+        with its component index (the DC scan traversal)."""
+        for my in range(0, ph, 8 * vs):
+            for mx in range(0, pw, 8 * hs):
+                for dy, dx in luma_offsets:
+                    yield 0, zzY[my // 8 + dy, mx // 8 + dx]
+                cy, cx = my // (8 * vs), mx // (8 * hs)
+                yield 1, zzCb[cy, cx]
+                yield 2, zzCr[cy, cx]
+
+    # scan 1: interleaved DC first, Al=1
+    w = _BitWriter()
+    prev = [0, 0, 0]
+    for ci, blk in mcu_blocks():
+        v = int(blk[0]) >> 1
+        diff = v - prev[ci]
+        prev[ci] = v
+        s = _category(diff)
+        ln, code = dc_tables[ci][s]
+        w.put(code, ln)
+        if s:
+            w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x01])) + w.flush()
+    # scan 2: interleaved DC refinement — one raw bit per block
+    w = _BitWriter()
+    for _ci, blk in mcu_blocks():
+        w.put(int(blk[0]) & 1, 1)
+    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x10])) + w.flush()
+    # per-component AC pairs over the component's spec grid
+    comp_zz = (zzY, zzCb, zzCr)
+    comp_hv = ((hs, vs), (1, 1), (1, 1))
+    for ci, cid in enumerate((1, 2, 3)):
+        ch, cv = comp_hv[ci]
+        by, bx = _comp_spec_grid(width, height, ch, cv, hs, vs)
+        blocks = [comp_zz[ci][y, x] for y in range(by) for x in range(bx)]
+        for ah, al in ((0, 1), (1, 0)):
+            w = _BitWriter()
+            if ah == 0:
+                _encode_ac_first(w, blocks, 1, 63, al, pac)
+            else:
+                _encode_ac_refine(w, blocks, 1, 63, al, pac)
+            out += seg(0xFFDA, bytes([1, cid, 0x00, 1, 63, (ah << 4) | al]))
+            out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+@_malformed_raises_value_error
+def decode_jpeg_color_progressive(data: bytes) -> tuple[int, int, bytes]:
+    """REAL progressive (SOF2) COLOR JPEG decoder: interleaved DC scans
+    (first + refinement, per-component predictors in MCU order) and
+    non-interleaved per-component AC scans with spectral selection,
+    successive approximation and EOBn runs, accumulating each
+    component's coefficient grid across scans; then the same
+    dequantize/IDCT/upsample/YCbCr->RGB tail as the sequential
+    decoder. Restart markers inside scans are unsupported; everything
+    malformed raises ValueError."""
+    import struct as _s
+
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    i = 2
+    qtab: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = None
+    comps: list[tuple[int, int, int, int]] = []
+    blocks_c: list[list[list[int]]] = []  # per comp: padded-grid raster blocks
+    grid_c: list[tuple[int, int]] = []  # per comp: padded (rows, cols)
+    hmax = vmax = 1
+    dc_done = False
+    while i < len(data):
+        if i + 2 > len(data):
+            raise ValueError("truncated JPEG (marker cut off)")
+        if data[i] != 0xFF:
+            raise ValueError(f"expected marker at {i}")
+        m = data[i + 1]
+        if m == 0xD9:
+            break
+        if i + 4 > len(data):
+            raise ValueError("truncated JPEG (segment length cut off)")
+        length = _s.unpack_from(">H", data, i + 2)[0]
+        if i + 2 + length > len(data):
+            raise ValueError("truncated JPEG (segment body cut off)")
+        body = data[i + 4 : i + 2 + length]
+        if m == 0xDB:
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = list(body[j + 1 : j + 65])
+                tab = [0] * 64
+                for k in range(64):
+                    tab[_ZIGZAG[k]] = zz[k]
+                qtab[tq] = tab
+                j += 65
+        elif m == 0xC2:
+            height, width = _s.unpack_from(">HH", body, 1)
+            if body[5] != 3:
+                raise ValueError("decode_jpeg_color_progressive expects 3 components")
+            for c in range(3):
+                hv = body[7 + 3 * c]
+                comps.append((body[6 + 3 * c], hv >> 4, hv & 0x0F, body[8 + 3 * c]))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if hmax > 2 or vmax > 2 or any(c[1] < 1 or c[2] < 1 for c in comps):
+                raise ValueError("sampling factors beyond 2x2 unsupported")
+            mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+            for _cid, ch, cv, _tq in comps:
+                rows, cols = mcus_y * cv, mcus_x * ch
+                grid_c.append((rows, cols))
+                blocks_c.append([[0] * 64 for _ in range(rows * cols)])
+        elif m in (0xC0, 0xC1, 0xC3):
+            raise ValueError("not a progressive (SOF2) stream")
+        elif m == 0xC4:
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1 : j + 17])
+                n = sum(bits)
+                huff[(tc, th)] = _huff_decode_table(bits, list(body[j + 17 : j + 17 + n]))
+                j += 17 + n
+        elif m == 0xDD:
+            if _s.unpack_from(">H", body, 0)[0]:
+                raise ValueError("restart markers unsupported in progressive")
+        elif m == 0xDA:
+            if not comps:
+                raise ValueError("SOS before SOF2")
+            ns = body[0]
+            ss, se, ahl = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            ah, al = ahl >> 4, ahl & 0x0F
+            j = i + 2 + length
+            while j + 1 < len(data) and not (
+                data[j] == 0xFF
+                and data[j + 1] != 0x00
+                and not 0xD0 <= data[j + 1] <= 0xD7
+            ):
+                j += 1
+            r = _BitReader(data[i + 2 + length : j])
+            cid_to_ci = {c[0]: k for k, c in enumerate(comps)}
+            if ss == 0:
+                if se != 0 or ns != 3:
+                    raise ValueError("DC scan must be interleaved with Se=0")
+                order = []  # (ci, block-index) in MCU order
+                mcus_x = grid_c[0][1] // comps[0][1]
+                mcus_y = grid_c[0][0] // comps[0][2]
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        for ci, (_cid, ch, cv, _tq) in enumerate(comps):
+                            for dy in range(cv):
+                                for dx in range(ch):
+                                    order.append(
+                                        (ci, (my * cv + dy) * grid_c[ci][1] + mx * ch + dx)
+                                    )
+                if ah == 0:
+                    tabs = []
+                    for c in range(ns):
+                        ci = cid_to_ci[body[1 + 2 * c]]
+                        t = huff.get((0, body[2 + 2 * c] >> 4))
+                        if t is None:
+                            raise ValueError("missing DC Huffman table")
+                        tabs.append((ci, t))
+                    tab_by_ci = dict(tabs)
+                    prev = [0] * len(comps)
+                    for ci, bi in order:
+                        s = _read_symbol(r, tab_by_ci[ci])
+                        prev[ci] += _extend(r.bits(s), s) if s else 0
+                        blocks_c[ci][bi][0] = prev[ci] << al
+                    dc_done = True
+                else:
+                    for ci, bi in order:
+                        if r.bit():
+                            blocks_c[ci][bi][0] |= 1 << al
+            else:
+                if ns != 1:
+                    raise ValueError("progressive AC scans must be single-component")
+                if not dc_done:
+                    raise ValueError("AC scan before first DC scan")
+                ci = cid_to_ci[body[1]]
+                act = huff.get((1, body[2] & 0x0F))
+                if act is None:
+                    raise ValueError("missing AC Huffman table")
+                _cid, ch, cv, _tq = comps[ci]
+                sby, sbx = _comp_spec_grid(width, height, ch, cv, hmax, vmax)
+                cols = grid_c[ci][1]
+                sel = [
+                    blocks_c[ci][y * cols + x]
+                    for y in range(sby)
+                    for x in range(sbx)
+                ]
+                if se > 63 or ss > se:
+                    raise ValueError("bad spectral band")
+                if ah == 0:
+                    _decode_ac_first_scan(r, sel, ss, se, al, act)
+                else:
+                    if al != ah - 1:
+                        raise ValueError("refinement must lower Al by 1")
+                    _decode_ac_refine_scan(r, sel, ss, se, al, act)
+            i = j
+            continue
+        i += 2 + length
+    if width is None or not comps or not dc_done:
+        raise ValueError("missing SOF2/DC scan")
+    d = _dct_matrix()
+    planes = []
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        rows, cols = grid_c[ci]
+        q = np.array(qtab[tq], dtype=np.float64).reshape(8, 8)
+        out = (
+            _idct_blocks(blocks_c[ci], q, d)
+            .reshape(rows, cols, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(rows * 8, cols * 8)
+        )
+        planes.append(
+            np.repeat(np.repeat(out, vmax // cv, axis=0), hmax // ch, axis=1)[
+                :height, :width
+            ]
+        )
+    Y, Cb, Cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    R = Y + 1.402 * Cr
+    G = Y - 0.344136 * Cb - 0.714136 * Cr
+    B = Y + 1.772 * Cb
+    rgb = np.clip(np.rint(np.stack([R, G, B], axis=-1)), 0, 255).astype(np.uint8)
+    return width, height, rgb.tobytes()
+
+
+@_malformed_raises_value_error
+def decode_jpeg_color_any(data: bytes) -> tuple[int, int, bytes]:
+    """Color JPEG decode dispatching on the frame type via a real
+    marker walk: SOF0 -> sequential decoder, SOF2 -> progressive."""
+    import struct as _s
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            raise ValueError(f"expected marker at {i}")
+        m = data[i + 1]
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            return (
+                decode_jpeg_color_progressive(data)
+                if m == 0xC2
+                else decode_jpeg_color(data)
+            )
+        if m == 0xD9 or m == 0xDA:
+            break
+        i += 2 + _s.unpack_from(">H", data, i + 2)[0]
+    raise ValueError("no frame header before scan/EOI")

@@ -1094,6 +1094,81 @@ ORACLES["multimodal_jpeg_progressive_decode"] = """
     FROM documents
 """
 
+
+def multimodal_jpeg_progressive_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive COLOR (SOF2 YCbCr 4:2:0) round trip — the gray
+    query's chroma twin: interleaved DC scan pair in MCU order with
+    per-component predictors, per-component AC first/refinement scans
+    with EOBn runs (`operators/multimodal.py:
+    encode_jpeg_color_progressive/decode_jpeg_color_progressive`). The
+    gated claim stays exact: the progressive stream carries the
+    sequential encoder's coefficient planes, so its RGB reconstruction
+    must be BITWISE equal to `decode_jpeg_color` of the sequential
+    stream (matches_sequential TRUE, no tolerance), dims closed-form.
+    """
+    import pandas as pd
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_jpeg_color,
+        decode_jpeg_color_any,
+        encode_jpeg_color,
+        encode_jpeg_color_progressive,
+        probe_jpeg,
+        synth_rgb_image,
+    )
+
+    docs = _doc_ids_spread(spark, sf_dir)
+
+    def _run(ids: pd.Series) -> pd.DataFrame:
+        rows = []
+        for i in ids:
+            i = int(i)
+            w, h, px = synth_rgb_image(i)
+            blob = encode_jpeg_color_progressive(w, h, px)
+            pw, ph, ncomp, _nq, _nh, progressive, _sb = probe_jpeg(blob)
+            prog = decode_jpeg_color_any(blob)
+            seq = decode_jpeg_color(encode_jpeg_color(w, h, px))
+            rows.append(
+                (
+                    i,
+                    pw,
+                    ph,
+                    int(ncomp),
+                    int(progressive),
+                    bool(prog == seq and (pw, ph) == (w, h)),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "n_components", "progressive",
+                "matches_sequential",
+            ],
+        )
+
+    def _batches(it):
+        for pdf in it:
+            yield _run(pdf["doc_id"])
+
+    return docs.mapInPandas(
+        _batches,
+        "doc_id long, width int, height int, n_components int, progressive int, "
+        "matches_sequential boolean",
+    )
+
+
+QUERIES["multimodal_jpeg_progressive_color"] = multimodal_jpeg_progressive_color
+
+ORACLES["multimodal_jpeg_progressive_color"] = """
+    SELECT doc_id,
+           CAST(16 + doc_id % 17 AS INTEGER) AS width,
+           CAST(16 + (3 * doc_id) % 23 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS n_components,
+           CAST(1 AS INTEGER) AS progressive,
+           TRUE AS matches_sequential
+    FROM documents
+"""
+
 ORACLES["multimodal_avi_color_decode"] = """
     SELECT doc_id,
            CAST(10 + doc_id % 7 AS INTEGER) AS width,

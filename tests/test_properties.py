@@ -669,6 +669,8 @@ def test_media_decoders_total_on_magic_prefixed_garbage(buf):
     )
 
     from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_jpeg_color_any,
+        decode_jpeg_color_progressive,
         decode_jpeg_gray8_any,
         decode_jpeg_gray8_progressive,
     )
@@ -679,6 +681,8 @@ def test_media_decoders_total_on_magic_prefixed_garbage(buf):
         (decode_png_rgba8, PNG_SIG + buf),
         (decode_jpeg_gray8_progressive, b"\xff\xd8" + buf),
         (decode_jpeg_gray8_any, b"\xff\xd8" + buf),
+        (decode_jpeg_color_progressive, b"\xff\xd8" + buf),
+        (decode_jpeg_color_any, b"\xff\xd8" + buf),
         (decode_gif_gray8, b"GIF89a" + buf),
         (decode_jpeg_gray8, b"\xff\xd8" + buf),
         (decode_jpeg_color, b"\xff\xd8" + buf),
@@ -975,3 +979,66 @@ def test_progressive_jpeg_crafted_contract_holes():
         decode_jpeg_gray8_progressive(prog[:first_sos] + prog[second_sos:])
     with pytest.raises(ValueError):
         decode_jpeg_gray8_progressive(prog[: len(prog) // 2])
+
+
+@given(
+    st.integers(min_value=1, max_value=36),
+    st.integers(min_value=1, max_value=36),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.sampled_from(["420", "422", "444"]),
+)
+@settings(max_examples=30, deadline=None)
+def test_progressive_color_jpeg_equals_sequential(w, h, seed, sub):
+    """Progressive COLOR (SOF2) decode is BITWISE equal to the
+    sequential decoder's RGB on arbitrary noise images across all
+    three subsampling modes — interleaved-DC ordering, per-component
+    spec-grid AC scans, EOBn and refinement all verified with no
+    tolerance."""
+    import random as _random
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_jpeg_color,
+        decode_jpeg_color_any,
+        decode_jpeg_color_progressive,
+        encode_jpeg_color,
+        encode_jpeg_color_progressive,
+        probe_jpeg,
+    )
+
+    rng = _random.Random(seed)
+    px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    blob = encode_jpeg_color_progressive(w, h, px, subsample=sub)
+    assert probe_jpeg(blob)[2] == 3 and probe_jpeg(blob)[5] == 1
+    got = decode_jpeg_color_progressive(blob)
+    assert got == decode_jpeg_color(encode_jpeg_color(w, h, px, subsample=sub))
+    assert decode_jpeg_color_any(blob) == got
+    assert decode_jpeg_color_any(encode_jpeg_color(w, h, px, subsample=sub)) == got
+
+
+def test_progressive_color_jpeg_crafted_contract_holes():
+    import pytest
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_jpeg_color,
+        decode_jpeg_color_progressive,
+        encode_jpeg_color,
+        encode_jpeg_color_progressive,
+        synth_rgb_image,
+    )
+
+    w, h, px = synth_rgb_image(13)
+    prog = encode_jpeg_color_progressive(w, h, px)
+    base = encode_jpeg_color(w, h, px)
+    with pytest.raises(ValueError, match="SOF0"):
+        decode_jpeg_color(prog)
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg_color_progressive(base)
+    # strip the DC scans: the stream opens with an AC scan
+    first_sos = prog.find(b"\xff\xda")
+    third_sos = prog.find(
+        b"\xff\xda", prog.find(b"\xff\xda", first_sos + 2) + 2
+    )
+    with pytest.raises(ValueError, match="AC scan before first DC"):
+        decode_jpeg_color_progressive(prog[:first_sos] + prog[third_sos:])
+    with pytest.raises(ValueError):
+        decode_jpeg_color_progressive(prog[: len(prog) * 2 // 3])
