@@ -241,11 +241,11 @@ def probe_tiff(data: bytes) -> tuple[int, int, int, int, int, int]:
     """REAL TIFF structure probe (stdlib struct): parse the byte-order
     header and walk IFD0's entries, returning (width, height,
     bits_per_sample, samples_per_pixel, compression, n_ifd_entries) —
-    the corpus-filtering first pass for TIFF blobs (decode needs an
-    imaging library; structure does not). Handles both byte orders;
-    inline SHORT/LONG tag values only (offset-valued tags read as their
-    first inline word where the count is 1, else default). Raises
-    ValueError on malformed input."""
+    the corpus-filtering first pass for TIFF blobs (full decode for
+    the baseline 8-bit subset lives in `decode_tiff`). Handles both
+    byte orders and both inline and OFFSET-valued SHORT/LONG tags
+    (reporting the first element of array tags like a 3-sample
+    BitsPerSample). Raises ValueError on malformed input."""
     import struct as _s
 
     if len(data) < 8:
@@ -266,14 +266,18 @@ def probe_tiff(data: bytes) -> tuple[int, int, int, int, int, int]:
         raise ValueError("truncated IFD")
     tags = {}
     for i in range(n):
-        tag, typ, cnt, raw = _s.unpack_from(
+        tag, typ, cnt, _raw = _s.unpack_from(
             f"{end}HHII", data, ifd_off + 2 + 12 * i
         )
-        if cnt == 1 and typ == 3:  # SHORT: value in the first 2 bytes
-            (val,) = _s.unpack_from(f"{end}H", data, ifd_off + 2 + 12 * i + 8)
-            tags[tag] = val
-        elif cnt == 1 and typ == 4:  # LONG: inline
-            tags[tag] = raw
+        if typ not in (3, 4) or cnt < 1:
+            continue
+        size = (2 if typ == 3 else 4) * cnt
+        at = ifd_off + 2 + 12 * i + 8
+        if size > 4:  # offset-valued: first element lives at the offset
+            (at,) = _s.unpack_from(f"{end}I", data, at)
+        if at + (2 if typ == 3 else 4) > len(data):
+            raise ValueError(f"tag {tag} value past end of data")
+        (tags[tag],) = _s.unpack_from(f"{end}{'H' if typ == 3 else 'I'}", data, at)
     width = tags.get(256)
     height = tags.get(257)
     if width is None or height is None:
@@ -312,6 +316,364 @@ def encode_tiff_skeleton(
             out += _s.pack("<HHII", tag, typ, cnt, val)
     out += _s.pack("<I", 0)  # no next IFD
     return bytes(out)
+
+
+# --- REAL TIFF codec (stdlib struct/numpy) ----------------------------------
+# Baseline TIFF 6.0 for 8-bit gray and RGB: strip-based pixel data with
+# Compression 1 (none), 32773 (PackBits RLE) and 5 (TIFF-LZW, MSB-first
+# with the spec's early-change width switch), optional horizontal
+# differencing predictor (tag 317 = 2, the common LZW pairing), both
+# byte orders. Converts the TIFF entry from structure-probe-only to a
+# full container-to-pixels path; lossless, so round trips are exact.
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, row[i]])
+            i += run
+            continue
+        lit = i
+        while (
+            i < n
+            and i - lit < 128
+            and not (i + 2 < n and row[i] == row[i + 1] == row[i + 2])
+        ):
+            i += 1
+        out += bytes([i - lit - 1]) + row[lit:i]
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while len(out) < expected:
+        if i >= len(data):
+            raise ValueError("truncated PackBits strip")
+        n = data[i]
+        i += 1
+        if n < 128:
+            if i + n + 1 > len(data):
+                raise ValueError("PackBits literal overruns strip")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise ValueError("PackBits run missing byte")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op per spec
+    if len(out) != expected:
+        raise ValueError("PackBits output size mismatch")
+    return bytes(out)
+
+
+_TIFF_LZW_CLEAR, _TIFF_LZW_EOI = 256, 257
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-LZW (spec section 13): MSB-first variable-width codes,
+    EARLY width change (the documented off-by-one every implementation
+    ships), Clear at 4094 entries."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    put(_TIFF_LZW_CLEAR, width)
+    cur = b""
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        put(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1:  # early change
+            width += 1
+        if next_code >= 4094:
+            put(_TIFF_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        cur = bytes([byte])
+    if cur:
+        put(table[cur], width)
+    put(_TIFF_LZW_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    pos = acc = nbits = 0
+
+    def get(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW strip")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        v = (acc >> nbits) & ((1 << width) - 1)
+        return v
+
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+    while len(out) < expected:
+        code = get(width)
+        if code == _TIFF_LZW_EOI:
+            break
+        if code == _TIFF_LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width, prev = 9, None
+            continue
+        if prev is None:
+            if code > 255:
+                raise ValueError("LZW stream must start with a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("LZW code out of range")
+        # early change, shifted one MORE: the decoder's table is one
+        # entry behind the encoder's (the KwKwK entry is added on the
+        # NEXT code), so it must widen when the encoder's count —
+        # len(table) + 1 — hits 2^width - 1
+        if len(table) == (1 << width) - 2:
+            width += 1
+        out += entry
+        prev = entry
+    if len(out) != expected:
+        raise ValueError("LZW output size mismatch")
+    return bytes(out)
+
+
+def _predict_rows(raw: bytes, w: int, samples: int, decode: bool):
+    """Horizontal differencing predictor (tag 317 = 2) over chunky
+    rows: per-channel byte deltas mod 256, vectorized."""
+    import numpy as np
+
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(-1, w, samples)
+    if decode:
+        return np.cumsum(rows.astype(np.int64), axis=1).astype(np.uint8).tobytes()
+    d = rows.astype(np.int16)
+    d[:, 1:, :] -= rows[:, :-1, :].astype(np.int16)
+    return (d & 0xFF).astype(np.uint8).tobytes()
+
+
+def encode_tiff(
+    w: int,
+    h: int,
+    pixels: bytes,
+    samples: int = 1,
+    compression: int = 1,
+    rows_per_strip: int = 8,
+    byte_order: str = "II",
+    predictor: int = 1,
+) -> bytes:
+    """Encode raw 8-bit gray (samples=1) or interleaved RGB (samples=3)
+    as a valid strip-based TIFF. `compression`: 1 none, 5 TIFF-LZW,
+    32773 PackBits; `predictor=2` applies horizontal differencing
+    before compression (the standard LZW pairing); `byte_order` II or
+    MM. Deterministic bytes for deterministic inputs."""
+    import struct as _s
+
+    if byte_order not in ("II", "MM"):
+        raise ValueError("byte_order must be II or MM")
+    if compression not in (1, 5, 32773):
+        raise ValueError("compression must be 1, 5 (LZW) or 32773 (PackBits)")
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 or 2")
+    if len(pixels) != w * h * samples:
+        raise ValueError("pixel buffer does not match dims")
+    end = "<" if byte_order == "II" else ">"
+    row_bytes = w * samples
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        raw = pixels[y0 * row_bytes : min(y0 + rows_per_strip, h) * row_bytes]
+        if predictor == 2:
+            raw = _predict_rows(raw, w, samples, decode=False)
+        if compression == 32773:
+            strips.append(
+                b"".join(
+                    _packbits_encode(raw[i : i + row_bytes])
+                    for i in range(0, len(raw), row_bytes)
+                )
+            )
+        elif compression == 5:
+            strips.append(_tiff_lzw_encode(raw))
+        else:
+            strips.append(bytes(raw))
+    n_strips = len(strips)
+    photometric = 1 if samples == 1 else 2
+    entries = [  # (tag, type, count, value-or-list)
+        (256, 4, 1, w),
+        (257, 4, 1, h),
+        (258, 3, samples, [8] * samples),
+        (259, 3, 1, compression),
+        (262, 3, 1, photometric),
+        (273, 4, n_strips, None),  # StripOffsets, patched below
+        (277, 3, 1, samples),
+        (278, 4, 1, rows_per_strip),
+        (279, 4, n_strips, [len(s) for s in strips]),
+    ]
+    if predictor == 2:
+        entries.append((317, 3, 1, 2))
+    entries.sort()
+    # layout: header (8) + IFD + next-IFD ptr, then value area, then strips
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    value_area = bytearray()
+    value_off = ifd_off + ifd_size
+
+    def value_bytes(typ: int, vals: list[int]) -> bytes:
+        fmt = "H" if typ == 3 else "I"
+        return b"".join(_s.pack(f"{end}{fmt}", v) for v in vals)
+
+    strip_data_off = None  # computed after value area sizing (two passes)
+    for _pass in range(2):
+        value_area = bytearray()
+        body = bytearray()
+        for tag, typ, cnt, val in entries:
+            if tag == 273:
+                offs, acc = [], strip_data_off or 0
+                for s in strips:
+                    offs.append(acc)
+                    acc += len(s)
+                vals = offs
+            elif isinstance(val, list):
+                vals = val
+            else:
+                vals = [val]
+            vb = value_bytes(typ, vals)
+            if len(vb) <= 4:
+                body += _s.pack(f"{end}HHI", tag, typ, cnt) + vb.ljust(4, b"\x00")
+            else:
+                body += _s.pack(f"{end}HHII", tag, typ, cnt, value_off + len(value_area))
+                value_area += vb
+        strip_data_off = value_off + len(value_area)
+    out = bytearray(byte_order.encode() + _s.pack(f"{end}HI", 42, ifd_off))
+    out += _s.pack(f"{end}H", len(entries)) + body + _s.pack(f"{end}I", 0)
+    out += value_area
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+@_malformed_raises_value_error
+def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
+    """REAL TIFF decode (8-bit gray/RGB, chunky): byte-order-aware IFD0
+    walk with inline AND offset-valued tags, strip reassembly via
+    StripOffsets/StripByteCounts, Compression 1/5/32773, horizontal
+    predictor. Returns (width, height, samples, row-major interleaved
+    pixel bytes); raises ValueError on anything malformed or beyond
+    the supported baseline subset."""
+    import struct as _s
+
+    if len(data) < 8:
+        raise ValueError("truncated TIFF header")
+    if data[:2] == b"II":
+        end = "<"
+    elif data[:2] == b"MM":
+        end = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    magic, ifd_off = _s.unpack_from(f"{end}HI", data, 2)
+    if magic != 42:
+        raise ValueError("not a TIFF (bad magic)")
+    if ifd_off + 2 > len(data):
+        raise ValueError("IFD offset past end of data")
+    (n,) = _s.unpack_from(f"{end}H", data, ifd_off)
+    if ifd_off + 2 + 12 * n > len(data):
+        raise ValueError("truncated IFD")
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        tag, typ, cnt, _raw = _s.unpack_from(f"{end}HHII", data, ifd_off + 2 + 12 * i)
+        if typ not in (3, 4):
+            continue  # rational/ascii metadata tags: irrelevant here
+        size = (2 if typ == 3 else 4) * cnt
+        at = ifd_off + 2 + 12 * i + 8
+        if size > 4:
+            (at,) = _s.unpack_from(f"{end}I", data, at)
+        if at + size > len(data):
+            raise ValueError(f"tag {tag} values past end of data")
+        fmt = "H" if typ == 3 else "I"
+        tags[tag] = list(_s.unpack_from(f"{end}{cnt}{fmt}", data, at))
+
+    def one(tag: int, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"missing required tag {tag}")
+            return default
+        return v[0]
+
+    w, h = one(256), one(257)
+    samples = one(277, 1)
+    comp = one(259, 1)
+    predictor = one(317, 1)
+    if samples not in (1, 3):
+        raise ValueError(f"unsupported SamplesPerPixel {samples}")
+    if any(b != 8 for b in tags.get(258, [8])):
+        raise ValueError("only 8 bits per sample supported")
+    if comp not in (1, 5, 32773):
+        raise ValueError(f"unsupported compression {comp}")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported predictor {predictor}")
+    if one(284, 1) != 1:
+        raise ValueError("planar configuration 2 unsupported")
+    rps = one(278, h)
+    offs = tags.get(273)
+    counts = tags.get(279)
+    if not offs or not counts or len(offs) != len(counts):
+        raise ValueError("missing/ragged strip tables")
+    row_bytes = w * samples
+    out = bytearray()
+    for si, (off, cnt) in enumerate(zip(offs, counts)):
+        if off + cnt > len(data):
+            raise ValueError("strip past end of data")
+        rows = min(rps, h - si * rps)
+        if rows <= 0:
+            raise ValueError("more strips than image rows")
+        expected = rows * row_bytes
+        strip = data[off : off + cnt]
+        if comp == 32773:
+            raw = _packbits_decode(strip, expected)
+        elif comp == 5:
+            raw = _tiff_lzw_decode(strip, expected)
+        else:
+            if cnt != expected:
+                raise ValueError("uncompressed strip size mismatch")
+            raw = strip
+        if predictor == 2:
+            raw = _predict_rows(raw, w, samples, decode=True)
+        out += raw
+    if len(out) != w * h * samples:
+        raise ValueError("reassembled pixel size mismatch")
+    return (int(w), int(h), int(samples), bytes(out))
 
 
 def split_mjpeg(data: bytes) -> list[bytes]:

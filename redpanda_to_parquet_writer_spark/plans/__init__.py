@@ -120,6 +120,7 @@ _PRIORITY = [
     "ann_ivf_append_topk",
     "multimodal_jpeg_progressive_decode",
     "multimodal_jpeg_progressive_color",
+    "multimodal_tiff_roundtrip",
     # --- last driver-green in round 5, in their r5 window order (they
     # age next; round 8 rotates them in behind the two rows above) ---
     "numeric_profile_events",

@@ -661,7 +661,10 @@ def test_media_decoders_total_on_magic_prefixed_garbage(buf):
         split_mjpeg,
     )
 
-    from redpanda_to_parquet_writer_spark.operators.multimodal import probe_tiff
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_tiff,
+        probe_tiff,
+    )
 
     from redpanda_to_parquet_writer_spark.operators.multimodal import (
         decode_png_palette,
@@ -690,6 +693,8 @@ def test_media_decoders_total_on_magic_prefixed_garbage(buf):
         (probe_avi, b"RIFF" + len(buf).to_bytes(4, "little") + b"AVI " + buf),
         (split_mjpeg, b"\xff\xd8" + buf + b"\xff\xd9"),
         (probe_tiff, b"II\x2a\x00" + buf),
+        (decode_tiff, b"II\x2a\x00" + buf),
+        (decode_tiff, b"MM\x00\x2a" + buf),
         (decode_wav, b"RIFF" + (len(buf) + 4).to_bytes(4, "little") + b"WAVE" + buf),
     )
     for fn, data in cases:
@@ -1042,3 +1047,77 @@ def test_progressive_color_jpeg_crafted_contract_holes():
         decode_jpeg_color_progressive(prog[:first_sos] + prog[third_sos:])
     with pytest.raises(ValueError):
         decode_jpeg_color_progressive(prog[: len(prog) * 2 // 3])
+
+
+@given(
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.sampled_from([1, 5, 32773]),
+    st.sampled_from(["II", "MM"]),
+    st.sampled_from([1, 2]),
+    st.sampled_from([1, 4, 64]),
+)
+@settings(max_examples=60, deadline=None)
+def test_tiff_roundtrip_arbitrary_images(w, h, seed, comp, bo, pred, rps):
+    """TIFF encode->decode is the identity on arbitrary gray and RGB
+    bitmaps across every (compression, byte order, predictor,
+    rows-per-strip) combination — PackBits/LZW are lossless and the
+    predictor is exactly invertible."""
+    import random as _random
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff,
+        probe_tiff,
+    )
+
+    rng = _random.Random(seed)
+    for samples in (1, 3):
+        px = bytes(rng.randrange(256) for _ in range(w * h * samples))
+        blob = encode_tiff(w, h, px, samples, comp, rps, bo, pred)
+        assert decode_tiff(blob) == (w, h, samples, px)
+        pw, ph, bits, sp, pc, _n = probe_tiff(blob)
+        assert (pw, ph, bits, sp, pc) == (w, h, 8, samples, comp)
+
+
+def test_tiff_crafted_contract_holes():
+    """Structured TIFF corruption stays inside ValueError: bad magic,
+    strip tables out of bounds, unsupported compression/planar/bit
+    depth, truncated LZW, PackBits overruns."""
+    import struct
+
+    import pytest
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        _packbits_decode,
+        _tiff_lzw_decode,
+        decode_tiff,
+        encode_tiff,
+        synth_gray_image,
+    )
+
+    w, h, px = synth_gray_image(3)
+    good = encode_tiff(w, h, px, 1, 5, 8, "II", 2)
+
+    with pytest.raises(ValueError, match="byte-order"):
+        decode_tiff(b"XX" + good[2:])
+    with pytest.raises(ValueError, match="magic"):
+        decode_tiff(good[:2] + struct.pack("<H", 43) + good[4:])
+    with pytest.raises(ValueError):
+        decode_tiff(good[: len(good) // 2])  # strips cut off
+    # unsupported compression id in the IFD
+    bad = bytearray(good)
+    ifd_n = struct.unpack_from("<H", bad, 8)[0]
+    for i in range(ifd_n):
+        tag = struct.unpack_from("<H", bad, 10 + 12 * i)[0]
+        if tag == 259:
+            struct.pack_into("<H", bad, 10 + 12 * i + 8, 6)  # old-JPEG
+    with pytest.raises(ValueError, match="unsupported compression"):
+        decode_tiff(bytes(bad))
+    with pytest.raises(ValueError, match="truncated LZW"):
+        _tiff_lzw_decode(b"", 10)
+    with pytest.raises(ValueError, match="PackBits"):
+        _packbits_decode(b"\x05ab", 6)  # literal promises 6, has 2
+    with pytest.raises(ValueError, match="compression must be"):
+        encode_tiff(2, 2, bytes(4), 1, 6)
