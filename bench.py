@@ -147,9 +147,14 @@ HEADLINE = [
     "multimodal_jpeg_roundtrip",
     "multimodal_png_palette_decode",
     "multimodal_avi_color_decode",
-    # parts_triangle_cap_audit excluded for the same reason as
-    # parts_triangle_count: it counts the exact AND capped wedge sets
-    # (2x the 49M-wedge job at sf0.1); the driver gate runs it at sf0.01
+    "multimodal_tiff_roundtrip",
+    "ann_ivf_append_topk",
+    # Excluded from the headline (the driver gate still covers them at
+    # sf0.01): parts_triangle_cap_audit counts the exact AND capped
+    # wedge sets (2x the 49M-wedge job at sf0.1); the two
+    # progressive-JPEG queries run BOTH the progressive and sequential
+    # codec per doc purely as their bitwise-equality harness
+    # (2.4s/5.0s of fixture-bound Python codec work, not engine time)
 ]
 
 
