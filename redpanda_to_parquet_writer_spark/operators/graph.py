@@ -30,19 +30,28 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
-def degree_cap_edges(edges: DataFrame, max_degree: int) -> DataFrame:
-    """Drop every edge incident to a vertex whose (undirected) degree
-    exceeds `max_degree`. The heavy-vertex set is the tail above the
-    cap — at most 2|E|/max_degree vertices — so both anti-joins
-    broadcast; the big edge list never shuffles. Callers should persist
-    `edges` first: the degree aggregate is a second consumer of it."""
-    deg = (
+def vertex_degrees(edges: DataFrame) -> DataFrame:
+    """(v, deg) over an undirected low->high edge list."""
+    return (
         edges.select(F.col("a").alias("v"))
         .unionAll(edges.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count("*").alias("deg"))
     )
-    heavy = deg.filter(F.col("deg") > max_degree).select("v")
+
+
+def degree_cap_edges(
+    edges: DataFrame, max_degree: int, heavy: DataFrame | None = None
+) -> DataFrame:
+    """Drop every edge incident to a vertex whose (undirected) degree
+    exceeds `max_degree`. The heavy-vertex set is the tail above the
+    cap — at most 2|E|/max_degree vertices — so both anti-joins
+    broadcast; the big edge list never shuffles. Callers should persist
+    `edges` first: the degree aggregate is a second consumer of it.
+    Pass a precomputed `heavy` (v) frame to skip the degree pass (the
+    audit computes degrees once for its bound AND the cap)."""
+    if heavy is None:
+        heavy = vertex_degrees(edges).filter(F.col("deg") > max_degree).select("v")
     return (
         edges.join(F.broadcast(heavy.select(F.col("v").alias("a"))), "a", "left_anti")
         .join(F.broadcast(heavy.select(F.col("v").alias("b"))), "b", "left_anti")
@@ -120,18 +129,25 @@ def degree_cap_audit(edges: DataFrame, max_degree: int) -> dict[str, int]:
         bound always (property-tested).
 
     Persisted frames: the raw edge list (degree agg + exact counts +
-    cap anti-join consumers) and the capped edge list (its 4 counting
-    consumers); the wedge sets stream, never cached."""
+    cap anti-join consumers), the small heavy-vertex frame (bound
+    aggregate + both anti-joins — ONE degree pass total), and the
+    capped edge list (its 4 counting consumers); the wedge sets
+    stream, never cached."""
     raw = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    heavy = None
     try:
-        deg = (
-            raw.select(F.col("a").alias("v"))
-            .unionAll(raw.select(F.col("b").alias("v")))
-            .groupBy("v")
-            .agg(F.count("*").alias("deg"))
+        # ONE degree pass feeds both the bound aggregate and the cap's
+        # heavy set: the (small, <= 2|E|/max_degree rows) heavy frame
+        # is persisted and reused by the anti-joins, so the degree
+        # aggregation over the big edge list runs once, and driver
+        # state stays O(1)
+        heavy = (
+            vertex_degrees(raw)
+            .filter(F.col("deg") > max_degree)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         heavy_row = (
-            deg.filter(F.col("deg") > max_degree)
+            heavy
             .agg(
                 F.count(F.lit(1)).alias("n_heavy"),
                 # sum the EVEN term deg*(deg-1) and halve driver-side:
@@ -144,14 +160,16 @@ def degree_cap_audit(edges: DataFrame, max_degree: int) -> dict[str, int]:
         )
         n_heavy, bound = int(heavy_row["n_heavy"]), int(heavy_row["bound2x"]) // 2
         n_edges, n_wedges, n_triangles = _single_pass_counts(raw)
-        capped = degree_cap_edges(raw, max_degree).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        capped = degree_cap_edges(
+            raw, max_degree, heavy=heavy.select("v")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         try:
             c_edges, c_wedges, c_triangles = _single_pass_counts(capped)
         finally:
             capped.unpersist()
     finally:
+        if heavy is not None:
+            heavy.unpersist()
         raw.unpersist()
     return {
         "n_heavy": n_heavy,

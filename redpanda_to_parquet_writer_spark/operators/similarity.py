@@ -351,16 +351,7 @@ def build_ivf_index(
     query batch and a directory-pruned read of n_probe/n_centroids of
     the index.
     """
-    c = df.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
-    )
-    assigned = ivf_assign(c, materialize_centroids(centroids), "neighbor_id", "v")
-    (
-        assigned.repartition("cluster_id")
-        .write.partitionBy("cluster_id")
-        .mode("overwrite")
-        .parquet(path)
-    )
+    _write_ivf_rows(df, centroids, path, id_col, vec_col, "overwrite")
 
 
 def append_ivf_index(
@@ -385,6 +376,10 @@ def append_ivf_index(
     PQ codebooks in `build_ivfadc_index`). Append-equals-rebuild is
     oracle-gated (`ann_ivf_append_topk` shares `ann_ivf_topk`'s
     oracle) and property-tested."""
+    _write_ivf_rows(df, centroids, path, id_col, vec_col, "append")
+
+
+def _write_ivf_rows(df, centroids, path, id_col, vec_col, mode) -> None:
     c = df.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
     )
@@ -392,7 +387,7 @@ def append_ivf_index(
     (
         assigned.repartition("cluster_id")
         .write.partitionBy("cluster_id")
-        .mode("append")
+        .mode(mode)
         .parquet(path)
     )
 

@@ -39,6 +39,27 @@ def _cos(a: str, b: str) -> str:
     )
 
 
+#: per-process registry of built serving indexes, keyed by
+#: (index kind, sf_dir): repeated invocations of an indexed query —
+#: the bench warms then times, --scaling sweeps every SF, tests rerun —
+#: REUSE one TemporaryDirectory instead of leaking a fresh full-corpus
+#: index into /tmp per call (code-review r7 finding). Cross-process
+#: isolation is preserved (each process gets its own mkdtemp), and the
+#: TemporaryDirectory objects clean themselves up at interpreter exit.
+_INDEX_DIRS: dict = {}
+
+
+def _cached_index(kind: str, sf_dir: str, build) -> str:
+    import tempfile
+
+    key = (kind, sf_dir)
+    if key not in _INDEX_DIRS:
+        tmp = tempfile.TemporaryDirectory(prefix=f"{kind}_")
+        build(f"{tmp.name}/index")
+        _INDEX_DIRS[key] = tmp
+    return f"{_INDEX_DIRS[key].name}/index"
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
@@ -69,8 +90,6 @@ def ann_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index is built once and each query batch touches
     n_probe/n_centroids of it.
     """
-    import tempfile
-
     emb = load_table(spark, sf_dir, "embeddings")
     # materialize the codebook ONCE and hand the local relation to both
     # the builder and the probe (each would otherwise re-collect it,
@@ -78,11 +97,14 @@ def ann_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = S.materialize_centroids(
         S.deterministic_centroids(emb, IVF_CENTROIDS, "vec_id", "embedding")
     )
-    # fresh private dir per invocation: a fixed shared path would let
-    # concurrent runs overwrite each other's part-files mid-scan; in
-    # production the index is a durable managed table instead
-    path = tempfile.mkdtemp(prefix="ivf_index_")
-    S.build_ivf_index(emb, centroids, path, "vec_id", "embedding")
+    # per-process private dir, built once and reused across invocations
+    # (see _cached_index); in production the index is a durable managed
+    # table instead
+    path = _cached_index(
+        "ivf_index",
+        sf_dir,
+        lambda p: S.build_ivf_index(emb, centroids, p, "vec_id", "embedding"),
+    )
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     return S.ivf_topk_indexed(
         spark, path, queries, centroids, "vec_id", "embedding", TOPK_K, IVF_PROBE
@@ -100,19 +122,20 @@ def ann_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     flips the hash. The 100-TB shape: per-ingest-batch cost is one
     broadcast-assign + a partitioned append of just the batch's rows.
     """
-    import tempfile
-
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = S.materialize_centroids(
         S.deterministic_centroids(emb, IVF_CENTROIDS, "vec_id", "embedding")
     )
-    path = tempfile.mkdtemp(prefix="ivf_append_")
-    S.build_ivf_index(
-        emb.filter(F.col("vec_id") % 2 == 0), centroids, path, "vec_id", "embedding"
-    )
-    S.append_ivf_index(
-        emb.filter(F.col("vec_id") % 2 == 1), centroids, path, "vec_id", "embedding"
-    )
+
+    def _build(p: str) -> None:
+        S.build_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0), centroids, p, "vec_id", "embedding"
+        )
+        S.append_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 1), centroids, p, "vec_id", "embedding"
+        )
+
+    path = _cached_index("ivf_append", sf_dir, _build)
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     return S.ivf_topk_indexed(
         spark, path, queries, centroids, "vec_id", "embedding", TOPK_K, IVF_PROBE
@@ -176,16 +199,17 @@ def ann_ivfadc_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_matched, and recall as exact integer half-up millionths — no
     double ratio crosses the engine boundary.
     """
-    import tempfile
-
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     centroids = S.materialize_centroids(
         S.deterministic_centroids(emb, IVF_CENTROIDS, "vec_id", "embedding")
     )
     cb = S.pq_codebooks(emb, PQ_M, PQ_KSUB, EMB_DIM)
-    path = tempfile.mkdtemp(prefix="ivfadc_recall_")
-    S.build_ivfadc_index(emb, centroids, cb, path, PQ_M, EMB_DIM)
+    path = _cached_index(
+        "ivfadc_index",
+        sf_dir,
+        lambda p: S.build_ivfadc_index(emb, centroids, cb, p, PQ_M, EMB_DIM),
+    )
     exact = S.brute_force_topk(emb, queries, "vec_id", "embedding", TOPK_K).select(
         "query_id", "neighbor_id"
     )
@@ -257,16 +281,18 @@ def ann_ivfadc_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores byte codes via the shared broadcast-LUT tail. Same semantics
     and oracle as `ann_ivfadc_topk` (see
     operators/similarity.py:ivfadc_topk_indexed)."""
-    import tempfile
-
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = S.materialize_centroids(
         S.deterministic_centroids(emb, IVF_CENTROIDS, "vec_id", "embedding")
     )
     cb = S.pq_codebooks(emb, PQ_M, PQ_KSUB, EMB_DIM)
-    # fresh private dir per invocation (see ann_ivf_indexed_topk)
-    path = tempfile.mkdtemp(prefix="ivfadc_index_")
-    S.build_ivfadc_index(emb, centroids, cb, path, PQ_M, EMB_DIM)
+    # per-process dir, shared with ann_ivfadc_recall_audit (identical
+    # build inputs) and reused across invocations (see _cached_index)
+    path = _cached_index(
+        "ivfadc_index",
+        sf_dir,
+        lambda p: S.build_ivfadc_index(emb, centroids, cb, p, PQ_M, EMB_DIM),
+    )
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     return S.ivfadc_topk_indexed(
         spark, path, queries, centroids, cb, PQ_M, EMB_DIM, TOPK_K, IVF_PROBE
