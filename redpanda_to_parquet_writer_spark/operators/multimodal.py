@@ -142,24 +142,28 @@ def with_media_metadata(
 def decode_image_stub(data: bytes) -> tuple[int, int, int]:
     """Decode (width, height, channels) from image bytes.
 
-    STUB for formats beyond the library-free codecs only (e.g.
-    WebP, TIFF pixel data): inject a real codec via
+    STUB for formats beyond the library-free codecs only (now just
+    lossy WebP/VP8 pixel data): inject a real codec via
     `map_media_batches(codec=...)`. PNG (gray8/RGB8/paletted/RGBA),
-    GIF, baseline GRAYSCALE and COLOR (YCbCr) JPEG, and PROGRESSIVE
-    (SOF2) gray AND color JPEG all decode fully library-free
-    (`decode_png_gray8`/`decode_png_rgb8`/`decode_png_palette`,
-    `decode_gif_gray8`, `decode_jpeg_gray8`/`decode_jpeg_color`/
-    `decode_jpeg_gray8_progressive`/`decode_jpeg_color_progressive`),
-    and any JPEG structure probes without decoding (`probe_jpeg`).
+    GIF, baseline AND progressive (SOF2) JPEG gray+color, TIFF
+    (none/PackBits/LZW strips), and WebP-LOSSLESS (VP8L subset) all
+    decode fully library-free (`decode_png_gray8`/`decode_png_rgb8`/
+    `decode_png_palette`, `decode_gif_gray8`, `decode_jpeg_gray8`/
+    `decode_jpeg_color`/`decode_jpeg_gray8_progressive`/
+    `decode_jpeg_color_progressive`, `decode_tiff`,
+    `decode_webp_lossless`), and JPEG/TIFF/WebP structure probes run
+    without decoding (`probe_jpeg`/`probe_tiff`/`probe_webp`).
     """
     raise NotImplementedError(
-        "no library-free codec for this image format (WebP/TIFF pixel "
-        "data need an imaging library); PNG/GIF and baseline+"
-        "progressive JPEG gray+color decode library-free (see "
-        "decode_png_gray8 / decode_png_rgb8 / decode_png_palette / "
-        "decode_gif_gray8 / decode_jpeg_gray8 / decode_jpeg_color / "
-        "decode_jpeg_gray8_progressive / decode_jpeg_color_progressive "
-        "/ probe_jpeg); inject a codec callable into map_media_batches"
+        "no library-free codec for this image format (lossy WebP/VP8 "
+        "pixel data needs an imaging library); PNG/GIF, baseline+"
+        "progressive JPEG gray+color, TIFF and lossless WebP (VP8L) "
+        "decode library-free (see decode_png_gray8 / decode_png_rgb8 / "
+        "decode_png_palette / decode_gif_gray8 / decode_jpeg_gray8 / "
+        "decode_jpeg_color / decode_jpeg_gray8_progressive / "
+        "decode_jpeg_color_progressive / decode_tiff / "
+        "decode_webp_lossless / probe_jpeg / probe_tiff / probe_webp); "
+        "inject a codec callable into map_media_batches"
     )
 
 
@@ -316,6 +320,705 @@ def encode_tiff_skeleton(
             out += _s.pack("<HHII", tag, typ, cnt, val)
     out += _s.pack("<I", 0)  # no next IFD
     return bytes(out)
+
+
+# --- REAL WebP-lossless (VP8L) codec subset ---------------------------------
+# The last image format in the honest-stub list with a feasible
+# library-free path: VP8L is prefix coding + pixel transforms, no DSP.
+# Implemented subset (everything round-trip verified, uniform
+# ValueError contract): full canonical prefix-code machinery (simple
+# AND code-length-coded forms, repeat codes 16/17/18), color cache,
+# LZ77 backward references with linear distance codes, subtract-green
+# transform, color-indexing (palette) transform including sub-byte
+# pixel bundling, RIFF container wrap, VP8/VP8L/VP8X structure probe.
+# Out of scope and raising documented ValueErrors: the predictor and
+# cross-color transforms, meta-prefix (entropy image) groups, and the
+# 2D short-distance code neighborhood — the subset a library-free
+# reimplementation can keep honest without a reference codec to
+# validate against (lossy VP8 needs real DSP and stays probed-only).
+
+
+class _LsbBitWriter:
+    """VP8L bit order: values pack LSB-first into each byte."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc |= (value & ((1 << length) - 1)) << self.nbits
+        self.nbits += length
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def put_code(self, code: int, length: int) -> None:
+        """Prefix codes are written MSB-of-code first (DEFLATE rule)."""
+        for i in range(length - 1, -1, -1):
+            self.put((code >> i) & 1, 1)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc, self.nbits = 0, 0
+        return bytes(self.out)
+
+
+class _LsbBitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated VP8L bitstream")
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        v = self.acc & ((1 << n) - 1)
+        self.acc >>= n
+        self.nbits -= n
+        return v
+
+
+def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (length, code) per the DEFLATE canonical rule (codes
+    of equal length assigned in symbol order, shorter lengths first)."""
+    max_len = max(lengths, default=0)
+    bl_count = [0] * (max_len + 1)
+    for ln in lengths:
+        if ln:
+            bl_count[ln] += 1
+    code = 0
+    next_code = [0] * (max_len + 1)
+    for ln in range(1, max_len + 1):
+        code = (code + bl_count[ln - 1]) << 1
+        next_code[ln] = code
+    out = {}
+    for sym, ln in enumerate(lengths):
+        if ln:
+            out[sym] = (ln, next_code[ln])
+            next_code[ln] += 1
+    if sum(1 << (max_len - ln) for ln in lengths if ln) > (1 << max_len):
+        raise ValueError("over-subscribed prefix code")
+    return out
+
+
+class _PrefixCode:
+    """Decode side: walk bits MSB-of-code-first through a (length,
+    code) -> symbol map. The zero-bit single-symbol degenerate exists
+    ONLY in the spec's 'simple' serialization (`single_symbol`); a
+    normal-form code with one length-1 symbol is a real 1-bit code."""
+
+    def __init__(self, lengths: list[int]):
+        self.single = None
+        self.table = {
+            (ln, code): sym
+            for sym, (ln, code) in _canonical_codes(lengths).items()
+        }
+
+    @classmethod
+    def single_symbol(cls, sym: int) -> "_PrefixCode":
+        pc = cls([])
+        pc.single = sym
+        return pc
+
+    def read(self, br: _LsbBitReader) -> int:
+        if self.single is not None:
+            return self.single
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | br.bits(1)
+            length += 1
+            sym = self.table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid VP8L prefix code")
+
+
+#: code-length-code symbol transmission order (VP8L spec)
+_VP8L_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+
+def _write_prefix_code(
+    w: _LsbBitWriter, lengths: list[int]
+) -> dict[int, tuple[int, int]]:
+    """Emit one prefix code declaration and return the symbol ->
+    (bit length, code) map the TOKEN writer must use — the simple
+    1-symbol form costs ZERO bits per occurrence, the simple 2-symbol
+    form one bit, the normal (code-length-coded) form its canonical
+    codes."""
+    nz = [s for s, ln in enumerate(lengths) if ln]
+    if not nz:
+        # a channel never coded (e.g. distances in a literal-only
+        # image): declare a 1-symbol simple code for symbol 0
+        nz = [0]
+    if 1 <= len(nz) <= 2 and max(nz) < 256:
+        w.put(1, 1)  # simple
+        w.put(len(nz) - 1, 1)
+        first = nz[0]
+        if first <= 1:
+            w.put(0, 1)  # 1-bit first symbol
+            w.put(first, 1)
+        else:
+            w.put(1, 1)
+            w.put(first, 8)
+        if len(nz) == 2:
+            w.put(nz[1], 8)
+            return {nz[0]: (1, 0), nz[1]: (1, 1)}
+        return {nz[0]: (0, 0)}
+    w.put(0, 1)  # normal form
+    # code-length code: transmit 3-bit lengths for the CL alphabet in
+    # _VP8L_CL_ORDER; we use a FLAT 5-bit CL code over symbols 0..15
+    # is not expressible in 3 bits, so build a real CL code for the
+    # lengths that occur
+    used = sorted({ln for ln in lengths if ln} | {0})
+    # assign CL code lengths: every used symbol gets ceil(log2(n)) bits
+    n_cl = max(len(used), 2)
+    cl_bits = max(1, (n_cl - 1).bit_length())
+    if cl_bits > 7:
+        raise ValueError("too many distinct code lengths")
+    cl_lengths = [0] * 19
+    for s in used:
+        cl_lengths[s] = cl_bits
+    # pad to a complete code: the canonical builder requires the Kraft
+    # sum to not overflow; incomplete is fine for writing (decoder
+    # walks the map), but keep it complete by widening assignments
+    order_pos = {s: i for i, s in enumerate(_VP8L_CL_ORDER)}
+    last = max(order_pos[s] for s in used)
+    w.put(last + 1 - 4 if last + 1 >= 4 else 0, 4)  # num_code_lengths - 4
+    n_transmit = max(last + 1, 4)
+    for i in range(n_transmit):
+        s = _VP8L_CL_ORDER[i]
+        w.put(cl_lengths[s] if s in used else 0, 3)
+    cl_code = _canonical_codes(
+        [cl_lengths[s] if s in used else 0 for s in range(19)]
+    )
+    w.put(0, 1)  # no length limit / max-symbol field
+    for ln in lengths:
+        cln, code = cl_code[ln]
+        w.put_code(code, cln)
+    return _canonical_codes(lengths)
+
+
+def _read_prefix_code(br: _LsbBitReader, alphabet_size: int) -> _PrefixCode:
+    if br.bits(1):  # simple
+        num = br.bits(1) + 1
+        if br.bits(1):
+            s1 = br.bits(8)
+        else:
+            s1 = br.bits(1)
+        if s1 >= alphabet_size:
+            raise ValueError("simple-code symbol out of range")
+        if num == 2:
+            s2 = br.bits(8)
+            if s2 >= alphabet_size:
+                raise ValueError("simple-code symbol out of range")
+            lengths = [0] * alphabet_size
+            lengths[s1] = 1
+            lengths[s2] = 1
+            return _PrefixCode(lengths)
+        return _PrefixCode.single_symbol(s1)
+    num_cl = br.bits(4) + 4
+    if num_cl > 19:
+        raise ValueError("invalid code-length count")
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_VP8L_CL_ORDER[i]] = br.bits(3)
+    cl_code = _PrefixCode(cl_lengths)
+    lengths = [0] * alphabet_size
+    if br.bits(1):  # explicit max-symbol
+        length_nbits = 2 + 2 * br.bits(3)
+        max_symbol = 2 + br.bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    sym = 0
+    prev_len = 8
+    while sym < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        s = cl_code.read(br)
+        if s < 16:
+            lengths[sym] = s
+            sym += 1
+            if s:
+                prev_len = s
+        elif s == 16:
+            rep = 3 + br.bits(2)
+            for _ in range(rep):
+                if sym >= alphabet_size:
+                    raise ValueError("repeat overruns alphabet")
+                lengths[sym] = prev_len
+                sym += 1
+        elif s == 17:
+            sym += 3 + br.bits(3)
+        elif s == 18:
+            sym += 11 + br.bits(7)
+        else:
+            raise ValueError("bad code-length symbol")
+    if sym > alphabet_size:
+        raise ValueError("code lengths overrun alphabet")
+    return _PrefixCode(lengths)
+
+
+def _huffman_lengths(freqs: dict[int, int], size: int, max_len: int = 15) -> list[int]:
+    """Canonical-code bit lengths from symbol frequencies (heap
+    Huffman); falls back to flat ceil(log2 n) lengths if any code would
+    exceed `max_len` (rare, and always valid)."""
+    import heapq
+    import math
+
+    lengths = [0] * size
+    nz = [s for s in freqs if freqs[s]]
+    if not nz:
+        return lengths
+    if len(nz) == 1:
+        lengths[nz[0]] = 1
+        return lengths
+    heap = [(freqs[s], s, (s,)) for s in nz]
+    heapq.heapify(heap)
+    while len(heap) > 1:
+        f1, _t1, g1 = heapq.heappop(heap)
+        f2, _t2, g2 = heapq.heappop(heap)
+        for s in g1 + g2:
+            lengths[s] += 1
+        heapq.heappush(heap, (f1 + f2, min(_t1, _t2), g1 + g2))
+    if max(lengths) > max_len:
+        flat = max(1, math.ceil(math.log2(len(nz))))
+        lengths = [0] * size
+        for s in nz:
+            lengths[s] = flat
+    return lengths
+
+
+def _lz77_value_to_code(v: int) -> tuple[int, int, int]:
+    """length/distance value -> (prefix code, n extra bits, extra)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    x = v - 1
+    hb = x.bit_length() - 1
+    second = (x >> (hb - 1)) & 1
+    code = 2 * hb + second
+    extra = hb - 1
+    offset = (2 + second) << extra
+    return code, extra, x - offset
+
+
+def _lz77_code_to_value(code: int, br: _LsbBitReader) -> int:
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.bits(extra) + 1
+
+
+def _vp8l_cache_hash(argb: int, cache_bits: int) -> int:
+    return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+
+def _vp8l_write_pixels(
+    w: _LsbBitWriter,
+    pixels: list[int],
+    width: int,
+    cache_bits: int = 0,
+    use_lz77: bool = True,
+    level0: bool = False,
+) -> None:
+    """Entropy-code one ARGB pixel stream: greedy LZ77 against the two
+    cheap distances (1 = horizontal run, `width` = vertical copy, both
+    emitted as linear plane codes dist+120), optional color cache,
+    Huffman codes per channel built from the token histogram."""
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    tokens = []
+    n = len(pixels)
+    pos = 0
+    while pos < n:
+        best_len, best_dist = 0, 0
+        if use_lz77:
+            for dist in (1, width):
+                if dist and pos >= dist:
+                    ln = 0
+                    while (
+                        pos + ln < n
+                        and ln < 4096
+                        and pixels[pos + ln] == pixels[pos + ln - dist]
+                    ):
+                        ln += 1
+                    if ln > best_len:
+                        best_len, best_dist = ln, dist
+        if best_len >= 3:
+            tokens.append(("ref", best_len, best_dist))
+            if cache is not None:
+                for i in range(best_len):
+                    px = pixels[pos + i]
+                    cache[_vp8l_cache_hash(px, cache_bits)] = px
+            pos += best_len
+            continue
+        px = pixels[pos]
+        if cache is not None and cache[_vp8l_cache_hash(px, cache_bits)] == px:
+            tokens.append(("cache", _vp8l_cache_hash(px, cache_bits)))
+        else:
+            tokens.append(("lit", px))
+            if cache is not None:
+                cache[_vp8l_cache_hash(px, cache_bits)] = px
+        pos += 1
+
+    if cache_bits:
+        w.put(1, 1)
+        w.put(cache_bits, 4)
+    else:
+        w.put(0, 1)
+    if level0:
+        w.put(0, 1)  # no meta-prefix (entropy image) groups
+    green_size = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    gf: dict[int, int] = {}
+    rf: dict[int, int] = {}
+    bf: dict[int, int] = {}
+    af: dict[int, int] = {}
+    df: dict[int, int] = {}
+    for t in tokens:
+        if t[0] == "lit":
+            px = t[1]
+            gf[(px >> 8) & 0xFF] = gf.get((px >> 8) & 0xFF, 0) + 1
+            rf[(px >> 16) & 0xFF] = rf.get((px >> 16) & 0xFF, 0) + 1
+            bf[px & 0xFF] = bf.get(px & 0xFF, 0) + 1
+            af[px >> 24] = af.get(px >> 24, 0) + 1
+        elif t[0] == "ref":
+            lc, _e, _x = _lz77_value_to_code(t[1])
+            gf[256 + lc] = gf.get(256 + lc, 0) + 1
+            dc, _e2, _x2 = _lz77_value_to_code(t[2] + 120)
+            df[dc] = df.get(dc, 0) + 1
+        else:
+            gf[280 + t[1]] = gf.get(280 + t[1], 0) + 1
+    genc = _write_prefix_code(w, _huffman_lengths(gf, green_size))
+    renc = _write_prefix_code(w, _huffman_lengths(rf, 256))
+    benc = _write_prefix_code(w, _huffman_lengths(bf, 256))
+    aenc = _write_prefix_code(w, _huffman_lengths(af, 256))
+    denc = _write_prefix_code(w, _huffman_lengths(df, 40))
+    for t in tokens:
+        if t[0] == "lit":
+            px = t[1]
+            ln, code = genc[(px >> 8) & 0xFF]
+            w.put_code(code, ln)
+            ln, code = renc[(px >> 16) & 0xFF]
+            w.put_code(code, ln)
+            ln, code = benc[px & 0xFF]
+            w.put_code(code, ln)
+            ln, code = aenc[px >> 24]
+            w.put_code(code, ln)
+        elif t[0] == "ref":
+            lc, e, x = _lz77_value_to_code(t[1])
+            ln, code = genc[256 + lc]
+            w.put_code(code, ln)
+            if e:
+                w.put(x, e)
+            dc, e2, x2 = _lz77_value_to_code(t[2] + 120)
+            ln, code = denc[dc]
+            w.put_code(code, ln)
+            if e2:
+                w.put(x2, e2)
+        else:
+            ln, code = genc[280 + t[1]]
+            w.put_code(code, ln)
+
+
+def _vp8l_read_pixels(
+    br: _LsbBitReader, width: int, height: int, level0: bool = False
+) -> list[int]:
+    """Decode one entropy-coded ARGB image (the shared routine for the
+    main image, the palette, and other transform data): color cache,
+    the five prefix codes, literals / LZ77 backrefs / cache hits.
+    Raises on meta-prefix groups and 2D short-distance codes (outside
+    the implemented subset)."""
+    cache_bits = br.bits(4) if br.bits(1) else 0
+    if cache_bits and not 1 <= cache_bits <= 11:
+        raise ValueError("invalid color-cache size")
+    if level0 and br.bits(1):
+        raise ValueError("meta-prefix (entropy image) groups unsupported")
+    green_size = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    green = _read_prefix_code(br, green_size)
+    red = _read_prefix_code(br, 256)
+    blue = _read_prefix_code(br, 256)
+    alpha = _read_prefix_code(br, 256)
+    dist = _read_prefix_code(br, 40)
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    n = width * height
+    out: list[int] = []
+
+    def emit(px: int) -> None:
+        out.append(px)
+        if cache is not None:
+            cache[_vp8l_cache_hash(px, cache_bits)] = px
+
+    while len(out) < n:
+        sym = green.read(br)
+        if sym < 256:
+            g = sym
+            r = red.read(br)
+            b = blue.read(br)
+            a = alpha.read(br)
+            emit((a << 24) | (r << 16) | (g << 8) | b)
+        elif sym < 280:
+            length = _lz77_code_to_value(sym - 256, br)
+            plane = _lz77_code_to_value(dist.read(br), br)
+            if plane <= 120:
+                raise ValueError("2D short-distance codes unsupported")
+            d = plane - 120
+            if d > len(out):
+                raise ValueError("backward reference before image start")
+            if len(out) + length > n:
+                raise ValueError("backward reference overruns image")
+            for _ in range(length):
+                emit(out[-d])
+        else:
+            idx = sym - 280
+            if cache is None or idx >= len(cache):
+                raise ValueError("color-cache index without cache")
+            emit(cache[idx])
+    return out
+
+
+def _palette_width_bits(n_colors: int) -> int:
+    if n_colors <= 2:
+        return 3
+    if n_colors <= 4:
+        return 2
+    if n_colors <= 16:
+        return 1
+    return 0
+
+
+def encode_webp_lossless(
+    width: int,
+    height: int,
+    rgba: bytes,
+    use_palette: bool | None = None,
+    cache_bits: int = 8,
+    subtract_green: bool = True,
+) -> bytes:
+    """REAL WebP-lossless (VP8L) encoder for RGBA8: optional
+    color-indexing transform (auto when <= 256 distinct colors, with
+    sub-byte pixel bundling for tiny palettes), else optional
+    subtract-green; greedy LZ77 + color cache + per-channel canonical
+    prefix codes; wrapped in a valid RIFF/WEBP container. Lossless —
+    `decode_webp_lossless` round-trips the exact bytes."""
+    import struct as _s
+
+    if len(rgba) != width * height * 4:
+        raise ValueError("pixel buffer does not match dims")
+    if not (1 <= width <= 1 << 14 and 1 <= height <= 1 << 14):
+        raise ValueError("dims out of VP8L range")
+    pixels = [
+        (rgba[i + 3] << 24) | (rgba[i] << 16) | (rgba[i + 1] << 8) | rgba[i + 2]
+        for i in range(0, len(rgba), 4)
+    ]
+    palette = sorted(set(pixels))
+    if use_palette is None:
+        use_palette = len(palette) <= 256
+    if use_palette and len(palette) > 256:
+        raise ValueError("palette transform needs <= 256 distinct colors")
+
+    w = _LsbBitWriter()
+    w.put(0x2F, 8)  # VP8L signature
+    w.put(width - 1, 14)
+    w.put(height - 1, 14)
+    w.put(1 if any(p >> 24 != 0xFF for p in pixels) else 0, 1)  # alpha hint
+    w.put(0, 3)  # version
+    if use_palette:
+        w.put(1, 1)
+        w.put(3, 2)  # COLOR_INDEXING
+        w.put(len(palette) - 1, 8)
+        # palette entries delta-coded componentwise, stored as an
+        # entropy-coded (n x 1) image
+        deltas = []
+        prev = 0
+        for p in palette:
+            d = 0
+            for sh in (24, 16, 8, 0):
+                d |= (((p >> sh) - (prev >> sh)) & 0xFF) << sh
+            deltas.append(d)
+            prev = p
+        _vp8l_write_pixels(w, deltas, len(palette), cache_bits=0, use_lz77=False)
+        idx_of = {p: i for i, p in enumerate(palette)}
+        wb = _palette_width_bits(len(palette))
+        if wb:
+            per = 1 << wb
+            bpp = 8 >> wb
+            pw = (width + per - 1) >> wb
+            packed = []
+            for y in range(height):
+                for xb in range(pw):
+                    g = 0
+                    for k in range(per):
+                        x = (xb << wb) + k
+                        if x < width:
+                            g |= idx_of[pixels[y * width + x]] << (bpp * k)
+                    packed.append(g << 8)  # index bits live in green
+            body, bw = packed, pw
+        else:
+            body, bw = [idx_of[p] << 8 for p in pixels], width
+        w.put(0, 1)  # no more transforms
+        _vp8l_write_pixels(w, body, bw, cache_bits=cache_bits, level0=True)
+    else:
+        if subtract_green:
+            w.put(1, 1)
+            w.put(2, 2)  # SUBTRACT_GREEN
+            pixels = [
+                (p & 0xFF000000)
+                | ((((p >> 16) - (p >> 8)) & 0xFF) << 16)
+                | (p & 0xFF00)
+                | (((p & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF)
+                for p in pixels
+            ]
+        w.put(0, 1)  # no more transforms
+        _vp8l_write_pixels(w, pixels, width, cache_bits=cache_bits, level0=True)
+    payload = w.flush()
+    chunk = b"VP8L" + _s.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + _s.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+@_malformed_raises_value_error
+def decode_webp_lossless(data: bytes) -> tuple[int, int, bytes]:
+    """REAL WebP-lossless (VP8L) decoder for the implemented subset:
+    RIFF walk to the VP8L chunk, header, transform list (subtract-green
+    and color-indexing incl. pixel bundling implemented; predictor and
+    cross-color raise the documented ValueError), color cache, LZ77
+    with linear distance codes, canonical prefix codes in both simple
+    and code-length-coded forms. Returns (width, height, RGBA bytes)."""
+    import struct as _s
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP (bad RIFF header)")
+    pos, payload = 12, None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = _s.unpack_from("<I", data, pos + 4)
+        if pos + 8 + ln > len(data):
+            raise ValueError(f"truncated RIFF chunk {tag!r}")
+        if tag == b"VP8L":
+            payload = data[pos + 8 : pos + 8 + ln]
+            break
+        if tag in (b"VP8 ", b"VP8X"):
+            raise ValueError("lossy/extended WebP needs an imaging library")
+        pos += 8 + ln + (ln % 2)
+    if payload is None:
+        raise ValueError("no VP8L chunk")
+    br = _LsbBitReader(payload)
+    if br.bits(8) != 0x2F:
+        raise ValueError("bad VP8L signature")
+    width = br.bits(14) + 1
+    height = br.bits(14) + 1
+    br.bits(1)  # alpha hint
+    if br.bits(3) != 0:
+        raise ValueError("unknown VP8L version")
+    transforms = []
+    palette = None
+    eff_width = width
+    while br.bits(1):
+        ttype = br.bits(2)
+        if ttype == 2:  # SUBTRACT_GREEN
+            transforms.append(("subtract_green",))
+        elif ttype == 3:  # COLOR_INDEXING
+            n_colors = br.bits(8) + 1
+            deltas = _vp8l_read_pixels(br, n_colors, 1)
+            palette = []
+            prev = 0
+            for d in deltas:
+                p = 0
+                for sh in (24, 16, 8, 0):
+                    p |= (((d >> sh) + (prev >> sh)) & 0xFF) << sh
+                palette.append(p)
+                prev = p
+            wb = _palette_width_bits(n_colors)
+            eff_width = (width + (1 << wb) - 1) >> wb if wb else width
+            transforms.append(("palette", palette, wb))
+        else:
+            raise ValueError(
+                "predictor/cross-color transforms unsupported (subset)"
+            )
+    pixels = _vp8l_read_pixels(br, eff_width, height, level0=True)
+    for t in reversed(transforms):
+        if t[0] == "subtract_green":
+            pixels = [
+                (p & 0xFF000000)
+                | ((((p >> 16) + (p >> 8)) & 0xFF) << 16)
+                | (p & 0xFF00)
+                | (((p & 0xFF) + ((p >> 8) & 0xFF)) & 0xFF)
+                for p in pixels
+            ]
+        else:
+            _tag, pal, wb = t
+            unpacked = []
+            if wb:
+                per = 1 << wb
+                bpp = 8 >> wb
+                pw = (width + per - 1) >> wb
+                for y in range(height):
+                    for x in range(width):
+                        g = (pixels[y * pw + (x >> wb)] >> 8) & 0xFF
+                        idx = (g >> (bpp * (x & (per - 1)))) & ((1 << bpp) - 1)
+                        if idx >= len(pal):
+                            raise ValueError("palette index out of range")
+                        unpacked.append(pal[idx])
+            else:
+                for p in pixels:
+                    idx = (p >> 8) & 0xFF
+                    if idx >= len(pal):
+                        raise ValueError("palette index out of range")
+                    unpacked.append(pal[idx])
+            pixels = unpacked
+    if len(pixels) != width * height:
+        raise ValueError("decoded pixel count mismatch")
+    out = bytearray()
+    for p in pixels:
+        out += bytes(((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF, p >> 24))
+    return (width, height, bytes(out))
+
+
+@_malformed_raises_value_error
+def probe_webp(data: bytes) -> tuple[int, int, str, int]:
+    """REAL WebP structure probe: RIFF walk, then per-form header parse
+    — VP8L (lossless: signature + 14-bit dims), VP8 (lossy keyframe:
+    sync code 0x9d012a + 14-bit dims), VP8X (extended: 24-bit canvas
+    dims). Returns (width, height, form, payload_bytes); no pixel
+    decode (lossy VP8 stays probe-only)."""
+    import struct as _s
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP (bad RIFF header)")
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = _s.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError(f"truncated RIFF chunk {tag!r}")
+        if tag == b"VP8L":
+            if len(body) < 5 or body[0] != 0x2F:
+                raise ValueError("bad VP8L header")
+            bits = int.from_bytes(body[1:5], "little")
+            return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, "VP8L", ln
+        if tag == b"VP8 ":
+            if len(body) < 10 or body[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("bad VP8 keyframe header")
+            w16, h16 = _s.unpack_from("<HH", body, 6)
+            return (w16 & 0x3FFF), (h16 & 0x3FFF), "VP8", ln
+        if tag == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("bad VP8X header")
+            wm1 = int.from_bytes(body[4:7], "little")
+            hm1 = int.from_bytes(body[7:10], "little")
+            return wm1 + 1, hm1 + 1, "VP8X", ln
+        pos += 8 + ln + (ln % 2)
+    raise ValueError("no image chunk in WebP")
 
 
 # --- REAL TIFF codec (stdlib struct/numpy) ----------------------------------

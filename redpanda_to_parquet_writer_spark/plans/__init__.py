@@ -121,6 +121,7 @@ _PRIORITY = [
     "multimodal_jpeg_progressive_decode",
     "multimodal_jpeg_progressive_color",
     "multimodal_tiff_roundtrip",
+    "multimodal_webp_roundtrip",
     # --- last driver-green in round 5, in their r5 window order (they
     # age next; round 8 rotates them in behind the two rows above) ---
     "numeric_profile_events",

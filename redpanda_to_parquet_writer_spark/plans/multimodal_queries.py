@@ -1227,6 +1227,114 @@ def multimodal_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["multimodal_tiff_roundtrip"] = multimodal_tiff_roundtrip
 
+
+def multimodal_webp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebP-lossless (VP8L) round trip — prefix coding, color
+    cache, LZ77 and pixel transforms, no imaging library: even ids take
+    the literal path (deterministic RGBA ramp, subtract-green + color
+    cache), odd ids the color-indexing path (16-color palette image
+    with sub-byte pixel bundling, alpha 255). The blob is probed
+    (`probe_webp` reports the VP8L form + dims from the chunk header)
+    and fully decoded (`operators/multimodal.py:decode_webp_lossless`).
+    VP8L is lossless, so dims and the exact RGBA byte sum replay
+    closed-form; the two paths share one (doc_id, x, y, ch<=3) grid
+    formula switched on parity."""
+    import pandas as pd
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_webp_lossless,
+        encode_webp_lossless,
+        probe_webp,
+        synth_palette_image,
+        synth_rgb_image,
+    )
+
+    docs = _doc_ids_spread(spark, sf_dir)
+
+    def _rgba(i: int) -> tuple[int, int, bytes]:
+        if i % 2:
+            w, h, idx, pal, _trns = synth_palette_image(i)
+            out = bytearray()
+            for b in idx:
+                out += pal[3 * b : 3 * b + 3] + b"\xff"
+            return w, h, bytes(out)
+        w, h, rgb = synth_rgb_image(i)
+        out = bytearray()
+        for p in range(w * h):
+            x, y = p % w, p // w
+            out += rgb[3 * p : 3 * p + 3] + bytes([(i + 5 * x + 3 * y) % 256])
+        return w, h, bytes(out)
+
+    def _run(ids: pd.Series) -> pd.DataFrame:
+        rows = []
+        for i in ids:
+            i = int(i)
+            w, h, rgba = _rgba(i)
+            blob = encode_webp_lossless(w, h, rgba)
+            pw, ph, form, _ln = probe_webp(blob)
+            dw, dh, dpx = decode_webp_lossless(blob)
+            ok = (dw, dh) == (w, h) and dpx == rgba
+            rows.append((i, pw, ph, form, dpx[0], dpx[-1], sum(dpx) if ok else -1))
+        return pd.DataFrame(
+            rows,
+            columns=["doc_id", "width", "height", "form", "p00", "p_last", "pixel_sum"],
+        )
+
+    def _batches(it):
+        for pdf in it:
+            yield _run(pdf["doc_id"])
+
+    return docs.mapInPandas(
+        _batches,
+        "doc_id long, width int, height int, form string, p00 int, p_last int, "
+        "pixel_sum long",
+    )
+
+
+QUERIES["multimodal_webp_roundtrip"] = multimodal_webp_roundtrip
+
+# lossless: RGBA byte (x, y, ch) is, for even docs, the RGB ramp
+# (d + 7x + 13y + 29ch) % 256 with alpha (d + 5x + 3y) % 256; for odd
+# docs the 16-color palette expansion (d + (3+2ch)*((d+7x+13y)%16))%256
+# with alpha 255 — one grid over ch 0..3 switched on parity
+ORACLES["multimodal_webp_roundtrip"] = """
+    WITH base AS (
+      SELECT doc_id,
+             16 + doc_id % 17 AS w,
+             16 + (3 * doc_id) % 23 AS h
+      FROM documents
+    ),
+    grid AS (
+      SELECT b.doc_id, b.w, b.h,
+             CASE
+               WHEN b.doc_id % 2 = 1 AND cs.ch < 3 THEN
+                 (b.doc_id + (3 + 2 * cs.ch)
+                  * ((b.doc_id + 7 * xs.x + 13 * ys.y) % 16)) % 256
+               WHEN b.doc_id % 2 = 1 THEN 255
+               WHEN cs.ch < 3 THEN
+                 (b.doc_id + 7 * xs.x + 13 * ys.y + 29 * cs.ch) % 256
+               ELSE (b.doc_id + 5 * xs.x + 3 * ys.y) % 256
+             END AS pix
+      FROM base b,
+           LATERAL (SELECT unnest(range(b.w)) AS x) xs,
+           LATERAL (SELECT unnest(range(b.h)) AS y) ys,
+           LATERAL (SELECT unnest(range(4)) AS ch) cs
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           'VP8L' AS form,
+           CAST(CASE WHEN doc_id % 2 = 1
+                     THEN (doc_id + 3 * (doc_id % 16)) % 256
+                     ELSE doc_id % 256 END AS INTEGER) AS p00,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 255
+                     ELSE (doc_id + 5 * (w - 1) + 3 * (h - 1)) % 256
+                END AS INTEGER) AS p_last,
+           CAST(sum(pix) AS BIGINT) AS pixel_sum
+    FROM grid
+    GROUP BY doc_id, w, h
+"""
+
 # lossless codec: every expanded byte is (doc_id + 7x + 13y + 29ch) % 256
 # with the channel term zero for gray docs — one grid covers both
 ORACLES["multimodal_tiff_roundtrip"] = """

@@ -663,7 +663,9 @@ def test_media_decoders_total_on_magic_prefixed_garbage(buf):
 
     from redpanda_to_parquet_writer_spark.operators.multimodal import (
         decode_tiff,
+        decode_webp_lossless,
         probe_tiff,
+        probe_webp,
     )
 
     from redpanda_to_parquet_writer_spark.operators.multimodal import (
@@ -696,6 +698,8 @@ def test_media_decoders_total_on_magic_prefixed_garbage(buf):
         (decode_tiff, b"II\x2a\x00" + buf),
         (decode_tiff, b"MM\x00\x2a" + buf),
         (decode_wav, b"RIFF" + (len(buf) + 4).to_bytes(4, "little") + b"WAVE" + buf),
+        (decode_webp_lossless, b"RIFF" + (len(buf) + 4).to_bytes(4, "little") + b"WEBP" + buf),
+        (probe_webp, b"RIFF" + (len(buf) + 4).to_bytes(4, "little") + b"WEBP" + buf),
     )
     for fn, data in cases:
         try:
@@ -1121,3 +1125,87 @@ def test_tiff_crafted_contract_holes():
         _packbits_decode(b"\x05ab", 6)  # literal promises 6, has 2
     with pytest.raises(ValueError, match="compression must be"):
         encode_tiff(2, 2, bytes(4), 1, 6)
+
+
+@given(
+    st.integers(min_value=1, max_value=32),
+    st.integers(min_value=1, max_value=32),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.sampled_from([0, 4, 8, 11]),
+    st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_webp_lossless_roundtrip_arbitrary_images(w, h, seed, cache_bits, sg):
+    """VP8L encode->decode is the identity on arbitrary RGBA bitmaps
+    across cache sizes and the subtract-green switch, on noise (literal
+    path), tiny palettes (color-indexing with every bundling width) and
+    flat fills (LZ77 runs)."""
+    import random as _random
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_webp_lossless,
+        encode_webp_lossless,
+        probe_webp,
+    )
+
+    rng = _random.Random(seed)
+    images = [bytes(rng.randrange(256) for _ in range(w * h * 4))]
+    for n_colors in (1, 2, 4, 16, 40):
+        pal = [bytes(rng.randrange(256) for _ in range(4)) for _ in range(n_colors)]
+        images.append(b"".join(rng.choice(pal) for _ in range(w * h)))
+    images.append(bytes(rng.randrange(256) for _ in range(4)) * (w * h))
+    for rgba in images:
+        blob = encode_webp_lossless(
+            w, h, rgba, cache_bits=cache_bits, subtract_green=sg
+        )
+        assert decode_webp_lossless(blob) == (w, h, rgba)
+        assert probe_webp(blob)[:3] == (w, h, "VP8L")
+
+
+def test_webp_crafted_contract_holes():
+    """Structured VP8L corruption stays inside ValueError, and the
+    out-of-subset features raise their documented errors."""
+    import struct
+
+    import pytest
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        _LsbBitWriter,
+        decode_webp_lossless,
+        encode_webp_lossless,
+        probe_webp,
+    )
+
+    good = encode_webp_lossless(4, 4, bytes(range(64)))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_webp_lossless(b"RIFX" + good[4:])
+    with pytest.raises(ValueError):
+        decode_webp_lossless(good[: len(good) // 2])
+    # a VP8L payload declaring the PREDICTOR transform (type 0)
+    w = _LsbBitWriter()
+    w.put(0x2F, 8)
+    w.put(3, 14)
+    w.put(3, 14)
+    w.put(0, 1)
+    w.put(0, 3)
+    w.put(1, 1)  # a transform follows
+    w.put(0, 2)  # PREDICTOR
+    payload = w.flush()
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(payload)) + b"WEBP"
+        + b"VP8L" + struct.pack("<I", len(payload)) + payload
+    )
+    with pytest.raises(ValueError, match="predictor/cross-color"):
+        decode_webp_lossless(blob)
+    # lossy VP8 probes but refuses pixel decode
+    vp8 = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 10) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 10)
+        + b"\x00\x00\x00\x9d\x01\x2a" + struct.pack("<HH", 20, 30)
+    )
+    assert probe_webp(vp8) == (20, 30, "VP8", 10)
+    with pytest.raises(ValueError, match="imaging library"):
+        decode_webp_lossless(vp8)
+    with pytest.raises(ValueError, match="distinct colors"):
+        enc_px = b"".join(struct.pack(">I", i) for i in range(320))  # 320 distinct
+        encode_webp_lossless(16, 20, enc_px, use_palette=True)
