@@ -122,6 +122,7 @@ _PRIORITY = [
     "multimodal_jpeg_progressive_color",
     "multimodal_tiff_roundtrip",
     "multimodal_webp_roundtrip",
+    "streaming_media_ingest",
     # --- last driver-green in round 5, in their r5 window order (they
     # age next; round 8 rotates them in behind the two rows above) ---
     "numeric_profile_events",

@@ -341,8 +341,68 @@ def streaming_msgpack_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary MEDIA through the REAL streaming path — the 100-TB ingest
+    shape for a multimodal corpus: per-doc PNG blobs land in a spool,
+    stream through availableNow -> JVM magic sniff -> Arrow-batched
+    full PNG decode (`map_media_batches` runs unchanged on a streaming
+    DataFrame) -> checkpointed parquet sink of TYPED FEATURES (the
+    blobs never reach the sink), then the sink is read back and gated
+    against the same closed-form oracle as the batch PNG query. A
+    dropped micro-batch row, a misdecoded scanline, or a feature
+    column drift flips the hash. Fresh private dirs per invocation
+    keep the driver's rerun-idempotence check honest."""
+    import tempfile
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        DECODED_PNG_SCHEMA,
+        decode_png_features,
+        encode_png_gray8,
+        map_media_batches,
+        synth_gray_image,
+        with_media_metadata,
+    )
+    from redpanda_to_parquet_writer_spark.plans.multimodal_queries import (
+        _doc_ids_spread,
+    )
+
+    def _png(i: int) -> bytes:
+        return encode_png_gray8(*synth_gray_image(int(i)))
+
+    synth = F.pandas_udf(lambda ids: ids.map(_png), "binary")
+    blobs = _doc_ids_spread(spark, sf_dir).withColumn("blob", synth("doc_id"))
+    work = tempfile.mkdtemp(prefix="media_ingest_")
+    src = f"{work}/src"
+    blobs.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    with_meta = with_media_metadata(stream, "blob", media_type="image").select(
+        "doc_id", "blob", F.col("media_meta.format").alias("format")
+    )
+    decoded = map_media_batches(
+        with_meta,
+        "blob",
+        DECODED_PNG_SCHEMA,
+        codec=decode_png_features,
+        passthrough=["doc_id", "format"],
+    )
+    (
+        decoded.writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    sink = spark.read.parquet(f"{work}/out")
+    return sink.select(
+        "doc_id", "format", "width", "height", "bit_depth", "channels",
+        "p00", "p_last", "pixel_sum",
+    )
+
+
 QUERIES = {
     "streaming_hourly_event_stats": streaming_hourly_event_stats,
+    "streaming_media_ingest": streaming_media_ingest,
     "streaming_msgpack_ingest": streaming_msgpack_ingest,
     "streaming_session_stats": streaming_session_stats,
     "streaming_sliding_event_stats": streaming_sliding_event_stats,
@@ -417,6 +477,34 @@ ORACLES = {
     """,
     # the full pack -> spool -> stream -> decode -> flatten -> dated-sink
     # pipeline must reproduce the direct aggregation of the source table
+    # the batch PNG query's closed-form oracle, reached through the
+    # REAL streaming ingest path instead of a batch mapInPandas
+    "streaming_media_ingest": """
+        WITH base AS (
+          SELECT doc_id,
+                 16 + doc_id % 17 AS w,
+                 16 + (3 * doc_id) % 23 AS h
+          FROM documents
+        ),
+        grid AS (
+          SELECT b.doc_id, b.w, b.h,
+                 (b.doc_id + 7 * xs.x + 13 * ys.y) % 256 AS pix
+          FROM base b,
+               LATERAL (SELECT unnest(range(b.w)) AS x) xs,
+               LATERAL (SELECT unnest(range(b.h)) AS y) ys
+        )
+        SELECT doc_id,
+               'png' AS format,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(8 AS BIGINT) AS bit_depth,
+               CAST(1 AS BIGINT) AS channels,
+               CAST(doc_id % 256 AS BIGINT) AS p00,
+               CAST((doc_id + 7 * (w - 1) + 13 * (h - 1)) % 256 AS BIGINT) AS p_last,
+               CAST(sum(pix) AS BIGINT) AS pixel_sum
+        FROM grid
+        GROUP BY doc_id, w, h
+    """,
     "streaming_msgpack_ingest": """
         SELECT event_type,
                count(*) AS n_events,
