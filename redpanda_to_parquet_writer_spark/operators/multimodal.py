@@ -411,11 +411,17 @@ def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
 
 class _PrefixCode:
     """Decode side: walk bits MSB-of-code-first through a (length,
-    code) -> symbol map. The zero-bit single-symbol degenerate exists
-    ONLY in the spec's 'simple' serialization (`single_symbol`); a
-    normal-form code with one length-1 symbol is a real 1-bit code."""
+    code) -> symbol map. A code with exactly ONE used symbol reads
+    zero bits per occurrence — libwebp's table builder special-cases
+    single-symbol codes this way for BOTH the simple and the normal
+    (code-length-coded) serializations, and the writer mirrors it."""
 
     def __init__(self, lengths: list[int]):
+        nz = [s for s, ln in enumerate(lengths) if ln]
+        if len(nz) == 1:
+            self.single = nz[0]
+            self.table = {}
+            return
         self.single = None
         self.table = {
             (ln, code): sym
@@ -473,37 +479,68 @@ def _write_prefix_code(
             return {nz[0]: (1, 0), nz[1]: (1, 1)}
         return {nz[0]: (0, 0)}
     w.put(0, 1)  # normal form
-    # code-length code: transmit 3-bit lengths for the CL alphabet in
-    # _VP8L_CL_ORDER; we use a FLAT 5-bit CL code over symbols 0..15
-    # is not expressible in 3 bits, so build a real CL code for the
-    # lengths that occur
-    used = sorted({ln for ln in lengths if ln} | {0})
-    # assign CL code lengths: every used symbol gets ceil(log2(n)) bits
-    n_cl = max(len(used), 2)
-    cl_bits = max(1, (n_cl - 1).bit_length())
-    if cl_bits > 7:
-        raise ValueError("too many distinct code lengths")
+    # tokenize the symbol lengths with the spec's zero-run repeat codes
+    # (17: 3-10 zeros, 18: 11-138 zeros) — the decoder-side support for
+    # these already exists, and without them a 500+-symbol alphabet
+    # pays ~3 bits per trailing zero
+    cl_tokens: list[tuple[int, int, int]] = []  # (cl symbol, extra bits, extra)
+    i = 0
+    while i < len(lengths):
+        if lengths[i]:
+            cl_tokens.append((lengths[i], 0, 0))
+            i += 1
+            continue
+        run = 1
+        while i + run < len(lengths) and not lengths[i + run]:
+            run += 1
+        i += run
+        while run >= 11:
+            r = min(run, 138)
+            cl_tokens.append((18, 7, r - 11))
+            run -= r
+        if run >= 3:
+            cl_tokens.append((17, 3, run - 3))
+        else:
+            cl_tokens.extend((0, 0, 0) for _ in range(run))
+    # build a COMPLETE (Kraft sum exactly 1) code over the used CL
+    # symbols: with n symbols and L = ceil(log2 n), exactly 2^L - n of
+    # them take length L-1 and the rest L — libwebp's table builder
+    # rejects incomplete multi-symbol codes, so completeness is what
+    # makes the emitted file consumable outside this module
+    used = sorted({t[0] for t in cl_tokens})
+    n_cl = len(used)
     cl_lengths = [0] * 19
-    for s in used:
-        cl_lengths[s] = cl_bits
-    # pad to a complete code: the canonical builder requires the Kraft
-    # sum to not overflow; incomplete is fine for writing (decoder
-    # walks the map), but keep it complete by widening assignments
+    if n_cl == 1:
+        cl_lengths[used[0]] = 1  # single-symbol CL code: 0 bits on read
+    else:
+        L = (n_cl - 1).bit_length()
+        if L > 7:
+            raise ValueError("too many distinct code lengths")
+        n_short = (1 << L) - n_cl
+        for j, s in enumerate(used):
+            cl_lengths[s] = (L - 1) if j < n_short and L > 1 else L
     order_pos = {s: i for i, s in enumerate(_VP8L_CL_ORDER)}
     last = max(order_pos[s] for s in used)
     w.put(last + 1 - 4 if last + 1 >= 4 else 0, 4)  # num_code_lengths - 4
     n_transmit = max(last + 1, 4)
     for i in range(n_transmit):
         s = _VP8L_CL_ORDER[i]
-        w.put(cl_lengths[s] if s in used else 0, 3)
-    cl_code = _canonical_codes(
-        [cl_lengths[s] if s in used else 0 for s in range(19)]
-    )
-    w.put(0, 1)  # no length limit / max-symbol field
-    for ln in lengths:
-        cln, code = cl_code[ln]
-        w.put_code(code, cln)
-    return _canonical_codes(lengths)
+        w.put(cl_lengths[s], 3)
+    cl_code = _canonical_codes(cl_lengths)
+    w.put(0, 1)  # no explicit max-symbol field
+    for sym, ebits, extra in cl_tokens:
+        if n_cl > 1:
+            cln, code = cl_code[sym]
+            w.put_code(code, cln)
+        if ebits:
+            w.put(extra, ebits)
+    enc = _canonical_codes(lengths)
+    if len(nz) == 1:
+        # single-symbol normal-form code: 0 bits per occurrence (the
+        # libwebp table builder's special case; _read_prefix_code
+        # mirrors it)
+        return {nz[0]: (0, 0)}
+    return enc
 
 
 def _read_prefix_code(br: _LsbBitReader, alphabet_size: int) -> _PrefixCode:
@@ -590,10 +627,13 @@ def _huffman_lengths(freqs: dict[int, int], size: int, max_len: int = 15) -> lis
             lengths[s] += 1
         heapq.heappush(heap, (f1 + f2, min(_t1, _t2), g1 + g2))
     if max(lengths) > max_len:
-        flat = max(1, math.ceil(math.log2(len(nz))))
+        # COMPLETE fallback (Kraft sum exactly 1): with n symbols and
+        # L = ceil(log2 n), 2^L - n symbols take L-1 bits, the rest L
+        L = max(1, math.ceil(math.log2(len(nz))))
+        n_short = (1 << L) - len(nz)
         lengths = [0] * size
-        for s in nz:
-            lengths[s] = flat
+        for j, s in enumerate(sorted(nz)):
+            lengths[s] = (L - 1) if j < n_short and L > 1 else L
     return lengths
 
 
@@ -814,6 +854,8 @@ def encode_webp_lossless(
         raise ValueError("pixel buffer does not match dims")
     if not (1 <= width <= 1 << 14 and 1 <= height <= 1 << 14):
         raise ValueError("dims out of VP8L range")
+    if cache_bits and not 1 <= cache_bits <= 11:
+        raise ValueError("cache_bits must be 0 or 1..11")
     pixels = [
         (rgba[i + 3] << 24) | (rgba[i] << 16) | (rgba[i + 1] << 8) | rgba[i + 2]
         for i in range(0, len(rgba), 4)
@@ -897,7 +939,7 @@ def decode_webp_lossless(data: bytes) -> tuple[int, int, bytes]:
 
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP (bad RIFF header)")
-    pos, payload = 12, None
+    pos, payload, saw_lossy = 12, None, False
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (ln,) = _s.unpack_from("<I", data, pos + 4)
@@ -906,11 +948,17 @@ def decode_webp_lossless(data: bytes) -> tuple[int, int, bytes]:
         if tag == b"VP8L":
             payload = data[pos + 8 : pos + 8 + ln]
             break
-        if tag in (b"VP8 ", b"VP8X"):
-            raise ValueError("lossy/extended WebP needs an imaging library")
+        if tag == b"VP8 ":
+            saw_lossy = True
+        # VP8X is just the extended-features header: metadata-carrying
+        # LOSSLESS files are VP8X followed by VP8L, so keep scanning
         pos += 8 + ln + (ln % 2)
     if payload is None:
-        raise ValueError("no VP8L chunk")
+        raise ValueError(
+            "lossy WebP (VP8) needs an imaging library"
+            if saw_lossy
+            else "no VP8L chunk"
+        )
     br = _LsbBitReader(payload)
     if br.bits(8) != 0x2F:
         raise ValueError("bad VP8L signature")

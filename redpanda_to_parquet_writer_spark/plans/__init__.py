@@ -110,11 +110,14 @@ _PRIORITY = [
     "multimodal_frame_sample",
     "curation_pipeline",
     # ---- 50-query window boundary (4 + 46 above) ----
-    # r4-cohort overflow: freshest sibling coverage (hourly twin is in
-    # the window; byte stats' multimodal siblings are r6/r7-green).
-    # These lead round 8's window, with the one new query deliberately
-    # held OUT of this round's window to protect the stale rotation
-    # (it is bitcheck- and sweep-verified locally).
+    # These eight lead round 8's window: the two r4-cohort overflow
+    # rows (their code paths have the freshest sibling coverage — the
+    # hourly twin is in the window, byte stats' multimodal siblings are
+    # r6/r7-green), then the SIX new round-7 queries deliberately held
+    # OUT of this round's driver window to protect the stale rotation
+    # (every one is bitcheck-verified against its oracle and green in
+    # the local 150-query sweep; VERDICT r6 #1 prioritized re-verifying
+    # the 48 stale rows over driver rows for new queries).
     "streaming_hourly_event_stats",
     "multimodal_byte_stats",
     "ann_ivf_append_topk",

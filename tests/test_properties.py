@@ -1209,3 +1209,29 @@ def test_webp_crafted_contract_holes():
     with pytest.raises(ValueError, match="distinct colors"):
         enc_px = b"".join(struct.pack(">I", i) for i in range(320))  # 320 distinct
         encode_webp_lossless(16, 20, enc_px, use_palette=True)
+
+
+def test_webp_vp8x_wrapped_lossless_decodes():
+    """Metadata-carrying lossless WebP is VP8X followed by VP8L: the
+    decoder must keep scanning past the extended-features header to the
+    pixel chunk (code-review r7 finding), and every emitted prefix code
+    must be Kraft-COMPLETE so standard decoders accept the stream."""
+    import struct
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_webp_lossless,
+        encode_webp_lossless,
+        probe_webp,
+    )
+
+    rgba = bytes((i * 5) % 256 for i in range(6 * 4 * 4))
+    plain = encode_webp_lossless(6, 4, rgba)
+    vp8l_chunk = plain[12:]
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes(4) + (5).to_bytes(3, "little") + (
+        3
+    ).to_bytes(3, "little")
+    body = b"WEBP" + vp8x + vp8l_chunk
+    wrapped = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert decode_webp_lossless(wrapped) == (6, 4, rgba)
+    # the probe reports the VP8X canvas header (first image chunk wins)
+    assert probe_webp(wrapped)[2] == "VP8X"
