@@ -834,6 +834,186 @@ def _palette_width_bits(n_colors: int) -> int:
     return 0
 
 
+#: VP8L predictor modes (T.81 analogue of PNG filters, 2D tile-based).
+#: Pixel-edge rules: (0,0) predicts opaque black, the top row predicts
+#: L, the first column predicts T, and TR clamps to T on the right
+#:  edge. Av2 is the per-channel floor average.
+def _vp8l_av2(a: int, b: int) -> int:
+    return (
+        ((((a >> 24) + (b >> 24)) >> 1) << 24)
+        | (((((a >> 16) & 0xFF) + ((b >> 16) & 0xFF)) >> 1) << 16)
+        | (((((a >> 8) & 0xFF) + ((b >> 8) & 0xFF)) >> 1) << 8)
+        | ((((a & 0xFF) + (b & 0xFF)) >> 1))
+    )
+
+
+def _vp8l_clamp_add_sub_full(l: int, t: int, tl: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        v = ((l >> sh) & 0xFF) + ((t >> sh) & 0xFF) - ((tl >> sh) & 0xFF)
+        out |= max(0, min(255, v)) << sh
+    return out
+
+
+def _vp8l_select(t: int, l: int, tl: int) -> int:
+    pa_minus_pb = 0
+    for sh in (24, 16, 8, 0):
+        tc, lc, tlc = (t >> sh) & 0xFF, (l >> sh) & 0xFF, (tl >> sh) & 0xFF
+        pa_minus_pb += abs(lc - tlc) - abs(tc - tlc)
+    return t if pa_minus_pb <= 0 else l
+
+
+def _vp8l_predict(mode: int, l: int, t: int, tl: int, tr: int) -> int:
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return l
+    if mode == 2:
+        return t
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _vp8l_av2(_vp8l_av2(l, tr), t)
+    if mode == 6:
+        return _vp8l_av2(l, tl)
+    if mode == 7:
+        return _vp8l_av2(l, t)
+    if mode == 8:
+        return _vp8l_av2(tl, t)
+    if mode == 9:
+        return _vp8l_av2(t, tr)
+    if mode == 10:
+        return _vp8l_av2(_vp8l_av2(l, tl), _vp8l_av2(t, tr))
+    if mode == 11:
+        return _vp8l_select(t, l, tl)
+    if mode == 12:
+        return _vp8l_clamp_add_sub_full(l, t, tl)
+    if mode == 13:  # ClampAddSubtractHalf
+        out = 0
+        ave = _vp8l_av2(l, t)
+        for sh in (24, 16, 8, 0):
+            a = (ave >> sh) & 0xFF
+            b = (tl >> sh) & 0xFF
+            d = a - b
+            v = a + (d // 2 if d >= 0 else -((-d) // 2))  # trunc toward zero
+            out |= max(0, min(255, v)) << sh
+        return out
+    raise ValueError(f"bad predictor mode {mode}")
+
+
+def _vp8l_neighbors(
+    pixels: list[int], x: int, y: int, width: int
+) -> tuple[int, int, int, int]:
+    i = y * width + x
+    l = pixels[i - 1] if x else 0
+    t = pixels[i - width] if y else 0
+    tl = pixels[i - width - 1] if x and y else 0
+    tr = pixels[i - width + 1] if y and x < width - 1 else t
+    return l, t, tl, tr
+
+
+def _vp8l_sub_px(c: int, p: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        out |= (((c >> sh) - (p >> sh)) & 0xFF) << sh
+    return out
+
+
+def _vp8l_add_px(r: int, p: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        out |= (((r >> sh) + (p >> sh)) & 0xFF) << sh
+    return out
+
+
+def _vp8l_predictor_residuals(
+    pixels: list[int], width: int, height: int, size_bits: int
+) -> tuple[list[int], list[int], int, int]:
+    """Forward predictor transform: per tile, pick the mode (searched
+    over 0/1/2/7/11/12) with the smallest absolute-residual cost, then
+    emit residual = pixel - pred (mod 256 per channel). Predictions use
+    RECONSTRUCTED (= original, lossless) neighbors, matching the
+    decoder's inverse pass. Edge rule: (0,0) -> opaque black, top row
+    -> L, first column -> T, right-edge TR clamps to T. Returns
+    (residuals, tile mode image, tiles_x, tiles_y)."""
+    tiles_x = (width + (1 << size_bits) - 1) >> size_bits
+    tiles_y = (height + (1 << size_bits) - 1) >> size_bits
+    modes: list[int] = []
+    residuals = [0] * (width * height)
+    for ty in range(tiles_y):
+        for tx in range(tiles_x):
+            x0, y0 = tx << size_bits, ty << size_bits
+            x1 = min(x0 + (1 << size_bits), width)
+            y1 = min(y0 + (1 << size_bits), height)
+            best_mode, best_cost = 2, None
+            for mode in (0, 1, 2, 7, 11, 12):
+                cost = 0
+                for y in range(y0, y1):
+                    for x in range(x0, x1):
+                        l, t, tl, tr = _vp8l_neighbors(pixels, x, y, width)
+                        if x == 0 and y == 0:
+                            pred = 0xFF000000
+                        elif y == 0:
+                            pred = l
+                        elif x == 0:
+                            pred = t
+                        else:
+                            pred = _vp8l_predict(mode, l, t, tl, tr)
+                        r = _vp8l_sub_px(pixels[y * width + x], pred)
+                        for sh in (24, 16, 8, 0):
+                            c = (r >> sh) & 0xFF
+                            cost += min(c, 256 - c)
+                if best_cost is None or cost < best_cost:
+                    best_cost, best_mode = cost, mode
+            modes.append(0xFF000000 | (best_mode << 8))  # mode in green
+            for y in range(y0, y1):
+                for x in range(x0, x1):
+                    l, t, tl, tr = _vp8l_neighbors(pixels, x, y, width)
+                    if x == 0 and y == 0:
+                        pred = 0xFF000000
+                    elif y == 0:
+                        pred = l
+                    elif x == 0:
+                        pred = t
+                    else:
+                        pred = _vp8l_predict(best_mode, l, t, tl, tr)
+                    residuals[y * width + x] = _vp8l_sub_px(
+                        pixels[y * width + x], pred
+                    )
+    return residuals, modes, tiles_x, tiles_y
+
+
+def _vp8l_predictor_inverse(
+    residuals: list[int],
+    modes: list[int],
+    width: int,
+    height: int,
+    size_bits: int,
+    tiles_x: int,
+) -> list[int]:
+    pixels = [0] * (width * height)
+    for y in range(height):
+        for x in range(width):
+            l, t, tl, tr = _vp8l_neighbors(pixels, x, y, width)
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = l
+            elif x == 0:
+                pred = t
+            else:
+                mode = (
+                    modes[(y >> size_bits) * tiles_x + (x >> size_bits)] >> 8
+                ) & 0xFF
+                if mode > 13:
+                    raise ValueError(f"bad predictor mode {mode}")
+                pred = _vp8l_predict(mode, l, t, tl, tr)
+            pixels[y * width + x] = _vp8l_add_px(residuals[y * width + x], pred)
+    return pixels
+
+
 def encode_webp_lossless(
     width: int,
     height: int,
@@ -841,12 +1021,16 @@ def encode_webp_lossless(
     use_palette: bool | None = None,
     cache_bits: int = 8,
     subtract_green: bool = True,
+    use_predictor: bool = False,
+    predictor_size_bits: int = 4,
 ) -> bytes:
     """REAL WebP-lossless (VP8L) encoder for RGBA8: optional
     color-indexing transform (auto when <= 256 distinct colors, with
     sub-byte pixel bundling for tiny palettes), else optional
-    subtract-green; greedy LZ77 + color cache + per-channel canonical
-    prefix codes; wrapped in a valid RIFF/WEBP container. Lossless —
+    subtract-green and/or the tile-based PREDICTOR transform (per-tile
+    mode search over 6 of the 14 spatial predictors); greedy LZ77 +
+    color cache + per-channel Kraft-complete canonical prefix codes;
+    wrapped in a valid RIFF/WEBP container. Lossless —
     `decode_webp_lossless` round-trips the exact bytes."""
     import struct as _s
 
@@ -918,6 +1102,16 @@ def encode_webp_lossless(
                 | (((p & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF)
                 for p in pixels
             ]
+        if use_predictor:
+            if not 2 <= predictor_size_bits <= 9:
+                raise ValueError("predictor_size_bits must be 2..9")
+            w.put(1, 1)
+            w.put(0, 2)  # PREDICTOR
+            w.put(predictor_size_bits - 2, 3)
+            pixels, modes, tiles_x, tiles_y = _vp8l_predictor_residuals(
+                pixels, width, height, predictor_size_bits
+            )
+            _vp8l_write_pixels(w, modes, tiles_x, cache_bits=0, use_lz77=False)
         w.put(0, 1)  # no more transforms
         _vp8l_write_pixels(w, pixels, width, cache_bits=cache_bits, level0=True)
     payload = w.flush()
@@ -930,9 +1124,10 @@ def encode_webp_lossless(
 @_malformed_raises_value_error
 def decode_webp_lossless(data: bytes) -> tuple[int, int, bytes]:
     """REAL WebP-lossless (VP8L) decoder for the implemented subset:
-    RIFF walk to the VP8L chunk, header, transform list (subtract-green
-    and color-indexing incl. pixel bundling implemented; predictor and
-    cross-color raise the documented ValueError), color cache, LZ77
+    RIFF walk to the VP8L chunk (scanning past VP8X), header, transform
+    list (subtract-green, color-indexing incl. pixel bundling, and the
+    PREDICTOR transform with all 14 spatial modes implemented;
+    cross-color raises the documented ValueError), color cache, LZ77
     with linear distance codes, canonical prefix codes in both simple
     and code-length-coded forms. Returns (width, height, RGBA bytes)."""
     import struct as _s
@@ -972,7 +1167,13 @@ def decode_webp_lossless(data: bytes) -> tuple[int, int, bytes]:
     eff_width = width
     while br.bits(1):
         ttype = br.bits(2)
-        if ttype == 2:  # SUBTRACT_GREEN
+        if ttype == 0:  # PREDICTOR
+            size_bits = br.bits(3) + 2
+            tiles_x = (width + (1 << size_bits) - 1) >> size_bits
+            tiles_y = (height + (1 << size_bits) - 1) >> size_bits
+            modes = _vp8l_read_pixels(br, tiles_x, tiles_y)
+            transforms.append(("predictor", modes, size_bits, tiles_x))
+        elif ttype == 2:  # SUBTRACT_GREEN
             transforms.append(("subtract_green",))
         elif ttype == 3:  # COLOR_INDEXING
             n_colors = br.bits(8) + 1
@@ -989,12 +1190,17 @@ def decode_webp_lossless(data: bytes) -> tuple[int, int, bytes]:
             eff_width = (width + (1 << wb) - 1) >> wb if wb else width
             transforms.append(("palette", palette, wb))
         else:
-            raise ValueError(
-                "predictor/cross-color transforms unsupported (subset)"
-            )
+            raise ValueError("cross-color transform unsupported (subset)")
     pixels = _vp8l_read_pixels(br, eff_width, height, level0=True)
+    if any(t[0] == "predictor" for t in transforms) and palette is not None:
+        raise ValueError("predictor combined with color-indexing unsupported")
     for t in reversed(transforms):
-        if t[0] == "subtract_green":
+        if t[0] == "predictor":
+            _tag, modes, size_bits, tiles_x = t
+            pixels = _vp8l_predictor_inverse(
+                pixels, modes, width, height, size_bits, tiles_x
+            )
+        elif t[0] == "subtract_green":
             pixels = [
                 (p & 0xFF000000)
                 | ((((p >> 16) + (p >> 8)) & 0xFF) << 16)
