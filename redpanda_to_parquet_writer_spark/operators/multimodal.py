@@ -331,11 +331,13 @@ def encode_tiff_skeleton(
 # LZ77 backward references with linear distance codes, subtract-green
 # transform, color-indexing (palette) transform including sub-byte
 # pixel bundling, RIFF container wrap, VP8/VP8L/VP8X structure probe.
-# Out of scope and raising documented ValueErrors: the predictor and
-# cross-color transforms, meta-prefix (entropy image) groups, and the
-# 2D short-distance code neighborhood — the subset a library-free
-# reimplementation can keep honest without a reference codec to
-# validate against (lossy VP8 needs real DSP and stays probed-only).
+# All FOUR pixel transforms (subtract-green, color-indexing with
+# bundling, 14-mode predictor, cross-color) are implemented. Out of
+# scope and raising documented ValueErrors: meta-prefix (entropy
+# image) groups and the 2D short-distance code neighborhood — the
+# subset a library-free reimplementation can keep honest without a
+# reference codec to validate against (lossy VP8 needs real DSP and
+# stays probed-only).
 
 
 class _LsbBitWriter:
@@ -1014,6 +1016,83 @@ def _vp8l_predictor_inverse(
     return pixels
 
 
+def _ct_delta(t: int, c: int) -> int:
+    """Cross-color transform delta: signed-int8 product, arithmetic
+    shift right 5 (Python's >> on negatives floors, matching the C
+    arithmetic shift libwebp relies on)."""
+    t8 = t - 256 if t >= 128 else t
+    c8 = c - 256 if c >= 128 else c
+    return (t8 * c8) >> 5
+
+
+def _cross_color_apply(
+    pixels: list[int],
+    mults: list[int],
+    width: int,
+    height: int,
+    size_bits: int,
+    tiles_x: int,
+    inverse: bool,
+) -> list[int]:
+    """(Inverse-)apply the cross-color transform: per tile, red moves
+    by delta(green_to_red, green) and blue by delta(green_to_blue,
+    green) + delta(red_to_blue, FINAL red). Multiplier tile pixels
+    carry green_to_red in blue, green_to_blue in green, red_to_blue in
+    red (the libwebp ColorCodeToMultipliers layout)."""
+    out = [0] * len(pixels)
+    for y in range(height):
+        for x in range(width):
+            p = pixels[y * width + x]
+            m = mults[(y >> size_bits) * tiles_x + (x >> size_bits)]
+            g2r, g2b, r2b = m & 0xFF, (m >> 8) & 0xFF, (m >> 16) & 0xFF
+            a = p >> 24
+            r = (p >> 16) & 0xFF
+            g = (p >> 8) & 0xFF
+            b = p & 0xFF
+            if inverse:
+                r = (r + _ct_delta(g2r, g)) & 0xFF
+                b = (b + _ct_delta(g2b, g) + _ct_delta(r2b, r)) & 0xFF
+            else:
+                b = (b - _ct_delta(g2b, g) - _ct_delta(r2b, r)) & 0xFF
+                r = (r - _ct_delta(g2r, g)) & 0xFF
+            out[y * width + x] = (a << 24) | (r << 16) | (g << 8) | b
+    return out
+
+
+def _cross_color_pick(
+    pixels: list[int], width: int, height: int, size_bits: int
+) -> tuple[list[int], int, int]:
+    """Choose per-tile multipliers by residual cost over a small
+    candidate set (including identity) — enough to exercise the
+    transform for real on correlated channels."""
+    tiles_x = (width + (1 << size_bits) - 1) >> size_bits
+    tiles_y = (height + (1 << size_bits) - 1) >> size_bits
+    candidates = [0x000000, 0x000020, 0x002000, 0x200000, 0x002020]
+    mults = []
+    for ty in range(tiles_y):
+        for tx in range(tiles_x):
+            x0, y0 = tx << size_bits, ty << size_bits
+            x1 = min(x0 + (1 << size_bits), width)
+            y1 = min(y0 + (1 << size_bits), height)
+            best_m, best_cost = 0, None
+            for m in candidates:
+                g2r, g2b, r2b = m & 0xFF, (m >> 8) & 0xFF, (m >> 16) & 0xFF
+                cost = 0
+                for y in range(y0, y1):
+                    for x in range(x0, x1):
+                        p = pixels[y * width + x]
+                        r = (p >> 16) & 0xFF
+                        g = (p >> 8) & 0xFF
+                        b = p & 0xFF
+                        nr = (r - _ct_delta(g2r, g)) & 0xFF
+                        nb = (b - _ct_delta(g2b, g) - _ct_delta(r2b, r)) & 0xFF
+                        cost += min(nr, 256 - nr) + min(nb, 256 - nb)
+                if best_cost is None or cost < best_cost:
+                    best_cost, best_m = cost, m
+            mults.append(0xFF000000 | best_m)
+    return mults, tiles_x, tiles_y
+
+
 def encode_webp_lossless(
     width: int,
     height: int,
@@ -1023,12 +1102,14 @@ def encode_webp_lossless(
     subtract_green: bool = True,
     use_predictor: bool = False,
     predictor_size_bits: int = 4,
+    use_cross_color: bool = False,
 ) -> bytes:
     """REAL WebP-lossless (VP8L) encoder for RGBA8: optional
     color-indexing transform (auto when <= 256 distinct colors, with
     sub-byte pixel bundling for tiny palettes), else optional
-    subtract-green and/or the tile-based PREDICTOR transform (per-tile
-    mode search over 6 of the 14 spatial predictors); greedy LZ77 +
+    subtract-green, the tile-based PREDICTOR transform (per-tile mode
+    search over 6 of the 14 spatial predictors) and/or the CROSS-COLOR
+    transform (per-tile multiplier search); greedy LZ77 +
     color cache + per-channel Kraft-complete canonical prefix codes;
     wrapped in a valid RIFF/WEBP container. Lossless —
     `decode_webp_lossless` round-trips the exact bytes."""
@@ -1102,6 +1183,20 @@ def encode_webp_lossless(
                 | (((p & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF)
                 for p in pixels
             ]
+        if use_cross_color:
+            if not 2 <= predictor_size_bits <= 9:
+                raise ValueError("predictor_size_bits must be 2..9")
+            w.put(1, 1)
+            w.put(1, 2)  # CROSS_COLOR
+            w.put(predictor_size_bits - 2, 3)
+            mults, tiles_x, tiles_y = _cross_color_pick(
+                pixels, width, height, predictor_size_bits
+            )
+            _vp8l_write_pixels(w, mults, tiles_x, cache_bits=0, use_lz77=False)
+            pixels = _cross_color_apply(
+                pixels, mults, width, height, predictor_size_bits,
+                tiles_x, inverse=False,
+            )
         if use_predictor:
             if not 2 <= predictor_size_bits <= 9:
                 raise ValueError("predictor_size_bits must be 2..9")
@@ -1125,9 +1220,9 @@ def encode_webp_lossless(
 def decode_webp_lossless(data: bytes) -> tuple[int, int, bytes]:
     """REAL WebP-lossless (VP8L) decoder for the implemented subset:
     RIFF walk to the VP8L chunk (scanning past VP8X), header, transform
-    list (subtract-green, color-indexing incl. pixel bundling, and the
-    PREDICTOR transform with all 14 spatial modes implemented;
-    cross-color raises the documented ValueError), color cache, LZ77
+    list (ALL FOUR pixel transforms implemented: subtract-green,
+    color-indexing incl. pixel bundling, the PREDICTOR transform with
+    all 14 spatial modes, and cross-color), color cache, LZ77
     with linear distance codes, canonical prefix codes in both simple
     and code-length-coded forms. Returns (width, height, RGBA bytes)."""
     import struct as _s
@@ -1173,6 +1268,12 @@ def decode_webp_lossless(data: bytes) -> tuple[int, int, bytes]:
             tiles_y = (height + (1 << size_bits) - 1) >> size_bits
             modes = _vp8l_read_pixels(br, tiles_x, tiles_y)
             transforms.append(("predictor", modes, size_bits, tiles_x))
+        elif ttype == 1:  # CROSS_COLOR
+            size_bits = br.bits(3) + 2
+            tiles_x = (width + (1 << size_bits) - 1) >> size_bits
+            tiles_y = (height + (1 << size_bits) - 1) >> size_bits
+            mults = _vp8l_read_pixels(br, tiles_x, tiles_y)
+            transforms.append(("cross_color", mults, size_bits, tiles_x))
         elif ttype == 2:  # SUBTRACT_GREEN
             transforms.append(("subtract_green",))
         elif ttype == 3:  # COLOR_INDEXING
@@ -1190,15 +1291,22 @@ def decode_webp_lossless(data: bytes) -> tuple[int, int, bytes]:
             eff_width = (width + (1 << wb) - 1) >> wb if wb else width
             transforms.append(("palette", palette, wb))
         else:
-            raise ValueError("cross-color transform unsupported (subset)")
+            raise ValueError(f"unknown transform type {ttype}")
     pixels = _vp8l_read_pixels(br, eff_width, height, level0=True)
-    if any(t[0] == "predictor" for t in transforms) and palette is not None:
-        raise ValueError("predictor combined with color-indexing unsupported")
+    if palette is not None and any(
+        t[0] in ("predictor", "cross_color") for t in transforms
+    ):
+        raise ValueError("spatial transforms combined with color-indexing unsupported")
     for t in reversed(transforms):
         if t[0] == "predictor":
             _tag, modes, size_bits, tiles_x = t
             pixels = _vp8l_predictor_inverse(
                 pixels, modes, width, height, size_bits, tiles_x
+            )
+        elif t[0] == "cross_color":
+            _tag, mults, size_bits, tiles_x = t
+            pixels = _cross_color_apply(
+                pixels, mults, width, height, size_bits, tiles_x, inverse=True
             )
         elif t[0] == "subtract_green":
             pixels = [

@@ -1163,7 +1163,8 @@ def test_webp_lossless_roundtrip_arbitrary_images(w, h, seed, cache_bits, sg):
     # the predictor transform (per-tile mode search) on the noise image
     pred = encode_webp_lossless(
         w, h, images[0], use_palette=False, cache_bits=cache_bits,
-        subtract_green=sg, use_predictor=True, predictor_size_bits=3,
+        subtract_green=sg, use_predictor=True, use_cross_color=True,
+        predictor_size_bits=3,
     )
     assert decode_webp_lossless(pred) == (w, h, images[0])
 
@@ -1187,8 +1188,8 @@ def test_webp_crafted_contract_holes():
         decode_webp_lossless(b"RIFX" + good[4:])
     with pytest.raises(ValueError):
         decode_webp_lossless(good[: len(good) // 2])
-    # a VP8L payload declaring the CROSS-COLOR transform (type 1),
-    # the one transform still outside the subset
+    # all four transform types decode now; a declaration truncated
+    # before its tile data must still die inside ValueError
     w = _LsbBitWriter()
     w.put(0x2F, 8)
     w.put(3, 14)
@@ -1196,13 +1197,30 @@ def test_webp_crafted_contract_holes():
     w.put(0, 1)
     w.put(0, 3)
     w.put(1, 1)  # a transform follows
-    w.put(1, 2)  # CROSS-COLOR
+    w.put(1, 2)  # CROSS-COLOR, but the stream ends here
     payload = w.flush()
     blob = (
         b"RIFF" + struct.pack("<I", 4 + 8 + len(payload)) + b"WEBP"
         + b"VP8L" + struct.pack("<I", len(payload)) + payload
     )
-    with pytest.raises(ValueError, match="cross-color"):
+    with pytest.raises(ValueError):
+        decode_webp_lossless(blob)
+    # the remaining out-of-subset feature: meta-prefix groups
+    w = _LsbBitWriter()
+    w.put(0x2F, 8)
+    w.put(3, 14)
+    w.put(3, 14)
+    w.put(0, 1)
+    w.put(0, 3)
+    w.put(0, 1)  # no transforms
+    w.put(0, 1)  # no cache
+    w.put(1, 1)  # meta-prefix groups!
+    payload = w.flush()
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(payload)) + b"WEBP"
+        + b"VP8L" + struct.pack("<I", len(payload)) + payload
+    )
+    with pytest.raises(ValueError, match="meta-prefix"):
         decode_webp_lossless(blob)
     # lossy VP8 probes but refuses pixel decode
     vp8 = (
