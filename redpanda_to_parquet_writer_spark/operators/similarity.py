@@ -986,3 +986,86 @@ def ivfadc_topk_indexed(
     )
     lut = _pq_query_lut(queries, codebooks, m, dim, id_col, vec_col)
     return _adc_score_rank(index, probes, lut, k)
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance between two array<double> columns,
+    folded left-to-right (same order as the DuckDB oracle's list_sum)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_lloyd_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Distributed Lloyd k-means over an embedding column — the semantic
+    clustering step of cluster-based data curation (balance / prune a
+    corpus by semantic cluster before training).
+
+    Deterministic by construction so the plan is oracle-replayable:
+    init centroids are the k lowest-id vectors; each iteration assigns
+    by squared-Euclidean argmin (distance rounded to 6 decimals before
+    the argmin; ties break to the lowest cluster_id) and recomputes
+    centroids as the per-dimension mean, rounded to 6 decimals so
+    cross-engine summation-order ulps cannot leak into the next
+    iteration. Clusters that receive no points simply drop out (no
+    re-seeding), identically on both engines.
+
+    Scale shape — the canonical Spark Lloyd loop (what pyspark.ml does):
+      - centroids live driver-side (k x dim doubles, O(kB)) and ride a
+        broadcast into the assignment join: assignment is map-side, no
+        corpus shuffle;
+      - the update step posexplodes to (cluster, dim, x) and
+        partial-aggregates map-side, so the per-iteration shuffle
+        carries one (sum, count) per (cluster, dim) per input partition
+        — independent of corpus row count;
+      - per-iteration driver traffic is k x dim doubles, never rows.
+    Returns (id_col, cluster_id, dist) after `n_iter` assignment passes.
+    """
+    v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    cents = materialize_centroids(
+        deterministic_centroids(df, k, id_col, vec_col)
+    )
+    assigned = None
+    for _ in range(n_iter):
+        scored = v.join(F.broadcast(cents)).withColumn(
+            "dist", F.round(sq_dist(F.col("v"), F.col("cv")), 6)
+        )
+        assigned = (
+            scored.groupBy(id_col)
+            .agg(
+                F.min(F.struct("dist", "cluster_id")).alias("m"),
+                F.first("v").alias("v"),
+            )
+            .select(
+                id_col,
+                F.col("m.cluster_id").alias("cluster_id"),
+                F.col("m.dist").alias("dist"),
+                "v",
+            )
+        )
+        if _ == n_iter - 1:
+            break
+        dims = assigned.select(
+            "cluster_id", F.posexplode("v").alias("pos", "x")
+        )
+        folded = (
+            dims.groupBy("cluster_id", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("c"))
+            .groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"],
+                ).alias("cv")
+            )
+        )
+        cents = materialize_centroids(folded)
+    return assigned.select(id_col, "cluster_id", "dist")

@@ -1125,3 +1125,75 @@ def countmin_estimate(
         .groupBy(term_col)
         .agg(F.min("bucket_count").alias("cm_estimate"))
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 (Okapi) top-k document retrieval for a bag-of-terms query —
+    the ranking primitive behind retrieval-based decontamination and
+    targeted data selection over a training corpus.
+
+    idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))   (Lucene form —
+               never negative, so stop-ish terms only shrink, not flip)
+    score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Scale shape (corpus = N docs, query = a handful of terms):
+      - doc length is a per-row expression (no shuffle);
+      - the term filter runs BEFORE the (doc, term) aggregation, so only
+        postings of the query's terms ever shuffle — the exchange is
+        O(matching postings), not O(corpus tokens);
+      - df-per-term and the 1-row (N, avgdl) frame are broadcast;
+      - the final top-k is orderBy+limit => TakeOrderedAndProject (heap
+        per partition, no global sort).
+    All scoring stays in whole-stage codegen; the rank window runs on
+    the k-row limited frame only.
+    """
+    lengths = df.select(F.col(id_col), token_count(text_col).alias("dl"))
+    corpus = lengths.agg(
+        F.count("*").alias("__n"), F.avg("dl").alias("__avgdl")
+    )
+    postings = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term").isin(*query_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        postings.join(lengths, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.round(F.sum("term_score"), 6).alias("bm25"),
+        F.count("*").alias("n_terms_matched"),
+    )
+    topk = per_doc.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "bm25", "n_terms_matched", "rank"
+    )

@@ -54,6 +54,8 @@ _PRIORITY = [
     # multimodal_png_decode / _png_rgb_decode (decoder color-type
     # extension), multimodal_mjpeg_frame_decode / _avi_mjpg_decode
     # (sampler on_error plumbing) — all r6-green. ---
+    "docs_bm25_topk",
+    "embeddings_kmeans_assign",
     "ann_ivfadc_recall_audit",
     "parts_triangle_cap_audit",
     "multimodal_png_palette_decode",

@@ -1131,3 +1131,67 @@ ORACLES["docs_edit_distance_pairs"] = f"""
     JOIN documents da ON da.doc_id = l.id_a
     JOIN documents db ON db.doc_id = l.id_b
 """
+
+
+#: bag-of-terms retrieval query for the BM25 plan — terms drawn from the
+#: synthetic corpus vocabulary, mixing rare-ish and common tokens so idf
+#: actually differentiates
+BM25_TERMS = ("spark", "vector", "query")
+BM25_K = 20
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval over the corpus — the ranking primitive for
+    retrieval-based decontamination / targeted data selection
+    (operators/text.py:bm25_topk). Only postings of the query's terms
+    shuffle; df/corpus stats broadcast; top-k is TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bm25_topk(docs, "text", "doc_id", BM25_TERMS, BM25_K, BM25_K1, BM25_B)
+
+
+QUERIES["docs_bm25_topk"] = docs_bm25_topk
+
+ORACLES["docs_bm25_topk"] = f"""
+    WITH lengths AS (
+      SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS dl
+      FROM documents
+    ),
+    corpus AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl FROM lengths
+    ),
+    postings AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+      )
+      WHERE term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (
+      SELECT term, count(*) AS df FROM postings GROUP BY term
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))
+               * p.tf * ({BM25_K1} + 1.0)
+               / (p.tf + {BM25_K1} * (1.0 - {BM25_B}
+                    + {BM25_B} * l.dl / c.avgdl)) AS term_score
+      FROM postings p
+      JOIN lengths l USING (doc_id)
+      JOIN dfreq d USING (term)
+      CROSS JOIN corpus c
+    ),
+    per_doc AS (
+      SELECT doc_id, round(sum(term_score), 6) AS bm25,
+             count(*) AS n_terms_matched
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, bm25, n_terms_matched,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+    FROM per_doc
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT {BM25_K}
+"""

@@ -847,3 +847,77 @@ ORACLES["ann_ivfadc_recall_audit"] = f"""
       ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
     GROUP BY e.query_id
 """
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def embeddings_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering for cluster-based curation: 2 Lloyd
+    iterations of k-means over the embedding column, deterministic init
+    (k lowest-id vectors) so DuckDB replays the identical trajectory
+    (operators/similarity.py:kmeans_lloyd_assign). Assignment is a
+    broadcast map-side join; each update shuffles only (cluster, dim)
+    partials."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.kmeans_lloyd_assign(emb, "vec_id", "embedding", KMEANS_K, KMEANS_ITERS)
+
+
+QUERIES["embeddings_kmeans_assign"] = embeddings_kmeans_assign
+
+
+def _sqd(a: str, b: str) -> str:
+    """Inline DuckDB squared-Euclidean distance over DOUBLE[] columns,
+    rounded to 6 like the Spark side, same left-to-right fold order."""
+    return (
+        f"round(list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), 6)"
+    )
+
+
+ORACLES["embeddings_kmeans_assign"] = f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cluster_id, v AS cv
+      FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id ASC LIMIT {KMEANS_K})
+    ),
+    a0 AS (
+      SELECT vec_id, v, cluster_id, dist FROM (
+        SELECT x.vec_id, x.v, c.cluster_id,
+               {_sqd('x.v', 'c.cv')} AS dist,
+               row_number() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY {_sqd('x.v', 'c.cv')} ASC, c.cluster_id ASC
+               ) AS rn
+        FROM vecs x CROSS JOIN c0 c
+      ) WHERE rn = 1
+    ),
+    dims AS (
+      SELECT cluster_id, z.pos AS pos, z.x AS x FROM (
+        SELECT cluster_id,
+               unnest(list_transform(
+                 generate_series(1, len(v)),
+                 i -> struct_pack(pos := i, x := v[i])
+               )) AS z
+        FROM a0
+      )
+    ),
+    c1 AS (
+      SELECT cluster_id, list(c ORDER BY pos ASC) AS cv FROM (
+        SELECT cluster_id, pos, round(avg(x), 6) AS c
+        FROM dims GROUP BY cluster_id, pos
+      ) GROUP BY cluster_id
+    )
+    SELECT vec_id, cluster_id, dist FROM (
+      SELECT x.vec_id, c.cluster_id,
+             {_sqd('x.v', 'c.cv')} AS dist,
+             row_number() OVER (
+               PARTITION BY x.vec_id
+               ORDER BY {_sqd('x.v', 'c.cv')} ASC, c.cluster_id ASC
+             ) AS rn
+      FROM vecs x CROSS JOIN c1 c
+    ) WHERE rn = 1
+"""

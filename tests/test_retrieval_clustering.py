@@ -1,0 +1,77 @@
+"""BM25 retrieval and Lloyd k-means semantics (the per-query oracle
+hash check runs in test_queries_oracle.py; these pin the math on frames
+small enough to verify by hand)."""
+
+from __future__ import annotations
+
+import math
+
+from redpanda_to_parquet_writer_spark.operators.similarity import kmeans_lloyd_assign
+from redpanda_to_parquet_writer_spark.operators.text import bm25_topk
+
+
+def test_bm25_exact_score_tiny_corpus(spark):
+    # 3 docs, query {"spark"}: doc 10 has tf=2, doc 20 tf=1, doc 30 tf=0
+    docs = spark.createDataFrame(
+        [
+            (10, "spark spark join"),
+            (20, "spark filter scan scan"),
+            (30, "filter scan scan"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in bm25_topk(docs, "text", "doc_id", ("spark",), k=5).collect()
+    }
+    assert set(rows) == {10, 20}  # non-matching doc never surfaces
+    assert rows[10]["rank"] == 1 and rows[20]["rank"] == 2
+    # closed form: N=3, df=2, idf=ln(1+(3-2+0.5)/(2+0.5)); avgdl=10/3
+    idf = math.log(1 + 1.5 / 2.5)
+    k1, b = 1.2, 0.75
+
+    def score(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / (10 / 3)))
+
+    assert rows[10]["bm25"] == round(score(2, 3), 6)
+    assert rows[20]["bm25"] == round(score(1, 4), 6)
+    assert rows[10]["n_terms_matched"] == 1
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    # same tf=1 everywhere: the doc matching the rarer term must win
+    docs = spark.createDataFrame(
+        [(i, "common filler filler") for i in range(1, 9)]
+        + [(9, "rare filler filler")],
+        "doc_id long, text string",
+    )
+    top = bm25_topk(docs, "text", "doc_id", ("common", "rare"), k=1).collect()
+    assert top[0]["doc_id"] == 9
+
+
+def test_kmeans_converges_on_separated_blobs(spark):
+    # two tight 2-d blobs; k=2 with lowest-id init (one seed per blob)
+    # must assign each blob to its own cluster after 2 iterations
+    pts = [(0, [0.0, 0.1]), (2, [0.1, 0.0]), (4, [0.05, 0.05])]
+    pts += [(1, [5.0, 5.1]), (3, [5.1, 5.0]), (5, [5.05, 5.05])]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    rows = kmeans_lloyd_assign(df, "vec_id", "embedding", k=2, n_iter=2).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["vec_id"])
+    assert sorted(by_cluster.values(), key=min) == [{0, 2, 4}, {1, 3, 5}]
+    # every point sits nearer its own centroid than the other's
+    assert all(r["dist"] < 1.0 for r in rows)
+
+
+def test_kmeans_empty_cluster_drops_out(spark):
+    # k=3 but only 2 real blobs: seeds 0 and 1 are both in blob A, so
+    # after iteration 1 one seed's cluster may starve — the operator
+    # must still return every point exactly once
+    pts = [(0, [0.0, 0.0]), (1, [0.1, 0.1]), (2, [0.05, 0.0]),
+           (3, [9.0, 9.0]), (4, [9.1, 9.1])]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    rows = kmeans_lloyd_assign(df, "vec_id", "embedding", k=3, n_iter=3).collect()
+    assert sorted(r["vec_id"] for r in rows) == [0, 1, 2, 3, 4]
+    far = {r["vec_id"]: r["cluster_id"] for r in rows}
+    assert far[3] == far[4] and far[3] != far[0]
