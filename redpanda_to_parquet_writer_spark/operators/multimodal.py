@@ -2763,38 +2763,34 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def _encode_png(
-    w: int,
-    h: int,
-    pixels: bytes,
-    channels: int,
-    filter_cycle: bool = True,
-    color_type: int | None = None,
-    extra_chunks: list[tuple[bytes, bytes]] = (),
-) -> bytes:
-    """Encode a raw gray8 (channels=1), RGB8 (3) or RGBA8 (4) bitmap —
-    or 1-byte palette indices with an explicit `color_type=3` and a
-    PLTE in `extra_chunks` — as a valid PNG (stdlib + numpy).
+#: Adam7 interlace pass geometry: (x0, y0, dx, dy) per pass, in stream
+#: order (PNG spec 8.2). Pass p covers pixels (x0 + j*dx, y0 + i*dy);
+#: empty passes (zero rows or columns at this image size) contribute no
+#: scanlines to the stream.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    `filter_cycle=True` applies filter type y % 5 to row y, so a single
-    encoded image exercises every scanline filter the decoder must
-    unfilter — the round trip covers the whole filter surface.
 
-    Every encode filter references ORIGINAL pixel values (not
-    reconstructed ones), so all five vectorize as whole-image numpy
-    shifts — no per-pixel Python. Multi-byte pixels filter against the
-    byte `bpp` positions back (per the PNG spec), which is the same
-    shift with a wider stride.
+def _filter_scanlines(img, bpp: int, filter_cycle: bool) -> bytearray:
+    """Filter one (sub-)image's rows into PNG scanline bytes.
+
+    `img` is an int16 ndarray of shape (h, w*bpp). `filter_cycle=True`
+    applies filter type y % 5 to row y so a single image exercises every
+    filter. Every encode filter references ORIGINAL pixel values, so all
+    five vectorize as whole-image numpy shifts — no per-pixel Python.
+    Multi-byte pixels filter against the byte `bpp` positions back (per
+    the PNG spec), the same shift with a wider stride.
     """
-    import struct
-    import zlib
-
     import numpy as np
 
-    bpp = channels
-    if len(pixels) != w * h * bpp:
-        raise ValueError(f"expected {w * h * bpp} pixel bytes, got {len(pixels)}")
-    img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w * bpp).astype(np.int16)
+    h = img.shape[0]
     left = np.zeros_like(img)
     left[:, bpp:] = img[:, :-bpp]
     up = np.zeros_like(img)
@@ -2820,6 +2816,56 @@ def _encode_png(
         ft = int(fts[y])
         raw.append(ft)
         raw += filtered[ft, y].tobytes()
+    return raw
+
+
+def _encode_png(
+    w: int,
+    h: int,
+    pixels: bytes,
+    channels: int,
+    filter_cycle: bool = True,
+    color_type: int | None = None,
+    extra_chunks: list[tuple[bytes, bytes]] = (),
+    interlace: bool = False,
+) -> bytes:
+    """Encode a raw gray8 (channels=1), RGB8 (3) or RGBA8 (4) bitmap —
+    or 1-byte palette indices with an explicit `color_type=3` and a
+    PLTE in `extra_chunks` — as a valid PNG (stdlib + numpy).
+
+    `filter_cycle=True` applies filter type y % 5 to row y, so a single
+    encoded image exercises every scanline filter the decoder must
+    unfilter — the round trip covers the whole filter surface.
+
+    Filtering work lives in `_filter_scanlines`; with `interlace=True`
+    the image is split into the seven Adam7 pass sub-images (stream
+    order, empty passes skipped) and each pass is filtered as its own
+    image — per spec, a pass's first row has no "up" neighbor even when
+    the pixels above it exist in the full image.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    bpp = channels
+    if len(pixels) != w * h * bpp:
+        raise ValueError(f"expected {w * h * bpp} pixel bytes, got {len(pixels)}")
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, bpp)
+    raw = bytearray()
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            hp, wp = sub.shape[0], sub.shape[1]
+            raw += _filter_scanlines(
+                sub.reshape(hp, wp * bpp).astype(np.int16), bpp, filter_cycle
+            )
+    else:
+        raw += _filter_scanlines(
+            arr.reshape(h, w * bpp).astype(np.int16), bpp, filter_cycle
+        )
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (
@@ -2831,7 +2877,7 @@ def _encode_png(
 
     if color_type is None:
         color_type = {1: 0, 3: 2, 4: 6}[channels]  # gray8 / RGB8 / RGBA8
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
     return (
         PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -2841,21 +2887,37 @@ def _encode_png(
     )
 
 
-def encode_png_gray8(w: int, h: int, pixels: bytes, filter_cycle: bool = True) -> bytes:
-    """Encode a raw gray8 bitmap as a valid PNG (see `_encode_png`)."""
-    return _encode_png(w, h, pixels, channels=1, filter_cycle=filter_cycle)
+def encode_png_gray8(
+    w: int, h: int, pixels: bytes, filter_cycle: bool = True,
+    interlace: bool = False,
+) -> bytes:
+    """Encode a raw gray8 bitmap as a valid PNG (see `_encode_png`);
+    `interlace=True` writes Adam7 pass-ordered scanlines."""
+    return _encode_png(
+        w, h, pixels, channels=1, filter_cycle=filter_cycle, interlace=interlace
+    )
 
 
-def encode_png_rgb8(w: int, h: int, pixels: bytes, filter_cycle: bool = True) -> bytes:
+def encode_png_rgb8(
+    w: int, h: int, pixels: bytes, filter_cycle: bool = True,
+    interlace: bool = False,
+) -> bytes:
     """Encode raw interleaved RGB8 (3 bytes/pixel, row-major) as a valid
     truecolor PNG (see `_encode_png`)."""
-    return _encode_png(w, h, pixels, channels=3, filter_cycle=filter_cycle)
+    return _encode_png(
+        w, h, pixels, channels=3, filter_cycle=filter_cycle, interlace=interlace
+    )
 
 
-def encode_png_rgba8(w: int, h: int, pixels: bytes, filter_cycle: bool = True) -> bytes:
+def encode_png_rgba8(
+    w: int, h: int, pixels: bytes, filter_cycle: bool = True,
+    interlace: bool = False,
+) -> bytes:
     """Encode raw interleaved RGBA8 (4 bytes/pixel, row-major) as a
     valid truecolor+alpha PNG (color type 6; see `_encode_png`)."""
-    return _encode_png(w, h, pixels, channels=4, filter_cycle=filter_cycle)
+    return _encode_png(
+        w, h, pixels, channels=4, filter_cycle=filter_cycle, interlace=interlace
+    )
 
 
 def encode_png_palette8(
@@ -2890,21 +2952,65 @@ def encode_png_palette8(
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
 
 
+def _unfilter_scanlines(raw: bytes, h: int, rw: int, bpp: int):
+    """Unfilter `h` PNG scanlines of `rw` reconstructed bytes each into
+    a (h, rw) uint8 ndarray. None/Sub/Up vectorize (copy / per-channel
+    mod-256 cumsum / add-prev); Average and Paeth reference
+    RECONSTRUCTED left neighbors, so those rows run a per-pixel loop —
+    2 of 5 row types on cycled input."""
+    import numpy as np
+
+    rows = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, rw + 1)
+    fts = rows[:, 0]
+    lines = rows[:, 1:].astype(np.int16)
+    out = np.zeros((h, rw), dtype=np.int16)
+    prev = np.zeros(rw, dtype=np.int16)
+    for y in range(h):
+        ft = int(fts[y])
+        line = lines[y]
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # Sub: per-channel prefix sum mod 256
+            rec = (
+                np.cumsum(line.reshape(rw // bpp, bpp), axis=0, dtype=np.int64)
+                & 0xFF
+            ).reshape(rw)
+        elif ft == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif ft in (3, 4):  # Average / Paeth: sequential left-dependency
+            rec = np.zeros(rw, dtype=np.int16)
+            for x in range(rw):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if ft == 3:
+                    rec[x] = (int(line[x]) + (a + b) // 2) & 0xFF
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    rec[x] = (int(line[x]) + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        out[y] = rec
+        prev = out[y]
+    return out.astype(np.uint8)
+
+
 def _decode_png(data: bytes, allowed_color_types: frozenset) -> tuple[int, int, int, bytes]:
-    """REAL PNG decode for 8-bit non-interlaced gray (color type 0),
-    truecolor RGB (2), paletted (3, PLTE lookup + optional tRNS
-    validation) and truecolor+alpha (6) — stdlib `zlib` + `struct`:
-    signature check, chunk walk with CRC verification, inflate,
-    per-scanline unfiltering of all five filter types (multi-byte
-    pixels unfilter against the byte `bpp` positions back, per spec).
-    Paletted indices expand to interleaved RGB AFTER unfiltering.
+    """REAL PNG decode for 8-bit gray (color type 0), truecolor RGB
+    (2), paletted (3, PLTE lookup + optional tRNS validation) and
+    truecolor+alpha (6), both non-interlaced and Adam7-interlaced —
+    stdlib `zlib` + `struct`: signature check, chunk walk with CRC
+    verification, inflate, per-scanline unfiltering of all five filter
+    types (multi-byte pixels unfilter against the byte `bpp` positions
+    back, per spec). Adam7 streams unfilter each of the seven passes as
+    an independent sub-image and scatter it to its pixel grid. Paletted
+    indices expand to interleaved RGB AFTER unfiltering.
 
     Returns (width, height, channels, row-major interleaved pixel
     bytes). Raises ValueError on anything malformed (bad signature, CRC
-    mismatch, truncated stream, unsupported color type, Adam7
-    interlace, missing/ragged PLTE, palette index or tRNS out of
-    range) — pair with `map_media_batches(on_error="null")` for
-    per-row corrupt-blob tolerance at corpus scale.
+    mismatch, truncated stream, unsupported color type or interlace
+    method, missing/ragged PLTE, palette index or tRNS out of range) —
+    pair with `map_media_batches(on_error="null")` for per-row
+    corrupt-blob tolerance at corpus scale.
     """
     import struct
     import zlib
@@ -2912,7 +3018,7 @@ def _decode_png(data: bytes, allowed_color_types: frozenset) -> tuple[int, int, 
     if data[:8] != PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, idat, w, h, bpp = 8, bytearray(), None, None, 1
-    color_type, plte, trns = None, None, None
+    color_type, plte, trns, interlaced = None, None, None, 0
     while pos + 12 <= len(data):
         ln, tag = struct.unpack(">I4s", data[pos : pos + 8])
         body = data[pos + 8 : pos + 8 + ln]
@@ -2923,13 +3029,15 @@ def _decode_png(data: bytes, allowed_color_types: frozenset) -> tuple[int, int, 
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"CRC mismatch in {tag!r}")
         if tag == b"IHDR":
-            w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+            w, h, bit_depth, color_type, _comp, _filt, interlaced = struct.unpack(
                 ">IIBBBBB", body
             )
-            if bit_depth != 8 or color_type not in allowed_color_types or interlace:
+            # interlace 0 (none) and 1 (Adam7) both decode; anything
+            # else is spec-invalid
+            if bit_depth != 8 or color_type not in allowed_color_types or interlaced > 1:
                 raise ValueError(
                     f"unsupported PNG (bit_depth={bit_depth}, "
-                    f"color_type={color_type}, interlace={interlace})"
+                    f"color_type={color_type}, interlace={interlaced})"
                 )
             bpp = _PNG_CHANNELS[color_type]
         elif tag == b"PLTE":
@@ -2951,45 +3059,34 @@ def _decode_png(data: bytes, allowed_color_types: frozenset) -> tuple[int, int, 
         if trns is not None and len(trns) > len(plte) // 3:
             raise ValueError("tRNS longer than palette")
     raw = zlib.decompress(bytes(idat))
-    rw = w * bpp  # row width in bytes
-    if len(raw) != h * (rw + 1):
-        raise ValueError("decompressed size mismatch")
-    # unfilter: None/Sub/Up vectorize (copy / per-channel mod-256 cumsum /
-    # add-prev); Average and Paeth reference RECONSTRUCTED left neighbors,
-    # so those rows run a per-pixel loop — 2 of 5 row types on cycled input
     import numpy as np
 
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, rw + 1)
-    fts = rows[:, 0]
-    lines = rows[:, 1:].astype(np.int16)
-    out = np.zeros((h, rw), dtype=np.int16)
-    prev = np.zeros(rw, dtype=np.int16)
-    for y in range(h):
-        ft = int(fts[y])
-        line = lines[y]
-        if ft == 0:
-            rec = line
-        elif ft == 1:  # Sub: per-channel prefix sum mod 256
-            rec = (
-                np.cumsum(line.reshape(w, bpp), axis=0, dtype=np.int64) & 0xFF
-            ).reshape(rw)
-        elif ft == 2:  # Up
-            rec = (line + prev) & 0xFF
-        elif ft in (3, 4):  # Average / Paeth: sequential left-dependency
-            rec = np.zeros(rw, dtype=np.int16)
-            for x in range(rw):
-                a = int(rec[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                if ft == 3:
-                    rec[x] = (int(line[x]) + (a + b) // 2) & 0xFF
-                else:
-                    c = int(prev[x - bpp]) if x >= bpp else 0
-                    rec[x] = (int(line[x]) + _paeth(a, b, c)) & 0xFF
-        else:
-            raise ValueError(f"bad filter type {ft}")
-        out[y] = rec
-        prev = out[y]
-    px = out.astype(np.uint8)
+    if interlaced:
+        # Adam7: the stream concatenates each non-empty pass's own
+        # filtered scanlines; each pass unfilters as an independent
+        # sub-image, then scatters to its (x0 + j*dx, y0 + i*dy) grid
+        full = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            need = hp * (wp * bpp + 1)
+            block = raw[off : off + need]
+            if len(block) != need:
+                raise ValueError("decompressed size mismatch")
+            off += need
+            rec = _unfilter_scanlines(block, hp, wp * bpp, bpp)
+            full[y0::dy, x0::dx] = rec.reshape(hp, wp, bpp)
+        if off != len(raw):
+            raise ValueError("decompressed size mismatch")
+        px = full.reshape(h, w * bpp)
+    else:
+        rw = w * bpp  # row width in bytes
+        if len(raw) != h * (rw + 1):
+            raise ValueError("decompressed size mismatch")
+        px = _unfilter_scanlines(raw, h, rw, bpp)
     if color_type == 3:
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         if int(px.max(initial=0)) >= len(pal):

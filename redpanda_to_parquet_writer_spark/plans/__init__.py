@@ -56,6 +56,7 @@ _PRIORITY = [
     # (sampler on_error plumbing) — all r6-green. ---
     "docs_bm25_topk",
     "embeddings_kmeans_assign",
+    "multimodal_png_interlaced_decode",
     "ann_ivfadc_recall_audit",
     "parts_triangle_cap_audit",
     "multimodal_png_palette_decode",

@@ -801,8 +801,16 @@ def test_png_palette_crafted_contract_holes():
         decode_png_palette(rebuild(palette=pal[: 3 * 3]))
     with pytest.raises(ValueError, match="tRNS longer"):
         decode_png_palette(rebuild(trns_body=bytes(len(pal) // 3 + 1)))
-    with pytest.raises(ValueError, match="interlace=1"):
+    # flipping the interlace flag WITHOUT re-laying-out the stream makes
+    # the Adam7 pass slicing disagree with the actual payload — the
+    # decoder (which now supports real Adam7) must reject, not garble:
+    # either a mis-sliced scanline's filter byte is invalid or the pass
+    # lengths don't add up
+    with pytest.raises(ValueError, match="bad filter type|size mismatch"):
         decode_png_palette(rebuild(interlace=1))
+    # interlace methods beyond Adam7 are spec-invalid
+    with pytest.raises(ValueError, match="interlace=2"):
+        decode_png_palette(rebuild(interlace=2))
     # strict single-type contracts reject the other color types
     with pytest.raises(ValueError, match="color_type=3"):
         decode_png_rgba8(good)
@@ -1260,3 +1268,67 @@ def test_webp_vp8x_wrapped_lossless_decodes():
     assert decode_webp_lossless(wrapped) == (6, 4, rgba)
     # the probe reports the VP8X canvas header (first image chunk wins)
     assert probe_webp(wrapped)[2] == "VP8X"
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.booleans(),
+    st.sampled_from([1, 3, 4]),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_adam7_roundtrip_arbitrary_images(w, h, seed, cycle, channels):
+    """Adam7-interlaced PNG encode->decode is the identity on arbitrary
+    gray8/RGB8/RGBA8 bitmaps — covers empty passes (w or h below a
+    pass's first column/row), single-pixel images, and filter cycling
+    WITHIN each pass sub-image."""
+    import random as _random
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_png_gray8,
+        decode_png_rgb8,
+        decode_png_rgba8,
+        encode_png_gray8,
+        encode_png_rgb8,
+        encode_png_rgba8,
+    )
+
+    enc = {1: encode_png_gray8, 3: encode_png_rgb8, 4: encode_png_rgba8}[channels]
+    dec = {1: decode_png_gray8, 3: decode_png_rgb8, 4: decode_png_rgba8}[channels]
+    rng = _random.Random(seed)
+    px = bytes(rng.randrange(256) for _ in range(w * h * channels))
+    blob = enc(w, h, px, filter_cycle=cycle, interlace=True)
+    assert dec(blob) == (w, h, px)
+    # interlaced and plain encodings of the same bitmap decode equal
+    assert dec(enc(w, h, px, filter_cycle=cycle)) == (w, h, px)
+
+
+def test_png_adam7_truncated_pass_raises():
+    """An Adam7 stream cut mid-pass must surface as ValueError (size
+    mismatch), not a short/garbled decode."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_png_gray8,
+        encode_png_gray8,
+    )
+
+    good = encode_png_gray8(16, 16, bytes(range(256)), interlace=True)
+    # rebuild with the IDAT payload truncated by one scanline
+    idat_at = good.find(b"IDAT") - 4
+    (ln,) = struct.unpack(">I", good[idat_at : idat_at + 4])
+    raw = zlib.decompress(good[idat_at + 8 : idat_at + 8 + ln])
+    short = zlib.compress(raw[:-17], 6)
+    chunk = (
+        struct.pack(">I", len(short))
+        + b"IDAT"
+        + short
+        + struct.pack(">I", zlib.crc32(b"IDAT" + short) & 0xFFFFFFFF)
+    )
+    bad = good[:idat_at] + chunk + good[idat_at + 12 + ln :]
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png_gray8(bad)
