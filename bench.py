@@ -149,6 +149,9 @@ HEADLINE = [
     "multimodal_avi_color_decode",
     "multimodal_tiff_roundtrip",
     "ann_ivf_append_topk",
+    "docs_bm25_topk",
+    "embeddings_kmeans_assign",
+    "multimodal_png_interlaced_decode",
     # Excluded from the headline (the driver gate still covers them at
     # sf0.01): parts_triangle_cap_audit counts the exact AND capped
     # wedge sets (2x the 49M-wedge job at sf0.1); the two
