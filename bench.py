@@ -150,6 +150,7 @@ HEADLINE = [
     "multimodal_tiff_roundtrip",
     "ann_ivf_append_topk",
     "docs_bm25_topk",
+    "docs_hybrid_rrf_topk",
     "embeddings_kmeans_assign",
     "multimodal_png_interlaced_decode",
     # Excluded from the headline (the driver gate still covers them at

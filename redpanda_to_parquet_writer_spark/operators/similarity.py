@@ -1069,3 +1069,46 @@ def kmeans_lloyd_assign(
         )
         cents = materialize_centroids(folded)
     return assigned.select(id_col, "cluster_id", "dist")
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str,
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked retrieval lists — the
+    standard hybrid-retrieval combiner (Cormack et al., SIGIR'09) for a
+    lexical (BM25) leg and a dense (embedding-cosine) leg.
+
+    Each input must carry (id_col, rank) with rank 1-based. A document
+    appearing in only one list contributes that leg's reciprocal alone:
+
+        rrf(d) = sum over legs containing d of 1 / (c + rank_leg(d))
+
+    Floating-point discipline: each term is ONE integer->double division
+    (correctly rounded, engine-independent) and the sum of the two is a
+    single IEEE add, so the oracle hashes bitwise without rounding.
+
+    Scale shape: both inputs are top-N limited (a few rows regardless of
+    corpus size), so the full-outer join and the final TakeOrdered are
+    driver-trivial; all the heavy lifting stays in the legs, which keep
+    their own 100-TB plans (postings-pruned BM25 scan, IVF serving).
+    """
+    a = ranked_a.select(F.col(id_col), F.col("rank").alias("rank_a"))
+    b = ranked_b.select(F.col(id_col), F.col("rank").alias("rank_b"))
+    fused = (
+        a.join(b, on=id_col, how="full_outer")
+        .withColumn(
+            "rrf",
+            F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rank_b")), F.lit(0.0)),
+        )
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("rrf"), F.asc(id_col))
+    return fused.withColumn("fused_rank", F.row_number().over(w)).select(
+        id_col, "rrf", "rank_a", "rank_b", "fused_rank"
+    )

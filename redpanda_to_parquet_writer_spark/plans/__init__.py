@@ -55,6 +55,7 @@ _PRIORITY = [
     # extension), multimodal_mjpeg_frame_decode / _avi_mjpg_decode
     # (sampler on_error plumbing) — all r6-green. ---
     "docs_bm25_topk",
+    "docs_hybrid_rrf_topk",
     "embeddings_kmeans_assign",
     "multimodal_png_interlaced_decode",
     "ann_ivfadc_recall_audit",

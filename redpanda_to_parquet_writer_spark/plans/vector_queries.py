@@ -921,3 +921,117 @@ ORACLES["embeddings_kmeans_assign"] = f"""
       FROM vecs x CROSS JOIN c1 c
     ) WHERE rn = 1
 """
+
+
+HYBRID_TERMS = ("spark", "vector", "query")
+HYBRID_LEG_N = 20  # depth of each retrieval leg
+HYBRID_K = 10  # fused list size
+HYBRID_RRF_C = 60  # standard RRF constant (Cormack et al.)
+
+
+def docs_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical leg over `documents` fused with a
+    dense cosine leg over `embeddings` (doc_id == vec_id in the synthetic
+    corpus) by reciprocal-rank fusion
+    (operators/similarity.py:rrf_fuse). The reference has no retrieval
+    surface (parquet_to_polars.py stops at scans/aggregates); this is
+    the LLM-pipeline extension's targeted-data-selection path.
+
+    Scale shape: each leg keeps its own 100-TB plan — the BM25 leg
+    shuffles only the query terms' postings, the dense leg is a
+    broadcast-query scan with TakeOrderedAndProject (swap in the IVF
+    serving index for production) — and the fusion joins two <=N-row
+    frames, so it is free at any corpus size.
+    """
+    from redpanda_to_parquet_writer_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = T.bm25_topk(
+        docs, "text", "doc_id", HYBRID_TERMS, HYBRID_LEG_N
+    ).select("doc_id", "rank")
+    dense = (
+        S.brute_force_topk(
+            emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding", HYBRID_LEG_N
+        )
+        .select(F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    return S.rrf_fuse(lex, dense, "doc_id", HYBRID_K, HYBRID_RRF_C).select(
+        "doc_id",
+        "rrf",
+        F.col("rank_a").alias("lex_rank"),
+        F.col("rank_b").alias("dense_rank"),
+        "fused_rank",
+    )
+
+
+QUERIES["docs_hybrid_rrf_topk"] = docs_hybrid_rrf_topk
+
+ORACLES["docs_hybrid_rrf_topk"] = f"""
+    WITH lengths AS (
+      SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS dl
+      FROM documents
+    ),
+    corpus AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl FROM lengths
+    ),
+    postings AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+      )
+      WHERE term IN ({", ".join(f"'{t}'" for t in HYBRID_TERMS)})
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (
+      SELECT term, count(*) AS df FROM postings GROUP BY term
+    ),
+    bm25_scored AS (
+      SELECT p.doc_id,
+             ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))
+               * p.tf * (1.2 + 1.0)
+               / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / c.avgdl)) AS term_score
+      FROM postings p
+      JOIN lengths l USING (doc_id)
+      JOIN dfreq d USING (term)
+      CROSS JOIN corpus c
+    ),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank_a
+      FROM (
+        SELECT doc_id, round(sum(term_score), 6) AS bm25
+        FROM bm25_scored GROUP BY doc_id
+      )
+      ORDER BY rank_a ASC LIMIT {HYBRID_LEG_N}
+    ),
+    dense_pairs AS (
+      SELECT c.vec_id AS doc_id,
+             CAST(q.embedding AS DOUBLE[]) AS av,
+             CAST(c.embedding AS DOUBLE[]) AS bv
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id = 0
+    ),
+    dense AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS rank_b
+      FROM (
+        SELECT doc_id, {_DOT} / NULLIF({_NORM_A} * {_NORM_B}, 0) AS sim
+        FROM dense_pairs
+      )
+      ORDER BY rank_b ASC LIMIT {HYBRID_LEG_N}
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             COALESCE(1.0 / ({HYBRID_RRF_C} + l.rank_a), 0.0)
+               + COALESCE(1.0 / ({HYBRID_RRF_C} + d.rank_b), 0.0) AS rrf,
+             l.rank_a AS lex_rank, d.rank_b AS dense_rank
+      FROM lex l FULL OUTER JOIN dense d USING (doc_id)
+    )
+    SELECT doc_id, rrf, lex_rank, dense_rank,
+           row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS fused_rank
+    FROM fused
+    ORDER BY rrf DESC, doc_id ASC
+    LIMIT {HYBRID_K}
+"""

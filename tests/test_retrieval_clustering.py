@@ -75,3 +75,34 @@ def test_kmeans_empty_cluster_drops_out(spark):
     assert sorted(r["vec_id"] for r in rows) == [0, 1, 2, 3, 4]
     far = {r["vec_id"]: r["cluster_id"] for r in rows}
     assert far[3] == far[4] and far[3] != far[0]
+
+
+def test_rrf_fuse_exact_scores_and_single_leg_docs(spark):
+    from redpanda_to_parquet_writer_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    dense = spark.createDataFrame(
+        [(2, 1), (4, 2)], "doc_id long, rank int"
+    )
+    rows = {r["doc_id"]: r for r in rrf_fuse(lex, dense, "doc_id", k=10).collect()}
+    # doc 2 is in both legs: exact sum of the two reciprocals
+    assert rows[2]["rrf"] == 1.0 / 62 + 1.0 / 61
+    assert rows[2]["fused_rank"] == 1
+    # single-leg docs contribute that leg alone, other rank is NULL
+    assert rows[1]["rrf"] == 1.0 / 61 and rows[1]["rank_b"] is None
+    assert rows[4]["rrf"] == 1.0 / 62 and rows[4]["rank_a"] is None
+    # both-legs beats either single leg even at worse per-leg ranks
+    assert rows[2]["rrf"] > rows[1]["rrf"] > rows[3]["rrf"]
+
+
+def test_rrf_fuse_k_truncation_and_id_tiebreak(spark):
+    from redpanda_to_parquet_writer_spark.operators.similarity import rrf_fuse
+
+    # two docs with identical rrf (same rank, disjoint legs): lower id wins
+    lex = spark.createDataFrame([(7, 1), (9, 2)], "doc_id long, rank int")
+    dense = spark.createDataFrame([(8, 1), (5, 2)], "doc_id long, rank int")
+    rows = rrf_fuse(lex, dense, "doc_id", k=3).collect()
+    assert [r["doc_id"] for r in rows] == [7, 8, 5]
+    assert [r["fused_rank"] for r in rows] == [1, 2, 3]
