@@ -151,6 +151,7 @@ HEADLINE = [
     "ann_ivf_append_topk",
     "docs_bm25_topk",
     "docs_hybrid_rrf_topk",
+    "docs_dup_ngram_fraction",
     "embeddings_kmeans_assign",
     "multimodal_png_interlaced_decode",
     # Excluded from the headline (the driver gate still covers them at

@@ -1197,3 +1197,58 @@ def bm25_topk(
     return topk.withColumn("rank", F.row_number().over(w)).select(
         id_col, "bm25", "n_terms_matched", "rank"
     )
+
+
+def dup_ngram_fraction(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Duplicated-n-gram fraction per document — the span-level
+    duplication signal of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better" (ExactSubstr), at n-gram-start
+    granularity: the fraction of a document's n-gram positions whose
+    gram also occurs in >= `min_docs` documents corpus-wide. Documents
+    shorter than n tokens carry no positions and are omitted.
+
+    Scale shape: positions explode once (O(corpus tokens)); document
+    frequency is a distinct+count on the gram key with map-side
+    partials; dup-position counting is a left-semi join on that same
+    gram key (the exchange partitioning is reused, no second wide
+    stage); the per-doc ratio is one final groupBy on the id. No
+    driver state, nothing O(n^2). The fraction rounds via exact
+    integer half-up millionths so the oracle hashes bitwise.
+    """
+    grams = with_ngrams(df, text_col, n)
+    pos = grams.select(F.col(id_col), F.explode("ngrams").alias("__g"))
+    docfreq = (
+        pos.select(id_col, "__g")
+        .distinct()
+        .groupBy("__g")
+        .agg(F.count("*").alias("__df"))
+    )
+    dup = docfreq.filter(F.col("__df") >= min_docs).select("__g")
+    dup_counts = (
+        pos.join(dup, "__g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_positions"))
+    )
+    totals = pos.groupBy(id_col).agg(F.count("*").alias("n_positions"))
+    out = (
+        totals.join(dup_counts, id_col, "left")
+        .withColumn(
+            "n_dup_positions",
+            F.coalesce("n_dup_positions", F.lit(0)).cast("long"),
+        )
+    )
+    dup_frac = F.expr(
+        "(n_dup_positions * 2000000 + n_positions) DIV (2 * n_positions)"
+    ) / F.lit(1000000.0)
+    return out.select(
+        F.col(id_col),
+        "n_positions",
+        "n_dup_positions",
+        dup_frac.alias("dup_frac"),
+    )

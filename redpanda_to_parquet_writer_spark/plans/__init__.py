@@ -56,6 +56,7 @@ _PRIORITY = [
     # (sampler on_error plumbing) — all r6-green. ---
     "docs_bm25_topk",
     "docs_hybrid_rrf_topk",
+    "docs_dup_ngram_fraction",
     "embeddings_kmeans_assign",
     "multimodal_png_interlaced_decode",
     "ann_ivfadc_recall_audit",

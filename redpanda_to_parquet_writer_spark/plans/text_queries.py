@@ -1195,3 +1195,55 @@ ORACLES["docs_bm25_topk"] = f"""
     ORDER BY bm25 DESC, doc_id ASC
     LIMIT {BM25_K}
 """
+
+
+DUPNGRAM_N = 5
+DUPNGRAM_MIN_DOCS = 2
+
+
+def docs_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication signal (Lee et al. ExactSubstr, at
+    n-gram-start granularity): per doc, the fraction of 5-gram
+    positions whose gram occurs in >=2 documents corpus-wide
+    (operators/text.py:dup_ngram_fraction). One explode, gram-keyed
+    docfreq + left-semi reusing the same partitioning, exact half-up
+    millionths for the ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.dup_ngram_fraction(
+        docs, "text", "doc_id", DUPNGRAM_N, DUPNGRAM_MIN_DOCS
+    )
+
+
+QUERIES["docs_dup_ngram_fraction"] = docs_dup_ngram_fraction
+
+_DUPGRAM_JOIN = ", ".join(f"toks[i + {j}]" for j in range(DUPNGRAM_N))
+
+ORACLES["docs_dup_ngram_fraction"] = f"""
+    WITH grams AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, len(toks) - {DUPNGRAM_N - 1}),
+               i -> concat_ws(' ', {_DUPGRAM_JOIN})
+             ) AS gs
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents)
+    ),
+    pos AS (
+      SELECT doc_id, unnest(gs) AS g FROM grams
+    ),
+    docfreq AS (
+      SELECT g, count(DISTINCT doc_id) AS df FROM pos GROUP BY g
+    ),
+    perdoc AS (
+      SELECT p.doc_id,
+             count(*) AS n_positions,
+             CAST(sum(CASE WHEN d.df >= {DUPNGRAM_MIN_DOCS} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_dup_positions
+      FROM pos p JOIN docfreq d USING (g)
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, n_positions, n_dup_positions,
+           ((n_dup_positions * 2000000 + n_positions)
+              // (2 * n_positions)) / 1000000.0 AS dup_frac
+    FROM perdoc
+"""

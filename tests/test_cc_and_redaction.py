@@ -160,3 +160,23 @@ def test_countmin_never_underestimates(spark):
     assert viol == 0, "count-min underestimated a term"
     exact_hits = joined.filter(F.col("cm_estimate") == F.col("cnt")).count()
     assert exact_hits > 0  # 4x256 counters over 400 keys: some collision-free
+
+
+def test_dup_ngram_fraction_hand_corpus(spark):
+    from redpanda_to_parquet_writer_spark.operators.text import dup_ngram_fraction
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),      # grams: "a b c" "b c d" "c d e"
+            (2, "a b c x y"),      # grams: "a b c" "b c x" "c x y"
+            (3, "z z"),            # shorter than n=3 -> no positions, omitted
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dup_ngram_fraction(docs, "text", "doc_id", n=3).collect()}
+    assert set(rows) == {1, 2}
+    # only "a b c" is shared; each doc has 3 positions, 1 duplicated
+    for d in (1, 2):
+        assert rows[d]["n_positions"] == 3
+        assert rows[d]["n_dup_positions"] == 1
+        assert rows[d]["dup_frac"] == 0.333333  # exact half-up millionths
