@@ -1213,34 +1213,37 @@ def dup_ngram_fraction(
     gram also occurs in >= `min_docs` documents corpus-wide. Documents
     shorter than n tokens carry no positions and are omitted.
 
-    Scale shape: positions explode once (O(corpus tokens)); document
-    frequency is a distinct+count on the gram key with map-side
-    partials; dup-position counting is a left-semi join on that same
-    gram key (the exchange partitioning is reused, no second wide
-    stage); the per-doc ratio is one final groupBy on the id. No
-    driver state, nothing O(n^2). The fraction rounds via exact
+    Scale shape: raw positions exist only inside ONE map-side-combined
+    (doc, gram) -> tf aggregation — after that every frame is distinct
+    (doc, gram) pairs, so the gram-keyed docfreq aggregate, the dup
+    join, and the final per-doc sums all shuffle O(distinct grams), not
+    O(corpus tokens). Both per-doc sums come out of a single aggregate
+    over the dup-flag join (no second scan, no outer join on the id).
+    No driver state, nothing O(n^2). The fraction rounds via exact
     integer half-up millionths so the oracle hashes bitwise.
     """
     grams = with_ngrams(df, text_col, n)
-    pos = grams.select(F.col(id_col), F.explode("ngrams").alias("__g"))
-    docfreq = (
-        pos.select(id_col, "__g")
-        .distinct()
-        .groupBy("__g")
+    tf = (
+        grams.select(F.col(id_col), F.explode("ngrams").alias("__g"))
+        .groupBy(id_col, "__g")
+        .agg(F.count("*").alias("__tf"))
+    )
+    dup = (
+        tf.groupBy("__g")
         .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__g", F.lit(1).alias("__dup"))
     )
-    dup = docfreq.filter(F.col("__df") >= min_docs).select("__g")
-    dup_counts = (
-        pos.join(dup, "__g", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_dup_positions"))
-    )
-    totals = pos.groupBy(id_col).agg(F.count("*").alias("n_positions"))
     out = (
-        totals.join(dup_counts, id_col, "left")
-        .withColumn(
-            "n_dup_positions",
-            F.coalesce("n_dup_positions", F.lit(0)).cast("long"),
+        tf.join(dup, "__g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__tf").alias("n_positions"),
+            F.coalesce(
+                F.sum(F.when(F.col("__dup") == 1, F.col("__tf"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_dup_positions"),
         )
     )
     dup_frac = F.expr(
