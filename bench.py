@@ -152,6 +152,7 @@ HEADLINE = [
     "docs_bm25_topk",
     "docs_hybrid_rrf_topk",
     "docs_dup_ngram_fraction",
+    "docs_lang_temperature_sample",
     "embeddings_kmeans_assign",
     "multimodal_png_interlaced_decode",
     # Excluded from the headline (the driver gate still covers them at

@@ -135,3 +135,53 @@ def sequence_pack(
         F.expr(f"__start DIV {int(seq_tokens)}").alias("seq_id"),
         F.expr(f"__start % {int(seq_tokens)}").alias("seq_offset"),
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """α=0.5 temperature sampling over a skewed grouping column — the
+    multilingual rebalancer (kept count per group ∝ n_g^α, so dominant
+    languages/sources are downweighted and the tail is boosted relative
+    to its natural share; cf. the sampling-temperature scheme of
+    multilingual pretraining, e.g. XLM-R).
+
+    Per-group keep rate r_g = sqrt(n_min / n_g) (the smallest group is
+    kept whole). The Bernoulli trial is the deterministic md5(id)
+    bucket in [0, buckets), kept iff bucket/buckets < r_g — evaluated
+    as the EXACT integer predicate
+
+        bucket^2 * n_g < buckets^2 * n_min
+
+    (decimal(38,0) arithmetic, no sqrt, no float threshold), so the
+    sample is reproducible across runs, partitionings, and engines,
+    and the oracle replays it bitwise.
+
+    Scale shape: group counts are one map-side-combined aggregate over
+    the grouping column only; the tiny (n_groups)-row frame broadcasts
+    back with the global min attached; the trial itself is a narrow
+    per-row expression. One scan, zero wide exchanges on the corpus.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_group"))
+    n_min = counts.agg(F.min("n_group").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min))
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(buckets),
+    )
+    dec = "decimal(38,0)"
+    keep = (
+        bucket.cast(dec) * bucket.cast(dec) * F.col("n_group").cast(dec)
+        < F.lit(buckets).cast(dec) * F.lit(buckets).cast(dec) * F.col("n_min").cast(dec)
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .withColumn("bucket", bucket)
+        .filter(keep)
+        .select(F.col(id_col), F.col(group_col), "n_group", "n_min", "bucket")
+    )

@@ -57,6 +57,7 @@ _PRIORITY = [
     "docs_bm25_topk",
     "docs_hybrid_rrf_topk",
     "docs_dup_ngram_fraction",
+    "docs_lang_temperature_sample",
     "embeddings_kmeans_assign",
     "multimodal_png_interlaced_decode",
     "ann_ivfadc_recall_audit",

@@ -1247,3 +1247,41 @@ ORACLES["docs_dup_ngram_fraction"] = f"""
               // (2 * n_positions)) / 1000000.0 AS dup_frac
     FROM perdoc
 """
+
+
+def docs_lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature rebalancing over the skewed `lang` column
+    (operators/sampling.py:temperature_sample): kept docs per language
+    ∝ sqrt(n_lang), so `en` (the dominant language) downsamples and the
+    tail keeps its smallest member whole. The Bernoulli trial is an
+    exact integer predicate on the md5(doc_id) bucket — reproducible
+    across engines, no float threshold."""
+    from redpanda_to_parquet_writer_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_sample(docs, "lang", "doc_id")
+
+
+QUERIES["docs_lang_temperature_sample"] = docs_lang_temperature_sample
+
+ORACLES["docs_lang_temperature_sample"] = """
+    WITH counts AS (
+      SELECT lang, count(*) AS n_group FROM documents GROUP BY lang
+    ),
+    rates AS (
+      SELECT lang, n_group, (SELECT min(n_group) FROM counts) AS n_min
+      FROM counts
+    ),
+    trials AS (
+      SELECT d.doc_id, d.lang, r.n_group, r.n_min,
+             CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 1000000 AS bucket
+      FROM documents d JOIN rates r USING (lang)
+    )
+    SELECT doc_id, lang, n_group, n_min, bucket
+    FROM trials
+    WHERE CAST(bucket AS HUGEINT) * bucket * n_group
+          < CAST(1000000 AS HUGEINT) * 1000000 * n_min
+"""

@@ -32,3 +32,24 @@ def test_rebalance_proportions(spark, sf_dir):
     # deterministic with the same seed
     again = rebalance_sources(docs, "source", weights)
     assert again.count() == out.count()
+
+
+def test_temperature_sample_keeps_min_group_whole(spark):
+    from redpanda_to_parquet_writer_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    kept = temperature_sample(df, "grp", "doc_id").collect()
+    by_grp = {}
+    for r in kept:
+        by_grp.setdefault(r["grp"], []).append(r)
+    # the smallest group is kept whole (rate = sqrt(n_min/n_min) = 1)
+    assert len(by_grp["small"]) == 4
+    # the dominant group downsamples toward sqrt(4/400) = 10% of 400
+    assert 10 <= len(by_grp["big"]) <= 90
+    # determinism: a rerun keeps the identical id set
+    again = {r["doc_id"] for r in temperature_sample(df, "grp", "doc_id").collect()}
+    assert again == {r["doc_id"] for r in kept}
+    # the emitted bucket satisfies the exact integer predicate
+    for r in kept:
+        assert r["bucket"] ** 2 * r["n_group"] < 10**12 * r["n_min"]
