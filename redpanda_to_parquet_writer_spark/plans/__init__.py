@@ -45,7 +45,10 @@ _MERGED_QUERIES = {
 # at the tail (they are the most-recently-verified ones: the whole r4
 # window was green).
 _PRIORITY = [
-    # --- NEW in round 7 (never driver-verified; VERDICT r6 #2/#3/#7/#8).
+    # --- NEW in round 7 whose VERDICT r6 "Done =" criteria require a
+    # green CORRECTNESS_r07 driver row (#2 recall audit, #3 cap audit,
+    # #7 palette decode, #8 color AVI); the other new-in-r7 queries sit
+    # just past the 50-row boundary below.
     # Queries whose shared operator code changed this round but whose
     # outputs were bitwise-verified unchanged (scripts/bitcheck.py) stay
     # in the tail, per the r6 precedent: ann_ivf_indexed_topk /
@@ -54,12 +57,6 @@ _PRIORITY = [
     # multimodal_png_decode / _png_rgb_decode (decoder color-type
     # extension), multimodal_mjpeg_frame_decode / _avi_mjpg_decode
     # (sampler on_error plumbing) — all r6-green. ---
-    "docs_bm25_topk",
-    "docs_hybrid_rrf_topk",
-    "docs_dup_ngram_fraction",
-    "docs_lang_temperature_sample",
-    "embeddings_kmeans_assign",
-    "multimodal_png_interlaced_decode",
     "ann_ivfadc_recall_audit",
     "parts_triangle_cap_audit",
     "multimodal_png_palette_decode",
@@ -116,16 +113,24 @@ _PRIORITY = [
     "multimodal_frame_sample",
     "curation_pipeline",
     # ---- 50-query window boundary (4 + 46 above) ----
-    # These eight lead round 8's window: the two r4-cohort overflow
-    # rows (their code paths have the freshest sibling coverage — the
+    # These lead round 8's window: the two r4-cohort overflow rows
+    # (their code paths have the freshest sibling coverage — the
     # hourly twin is in the window, byte stats' multimodal siblings are
-    # r6/r7-green), then the SIX new round-7 queries deliberately held
-    # OUT of this round's driver window to protect the stale rotation
-    # (every one is bitcheck-verified against its oracle and green in
-    # the local 150-query sweep; VERDICT r6 #1 prioritized re-verifying
-    # the 48 stale rows over driver rows for new queries).
+    # r6/r7-green), then the TWELVE new round-7 queries deliberately
+    # held OUT of this round's driver window to protect the stale
+    # rotation (every one is bitcheck-verified against its oracle —
+    # the six latest at sf0.1 too — and green in the local sweep;
+    # VERDICT r6 #1 prioritized re-verifying the 48 stale rows over
+    # driver rows for new queries; only the four queries whose verdict
+    # "Done =" criteria name a green CORRECTNESS_r07 row stay in).
     "streaming_hourly_event_stats",
     "multimodal_byte_stats",
+    "docs_bm25_topk",
+    "docs_hybrid_rrf_topk",
+    "docs_dup_ngram_fraction",
+    "docs_lang_temperature_sample",
+    "embeddings_kmeans_assign",
+    "multimodal_png_interlaced_decode",
     "ann_ivf_append_topk",
     "multimodal_jpeg_progressive_decode",
     "multimodal_jpeg_progressive_color",
