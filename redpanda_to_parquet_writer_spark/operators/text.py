@@ -1145,30 +1145,42 @@ def bm25_topk(
     score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
 
     Scale shape (corpus = N docs, query = a handful of terms):
-      - doc length is a per-row expression (no shuffle);
-      - the term filter runs BEFORE the (doc, term) aggregation, so only
-        postings of the query's terms ever shuffle — the exchange is
-        O(matching postings), not O(corpus tokens);
-      - df-per-term and the 1-row (N, avgdl) frame are broadcast;
+      - doc length rides ALONG the exploded matching tokens (constant
+        per doc, recovered with first() in the same (doc, term)
+        aggregate) — no postings<->lengths join, and the corpus scans
+        exactly twice: once for the 1-row (N, avgdl) stats, once for
+        the postings;
+      - the term filter runs BEFORE the explode's consumers shuffle, so
+        the exchange is O(matching postings), not O(corpus tokens);
+      - df-per-term is a count window over the (already distinct
+        (doc, term)) postings — NOT a separate aggregate branch, which
+        would make Catalyst recompute the postings subtree and scan the
+        corpus a third time;
+      - the 1-row (N, avgdl) frame is broadcast;
       - the final top-k is orderBy+limit => TakeOrderedAndProject (heap
         per partition, no global sort).
     All scoring stays in whole-stage codegen; the rank window runs on
     the k-row limited frame only.
     """
-    lengths = df.select(F.col(id_col), token_count(text_col).alias("dl"))
-    corpus = lengths.agg(
+    corpus = df.select(token_count(text_col).alias("dl")).agg(
         F.count("*").alias("__n"), F.avg("dl").alias("__avgdl")
     )
+    term_set = F.array(*[F.lit(t) for t in query_terms])
     postings = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-        .filter(F.col("term").isin(*query_terms))
+        df.select(
+            F.col(id_col),
+            token_count(text_col).alias("dl"),
+            F.explode(
+                F.filter(tokens(text_col), lambda t: F.array_contains(term_set, t))
+            ).alias("term"),
+        )
         .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
     )
-    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
-        postings.join(lengths, id_col)
-        .join(F.broadcast(dfreq), "term")
+        postings.withColumn(
+            "df", F.count("*").over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(corpus))
         .withColumn(
             "idf",
