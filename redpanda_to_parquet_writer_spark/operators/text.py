@@ -696,22 +696,21 @@ def tfidf_top_terms(
     """Top-k terms per document by TF-IDF — keyword extraction for
     corpus indexing/topic tagging.
 
-    Three aggregations, all partial-aggregating map-side: term freq per
-    (doc, term), document freq per term, and a 1-row corpus count that
-    rides a broadcast cross join (no driver round-trip, stays one plan).
-    idf = ln(n_docs / df). The rank window orders by the ROUNDED score
-    (then term text) so last-ulp ln() differences between engines can't
-    reorder mathematically-equal scores.
+    One map-side-combined term-freq aggregation per (doc, term); document
+    freq is then a count window over the term key on those already
+    distinct pairs — NOT a separate aggregate branch, which would make
+    Catalyst recompute the explode subtree and scan the corpus twice.
+    The 1-row corpus count rides a broadcast cross join (no driver
+    round-trip, stays one plan). idf = ln(n_docs / df). The rank window
+    orders by the ROUNDED score (then term text) so last-ulp ln()
+    differences between engines can't reorder mathematically-equal
+    scores.
     """
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.select(F.count("*").alias("__n"))
-    # dfreq grows with vocabulary (unbounded at corpus scale) — leave the
-    # join strategy to AQE rather than forcing a broadcast; only the
-    # 1-row corpus count is always broadcast-safe
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
@@ -1227,12 +1226,13 @@ def dup_ngram_fraction(
 
     Scale shape: raw positions exist only inside ONE map-side-combined
     (doc, gram) -> tf aggregation — after that every frame is distinct
-    (doc, gram) pairs, so the gram-keyed docfreq aggregate, the dup
-    join, and the final per-doc sums all shuffle O(distinct grams), not
-    O(corpus tokens). Both per-doc sums come out of a single aggregate
-    over the dup-flag join (no second scan, no outer join on the id).
-    No driver state, nothing O(n^2). The fraction rounds via exact
-    integer half-up millionths so the oracle hashes bitwise.
+    (doc, gram) pairs. Document frequency is a count window over the
+    gram key on those pairs (NOT a separate aggregate branch, which
+    would make Catalyst recompute the explode subtree and scan the
+    corpus twice), so the whole signal is one scan, and every exchange
+    moves O(distinct grams), not O(corpus tokens). No driver state,
+    nothing O(n^2). The fraction rounds via exact integer half-up
+    millionths so the oracle hashes bitwise.
     """
     grams = with_ngrams(df, text_col, n)
     tf = (
@@ -1240,19 +1240,14 @@ def dup_ngram_fraction(
         .groupBy(id_col, "__g")
         .agg(F.count("*").alias("__tf"))
     )
-    dup = (
-        tf.groupBy("__g")
-        .agg(F.count("*").alias("__df"))
-        .filter(F.col("__df") >= min_docs)
-        .select("__g", F.lit(1).alias("__dup"))
-    )
     out = (
-        tf.join(dup, "__g", "left")
+        tf.withColumn("__df", F.count("*").over(Window.partitionBy("__g")))
         .groupBy(id_col)
         .agg(
             F.sum("__tf").alias("n_positions"),
             F.coalesce(
-                F.sum(F.when(F.col("__dup") == 1, F.col("__tf"))), F.lit(0)
+                F.sum(F.when(F.col("__df") >= min_docs, F.col("__tf"))),
+                F.lit(0),
             )
             .cast("long")
             .alias("n_dup_positions"),
