@@ -909,20 +909,24 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     perplexity filter (documents whose tokens are globally rare score
     low and get routed to review/drop).
 
-    One corpus scan, fully cascaded aggregates: term freq per (doc,
-    term) -> corpus term counts -> 1-row total, all partial-aggregating
-    map-side; the vocabulary join is left to AQE (vocab is unbounded at
-    corpus scale, same reasoning as tfidf_top_terms). Each distinct
-    term's ln(count/total) rounds to 6 dp and the per-doc total
-    accumulates tf x DECIMAL — exact and order-independent, so task
-    interleaving cannot move a score.
+    Two corpus scans, no vocabulary join: term freq per (doc, term) is
+    one map-side-combined aggregate, the corpus count per term is a sum
+    window over the term key on those pairs (a separate aggregate
+    branch would make Catalyst recompute the explode subtree and
+    re-scan), and the 1-row grand total comes from a narrow
+    token-count scan (sum of doc lengths == sum of all tf — no explode,
+    no shuffle) that rides a broadcast cross join. Each distinct term's
+    ln(count/total) rounds to 6 dp and the per-doc total accumulates
+    tf x DECIMAL — exact and order-independent, so task interleaving
+    cannot move a score.
     """
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    cnt = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
-    total = cnt.agg(F.sum("cnt").alias("__t"))
+    total = df.select(token_count(text_col).alias("__dl")).agg(
+        F.sum("__dl").alias("__t")
+    )
     scored = (
-        tf.join(cnt, "term")
+        tf.withColumn("cnt", F.sum("tf").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(total))
         .withColumn(
             "lp",
