@@ -166,8 +166,13 @@ def temperature_sample(
     per-row expression. One scan, zero wide exchanges on the corpus.
     """
     counts = df.groupBy(group_col).agg(F.count("*").alias("n_group"))
-    n_min = counts.agg(F.min("n_group").alias("n_min"))
-    rates = counts.crossJoin(F.broadcast(n_min))
+    # global min via a window over the (n_groups)-row counts frame — a
+    # separate .agg() branch would recompute the aggregate subtree and
+    # scan the corpus a second time; the single-partition exchange is
+    # fine because counts is provably tiny (one row per group)
+    rates = counts.withColumn(
+        "n_min", F.min("n_group").over(Window.partitionBy())
+    )
     bucket = F.pmod(
         F.conv(
             F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
