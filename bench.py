@@ -161,6 +161,16 @@ HEADLINE = [
     # progressive-JPEG queries run BOTH the progressive and sequential
     # codec per doc purely as their bitwise-equality harness
     # (2.4s/5.0s of fixture-bound Python codec work, not engine time)
+    #
+    # Cross-round diff note (scripts/bench_diff.py vs BENCH_r06): the
+    # r6 artifact's common-query tail runs ~15% faster than any r7
+    # rerun of the SAME commits on this host — compare media rows via a
+    # standalone A/B at both checkouts before blaming code. Measured at
+    # HEAD vs 03183c5 on a quiet machine: multimodal_avi_mjpg_decode
+    # 2.22s -> 2.03s (faster now), multimodal_jpeg_color_roundtrip
+    # 1.81s -> 2.13s (1.18x, the shared sequential/progressive
+    # _color_quant_blocks refactor; fixture-bound Python codec time,
+    # within the 1.5x guard).
 ]
 
 

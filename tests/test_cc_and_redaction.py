@@ -180,3 +180,29 @@ def test_dup_ngram_fraction_hand_corpus(spark):
         assert rows[d]["n_positions"] == 3
         assert rows[d]["n_dup_positions"] == 1
         assert rows[d]["dup_frac"] == 0.333333  # exact half-up millionths
+
+
+def test_dup_ngram_fraction_within_doc_repeat_not_duplicated(spark):
+    """A gram repeated WITHIN one doc but present in no other doc is
+    not 'duplicated' (df counts documents, not occurrences)."""
+    from redpanda_to_parquet_writer_spark.operators.text import dup_ngram_fraction
+
+    docs = spark.createDataFrame(
+        [(1, "p q r p q r"), (2, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dup_ngram_fraction(docs, "text", "doc_id", n=3).collect()}
+    # doc 1: grams p-q-r(x2), q-r-p, r-p-q -> all unique to doc 1
+    assert rows[1]["n_dup_positions"] == 0 and rows[1]["dup_frac"] == 0.0
+    assert rows[2]["n_dup_positions"] == 0
+
+
+def test_dup_ngram_fraction_fully_duplicated_doc(spark):
+    from redpanda_to_parquet_writer_spark.operators.text import dup_ngram_fraction
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "a b c d")],
+        "doc_id long, text string",
+    )
+    for r in dup_ngram_fraction(docs, "text", "doc_id", n=3).collect():
+        assert r["dup_frac"] == 1.0 and r["n_positions"] == r["n_dup_positions"] == 2

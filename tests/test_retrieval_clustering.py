@@ -106,3 +106,47 @@ def test_rrf_fuse_k_truncation_and_id_tiebreak(spark):
     rows = rrf_fuse(lex, dense, "doc_id", k=3).collect()
     assert [r["doc_id"] for r in rows] == [7, 8, 5]
     assert [r["fused_rank"] for r in rows] == [1, 2, 3]
+
+
+def test_rrf_fuse_monotone_in_rank(spark):
+    """A doc that improves its rank in either leg (others unchanged)
+    never loses fused score; total ordering respects the reciprocal
+    law 1/(c+r)."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame([(i, i) for i in range(1, 9)], "doc_id long, rank int")
+    dense = spark.createDataFrame([(i, 9 - i) for i in range(1, 9)], "doc_id long, rank int")
+    rows = rrf_fuse(lex, dense, "doc_id", k=8).collect()
+    for r in rows:
+        assert r["rrf"] == 1.0 / (60 + r["rank_a"]) + 1.0 / (60 + r["rank_b"])
+    # symmetric legs: fused order is by total rank sum, ties by id
+    sums = [(r["rank_a"] + r["rank_b"], r["doc_id"]) for r in rows]
+    fused_order = [r["doc_id"] for r in sorted(rows, key=lambda r: r["fused_rank"])]
+    # the best combined docs are the extremes (rank 1 in one leg)
+    assert fused_order[0] in (1, 8)
+
+
+def test_temperature_sample_rate_monotone_in_group_size(spark):
+    """Larger groups must keep a smaller-or-equal FRACTION (the whole
+    point of temperature flattening); every group's kept fraction is
+    within binomial noise of sqrt(n_min/n_g)."""
+    import math
+
+    from redpanda_to_parquet_writer_spark.operators.sampling import temperature_sample
+
+    sizes = {"a": 900, "b": 400, "c": 100}
+    rows = [
+        (ord(g) * 10000 + i, g) for g, n in sizes.items() for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    kept = temperature_sample(df, "grp", "doc_id").collect()
+    frac = {g: 0 for g in sizes}
+    for r in kept:
+        frac[r["grp"]] += 1
+    fracs = {g: frac[g] / sizes[g] for g in sizes}
+    for g, n in sizes.items():
+        expect = math.sqrt(100 / n)
+        tol = 4 * math.sqrt(expect * (1 - expect) / n) + 1e-9  # 4-sigma
+        assert abs(fracs[g] - expect) <= tol, (g, fracs[g], expect, tol)
+    assert fracs["c"] == 1.0
+    assert fracs["a"] <= fracs["b"] + 0.05 <= fracs["c"] + 0.05
