@@ -88,6 +88,24 @@ HEADLINE = [
     "events_transition_matrix",
     "events_contract_violations",
     "parts_co_occurrence",
+    "partition_counts",
+    "distinct_event_types",
+    "null_counts_events",
+    "numeric_profile_events",
+    "local_supplier_volume",
+    "hourly_event_stats",
+    "events_rollup",
+    "events_cube",
+    "events_pivot",
+    "events_except_intersect",
+    "top_parts_per_brand",
+    "docs_stopword_stats",
+    "docs_language_id",
+    "docs_fingerprint",
+    "docs_dedup_clusters",
+    "docs_stratified_sample",
+    "multimodal_byte_stats",
+    "multimodal_png_rgb_decode",
     # events_user_resample (Arrow grouped-map variant) excluded from the
     # headline set (VERDICT r6 #6): the recommended scale plan is the
     # JVM twin below (8x faster, same oracle); the Arrow variant stays
@@ -148,20 +166,16 @@ HEADLINE = [
     "multimodal_png_palette_decode",
     "multimodal_avi_color_decode",
     "multimodal_tiff_roundtrip",
+    "multimodal_webp_roundtrip",
     "ann_ivf_append_topk",
+    "ann_ivfadc_compact_topk",
+    "ann_kmeans_recall_audit",
     "docs_bm25_topk",
     "docs_hybrid_rrf_topk",
     "docs_dup_ngram_fraction",
     "docs_lang_temperature_sample",
     "embeddings_kmeans_assign",
     "multimodal_png_interlaced_decode",
-    # Excluded from the headline (the driver gate still covers them at
-    # sf0.01): parts_triangle_cap_audit counts the exact AND capped
-    # wedge sets (2x the 49M-wedge job at sf0.1); the two
-    # progressive-JPEG queries run BOTH the progressive and sequential
-    # codec per doc purely as their bitwise-equality harness
-    # (2.4s/5.0s of fixture-bound Python codec work, not engine time)
-    #
     # Cross-round diff note (scripts/bench_diff.py vs BENCH_r06): the
     # r6 artifact's common-query tail runs ~15% faster than any r7
     # rerun of the SAME commits on this host — compare media rows via a
@@ -172,6 +186,51 @@ HEADLINE = [
     # _color_quant_blocks refactor; fixture-bound Python codec time,
     # within the 1.5x guard).
 ]
+
+#: Every registry query is either in HEADLINE or here with its stated
+#: exclusion reason (VERDICT r7 #6); `main()` asserts the union covers
+#: the registry, so a new query can't silently skip the bench.
+#: The driver's correctness gate still covers every excluded query at
+#: sf0.01.
+_STREAMING_REASON = (
+    "real checkpointed streaming run into a private tmp spool/sink: the "
+    "timing is dominated by micro-batch commit + sink IO, not engine "
+    "plan time, and belongs to the ingest metric, not the query sweep"
+)
+EXCLUDED = {
+    "streaming_hourly_event_stats": _STREAMING_REASON,
+    "streaming_msgpack_ingest": _STREAMING_REASON,
+    "streaming_media_ingest": _STREAMING_REASON,
+    "streaming_session_stats": _STREAMING_REASON,
+    "streaming_sliding_event_stats": _STREAMING_REASON,
+    "streaming_offset_gaps": _STREAMING_REASON,
+    "streaming_interval_join": _STREAMING_REASON,
+    "streaming_dedup_keys": _STREAMING_REASON,
+    "streaming_static_enrichment": _STREAMING_REASON,
+    "parts_triangle_count": (
+        "49M wedges at sf0.1 (~9.5s) would dominate the headline total"
+    ),
+    "parts_triangle_cap_audit": (
+        "counts the exact AND capped wedge sets — 2x the 49M-wedge job"
+    ),
+    "multimodal_jpeg_progressive_decode": (
+        "runs BOTH the progressive and sequential codec per doc purely as "
+        "its bitwise-equality harness (~2.4s of fixture-bound Python codec "
+        "work, not engine time)"
+    ),
+    "multimodal_jpeg_progressive_color": (
+        "color twin of the progressive harness (~5.0s of fixture-bound "
+        "Python codec work, not engine time)"
+    ),
+    "events_user_resample": (
+        "Arrow grouped-map surface proof; the recommended scale plan is "
+        "the benched JVM twin events_user_resample_sql (VERDICT r6 #6)"
+    ),
+    "embeddings_neardup_pairs": (
+        "documented exact-quadratic oracle twin; the scale plan is the "
+        "benched embeddings_lsh_neardup_pairs (same oracle)"
+    ),
+}
 
 
 def _bench_ingest(spark, sf_dir: str) -> dict[str, float]:
@@ -243,6 +302,10 @@ def _timed(t: dict[str, object]) -> dict[str, float]:
 
 
 def main() -> None:
+    uncovered = set(QUERIES) - set(HEADLINE) - set(EXCLUDED)
+    assert not uncovered, (
+        f"registry queries neither benched nor excluded-with-reason: {sorted(uncovered)}"
+    )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -292,8 +292,6 @@ def streaming_msgpack_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     dirs per invocation keep the driver's rerun-idempotence check
     honest (each run re-ingests from scratch).
     """
-    import tempfile
-
     import pandas as pd
 
     from redpanda_to_parquet_writer_spark.config import EngineConfig
@@ -322,7 +320,7 @@ def streaming_msgpack_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("kafka_key"),
         pack("event_type", "value", "user_id").alias("value"),
     )
-    work = tempfile.mkdtemp(prefix="mp_ingest_")
+    work = _retained_workdir("mp_ingest_")
     src = f"{work}/src"
     env.write.parquet(src)
     stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
@@ -341,6 +339,24 @@ def streaming_msgpack_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-invocation streaming work dirs (spool + sink + checkpoint): each
+#: run gets a FRESH dir (keeps the driver's rerun-idempotence check
+#: honest), retained here so the TemporaryDirectory finalizers remove
+#: them at interpreter exit instead of accumulating full blob/sink
+#: copies in /tmp across bench warm+time runs, --scaling sweeps and
+#: test reruns (ADVICE r7). rmtree-on-return is NOT possible: the
+#: returned frame lazily reads the sink path.
+_WORK_DIRS: list = []
+
+
+def _retained_workdir(prefix: str) -> str:
+    import tempfile
+
+    tmp = tempfile.TemporaryDirectory(prefix=prefix)
+    _WORK_DIRS.append(tmp)
+    return tmp.name
+
+
 def streaming_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary MEDIA through the REAL streaming path — the 100-TB ingest
     shape for a multimodal corpus: per-doc PNG blobs land in a spool,
@@ -351,9 +367,9 @@ def streaming_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the same closed-form oracle as the batch PNG query. A
     dropped micro-batch row, a misdecoded scanline, or a feature
     column drift flips the hash. Fresh private dirs per invocation
-    keep the driver's rerun-idempotence check honest."""
-    import tempfile
-
+    keep the driver's rerun-idempotence check honest; they are retained
+    TemporaryDirectories, removed at interpreter exit (ADVICE r7, see
+    _retained_workdir)."""
     from redpanda_to_parquet_writer_spark.operators.multimodal import (
         DECODED_PNG_SCHEMA,
         decode_png_features,
@@ -371,7 +387,7 @@ def streaming_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     synth = F.pandas_udf(lambda ids: ids.map(_png), "binary")
     blobs = _doc_ids_spread(spark, sf_dir).withColumn("blob", synth("doc_id"))
-    work = tempfile.mkdtemp(prefix="media_ingest_")
+    work = _retained_workdir("media_ingest_")
     src = f"{work}/src"
     blobs.write.parquet(src)
     stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)

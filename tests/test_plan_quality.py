@@ -251,15 +251,38 @@ def test_readme_query_count_matches_registry():
     assert all(c == len(QUERIES) for c in counts), (counts, len(QUERIES))
 
 
-def test_priority_names_are_registered_queries():
-    """ADVICE r4: a typo in _PRIORITY silently no-ops (the _ordered
-    filter drops unknown names) — pin every priority name to the
-    registry so misspellings fail CI."""
-    from redpanda_to_parquet_writer_spark.plans import QUERIES, _PRIORITY
+def test_never_covered_order_names_are_registered_queries():
+    """A typo in _NEVER_COVERED_ORDER silently no-ops (unlisted
+    never-covered names just sort alphabetically) — pin every listed
+    name to the registry so misspellings fail CI."""
+    from redpanda_to_parquet_writer_spark.plans import (
+        _NEVER_COVERED_ORDER,
+        QUERIES,
+    )
 
-    unknown = [n for n in _PRIORITY if n not in QUERIES]
-    assert not unknown, f"_PRIORITY names not in QUERIES: {unknown}"
-    assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate _PRIORITY names"
+    unknown = [n for n in _NEVER_COVERED_ORDER if n not in QUERIES]
+    assert not unknown, f"_NEVER_COVERED_ORDER names not in QUERIES: {unknown}"
+    assert len(set(_NEVER_COVERED_ORDER)) == len(_NEVER_COVERED_ORDER)
+
+
+def test_registry_rotates_stalest_first():
+    """VERDICT r7 #1/#8: the driver gate samples the FIRST 50 registry
+    queries, so correctness debt is bounded only if the registry orders
+    itself stalest-first from the committed CORRECTNESS artifacts —
+    never-covered queries must lead, and covered queries must appear in
+    nondecreasing last-green-round order."""
+    from redpanda_to_parquet_writer_spark.plans import _last_green, QUERIES
+
+    last = _last_green()
+    rounds = [last.get(n, (0, 0))[0] for n in QUERIES]
+    assert rounds == sorted(rounds), (
+        "registry not in stalest-first order; first inversion at index "
+        f"{next(i for i in range(1, len(rounds)) if rounds[i] < rounds[i - 1])}"
+    )
+    # a green row exists for most of the registry by now; the artifacts
+    # must actually be read (guards a silent path-resolution regression
+    # that would quietly degrade the ordering to alphabetical)
+    assert len(last) >= 100, f"only {len(last)} green rows parsed"
 
 
 def test_ivf_topk_two_scans_only(spark, sf_dir):
@@ -510,3 +533,26 @@ def test_contract_violations_single_scan(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1
     assert "Exchange hashpartitioning" not in plan
     assert "partial" in plan.lower()
+
+
+def test_bench_covers_or_excludes_every_registry_query():
+    """VERDICT r7 #6: every registry query is either in bench.py's
+    HEADLINE set or in EXCLUDED with a stated reason — no silent bench
+    gaps."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    from redpanda_to_parquet_writer_spark.plans import QUERIES
+
+    uncovered = set(QUERIES) - set(bench.HEADLINE) - set(bench.EXCLUDED)
+    assert not uncovered, sorted(uncovered)
+    overlap = set(bench.HEADLINE) & set(bench.EXCLUDED)
+    assert not overlap, sorted(overlap)
+    stale = (set(bench.HEADLINE) | set(bench.EXCLUDED)) - set(QUERIES)
+    assert not stale, f"bench names not in registry: {sorted(stale)}"
+    assert all(len(r) > 20 for r in bench.EXCLUDED.values()), "empty reason"

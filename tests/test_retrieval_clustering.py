@@ -150,3 +150,63 @@ def test_temperature_sample_rate_monotone_in_group_size(spark):
         assert abs(fracs[g] - expect) <= tol, (g, fracs[g], expect, tol)
     assert fracs["c"] == 1.0
     assert fracs["a"] <= fracs["b"] + 0.05 <= fracs["c"] + 0.05
+
+
+def test_kmeans_rejects_nonpositive_iterations(spark):
+    """ADVICE r7: n_iter < 1 used to fall through to an AttributeError
+    on a None frame — it must be a clear validation error."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="n_iter"):
+        kmeans_lloyd_assign(df, "vec_id", "embedding", k=2, n_iter=0)
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        kmeans_lloyd_centroids,
+    )
+
+    with pytest.raises(ValueError, match="n_updates"):
+        kmeans_lloyd_centroids(df, "vec_id", "embedding", k=2, n_updates=-1)
+
+
+def test_kmeans_centroids_match_assign_trajectory(spark):
+    """kmeans_lloyd_centroids(n_updates=N-1) must be exactly the
+    centroid state kmeans_lloyd_assign(n_iter=N) assigns against — the
+    factoring (VERDICT r7 #5) cannot drift the gated trajectory."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        _lloyd_assign_once,
+        _as_double,
+        kmeans_lloyd_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    pts = [(i, [float(i % 5), float((3 * i) % 7)]) for i in range(20)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    cents = kmeans_lloyd_centroids(df, "vec_id", "embedding", k=3, n_updates=1)
+    v = df.select(F.col("vec_id"), _as_double(F.col("embedding")).alias("v"))
+    via_parts = sorted(
+        (r["vec_id"], r["cluster_id"], r["dist"])
+        for r in _lloyd_assign_once(v, cents, "vec_id").collect()
+    )
+    via_assign = sorted(
+        (r["vec_id"], r["cluster_id"], r["dist"])
+        for r in kmeans_lloyd_assign(df, "vec_id", "embedding", k=3, n_iter=2).collect()
+    )
+    assert via_parts == via_assign
+
+
+def test_kmeans_quantizer_recall_not_worse_aggregate(spark, sf_dir):
+    """VERDICT r7 #5: on the audit's out-of-seed query window, the Lloyd
+    quantizer's inverted lists must reach at least the deterministic
+    quantizer's aggregate recall — the production-quantizer claim in
+    ivf_topk's docstring, measured."""
+    from redpanda_to_parquet_writer_spark.plans.vector_queries import (
+        ann_kmeans_recall_audit,
+    )
+
+    rows = ann_kmeans_recall_audit(spark, sf_dir).collect()
+    assert sum(r["n_matched_kmeans"] for r in rows) >= sum(
+        r["n_matched_det"] for r in rows
+    )
+    assert all(r["n_exact"] == 3 for r in rows)
