@@ -185,6 +185,25 @@ HEADLINE = [
     # 1.81s -> 2.13s (1.18x, the shared sequential/progressive
     # _color_quant_blocks refactor; fixture-bound Python codec time,
     # within the 1.5x guard).
+    #
+    # ann_pq_adc_topk r6->r7 1.40x flag (VERDICT r7 #2): attributed to
+    # host variance by a round-8 standalone A/B — `git diff 03183c5 HEAD`
+    # touches NOTHING in the query's lineage (pq_codebooks/pq_encode/
+    # pq_adc_topk unchanged; the r7 IVFADC-maintenance work only added
+    # build/append wrappers), and two interleaved fresh-JVM A/B rounds
+    # at sf0.1 put the checkouts within noise of each other
+    # (median-of-3: HEAD 1.99s/1.60s vs 03183c5 1.74s/1.59s).
+    #
+    # r7->r8 bench_diff flags (6 rows >1.5x, whole common tail 1.10x):
+    # `git diff a834a7b HEAD` touches NONE of the flagged queries'
+    # lineages (random_projection / redacted / msgpack / png_decode /
+    # semdedup / lsh_neardup code is byte-identical), and standalone
+    # fresh-JVM A/Bs at both checkouts overlap: random_projection HEAD
+    # 0.78s vs r7 0.84s (HEAD faster), msgpack medians 1.56/1.88 vs
+    # 1.46/1.55 (overlapping ranges; Arrow-UDF python-worker variance).
+    # Residual cause: the r8 headline grew 122->143 rows, shifting
+    # in-sweep order/GC context, on top of the documented ~15% host
+    # variance.
 ]
 
 #: Every registry query is either in HEADLINE or here with its stated
