@@ -556,3 +556,23 @@ def test_bench_covers_or_excludes_every_registry_query():
     stale = (set(bench.HEADLINE) | set(bench.EXCLUDED)) - set(QUERIES)
     assert not stale, f"bench names not in registry: {sorted(stale)}"
     assert all(len(r) > 20 for r in bench.EXCLUDED.values()), "empty reason"
+
+
+def test_rotation_green_criterion_and_ordering_rules():
+    """The rotation treats ONLY fully-green driver rows as coverage
+    (red/partial rows keep a query at the window head) and sorts
+    never-covered names ahead of everything, listed ones first."""
+    from redpanda_to_parquet_writer_spark.plans import _green, _staleness_order
+
+    assert _green(
+        {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    )
+    for broken in (
+        {"rows_match": True, "schema_match": True, "hash_match": False, "err": None},
+        {"rows_match": None, "schema_match": None, "hash_match": None, "err": None},
+        {"rows_match": True, "schema_match": True, "hash_match": True, "err": "boom"},
+    ):
+        assert not _green(broken), broken
+    # a name with no green row anywhere sorts ahead of every covered one
+    order = _staleness_order(["pricing_summary", "zz_brand_new_query"])
+    assert order[0] == "zz_brand_new_query"
