@@ -3448,8 +3448,28 @@ def _huff_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]
     return out
 
 
-def _huff_decode_table(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
-    return {lc: sym for sym, lc in _huff_codes(bits, values).items()}
+class _HuffLUT:
+    """JPEG Huffman fast decoder (the VP8L LUT's MSB-first twin): a
+    256-entry table over the next 8 stream bits resolves every code of
+    length <= 8 in one lookup; longer codes fall back to the
+    (length, code) bit-walk, which also owns the malformed-stream
+    errors. Valid because no Huffman code is a prefix of another."""
+
+    __slots__ = ("table", "lut")
+
+    def __init__(self, table: dict[tuple[int, int], int]):
+        self.table = table
+        self.lut: list = [None] * 256
+        for (ln, code), sym in table.items():
+            if ln <= 8:
+                base = code << (8 - ln)
+                entry = (sym, ln)
+                for lo in range(1 << (8 - ln)):
+                    self.lut[base | lo] = entry
+
+
+def _huff_decode_table(bits: list[int], values: list[int]) -> _HuffLUT:
+    return _HuffLUT({lc: sym for sym, lc in _huff_codes(bits, values).items()})
 
 
 def _dct_matrix():
@@ -3571,7 +3591,15 @@ def _entropy_encode_block(w, zz, dc_codes, ac_codes, prev_dc: int) -> int:
     return int(zz[0])
 
 
-def _read_symbol(r, table) -> int:
+def _read_symbol(r, t: _HuffLUT) -> int:
+    peeked, avail = r.peek8()
+    entry = t.lut[peeked]
+    if entry is not None and entry[1] <= avail:
+        r.drop(entry[1])
+        return entry[0]
+    # >8-bit code, or too few bits for the LUT to be trusted: bit-walk
+    # (which raises the truncation/marker error when the stream ends)
+    table = t.table
     length, code = 0, 0
     while length < 16:
         code = (code << 1) | r.bit()
@@ -3661,35 +3689,76 @@ def encode_jpeg_gray8(
 
 
 class _BitReader:
+    """MSB-first JPEG entropy reader with multi-byte prefetch.
+
+    Invariant: the low `nbits` bits of `acc` are the unconsumed bits.
+    `_fill` prefetches ONE entropy byte at a time (unstuffing FF00) and
+    NEVER consumes a raw marker, so anything prefetched is entropy/pad
+    data by construction — which is what makes `peek16`/`expect_restart`
+    safe: at a restart point every unconsumed prefetched bit is the
+    spec's 1-padding and is discarded exactly as the spec asks."""
+
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
         self.acc = 0
         self.nbits = 0
 
+    def _fill(self) -> bool:
+        """Prefetch one byte; False when blocked (end of data or a raw
+        marker next) WITHOUT consuming, so the error site can tell the
+        two apart and restart markers stay readable."""
+        pos, data = self.pos, self.data
+        if pos >= len(data):
+            return False
+        b = data[pos]
+        if b == 0xFF:
+            if pos + 1 >= len(data) or data[pos + 1] != 0x00:
+                return False
+            self.pos = pos + 2  # unstuff
+        else:
+            self.pos = pos + 1
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | b
+        self.nbits += 8
+        return True
+
+    def _blocked(self) -> ValueError:
+        if self.pos >= len(self.data):
+            return ValueError("truncated entropy data")
+        return ValueError("unexpected marker in entropy data")
+
     def bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated entropy data")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
-                    raise ValueError("unexpected marker in entropy data")
-                self.pos += 1  # unstuff
-            self.acc = b
-            self.nbits = 8
+        if self.nbits == 0 and not self._fill():
+            raise self._blocked()
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        while self.nbits < n:
+            if not self._fill():
+                raise self._blocked()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
+
+    def peek8(self) -> tuple[int, int]:
+        """Next (up to) 8 bits MSB-first, zero-padded on the right, plus
+        how many are real — the `_HuffLUT` feed. Never consumes, never
+        raises (the bit-walk fallback owns the errors)."""
+        while self.nbits < 8 and self._fill():
+            pass
+        n = self.nbits
+        if n >= 8:
+            return (self.acc >> (n - 8)) & 0xFF, 8
+        return ((self.acc & ((1 << n) - 1)) << (8 - n)) & 0xFF, n
+
+    def drop(self, n: int) -> None:
+        """Consume n bits previously peeked (n <= self.nbits)."""
+        self.nbits -= n
 
     def expect_restart(self) -> None:
-        """Byte-align and consume the next RSTn marker (raw, unstuffed)."""
+        """Byte-align and consume the next RSTn marker (raw, unstuffed).
+        Discards every unconsumed prefetched bit: `_fill` cannot cross a
+        marker, so those bits are exactly the pre-marker 1-padding."""
         self.nbits = 0
         if (
             self.pos + 2 > len(self.data)
