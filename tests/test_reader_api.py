@@ -564,3 +564,33 @@ def test_jpeg_restart_markers_roundtrip():
     broken = blob.replace(b"\xff\xd0", b"", 1)
     with pytest.raises(ValueError):
         decode_jpeg_gray8(broken)
+
+
+def test_jpeg_bitreader_prefetch_contracts():
+    """The r8 multi-byte prefetch must (a) never consume a raw marker,
+    (b) zero-pad peek8 at stream end without raising, and (c) leave
+    expect_restart able to read the marker after a peek pulled in the
+    pre-marker padding byte."""
+    import pytest
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import _BitReader
+
+    # 0xAB = 10101011, then a restart marker, then 0xFF00 stuffed byte
+    r = _BitReader(bytes([0xAB, 0xFF, 0xD0, 0xFF, 0x00, 0xC1]))
+    peeked, avail = r.peek8()
+    assert (peeked, avail) == (0xAB, 8)
+    assert [r.bit() for _ in range(4)] == [1, 0, 1, 0]
+    # peek wants 8 bits but only 4 remain before the marker: zero-padded
+    peeked, avail = r.peek8()
+    assert avail == 4 and peeked == 0b10110000
+    r.expect_restart()  # discards the 4 pad bits, consumes FFD0
+    # after the restart: the stuffed 0xFF data byte then 0xC1
+    assert r.bits(8) == 0xFF
+    assert r.bits(8) == 0xC1
+    with pytest.raises(ValueError, match="truncated"):
+        r.bit()
+    # a raw marker mid-entropy still raises on consumption
+    r2 = _BitReader(bytes([0xFF, 0xD9]))
+    assert r2.peek8() == (0, 0)  # blocked peek never raises
+    with pytest.raises(ValueError, match="unexpected marker"):
+        r2.bit()
