@@ -193,7 +193,11 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("m", F.lit(1))
     )
     per_q = (
-        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        # the approx side is a top-k result (<= k x n_queries rows) but
+        # sits under rank windows whose stats overshoot the auto-
+        # broadcast threshold — without the hint the 15-row audit join
+        # plans as SortMerge and shuffles both composed plans
+        exact.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
             F.count("*").alias("n_exact"),
@@ -248,7 +252,11 @@ def ann_ivfadc_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("m", F.lit(1))
     )
     per_q = (
-        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        # the approx side is a top-k result (<= k x n_queries rows) but
+        # sits under rank windows whose stats overshoot the auto-
+        # broadcast threshold — without the hint the 15-row audit join
+        # plans as SortMerge and shuffles both composed plans
+        exact.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
             F.count("*").alias("n_exact"),
@@ -1233,8 +1241,11 @@ def ann_kmeans_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("md", F.lit(1))
     )
     per_q = (
-        exact.join(k_hits, ["query_id", "neighbor_id"], "left")
-        .join(d_hits, ["query_id", "neighbor_id"], "left")
+        # both hit sides are top-k results (<= k x n_queries rows);
+        # broadcast hints keep the audit joins off SortMerge (see
+        # ann_recall_audit)
+        exact.join(F.broadcast(k_hits), ["query_id", "neighbor_id"], "left")
+        .join(F.broadcast(d_hits), ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
             F.count("*").alias("n_exact"),
