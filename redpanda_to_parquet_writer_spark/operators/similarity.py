@@ -1139,14 +1139,32 @@ def rrf_fuse(
     single IEEE add, so the oracle hashes bitwise without rounding.
 
     Scale shape: both inputs are top-N limited (a few rows regardless of
-    corpus size), so the full-outer join and the final TakeOrdered are
+    corpus size), so the fusion and the final TakeOrdered are
     driver-trivial; all the heavy lifting stays in the legs, which keep
     their own 100-TB plans (postings-pruned BM25 scan, IVF serving).
+    The outer combine is a UNION + one tiny groupBy rather than a
+    full-outer join: Spark cannot broadcast full-outer joins, so the
+    join formulation forced a SortMerge (sort + exchange on BOTH legs'
+    lineages) for a <= 2N-row merge (r8; semantics identical — max over
+    one non-null rank per leg per id reproduces the outer join's rows).
     """
-    a = ranked_a.select(F.col(id_col), F.col("rank").alias("rank_a"))
-    b = ranked_b.select(F.col(id_col), F.col("rank").alias("rank_b"))
+    a = ranked_a.select(
+        F.col(id_col),
+        F.col("rank").alias("rank_a"),
+        F.lit(None).cast("int").alias("rank_b"),
+    )
+    b = ranked_b.select(
+        F.col(id_col),
+        F.lit(None).cast("int").alias("rank_a"),
+        F.col("rank").alias("rank_b"),
+    )
     fused = (
-        a.join(b, on=id_col, how="full_outer")
+        a.unionByName(b)
+        .groupBy(id_col)
+        .agg(
+            F.max("rank_a").alias("rank_a"),
+            F.max("rank_b").alias("rank_b"),
+        )
         .withColumn(
             "rrf",
             F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rank_a")), F.lit(0.0))
