@@ -426,7 +426,11 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix behavioral models start from): one lag window per user, then
     a hash count per (from, to) pair with the transition probability in
     exact half-up millionths of each from-state's total. One user_id
-    shuffle for the window, one tiny (from,to) aggregation."""
+    shuffle for the window, one tiny (from,to) aggregation; the
+    from-state totals come from a window over the aggregated pairs
+    (n_types^2 rows) — a groupBy+join-back replayed the whole
+    scan->window->agg lineage for the totals side (r8: 2 scans / 5
+    exchanges down to 1 scan / 3, two of them on the tiny frame)."""
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events")
@@ -446,9 +450,9 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
-    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    tw = Window.partitionBy("from_type")
     return (
-        pairs.join(F.broadcast(totals), "from_type")
+        pairs.withColumn("row_total", F.sum("n").over(tw))
         .select(
             "from_type",
             "to_type",
