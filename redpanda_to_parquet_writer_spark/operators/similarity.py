@@ -236,6 +236,19 @@ def ivf_assign(
     )
 
 
+def _centroid_rows(
+    centroids: DataFrame,
+    centroid_id_col: str = "cluster_id",
+    centroid_vec_col: str = "cv",
+) -> list[tuple[int, list[float]]]:
+    """Collect the (tiny by contract) codebook as rows sorted by
+    centroid id — the closure feed for the vectorized assignment path."""
+    return sorted(
+        (int(r[centroid_id_col]), [float(x) for x in r[centroid_vec_col]])
+        for r in centroids.collect()
+    )
+
+
 def materialize_centroids(centroids: DataFrame) -> DataFrame:
     """Collect the centroid codebook (tiny by contract — n_centroids
     rows) and rebuild it as a local relation.
@@ -341,6 +354,7 @@ def build_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow: bool = False,
 ) -> None:
     """Persist the IVF inverted lists as a `cluster_id`-partitioned
     parquet table — the production ANN serving layout: assignment runs
@@ -349,9 +363,11 @@ def build_ivf_index(
 
     At 100 TB this is the difference between re-assigning the corpus per
     query batch and a directory-pruned read of n_probe/n_centroids of
-    the index.
+    the index. `use_arrow=True` swaps the assignment for the vectorized
+    numpy path (`ivf_assign_arrow`) — the build-time accelerator when
+    the assignment exchange dominates; serving is unchanged.
     """
-    _write_ivf_rows(df, centroids, path, id_col, vec_col, "overwrite")
+    _write_ivf_rows(df, centroids, path, id_col, vec_col, "overwrite", use_arrow)
 
 
 def append_ivf_index(
@@ -379,11 +395,91 @@ def append_ivf_index(
     _write_ivf_rows(df, centroids, path, id_col, vec_col, "append")
 
 
-def _write_ivf_rows(df, centroids, path, id_col, vec_col, mode) -> None:
+def append_ivf_index_arrow(
+    df: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """`append_ivf_index` with the vectorized assignment path."""
+    _write_ivf_rows(df, centroids, path, id_col, vec_col, "append", use_arrow=True)
+
+
+def ivf_assign_arrow(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """`ivf_assign`'s Arrow-batched numpy twin: per batch, ONE
+    (batch x dim) @ (dim x k) matmul + row-normalization + argmax —
+    fully vectorized, zero shuffle (mapInPandas is narrow), the
+    centroid matrix rides the closure (k x dim doubles).
+
+    When to use which (measured, SCALING.md r8 note): the JVM
+    broadcast-join + max_by formulation keeps everything in Spark's
+    evaluation machinery at the price of one corpus exchange on the
+    vector id; this path removes that exchange AND the per-pair
+    higher-order-function folds, at the price of an Arrow hop. It is
+    the build-time accelerator for very large index builds where the
+    assignment exchange dominates.
+
+    Tie-breaking matches `ivf_assign` (lowest cluster id wins: argmax
+    scans the id-ordered score matrix and returns the first maximum).
+    Zero-norm vectors land in the LOWEST cluster id on both paths (the
+    JVM max_by orders struct(NULL sim, -cluster_id) with NULL smallest,
+    so the greatest -cluster_id wins — pinned in tests). Exact equality
+    with the JVM path is NOT guaranteed on adversarial near-ties (numpy
+    pairwise-sums dot products; the JVM folds left-to-right, so the two
+    can differ in final ulps) — equality of the SERVED top-k on the
+    fixtures is pinned in tests/test_similarity.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = _centroid_rows(centroids)
+    ids = np.array([cid for cid, _ in rows], dtype=np.int64)
+    cmat = np.array([cv for _, cv in rows], dtype=np.float64)  # k x dim
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))  # k
+
+    def batches(it):
+        for pdf in it:
+            vecs = np.array(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )  # n x dim
+            sims = vecs @ cmat.T  # n x k
+            denom = np.sqrt((vecs * vecs).sum(axis=1))[:, None] * cnorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom > 0, sims / denom, np.nan)
+            valid = ~np.all(np.isnan(sims), axis=1)
+            # all-NaN rows (zero-norm vectors) take index 0 = the lowest
+            # cluster id, matching the JVM max_by's NULL-sim ordering
+            best = np.zeros(len(vecs), dtype=np.int64)
+            if valid.any():
+                best[valid] = np.nanargmax(sims[valid], axis=1)
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    vec_col: pdf[vec_col].values,
+                    "cluster_id": ids[best].astype("int32"),
+                }
+            )
+            yield out
+
+    return df.select(id_col, vec_col).mapInPandas(
+        batches, f"{id_col} long, {vec_col} array<double>, cluster_id int"
+    )
+
+
+def _write_ivf_rows(
+    df, centroids, path, id_col, vec_col, mode, use_arrow: bool = False
+) -> None:
     c = df.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
     )
-    assigned = ivf_assign(c, materialize_centroids(centroids), "neighbor_id", "v")
+    assign = ivf_assign_arrow if use_arrow else ivf_assign
+    assigned = assign(c, materialize_centroids(centroids), "neighbor_id", "v")
     (
         assigned.repartition("cluster_id")
         .write.partitionBy("cluster_id")

@@ -540,3 +540,53 @@ def test_append_under_wrong_codebook_is_callers_contract(spark, sf_dir, tmp_path
         for r in ivf_topk_indexed(spark, p, queries, c8, k=5, n_probe=3).collect()
     )
     assert serve(bad_path) != serve(full_path)
+
+
+def test_arrow_assignment_matches_jvm_and_serves_identically(spark, sf_dir, tmp_path):
+    """ivf_assign_arrow (vectorized numpy build path) must produce the
+    same cluster assignments as the JVM formulation on the fixtures, and
+    an index built with use_arrow=True must serve the exact same top-k
+    rows (the serving contract)."""
+    from pyspark.sql import functions as F
+
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        _as_double,
+        build_ivf_index,
+        deterministic_centroids,
+        ivf_assign,
+        ivf_assign_arrow,
+        ivf_topk_indexed,
+        materialize_centroids,
+    )
+    from redpanda_to_parquet_writer_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = materialize_centroids(
+        deterministic_centroids(emb, 8, "vec_id", "embedding")
+    )
+    c = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    jvm = {
+        r["vec_id"]: r["cluster_id"] for r in ivf_assign(c, cents).collect()
+    }
+    arrow = {
+        r["vec_id"]: r["cluster_id"] for r in ivf_assign_arrow(c, cents).collect()
+    }
+    assert jvm == arrow
+    # zero-norm vector -> the LOWEST cluster id on both paths (the JVM
+    # max_by orders struct(NULL sim, -cluster_id) with NULL smallest)
+    z = spark.createDataFrame(
+        [(999999, [0.0] * 64)], "vec_id long, v array<double>"
+    )
+    assert ivf_assign(z, cents).collect()[0]["cluster_id"] == 0
+    assert ivf_assign_arrow(z, cents).collect()[0]["cluster_id"] == 0
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    build_ivf_index(emb, cents, str(tmp_path / "jvm_idx"))
+    build_ivf_index(emb, cents, str(tmp_path / "arrow_idx"), use_arrow=True)
+    serve = lambda p: sorted(
+        tuple(r)
+        for r in ivf_topk_indexed(
+            spark, p, queries, cents, "vec_id", "embedding", 3, 2
+        ).collect()
+    )
+    assert serve(str(tmp_path / "jvm_idx")) == serve(str(tmp_path / "arrow_idx"))
