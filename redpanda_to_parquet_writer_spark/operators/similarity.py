@@ -992,15 +992,18 @@ def build_ivfadc_index(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow: bool = False,
 ) -> None:
     """Persist the IVFADC index as cluster_id-partitioned parquet of
     (neighbor_id, subspace, code) rows — assignment AND PQ encoding run
     ONCE at build time; the float vectors never appear in the index.
     At 100 TB this is the billion-vector serving layout: each query
     batch directory-prunes to its probed lists and reads only byte
-    codes (~32x smaller than the embeddings)."""
+    codes (~32x smaller than the embeddings). `use_arrow=True` swaps in
+    the one-pass vectorized assign+encode (`assign_encode_arrow`)."""
     _write_ivfadc_rows(
-        df, centroids, codebooks, path, m, dim, id_col, vec_col, "overwrite"
+        df, centroids, codebooks, path, m, dim, id_col, vec_col, "overwrite",
+        use_arrow,
     )
 
 
@@ -1030,22 +1033,111 @@ def append_ivfadc_index(
     )
 
 
+def assign_encode_arrow(
+    df: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized IVFADC index rows — `ivf_assign_arrow`'s twin for the
+    byte-code index: ONE mapInPandas pass computes cluster membership
+    (batch matmul + argmax, ties to the lowest cluster id, zero-norm ->
+    lowest cluster — same contract as the JVM path) AND the m PQ codes
+    (per-subspace squared-distance matmul + argmin, ties to the lower
+    code). Zero shuffle, both quantizer matrices ride the closure;
+    output is (neighbor_id, cluster_id, subspace, code) rows, m per
+    vector — the exact shape `_write_ivfadc_rows` persists. The JVM
+    composition stays the gated default (fold-order ulps, see
+    `ivf_assign_arrow`); served-top-k equality on the fixtures is
+    pinned in tests."""
+    import numpy as np
+    import pandas as pd
+
+    _pq_check(m, dim)
+    width = dim // m
+    crows = _centroid_rows(centroids)
+    cids = np.array([cid for cid, _ in crows], dtype=np.int64)
+    cmat = np.array([cv for _, cv in crows], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    cb: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in codebooks.collect():
+        cb.setdefault(int(r["subspace"]), []).append(
+            (int(r["code"]), [float(x) for x in r["cv"]])
+        )
+    sub_codes = []
+    sub_mats = []
+    for s in range(m):
+        entries = sorted(cb.get(s, []))
+        sub_codes.append(np.array([c for c, _ in entries], dtype=np.int64))
+        sub_mats.append(np.array([cv for _, cv in entries], dtype=np.float64))
+
+    def batches(it):
+        for pdf in it:
+            vecs = np.array(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            n = len(vecs)
+            sims = vecs @ cmat.T
+            denom = np.sqrt((vecs * vecs).sum(axis=1))[:, None] * cnorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom > 0, sims / denom, np.nan)
+            valid = ~np.all(np.isnan(sims), axis=1)
+            best = np.zeros(n, dtype=np.int64)
+            if valid.any():
+                best[valid] = np.nanargmax(sims[valid], axis=1)
+            codes = np.empty((n, m), dtype=np.int64)
+            for s in range(m):
+                sv = vecs[:, s * width : (s + 1) * width]
+                csub = sub_mats[s]
+                # ||sv - c||^2 = ||sv||^2 - 2 sv.c + ||c||^2 ; argmin is
+                # first occurrence -> lower code on exact ties
+                d = (
+                    (sv * sv).sum(axis=1)[:, None]
+                    - 2.0 * (sv @ csub.T)
+                    + (csub * csub).sum(axis=1)[None, :]
+                )
+                codes[:, s] = sub_codes[s][np.argmin(d, axis=1)]
+            out = pd.DataFrame(
+                {
+                    "neighbor_id": np.repeat(pdf[id_col].values, m),
+                    "cluster_id": np.repeat(cids[best].astype("int32"), m),
+                    "subspace": np.tile(np.arange(m, dtype=np.int32), n),
+                    "code": codes.reshape(-1).astype("int32"),
+                }
+            )
+            yield out
+
+    return df.select(id_col, vec_col).mapInPandas(
+        batches, "neighbor_id long, cluster_id int, subspace int, code int"
+    )
+
+
 def _write_ivfadc_rows(
-    df, centroids, codebooks, path, m, dim, id_col, vec_col, mode
+    df, centroids, codebooks, path, m, dim, id_col, vec_col, mode,
+    use_arrow: bool = False,
 ) -> None:
     _pq_check(m, dim)
     centroids = materialize_centroids(centroids)
-    c = df.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
-    )
-    assigned = ivf_assign(c, centroids, "neighbor_id", "v").select(
-        "neighbor_id", "cluster_id"
-    )
-    codes = pq_encode(df, codebooks, m, dim, id_col, vec_col).withColumnRenamed(
-        id_col, "neighbor_id"
-    )
+    if use_arrow:
+        index = assign_encode_arrow(
+            df, centroids, codebooks, m, dim, id_col, vec_col
+        )
+    else:
+        c = df.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
+        )
+        assigned = ivf_assign(c, centroids, "neighbor_id", "v").select(
+            "neighbor_id", "cluster_id"
+        )
+        codes = pq_encode(df, codebooks, m, dim, id_col, vec_col).withColumnRenamed(
+            id_col, "neighbor_id"
+        )
+        index = assigned.join(codes, "neighbor_id")
     (
-        assigned.join(codes, "neighbor_id")
+        index
         .repartition("cluster_id")
         .write.partitionBy("cluster_id")
         .mode(mode)

@@ -590,3 +590,43 @@ def test_arrow_assignment_matches_jvm_and_serves_identically(spark, sf_dir, tmp_
         ).collect()
     )
     assert serve(str(tmp_path / "jvm_idx")) == serve(str(tmp_path / "arrow_idx"))
+
+
+def test_arrow_ivfadc_build_serves_identically(spark, sf_dir, tmp_path):
+    """An IVFADC index built with the one-pass vectorized assign+encode
+    must serve the exact same top-k as the JVM composition (the serving
+    contract), and its rows must match the JVM index row-for-row on the
+    fixtures."""
+    from pyspark.sql import functions as F
+
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        build_ivfadc_index,
+        deterministic_centroids,
+        ivfadc_topk_indexed,
+        materialize_centroids,
+        pq_codebooks,
+    )
+    from redpanda_to_parquet_writer_spark.sources.parquet import load_table
+
+    m, dim = 8, 64
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = materialize_centroids(
+        deterministic_centroids(emb, 8, "vec_id", "embedding")
+    )
+    cb = pq_codebooks(emb, m, 16, dim)
+    build_ivfadc_index(emb, cents, cb, str(tmp_path / "jvm"), m, dim)
+    build_ivfadc_index(
+        emb, cents, cb, str(tmp_path / "arrow"), m, dim, use_arrow=True
+    )
+    rows = lambda p: sorted(
+        tuple(r) for r in spark.read.parquet(p).collect()
+    )
+    assert rows(str(tmp_path / "jvm")) == rows(str(tmp_path / "arrow"))
+    queries = emb.filter(F.col("vec_id") < 3)
+    serve = lambda p: sorted(
+        tuple(r)
+        for r in ivfadc_topk_indexed(
+            spark, p, queries, cents, cb, m, dim, 3, 2
+        ).collect()
+    )
+    assert serve(str(tmp_path / "jvm")) == serve(str(tmp_path / "arrow"))
