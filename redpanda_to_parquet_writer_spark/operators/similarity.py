@@ -1288,8 +1288,12 @@ def kmeans_lloyd_assign(
 
     Scale shape — the canonical Spark Lloyd loop (what pyspark.ml does):
       - centroids live driver-side (k x dim doubles, O(kB)) and ride a
-        broadcast into the assignment join: assignment is map-side, no
-        corpus shuffle;
+        broadcast into the assignment join; the per-vector argmin
+        groupBy exchanges one (id, vec) row per vector per iteration
+        (the honest cost of the join+max_by formulation — see the
+        SCALING.md r8 note for why the zero-shuffle expression rewrite
+        loses, and `ivf_assign_arrow` for the vectorized shape a
+        Lloyd-at-true-scale run would use);
       - the update step posexplodes to (cluster, dim, x) and
         partial-aggregates map-side, so the per-iteration shuffle
         carries one (sum, count) per (cluster, dim) per input partition
