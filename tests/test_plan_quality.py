@@ -518,12 +518,14 @@ def test_edit_distance_rides_lsh_candidates(spark, sf_dir):
     assert plan.count("FileScan parquet") <= 3
 
 
-def test_transition_matrix_partitioned_window_and_broadcast(spark, sf_dir):
+def test_transition_matrix_partitioned_window_single_scan(spark, sf_dir):
     """The lag window partitions per user (never a global sort) and the
-    5x5 row-total table joins back as a broadcast."""
+    from-state totals come from a window over the aggregated pairs —
+    one scan, no join-back replaying the lineage (r8)."""
     plan = plan_str(QUERIES["events_transition_matrix"](spark, sf_dir))
     assert "Exchange SinglePartition" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
 
 
 def test_contract_violations_single_scan(spark, sf_dir):
