@@ -302,15 +302,26 @@ def _bench_ingest(spark, sf_dir: str) -> dict[str, float]:
 
 def _run_headline(spark, sf_dir: str) -> dict[str, object]:
     """Time each headline query; one broken query must not take down the
-    benchmark — its row records {"err": ...} and the sweep continues."""
+    benchmark — its row records {"err": ...} and the sweep continues.
+
+    Each query records the MIN of two timed runs after one warm run
+    (r8): single-run timings carried ~15% host variance across rounds
+    (see the attribution notes above), producing false bench_diff flags
+    that each cost a standalone A/B to clear; min-of-2 reports the
+    query's noise floor. Cross-round diffs against pre-r8 single-run
+    artifacts therefore read ~5-10% faster from methodology alone —
+    bench_diff verdicts should weigh that before blaming code."""
     timings: dict[str, object] = {}
     for name in HEADLINE:
         try:
             df = QUERIES[name](spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()  # warm (JIT + IO cache)
-            t0 = time.perf_counter()
-            df.write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df.write.mode("overwrite").format("noop").save()
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(min(runs), 4)
         except Exception as exc:  # noqa: BLE001 — record and continue
             timings[name] = {"err": f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"}
     return timings
@@ -374,6 +385,7 @@ def main() -> None:
     med = sorted(ok.values())
     full = {
         "metric": "headline_queries_total_sec",
+        "timing": "min-of-2 timed runs after 1 warm run (r8; earlier rounds: single run)",
         "value": round(sum(ok.values()), 4),
         "unit": "sec",
         "n_queries": len(ok),
