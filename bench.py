@@ -287,14 +287,19 @@ def _bench_ingest(spark, sf_dir: str) -> dict[str, float]:
         env.write.parquet(src)  # materialize: time ingest, not synthesis
         raw = spark.read.parquet(src)
         n = raw.count()
-        t0 = time.perf_counter()
-        batch = prepare_envelope_batch(spark, raw)
-        write_date_partitioned(batch, f"{work}/out")
-        dt = time.perf_counter() - t0
+        # min-of-2 like the query sweep (r8): the single-run number
+        # swung 65-80k rows/s with host state
+        best = None
+        for i in range(2):
+            t0 = time.perf_counter()
+            batch = prepare_envelope_batch(spark, raw)
+            write_date_partitioned(batch, f"{work}/out{i}")
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
         return {
             "rows": n,
-            "sec": round(dt, 4),
-            "rows_per_sec": round(n / dt, 1),
+            "sec": round(best, 4),
+            "rows_per_sec": round(n / best, 1),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
