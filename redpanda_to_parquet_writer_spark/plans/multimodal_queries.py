@@ -23,10 +23,16 @@ _BYTE_STATS_SCHEMA = StructType(
 )
 
 
-_SPREAD_ROWS_PER_TASK = 600
+_SPREAD_ROWS_PER_TASK = 300
+#: the heaviest codecs (~2-4ms/doc: VP8L, color AVI/MJPEG demux+decode)
+#: want twice the tasks — per-task overhead is already amortized at
+#: their cost, so more parallelism is pure win (measured sweep below)
+_SPREAD_ROWS_PER_TASK_HEAVY = 150
 
 
-def _doc_ids_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_ids_spread(
+    spark: SparkSession, sf_dir: str, rows_per_task: int = _SPREAD_ROWS_PER_TASK
+) -> DataFrame:
     """doc_id column, repartitioned so the codec stages parallelize.
 
     The fixture documents table is one small parquet file -> one input
@@ -36,18 +42,22 @@ def _doc_ids_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     blob files; spreading the id column reproduces that shape — the
     shuffle moves only longs.
 
-    Partition count is row-count-adaptive (~600 rows per task, capped at
+    Partition count is row-count-adaptive (`rows_per_task`, capped at
     the session parallelism): per-task Python-worker and Arrow-batch
-    overhead dominates below that, so blasting a small table across all
-    cores is SLOWER than one task (measured at sf0.1: 1 part 3.0s,
-    8 parts 0.69s, 32 parts 2.4s). The parquet-footer row count makes
-    the choice cheap.
+    overhead dominates below a codec-dependent task size. Measured
+    min-of-2 sweep at sf0.1 (5000 docs, rows/task 600 / 300 / 150):
+    image_resize 0.39/0.43/0.56s (light: fewer, larger tasks win),
+    png_decode 0.65/0.56/0.74s, jpeg_color_roundtrip 1.53/0.90/0.85s,
+    mjpeg_frame 1.54/1.04/0.84s, avi_color 2.49/1.41/1.27s, webp
+    2.86/1.56/1.39s — so the default is 300 and the heaviest codecs
+    pass `_SPREAD_ROWS_PER_TASK_HEAVY`. The parquet-footer row count
+    makes the choice cheap.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()  # footer-count of one small file — negligible
     parts = max(1, min(
         spark.sparkContext.defaultParallelism,
-        -(-n // _SPREAD_ROWS_PER_TASK),
+        -(-n // rows_per_task),
     ))
     return docs.repartition(parts) if parts > 1 else docs
 
@@ -810,7 +820,7 @@ def multimodal_mjpeg_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame
         split_mjpeg,
     )
 
-    docs = _doc_ids_spread(spark, sf_dir)
+    docs = _doc_ids_spread(spark, sf_dir, _SPREAD_ROWS_PER_TASK_HEAVY)
 
     def _run(ids: pd.Series) -> pd.DataFrame:
         import numpy as np
@@ -878,7 +888,7 @@ def multimodal_avi_mjpg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_avi_mjpg_gray8,
     )
 
-    docs = _doc_ids_spread(spark, sf_dir)
+    docs = _doc_ids_spread(spark, sf_dir, _SPREAD_ROWS_PER_TASK_HEAVY)
 
     def _run(ids: pd.Series) -> pd.DataFrame:
         import numpy as np
@@ -958,7 +968,7 @@ def multimodal_avi_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_avi_mjpg_gray8,
     )
 
-    docs = _doc_ids_spread(spark, sf_dir)
+    docs = _doc_ids_spread(spark, sf_dir, _SPREAD_ROWS_PER_TASK_HEAVY)
 
     def _run(ids: pd.Series) -> pd.DataFrame:
         import numpy as np
@@ -1249,7 +1259,7 @@ def multimodal_webp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_rgb_image,
     )
 
-    docs = _doc_ids_spread(spark, sf_dir)
+    docs = _doc_ids_spread(spark, sf_dir, _SPREAD_ROWS_PER_TASK_HEAVY)
 
     def _rgba(i: int) -> tuple[int, int, bytes]:
         if i % 2:
