@@ -105,20 +105,19 @@ HEADLINE = [
     "docs_dedup_clusters",
     "docs_stratified_sample",
     "multimodal_byte_stats",
-    "multimodal_png_rgb_decode",
+    "multimodal_png_roundtrip",
     # events_user_resample (Arrow grouped-map variant) excluded from the
     # headline set (VERDICT r6 #6): the recommended scale plan is the
     # JVM twin below (8x faster, same oracle); the Arrow variant stays
     # registry-gated + pytest-covered as the grouped-map surface proof
     "events_user_resample_sql",
-    "multimodal_jpeg_color_roundtrip",
+    "multimodal_jpeg_baseline_roundtrip",
     "multimodal_mjpeg_frame_decode",
-    "multimodal_avi_mjpg_decode",
+    "multimodal_avi_decode",
     "events_sketch_audit",
     "events_salted_type_join",
     "bucketed_revenue_join",
-    "docs_token_stats",
-    "docs_bpe_token_stats",
+    "docs_tokenizer_stats",
     "docs_quality_score",
     "docs_redacted",
     "docs_train_split",
@@ -158,13 +157,8 @@ HEADLINE = [
     "multimodal_wav_roundtrip",
     "multimodal_image_resize",
     "multimodal_frame_sample",
-    "multimodal_png_decode",
-    "multimodal_mp4_probe",
+    "multimodal_container_probe",
     "multimodal_gif_roundtrip",
-    "multimodal_jpeg_probe",
-    "multimodal_jpeg_roundtrip",
-    "multimodal_png_palette_decode",
-    "multimodal_avi_color_decode",
     "multimodal_tiff_roundtrip",
     "multimodal_webp_roundtrip",
     "ann_ivf_append_topk",
@@ -175,7 +169,6 @@ HEADLINE = [
     "docs_dup_ngram_fraction",
     "docs_lang_temperature_sample",
     "embeddings_kmeans_assign",
-    "multimodal_png_interlaced_decode",
     # Cross-round diff note (scripts/bench_diff.py vs BENCH_r06): the
     # r6 artifact's common-query tail runs ~15% faster than any r7
     # rerun of the SAME commits on this host — compare media rows via a
@@ -232,14 +225,10 @@ EXCLUDED = {
     "parts_triangle_cap_audit": (
         "counts the exact AND capped wedge sets — 2x the 49M-wedge job"
     ),
-    "multimodal_jpeg_progressive_decode": (
-        "runs BOTH the progressive and sequential codec per doc purely as "
-        "its bitwise-equality harness (~2.4s of fixture-bound Python codec "
-        "work, not engine time)"
-    ),
-    "multimodal_jpeg_progressive_color": (
-        "color twin of the progressive harness (~5.0s of fixture-bound "
-        "Python codec work, not engine time)"
+    "multimodal_jpeg_progressive_roundtrip": (
+        "runs the progressive AND sequential codec per doc, gray and "
+        "color, purely as its bitwise-equality harness (~7s of "
+        "fixture-bound Python codec work, not engine time)"
     ),
     "events_user_resample": (
         "Arrow grouped-map surface proof; the recommended scale plan is "

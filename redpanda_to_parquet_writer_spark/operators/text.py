@@ -136,18 +136,23 @@ def exact_dedup_hash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Per-document token stats: n_tokens, avg token length, n_chars."""
+def _whitespace_token_cols(text_col: str) -> list[F.Column]:
+    """The whitespace-tokenizer stat columns (shared by `token_stats`
+    and the combined `tokenizer_stats`)."""
     t = F.col(text_col)
     n_tokens = token_count(text_col)
     # single-space corpus: chars-without-spaces / n_tokens == avg token len
     compact_len = F.length(F.regexp_replace(t, r"\s+", ""))
-    return df.select(
-        F.col(id_col),
+    return [
         F.length(t).alias("n_chars"),
         n_tokens.alias("n_tokens"),
         F.round(compact_len.cast("double") / n_tokens, 6).alias("avg_token_len"),
-    )
+    ]
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document token stats: n_tokens, avg token length, n_chars."""
+    return df.select(F.col(id_col), *_whitespace_token_cols(text_col))
 
 
 def stopword_stats(
@@ -174,17 +179,15 @@ def stopword_stats(
 BPE_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
 
 
-def bpe_token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Token counting with a BPE-ish regex pre-tokenizer (vs whitespace
-    `token_stats`): letter/digit/punct runs count separately, the way a
-    subword tokenizer's pre-tokenization does. JVM-side regexp, no UDF.
+def _bpe_token_cols(text_col: str) -> list[F.Column]:
+    """The BPE-pre-tokenizer stat columns (shared by `bpe_token_stats`
+    and the combined `tokenizer_stats`).
 
     The pattern is passed as a lit() column, NOT interpolated into
     F.expr — SQL string literals unescape backslashes, which silently
     turned \\s into s and made whitespace runs count as tokens."""
     toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), F.lit(0))
-    return df.select(
-        F.col(id_col),
+    return [
         F.size(toks).alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_bpe_tokens"),
         # try_divide: zero-token (empty) docs yield NULL instead of an
@@ -198,6 +201,26 @@ def bpe_token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             ),
             6,
         ).alias("avg_bpe_token_len"),
+    ]
+
+
+def bpe_token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Token counting with a BPE-ish regex pre-tokenizer (vs whitespace
+    `token_stats`): letter/digit/punct runs count separately, the way a
+    subword tokenizer's pre-tokenization does. JVM-side regexp, no UDF."""
+    return df.select(F.col(id_col), *_bpe_token_cols(text_col))
+
+
+def tokenizer_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """BOTH tokenizers' stats in ONE narrow scan — SURVEY's single
+    'token counting (whitespace + a BPE-ish regex)' capability as one
+    operator (r8 consolidation of the former separate registry rows).
+    All six stat columns are per-row JVM expressions over the same text
+    column: one scan, zero shuffles, no join between the tokenizers."""
+    return df.select(
+        F.col(id_col),
+        *_whitespace_token_cols(text_col),
+        *_bpe_token_cols(text_col),
     )
 
 

@@ -27,14 +27,37 @@ that round's window). Consequences, by construction:
     N re-enters the window together once every younger cohort has had
     its turn, so with R registry queries and a 50-row window, max
     staleness is exactly ceil(R/50) rounds — the mathematical floor for
-    this window size (R=158 -> a row re-verifies at worst every 4th
-    round);
+    this window size (R=150 -> a row re-verifies at worst every 3rd
+    round, the ceiling the r7 verdict asked for);
   - the schedule needs no edits when queries are added: they are born
     never-covered and lead the next window automatically.
 
 Registry growth is FROZEN except for verdict-mandated additions (r7 #8):
 round 8 adds exactly the two queries the r7 verdict required
 (`ann_ivfadc_compact_topk`, `ann_kmeans_recall_audit`) and nothing else.
+
+r8 consolidation (the OTHER half of r7 #8 — "consolidate near-duplicate
+gated rows"): eight rows that shared a codec path or were one SURVEY
+capability split in two are merged into six, bringing the registry to
+150 and the driver cycle back to 3 rounds. Each merged query unions (or
+chains) the UNCHANGED per-variant plan builders, so no codec path lost
+its oracle branch:
+
+  multimodal_png_roundtrip           <- png_decode + png_rgb_decode +
+                                        png_palette_decode + png_interlaced_decode
+  multimodal_jpeg_baseline_roundtrip <- jpeg_roundtrip + jpeg_color_roundtrip
+  multimodal_jpeg_progressive_roundtrip <- jpeg_progressive_decode +
+                                           jpeg_progressive_color
+  multimodal_avi_decode              <- avi_mjpg_decode + avi_color_decode
+  multimodal_container_probe         <- jpeg_probe + mp4_probe
+  docs_tokenizer_stats               <- docs_token_stats + docs_bpe_token_stats
+
+The merged names are born never-covered, so they lead the round-8 window
+and the consolidated codec paths re-verify under the driver gate
+immediately (this also covers the r7-verdict-named driver-debt rows
+`multimodal_png_interlaced_decode` / `multimodal_jpeg_progressive_decode`
+/ `multimodal_jpeg_progressive_color`, whose codec paths now ride in
+their merged successors).
 """
 
 from __future__ import annotations
@@ -75,22 +98,27 @@ _MERGED_QUERIES = {
 #: unlisted never-covered queries follow alphabetically. Everything
 #: covered sorts strictly after, by staleness.
 _NEVER_COVERED_ORDER = [
-    # the 12 new-in-r7 queries the r7 driver window deliberately held out
+    # the new-in-r7 queries the r7 driver window deliberately held out
     "docs_bm25_topk",
     "docs_hybrid_rrf_topk",
     "docs_dup_ngram_fraction",
     "docs_lang_temperature_sample",
     "embeddings_kmeans_assign",
     "ann_ivf_append_topk",
-    "multimodal_png_interlaced_decode",
-    "multimodal_jpeg_progressive_decode",
-    "multimodal_jpeg_progressive_color",
     "multimodal_tiff_roundtrip",
     "multimodal_webp_roundtrip",
     "streaming_media_ingest",
     # new in r8 (verdict-mandated: r7 #4 and #5)
     "ann_ivfadc_compact_topk",
     "ann_kmeans_recall_audit",
+    # r8 consolidation successors (see module docstring) — these carry
+    # the codec paths of the merged-away r7 driver-debt rows
+    "multimodal_jpeg_progressive_roundtrip",
+    "multimodal_png_roundtrip",
+    "multimodal_jpeg_baseline_roundtrip",
+    "multimodal_avi_decode",
+    "multimodal_container_probe",
+    "docs_tokenizer_stats",
 ]
 
 

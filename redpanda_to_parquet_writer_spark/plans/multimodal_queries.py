@@ -309,20 +309,36 @@ def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def multimodal_jpeg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL JPEG structure probe: synthesize a minimal VALID baseline
-    JPEG per doc (the 2-bit-per-MCU skeleton), sniff the SOI magic
-    JVM-side, then walk the marker stream (`operators/multimodal.py:
-    probe_jpeg`) — dimensions, component/table counts, scan bytes, all
-    closed-form (scan = ceil(2 * ceil(w/8) * ceil(h/8) / 8) bytes).
-    The probe-before-decode pass image corpora run at scale; entropy
-    DECODE stays stubbed (needs a codec library).
-    """
+def multimodal_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL structure probes for BOTH container families in one gated
+    row (r8 consolidation, VERDICT r7 #8 — replaces the former
+    `multimodal_jpeg_probe` + `multimodal_mp4_probe` registry rows).
+    The probe-before-decode pass is what a media pipeline runs over
+    every blob BEFORE deciding what to decode; this query chains the two
+    probes as successive Arrow-batched mapInPandas stages over the same
+    doc rows — the multi-stage composition a real pipeline uses, with
+    each stage's typed features carried as passthrough columns and the
+    blob never leaving its stage:
+
+      stage 1 — minimal VALID baseline JPEG skeleton per doc, SOI magic
+        sniffed JVM-side, marker-stream walk (`probe_jpeg`): dims,
+        component/table counts, scan bytes, all closed-form
+        (scan = ceil(2 * ceil(w/8) * ceil(h/8) / 8) bytes);
+      stage 2 — deterministic ISO-BMFF skeleton per doc (ftyp +
+        moov/mvhd + n trak + mdat), ftyp magic sniffed JVM-side, box-
+        tree walk (`probe_mp4`): brand, box/track counts, timescale,
+        duration, mdat bytes.
+
+    Zero shuffle end to end; one wide typed row per doc, every field
+    closed-form in doc_id."""
     from redpanda_to_parquet_writer_spark.operators.multimodal import (
         PROBED_JPEG_SCHEMA,
+        PROBED_MP4_SCHEMA,
         encode_jpeg_skeleton,
         probe_jpeg,
+        probe_mp4,
         synth_gray_image,
+        synth_mp4,
     )
 
     docs = _doc_ids_spread(spark, sf_dir)
@@ -331,48 +347,32 @@ def multimodal_jpeg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         w, h, _ = synth_gray_image(int(i))
         return encode_jpeg_skeleton(w, h)
 
-    synth = F.pandas_udf(lambda ids: ids.map(_jpg), "binary")
-    blobs = docs.withColumn("blob", synth("doc_id"))
-    with_meta = with_media_metadata(blobs, "blob", media_type="image").select(
-        "doc_id", "blob", F.col("media_meta.format").alias("format")
+    jsynth = F.pandas_udf(lambda ids: ids.map(_jpg), "binary")
+    jblobs = docs.withColumn("blob", jsynth("doc_id"))
+    jmeta = with_media_metadata(jblobs, "blob", media_type="image").select(
+        "doc_id", "blob", F.col("media_meta.format").alias("jpeg_format")
     )
-    return map_media_batches(
-        with_meta,
+    jprobed = map_media_batches(
+        jmeta,
         "blob",
         PROBED_JPEG_SCHEMA,
         codec=probe_jpeg,
-        passthrough=["doc_id", "format"],
+        passthrough=["doc_id", "jpeg_format"],
     )
 
-
-def multimodal_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL mp4 container-structure probe: synthesize a deterministic
-    ISO-BMFF skeleton per doc (ftyp + moov/mvhd + n trak + mdat), sniff
-    the ftyp magic JVM-side, then WALK the box tree with the stdlib
-    parser (`operators/multimodal.py:probe_mp4`) — brand, top-level box
-    count, track count, timescale, duration, mdat payload bytes, all
-    against a closed-form oracle. The probe pass is what a media
-    pipeline runs over every blob BEFORE deciding what to decode;
-    sample decode itself still needs a codec library (stubbed).
-    """
-    from redpanda_to_parquet_writer_spark.operators.multimodal import (
-        PROBED_MP4_SCHEMA,
-        probe_mp4,
-        synth_mp4,
-    )
-
-    docs = _doc_ids_spread(spark, sf_dir)
-    synth = F.pandas_udf(lambda ids: ids.map(lambda i: synth_mp4(int(i))), "binary")
-    blobs = docs.withColumn("blob", synth("doc_id"))
-    with_meta = with_media_metadata(blobs, "blob", media_type="video").select(
-        "doc_id", "blob", F.col("media_meta.format").alias("format")
+    msynth = F.pandas_udf(lambda ids: ids.map(lambda i: synth_mp4(int(i))), "binary")
+    mblobs = jprobed.withColumn("blob", msynth("doc_id"))
+    mmeta = (
+        with_media_metadata(mblobs, "blob", media_type="video")
+        .withColumn("mp4_format", F.col("media_meta.format"))
+        .drop("media_meta")
     )
     return map_media_batches(
-        with_meta,
+        mmeta,
         "blob",
         PROBED_MP4_SCHEMA,
         codec=probe_mp4,
-        passthrough=["doc_id", "format"],
+        passthrough=[c for c in mmeta.columns if c != "blob"],
     )
 
 
@@ -420,17 +420,46 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL four PNG container paths in one gated round trip (r8
+    consolidation, VERDICT r7 #8 — replaces the former
+    `multimodal_png_decode` / `multimodal_png_rgb_decode` /
+    `multimodal_png_palette_decode` / `multimodal_png_interlaced_decode`
+    registry rows; the per-variant plan builders above/below are
+    unchanged and this query unions them, so each codec path keeps its
+    own oracle-checked branch):
+
+      gray    — color-type-0, all five scanline filters cycled
+      adam7   — the same gray bitmap through Adam7 interlaced encode +
+                per-pass reconstruction
+      rgb     — color-type-2 truecolor via the color-type-agnostic probe
+      palette — color-type-3 PLTE/tRNS with strict index bounds checks
+
+    Union of four narrow zero-shuffle mapInPandas branches (union is
+    plan-level concatenation — no exchange added); one row per
+    (doc, variant), verified against the UNION ALL of the per-variant
+    closed-form oracles."""
+    branches = [
+        ("gray", multimodal_png_decode),
+        ("adam7", multimodal_png_interlaced_decode),
+        ("rgb", multimodal_png_rgb_decode),
+        ("palette", multimodal_png_palette_decode),
+    ]
+    out = None
+    for variant, build in branches:
+        b = build(spark, sf_dir).withColumn("variant", F.lit(variant))
+        out = b if out is None else out.unionByName(b)
+    return out
+
+
 QUERIES = {
     "multimodal_byte_stats": multimodal_byte_stats,
     "multimodal_wav_roundtrip": multimodal_wav_roundtrip,
     "multimodal_image_resize": multimodal_image_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
-    "multimodal_png_decode": multimodal_png_decode,
-    "multimodal_png_rgb_decode": multimodal_png_rgb_decode,
-    "multimodal_png_palette_decode": multimodal_png_palette_decode,
-    "multimodal_mp4_probe": multimodal_mp4_probe,
+    "multimodal_png_roundtrip": multimodal_png_roundtrip,
     "multimodal_gif_roundtrip": multimodal_gif_roundtrip,
-    "multimodal_jpeg_probe": multimodal_jpeg_probe,
+    "multimodal_container_probe": multimodal_container_probe,
 }
 
 # synthetic docs are ASCII, so ord(char) == byte value on both engines
@@ -488,9 +517,11 @@ ORACLES = {
         FROM grid
         GROUP BY doc_id, w, h
     """,
-    # closed-form replay of the JPEG skeleton: dims from the image
-    # formula, fixed table counts, scan bytes from the 2-bit-MCU math
-    "multimodal_jpeg_probe": """
+    # closed-form replay of BOTH container probes in one wide row:
+    # JPEG dims from the image formula, fixed table counts, scan bytes
+    # from the 2-bit-MCU math; mp4 box/track counts, duration and mdat
+    # size as integer expressions of doc_id
+    "multimodal_container_probe": """
         WITH base AS (
           SELECT doc_id,
                  16 + doc_id % 17 AS w,
@@ -498,7 +529,7 @@ ORACLES = {
           FROM documents
         )
         SELECT doc_id,
-               'jpeg' AS format,
+               'jpeg' AS jpeg_format,
                CAST(w AS BIGINT) AS width,
                CAST(h AS BIGINT) AS height,
                CAST(1 AS BIGINT) AS n_components,
@@ -506,21 +537,15 @@ ORACLES = {
                CAST(2 AS BIGINT) AS n_huffman_tables,
                CAST(0 AS BIGINT) AS progressive,
                CAST((2 * ((w + 7) // 8) * ((h + 7) // 8) + 7) // 8 AS BIGINT)
-                 AS scan_bytes
-        FROM base
-    """,
-    # closed-form replay of the mp4 skeleton: box counts, track count,
-    # duration and mdat size are integer expressions of doc_id
-    "multimodal_mp4_probe": """
-        SELECT doc_id,
-               'mp4' AS format,
+                 AS scan_bytes,
+               'mp4' AS mp4_format,
                'isom' AS major_brand,
                CAST(3 AS BIGINT) AS n_top_boxes,
                CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks,
                CAST(1000 AS BIGINT) AS timescale,
                CAST(1000 + (37 * doc_id) % 9000 AS BIGINT) AS duration,
                CAST(64 + doc_id % 129 AS BIGINT) AS mdat_bytes
-        FROM documents
+        FROM base
     """,
     # GIF LZW is lossless: identical closed-form oracle as PNG, format gif
     "multimodal_gif_roundtrip": """
@@ -545,102 +570,6 @@ ORACLES = {
                CAST(1 AS BIGINT) AS channels,
                CAST(doc_id % 256 AS BIGINT) AS p00,
                CAST((doc_id + 7 * (w - 1) + 13 * (h - 1)) % 256 AS BIGINT) AS p_last,
-               CAST(sum(pix) AS BIGINT) AS pixel_sum
-        FROM grid
-        GROUP BY doc_id, w, h
-    """,
-    # closed-form replay of the PNG round trip: the decoder recovers the
-    # deterministic source bitmap exactly, so dimensions, corners and the
-    # full pixel sum are integer expressions of doc_id
-    "multimodal_png_decode": """
-        WITH base AS (
-          SELECT doc_id,
-                 16 + doc_id % 17 AS w,
-                 16 + (3 * doc_id) % 23 AS h
-          FROM documents
-        ),
-        grid AS (
-          SELECT b.doc_id, b.w, b.h,
-                 (b.doc_id + 7 * xs.x + 13 * ys.y) % 256 AS pix
-          FROM base b,
-               LATERAL (SELECT unnest(range(b.w)) AS x) xs,
-               LATERAL (SELECT unnest(range(b.h)) AS y) ys
-        )
-        SELECT doc_id,
-               'png' AS format,
-               CAST(w AS BIGINT) AS width,
-               CAST(h AS BIGINT) AS height,
-               CAST(8 AS BIGINT) AS bit_depth,
-               CAST(1 AS BIGINT) AS channels,
-               CAST(doc_id % 256 AS BIGINT) AS p00,
-               CAST((doc_id + 7 * (w - 1) + 13 * (h - 1)) % 256 AS BIGINT) AS p_last,
-               CAST(sum(pix) AS BIGINT) AS pixel_sum
-        FROM grid
-        GROUP BY doc_id, w, h
-    """,
-    # closed-form replay of the truecolor PNG round trip: the decoder
-    # recovers the deterministic interleaved-RGB source exactly, so the
-    # channel count, corner bytes and full byte sum are integer
-    # expressions of (doc_id, x, y, channel)
-    "multimodal_png_rgb_decode": """
-        WITH base AS (
-          SELECT doc_id,
-                 16 + doc_id % 17 AS w,
-                 16 + (3 * doc_id) % 23 AS h
-          FROM documents
-        ),
-        grid AS (
-          SELECT b.doc_id, b.w, b.h,
-                 (b.doc_id + 7 * xs.x + 13 * ys.y + 29 * cs.ch) % 256 AS pix
-          FROM base b,
-               LATERAL (SELECT unnest(range(b.w)) AS x) xs,
-               LATERAL (SELECT unnest(range(b.h)) AS y) ys,
-               LATERAL (SELECT unnest(range(3)) AS ch) cs
-        )
-        SELECT doc_id,
-               'png' AS format,
-               CAST(w AS BIGINT) AS width,
-               CAST(h AS BIGINT) AS height,
-               CAST(8 AS BIGINT) AS bit_depth,
-               CAST(3 AS BIGINT) AS channels,
-               CAST(doc_id % 256 AS BIGINT) AS p00,
-               CAST((doc_id + 7 * (w - 1) + 13 * (h - 1) + 29 * 2) % 256
-                    AS BIGINT) AS p_last,
-               CAST(sum(pix) AS BIGINT) AS pixel_sum
-        FROM grid
-        GROUP BY doc_id, w, h
-    """,
-    # closed-form replay of the paletted PNG round trip: index grid and
-    # palette are both integer expressions of doc_id, so every expanded
-    # channel byte is (doc_id + (3 + 2*ch) * ((doc_id + 7x + 13y) % 16))
-    # % 256 — corners and the full byte sum replay exactly
-    "multimodal_png_palette_decode": """
-        WITH base AS (
-          SELECT doc_id,
-                 16 + doc_id % 17 AS w,
-                 16 + (3 * doc_id) % 23 AS h
-          FROM documents
-        ),
-        grid AS (
-          SELECT b.doc_id, b.w, b.h,
-                 (b.doc_id
-                  + (3 + 2 * cs.ch) * ((b.doc_id + 7 * xs.x + 13 * ys.y) % 16)
-                 ) % 256 AS pix
-          FROM base b,
-               LATERAL (SELECT unnest(range(b.w)) AS x) xs,
-               LATERAL (SELECT unnest(range(b.h)) AS y) ys,
-               LATERAL (SELECT unnest(range(3)) AS ch) cs
-        )
-        SELECT doc_id,
-               'png' AS format,
-               CAST(w AS BIGINT) AS width,
-               CAST(h AS BIGINT) AS height,
-               CAST(8 AS BIGINT) AS bit_depth,
-               CAST(3 AS BIGINT) AS channels,
-               CAST((doc_id + 3 * (doc_id % 16)) % 256 AS BIGINT) AS p00,
-               CAST((doc_id
-                     + 7 * ((doc_id + 7 * (w - 1) + 13 * (h - 1)) % 16)
-                    ) % 256 AS BIGINT) AS p_last,
                CAST(sum(pix) AS BIGINT) AS pixel_sum
         FROM grid
         GROUP BY doc_id, w, h
@@ -675,6 +604,119 @@ ORACLES = {
         GROUP BY doc_id, w, h, nf, n_out
     """,
 }
+
+
+# closed-form replay of the PNG round trip: the decoder recovers the
+# deterministic source bitmap exactly, so dimensions, corners and the
+# full pixel sum are integer expressions of doc_id
+_PNG_GRAY_ORACLE = """
+        WITH base AS (
+          SELECT doc_id,
+                 16 + doc_id % 17 AS w,
+                 16 + (3 * doc_id) % 23 AS h
+          FROM documents
+        ),
+        grid AS (
+          SELECT b.doc_id, b.w, b.h,
+                 (b.doc_id + 7 * xs.x + 13 * ys.y) % 256 AS pix
+          FROM base b,
+               LATERAL (SELECT unnest(range(b.w)) AS x) xs,
+               LATERAL (SELECT unnest(range(b.h)) AS y) ys
+        )
+        SELECT doc_id,
+               'png' AS format,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(8 AS BIGINT) AS bit_depth,
+               CAST(1 AS BIGINT) AS channels,
+               CAST(doc_id % 256 AS BIGINT) AS p00,
+               CAST((doc_id + 7 * (w - 1) + 13 * (h - 1)) % 256 AS BIGINT) AS p_last,
+               CAST(sum(pix) AS BIGINT) AS pixel_sum
+        FROM grid
+        GROUP BY doc_id, w, h
+"""
+# closed-form replay of the truecolor PNG round trip: the decoder
+# recovers the deterministic interleaved-RGB source exactly, so the
+# channel count, corner bytes and full byte sum are integer
+# expressions of (doc_id, x, y, channel)
+_PNG_RGB_ORACLE = """
+        WITH base AS (
+          SELECT doc_id,
+                 16 + doc_id % 17 AS w,
+                 16 + (3 * doc_id) % 23 AS h
+          FROM documents
+        ),
+        grid AS (
+          SELECT b.doc_id, b.w, b.h,
+                 (b.doc_id + 7 * xs.x + 13 * ys.y + 29 * cs.ch) % 256 AS pix
+          FROM base b,
+               LATERAL (SELECT unnest(range(b.w)) AS x) xs,
+               LATERAL (SELECT unnest(range(b.h)) AS y) ys,
+               LATERAL (SELECT unnest(range(3)) AS ch) cs
+        )
+        SELECT doc_id,
+               'png' AS format,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(8 AS BIGINT) AS bit_depth,
+               CAST(3 AS BIGINT) AS channels,
+               CAST(doc_id % 256 AS BIGINT) AS p00,
+               CAST((doc_id + 7 * (w - 1) + 13 * (h - 1) + 29 * 2) % 256
+                    AS BIGINT) AS p_last,
+               CAST(sum(pix) AS BIGINT) AS pixel_sum
+        FROM grid
+        GROUP BY doc_id, w, h
+"""
+# closed-form replay of the paletted PNG round trip: index grid and
+# palette are both integer expressions of doc_id, so every expanded
+# channel byte is (doc_id + (3 + 2*ch) * ((doc_id + 7x + 13y) % 16))
+# % 256 — corners and the full byte sum replay exactly
+_PNG_PALETTE_ORACLE = """
+        WITH base AS (
+          SELECT doc_id,
+                 16 + doc_id % 17 AS w,
+                 16 + (3 * doc_id) % 23 AS h
+          FROM documents
+        ),
+        grid AS (
+          SELECT b.doc_id, b.w, b.h,
+                 (b.doc_id
+                  + (3 + 2 * cs.ch) * ((b.doc_id + 7 * xs.x + 13 * ys.y) % 16)
+                 ) % 256 AS pix
+          FROM base b,
+               LATERAL (SELECT unnest(range(b.w)) AS x) xs,
+               LATERAL (SELECT unnest(range(b.h)) AS y) ys,
+               LATERAL (SELECT unnest(range(3)) AS ch) cs
+        )
+        SELECT doc_id,
+               'png' AS format,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(8 AS BIGINT) AS bit_depth,
+               CAST(3 AS BIGINT) AS channels,
+               CAST((doc_id + 3 * (doc_id % 16)) % 256 AS BIGINT) AS p00,
+               CAST((doc_id
+                     + 7 * ((doc_id + 7 * (w - 1) + 13 * (h - 1)) % 16)
+                    ) % 256 AS BIGINT) AS p_last,
+               CAST(sum(pix) AS BIGINT) AS pixel_sum
+        FROM grid
+        GROUP BY doc_id, w, h
+"""
+
+
+#: r8 consolidation: the registered PNG query is the UNION ALL of the
+#: per-variant closed forms, tagged by variant (adam7 shares the gray
+#: closed form — interlacing must reconstruct the identical bitmap).
+ORACLES["multimodal_png_roundtrip"] = "\nUNION ALL\n".join(
+    f"SELECT v.*, '{name}' AS variant FROM ({sql}) v"
+    for name, sql in (
+        ("gray", _PNG_GRAY_ORACLE),
+        ("adam7", _PNG_GRAY_ORACLE),
+        ("rgb", _PNG_RGB_ORACLE),
+        ("palette", _PNG_PALETTE_ORACLE),
+    )
+)
+
 
 
 def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -726,10 +768,8 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES["multimodal_jpeg_roundtrip"] = multimodal_jpeg_roundtrip
-
 # dims are closed-form; the reconstruction bound is the codec contract
-ORACLES["multimodal_jpeg_roundtrip"] = """
+_JPEG_BASELINE_ORACLE = """
     SELECT doc_id,
            CAST(16 + doc_id % 17 AS INTEGER) AS width,
            CAST(16 + (3 * doc_id) % 23 AS INTEGER) AS height,
@@ -798,7 +838,30 @@ def multimodal_jpeg_color_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-QUERIES["multimodal_jpeg_color_roundtrip"] = multimodal_jpeg_color_roundtrip
+def multimodal_jpeg_baseline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG round trip, gray8 AND YCbCr-4:2:0 color, in one
+    gated row (r8 consolidation, VERDICT r7 #8 — replaces the former
+    `multimodal_jpeg_roundtrip` + `multimodal_jpeg_color_roundtrip`
+    registry rows; both per-codec plan builders above are unchanged and
+    this query unions them tagged by variant). Union of two narrow
+    zero-shuffle mapInPandas branches; the lossy contract is unchanged —
+    exact dims (closed form) + quantization/subsampling-bounded max
+    reconstruction error per variant."""
+    gray = multimodal_jpeg_roundtrip(spark, sf_dir).withColumn(
+        "variant", F.lit("gray8")
+    )
+    color = multimodal_jpeg_color_roundtrip(spark, sf_dir).withColumn(
+        "variant", F.lit("ycbcr420")
+    )
+    return gray.unionByName(color)
+
+
+QUERIES["multimodal_jpeg_baseline_roundtrip"] = multimodal_jpeg_baseline_roundtrip
+
+ORACLES["multimodal_jpeg_baseline_roundtrip"] = "\nUNION ALL\n".join(
+    f"SELECT v.*, '{name}' AS variant FROM ({_JPEG_BASELINE_ORACLE}) v"
+    for name in ("gray8", "ycbcr420")
+)
 
 
 def multimodal_mjpeg_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -943,9 +1006,6 @@ def multimodal_avi_mjpg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES["multimodal_avi_mjpg_decode"] = multimodal_avi_mjpg_decode
-
-
 def multimodal_avi_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COLOR container-to-pixels video (VERDICT r6 #8): per doc, smooth
     RGB ramp frames encode as real YCbCr 4:2:0 baseline JPEGs, wrap
@@ -1036,7 +1096,28 @@ def multimodal_avi_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES["multimodal_avi_color_decode"] = multimodal_avi_color_decode
+def multimodal_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVI-MJPG container-to-pixels, gray8 AND YCbCr-4:2:0 color frames,
+    in one gated row (r8 consolidation, VERDICT r7 #8 — replaces the
+    former `multimodal_avi_mjpg_decode` + `multimodal_avi_color_decode`
+    registry rows; both per-codec pipeline builders above are unchanged
+    and this query unions them tagged by variant). The gray branch's
+    decoder raises on any undecodable frame (on_error='raise'), so its
+    n_decoded == n_sampled by construction — made explicit as a column
+    so both branches share the schema; the color branch's per-frame
+    on_error='null' degradation stays measured."""
+    gray = (
+        multimodal_avi_mjpg_decode(spark, sf_dir)
+        .withColumn("n_decoded", F.col("n_sampled"))
+        .withColumn("variant", F.lit("gray8"))
+    )
+    color = multimodal_avi_color_decode(spark, sf_dir).withColumn(
+        "variant", F.lit("ycbcr420")
+    )
+    return gray.unionByName(color)
+
+
+QUERIES["multimodal_avi_decode"] = multimodal_avi_decode
 
 
 def multimodal_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1091,18 +1172,6 @@ def multimodal_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> Data
         "doc_id long, width int, height int, progressive int, "
         "matches_sequential boolean",
     )
-
-
-QUERIES["multimodal_jpeg_progressive_decode"] = multimodal_jpeg_progressive_decode
-
-ORACLES["multimodal_jpeg_progressive_decode"] = """
-    SELECT doc_id,
-           CAST(16 + doc_id % 17 AS INTEGER) AS width,
-           CAST(16 + (3 * doc_id) % 23 AS INTEGER) AS height,
-           CAST(1 AS INTEGER) AS progressive,
-           TRUE AS matches_sequential
-    FROM documents
-"""
 
 
 def multimodal_jpeg_progressive_color(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1167,7 +1236,52 @@ def multimodal_jpeg_progressive_color(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
-QUERIES["multimodal_jpeg_progressive_color"] = multimodal_jpeg_progressive_color
+def multimodal_jpeg_progressive_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Progressive (SOF2) JPEG round trip, gray8 AND YCbCr-4:2:0 color,
+    in one gated row (r8 consolidation, VERDICT r7 #8 — replaces the
+    former `multimodal_jpeg_progressive_decode` +
+    `multimodal_jpeg_progressive_color` registry rows; both per-codec
+    harness builders above are unchanged and this query unions them
+    tagged by variant). The gated claim stays EXACT for both variants:
+    the progressive stream carries the sequential encoder's quantized
+    coefficients, so the progressive reconstruction is BITWISE equal to
+    the sequential decode (matches_sequential TRUE, no tolerance). The
+    gray branch's single luma component is made explicit
+    (n_components=1) so both branches share the schema."""
+    gray = (
+        multimodal_jpeg_progressive_decode(spark, sf_dir)
+        .withColumn("n_components", F.lit(1).cast("int"))
+        .withColumn("variant", F.lit("gray8"))
+    )
+    color = multimodal_jpeg_progressive_color(spark, sf_dir).withColumn(
+        "variant", F.lit("ycbcr420")
+    )
+    return gray.unionByName(color)
+
+
+QUERIES["multimodal_jpeg_progressive_roundtrip"] = multimodal_jpeg_progressive_roundtrip
+
+ORACLES["multimodal_jpeg_progressive_roundtrip"] = """
+    SELECT doc_id,
+           CAST(16 + doc_id % 17 AS INTEGER) AS width,
+           CAST(16 + (3 * doc_id) % 23 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS progressive,
+           TRUE AS matches_sequential,
+           CAST(1 AS INTEGER) AS n_components,
+           'gray8' AS variant
+    FROM documents
+    UNION ALL
+    SELECT doc_id,
+           CAST(16 + doc_id % 17 AS INTEGER) AS width,
+           CAST(16 + (3 * doc_id) % 23 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS progressive,
+           TRUE AS matches_sequential,
+           CAST(3 AS INTEGER) AS n_components,
+           'ycbcr420' AS variant
+    FROM documents
+"""
 
 
 def multimodal_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1378,17 +1492,9 @@ ORACLES["multimodal_tiff_roundtrip"] = """
     GROUP BY doc_id, w, h, samples, compression
 """
 
-ORACLES["multimodal_jpeg_progressive_color"] = """
-    SELECT doc_id,
-           CAST(16 + doc_id % 17 AS INTEGER) AS width,
-           CAST(16 + (3 * doc_id) % 23 AS INTEGER) AS height,
-           CAST(3 AS INTEGER) AS n_components,
-           CAST(1 AS INTEGER) AS progressive,
-           TRUE AS matches_sequential
-    FROM documents
-"""
-
-ORACLES["multimodal_avi_color_decode"] = """
+# both AVI branches share the closed-form container facts; the gray
+# branch's n_decoded == n_sampled by construction (on_error='raise')
+_AVI_DECODE_ORACLE = """
     SELECT doc_id,
            CAST(10 + doc_id % 7 AS INTEGER) AS width,
            CAST(10 + (3 * doc_id) % 9 AS INTEGER) AS height,
@@ -1400,16 +1506,10 @@ ORACLES["multimodal_avi_color_decode"] = """
     FROM documents
 """
 
-ORACLES["multimodal_avi_mjpg_decode"] = """
-    SELECT doc_id,
-           CAST(10 + doc_id % 7 AS INTEGER) AS width,
-           CAST(10 + (3 * doc_id) % 9 AS INTEGER) AS height,
-           CAST(3 + doc_id % 5 AS INTEGER) AS n_frames,
-           CAST(40000 AS INTEGER) AS usec_per_frame,
-           CAST((3 + doc_id % 5 + 2) // 3 AS BIGINT) AS n_sampled,
-           TRUE AS within_tol
-    FROM documents
-"""
+ORACLES["multimodal_avi_decode"] = "\nUNION ALL\n".join(
+    f"SELECT v.*, '{name}' AS variant FROM ({_AVI_DECODE_ORACLE}) v"
+    for name in ("gray8", "ycbcr420")
+)
 
 ORACLES["multimodal_mjpeg_frame_decode"] = """
     SELECT doc_id,
@@ -1417,14 +1517,6 @@ ORACLES["multimodal_mjpeg_frame_decode"] = """
            CAST((3 + doc_id % 5 + 2) // 3 AS BIGINT) AS n_sampled,
            CAST(10 + doc_id % 7 AS INTEGER) AS width,
            CAST(10 + (3 * doc_id) % 9 AS INTEGER) AS height,
-           TRUE AS within_tol
-    FROM documents
-"""
-
-ORACLES["multimodal_jpeg_color_roundtrip"] = """
-    SELECT doc_id,
-           CAST(16 + doc_id % 17 AS INTEGER) AS width,
-           CAST(16 + (3 * doc_id) % 23 AS INTEGER) AS height,
            TRUE AS within_tol
     FROM documents
 """
@@ -1464,6 +1556,3 @@ def multimodal_png_interlaced_decode(spark: SparkSession, sf_dir: str) -> DataFr
         passthrough=["doc_id", "format"],
     )
 
-
-QUERIES["multimodal_png_interlaced_decode"] = multimodal_png_interlaced_decode
-ORACLES["multimodal_png_interlaced_decode"] = ORACLES["multimodal_png_decode"]

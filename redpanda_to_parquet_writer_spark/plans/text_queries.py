@@ -39,9 +39,14 @@ def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.line_dedup_stats(docs, "text", "doc_id", LINE_TOKENS)
 
 
-def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def docs_tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace AND BPE-ish-regex token counting in one narrow scan
+    (r8 consolidation, VERDICT r7 #8 — replaces the former
+    `docs_token_stats` + `docs_bpe_token_stats` registry rows; SURVEY
+    lists 'token counting (whitespace + a BPE-ish regex)' as ONE
+    capability and this row now gates it as one operator)."""
     docs = load_table(spark, sf_dir, "documents")
-    return T.token_stats(docs, "text", "doc_id")
+    return T.tokenizer_stats(docs, "text", "doc_id")
 
 
 def docs_stopword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,11 +134,6 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.quality_score(docs, "text", "doc_id")
-
-
-def docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return T.bpe_token_stats(docs, "text", "doc_id")
 
 
 CHUNK_TOKENS = 16
@@ -320,8 +320,7 @@ QUERIES = {
     "docs_token_budget_cap": docs_token_budget_cap,
     "docs_sequence_pack": docs_sequence_pack,
     "docs_quality_score": docs_quality_score,
-    "docs_bpe_token_stats": docs_bpe_token_stats,
-    "docs_token_stats": docs_token_stats,
+    "docs_tokenizer_stats": docs_tokenizer_stats,
     "docs_stopword_stats": docs_stopword_stats,
     "docs_language_id": docs_language_id,
     "docs_minhash_lsh_pairs": docs_minhash_lsh_pairs,
@@ -429,17 +428,27 @@ ORACLES = {
         ),
         {chunk_sql_tail('toks')}
     """,
-    "docs_bpe_token_stats": r"""
+    # both tokenizers replayed over one toks CTE — the whitespace stats
+    # and the BPE-pre-tokenizer stats are per-row expressions of the
+    # same text column, exactly like the Spark plan's single scan
+    "docs_tokenizer_stats": r"""
         WITH toks AS (
-          SELECT doc_id,
-                 regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+', 0) AS t
+          SELECT doc_id, text,
+                 string_split_regex(trim(text), '\s+') AS wt,
+                 regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+', 0) AS bt
           FROM documents
         )
         SELECT doc_id,
-               len(t) AS n_bpe_tokens,
-               len(list_distinct(t)) AS n_distinct_bpe_tokens,
+               length(text) AS n_chars,
+               len(wt) AS n_tokens,
                round(
-                 CAST(list_sum(list_transform(t, x -> length(trim(x)))) AS DOUBLE) / len(t),
+                 CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                 / len(wt), 6
+               ) AS avg_token_len,
+               len(bt) AS n_bpe_tokens,
+               len(list_distinct(bt)) AS n_distinct_bpe_tokens,
+               round(
+                 CAST(list_sum(list_transform(bt, x -> length(trim(x)))) AS DOUBLE) / len(bt),
                  6
                ) AS avg_bpe_token_len
         FROM toks
@@ -486,16 +495,6 @@ ORACLES = {
                CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes
         FROM marked GROUP BY doc_id
-    """,
-    "docs_token_stats": """
-        SELECT doc_id,
-               length(text) AS n_chars,
-               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-               round(
-                 CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-                 / len(string_split_regex(trim(text), '\\s+')), 6
-               ) AS avg_token_len
-        FROM documents
     """,
     "docs_stopword_stats": """
         SELECT doc_id,

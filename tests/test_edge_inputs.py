@@ -28,6 +28,7 @@ def edge_df(spark):
         T.language_id,
         T.quality_score,
         T.bpe_token_stats,
+        T.tokenizer_stats,
         T.simhash32,
         T.exact_dedup_hash,
     ],
@@ -36,6 +37,20 @@ def edge_df(spark):
 def test_text_ops_survive_edge_inputs(edge_df, op):
     rows = op(edge_df, "text", "doc_id").collect()
     assert rows, f"{op.__name__} returned nothing"
+
+
+def test_tokenizer_stats_matches_both_tokenizers(edge_df):
+    """The r8-consolidated single-scan operator must agree column-for-
+    column with the two standalone tokenizers it merged."""
+    ws = {r["doc_id"]: r for r in T.token_stats(edge_df, "text", "doc_id").collect()}
+    bpe = {r["doc_id"]: r for r in T.bpe_token_stats(edge_df, "text", "doc_id").collect()}
+    both = {r["doc_id"]: r for r in T.tokenizer_stats(edge_df, "text", "doc_id").collect()}
+    assert set(both) == set(ws) == set(bpe)
+    for doc_id, row in both.items():
+        for c in ("n_chars", "n_tokens", "avg_token_len"):
+            assert row[c] == ws[doc_id][c], (doc_id, c)
+        for c in ("n_bpe_tokens", "n_distinct_bpe_tokens", "avg_bpe_token_len"):
+            assert row[c] == bpe[doc_id][c], (doc_id, c)
 
 
 def test_empty_doc_ratios_null_not_crash(edge_df):
