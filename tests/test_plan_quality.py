@@ -578,3 +578,42 @@ def test_rotation_green_criterion_and_ordering_rules():
     # a name with no green row anywhere sorts ahead of every covered one
     order = _staleness_order(["pricing_summary", "zz_brand_new_query"])
     assert order[0] == "zz_brand_new_query"
+
+
+def test_merged_media_unions_add_no_shuffle(spark, sf_dir):
+    """The r8-consolidated media queries union their per-variant
+    branches; union is plan-level concatenation, so the only exchanges
+    allowed are each branch's own doc-id spread (RoundRobin over longs)
+    — a join- or distinct-based merge would add hash exchanges."""
+    for name, n_branches in (
+        ("multimodal_png_roundtrip", 4),
+        ("multimodal_jpeg_baseline_roundtrip", 2),
+        ("multimodal_jpeg_progressive_roundtrip", 2),
+        ("multimodal_avi_decode", 2),
+    ):
+        plan = plan_str(QUERIES[name](spark, sf_dir))
+        assert "Union" in plan, name
+        assert "Join" not in plan, name
+        n_ex = plan.count("Exchange")
+        assert n_ex <= n_branches, (name, n_ex)
+        assert plan.count("RoundRobinPartitioning") == n_ex, (
+            f"{name}: every exchange must be the doc-id spread, got {plan}"
+        )
+
+
+def test_container_probe_chains_without_shuffle(spark, sf_dir):
+    """The merged probe query chains two mapInPandas probe stages over
+    the same rows — no join of two probe frames, and the only exchange
+    is the single doc-id spread."""
+    plan = plan_str(QUERIES["multimodal_container_probe"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1 and "RoundRobinPartitioning" in plan
+
+
+def test_tokenizer_stats_single_scan_no_shuffle(spark, sf_dir):
+    """Both tokenizers' stats must come from ONE narrow scan — a
+    join-based merge of the former two queries would show two scans and
+    an exchange."""
+    plan = plan_str(QUERIES["docs_tokenizer_stats"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange" not in plan and "Join" not in plan
