@@ -106,10 +106,13 @@ HEADLINE = [
     "docs_stratified_sample",
     "multimodal_byte_stats",
     "multimodal_png_roundtrip",
-    # events_user_resample (Arrow grouped-map variant) excluded from the
-    # headline set (VERDICT r6 #6): the recommended scale plan is the
-    # JVM twin below (8x faster, same oracle); the Arrow variant stays
-    # registry-gated + pytest-covered as the grouped-map surface proof
+    # both resample twins benched since r8: the Arrow grouped-map was
+    # excluded in r6 at ~10x the JVM twin (per-key applyInPandas groups
+    # paid per-group overhead on tiny frames); bucket-amortizing the
+    # groups (operators/asof.py:resample_locf) brought it to ~1.25x the
+    # JVM twin (0.63s vs 0.50s, min-of-2 at sf0.1), so the grouped-map
+    # surface is now benched, not just gated
+    "events_user_resample",
     "events_user_resample_sql",
     "multimodal_jpeg_baseline_roundtrip",
     "multimodal_mjpeg_frame_decode",
@@ -229,10 +232,6 @@ EXCLUDED = {
         "runs the progressive AND sequential codec per doc, gray and "
         "color, purely as its bitwise-equality harness (~7s of "
         "fixture-bound Python codec work, not engine time)"
-    ),
-    "events_user_resample": (
-        "Arrow grouped-map surface proof; the recommended scale plan is "
-        "the benched JVM twin events_user_resample_sql (VERDICT r6 #6)"
     ),
     "embeddings_neardup_pairs": (
         "documented exact-quadratic oracle twin; the scale plan is the "
