@@ -100,3 +100,32 @@ def test_bitwriter_accumulator_stays_bounded():
         w.put(i & 0x3FF, 10)
     assert w.acc.bit_length() <= w.nbits <= 7
     assert len(w.flush()) >= 12_500
+
+
+def test_resample_locf_bucketed_equals_per_key_reference(spark):
+    """The r8 bucket-amortized grouped-map (many keys per pandas frame,
+    boundary-scan vectorization) must reproduce the per-key reference
+    exactly — including hash-collided keys sharing one bucket, ties,
+    null observations, and keys with a single event. Keys chosen so
+    several land in the same bucket at any bucket count."""
+    import random
+
+    from redpanda_to_parquet_writer_spark.operators.asof import (
+        resample_locf,
+        resample_locf_sql,
+    )
+
+    rng = random.Random(8)
+    rows = []
+    for uid in range(40):  # 40 keys >> buckets touched per task
+        for seq in range(rng.randint(1, 6)):
+            ts = rng.randint(0, 19)
+            val = None if rng.random() < 0.15 else round(rng.uniform(-5, 5), 3)
+            rows.append((uid, ts, val, seq))
+    df = spark.createDataFrame(rows, "uid long, ts long, value double, seq long")
+    args = ("uid", "ts", "value", "seq", 0, 3, 8)
+    arrow = {(r["uid"], r["grid_ts"]): r["value"] for r in resample_locf(df, *args).collect()}
+    jvm = {(r["uid"], r["grid_ts"]): r["value"] for r in resample_locf_sql(df, *args).collect()}
+    assert set(arrow) == set(jvm) and len(arrow) == 40 * 8
+    diffs = {k: (arrow[k], jvm[k]) for k in arrow if arrow[k] != jvm[k]}
+    assert not diffs, dict(list(diffs.items())[:5])
