@@ -275,6 +275,41 @@ def multimodal_png_palette_decode(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def multimodal_png_interlaced_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adam7-interlaced PNG round trip: the SAME deterministic gray8
+    bitmap as `multimodal_png_decode`, but encoded with Adam7 pass
+    ordering (`encode_png_gray8(interlace=True)`) and decoded through
+    the interlaced reconstruction path (per-pass unfilter + scatter,
+    `operators/multimodal.py:_decode_png`). The oracle is the identical
+    closed form — p00/p_last/pixel_sum only match if all seven pass
+    geometries reassemble exactly."""
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        DECODED_PNG_SCHEMA,
+        decode_png_features,
+        encode_png_gray8,
+        synth_gray_image,
+    )
+
+    docs = _doc_ids_spread(spark, sf_dir)
+
+    def _png(i: int) -> bytes:
+        w, h, px = synth_gray_image(int(i))
+        return encode_png_gray8(w, h, px, interlace=True)
+
+    synth = F.pandas_udf(lambda ids: ids.map(_png), "binary")
+    blobs = docs.withColumn("blob", synth("doc_id"))
+    with_meta = with_media_metadata(blobs, "blob", media_type="image").select(
+        "doc_id", "blob", F.col("media_meta.format").alias("format")
+    )
+    return map_media_batches(
+        with_meta,
+        "blob",
+        DECODED_PNG_SCHEMA,
+        codec=decode_png_features,
+        passthrough=["doc_id", "format"],
+    )
+
+
 def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF codec end-to-end: the same deterministic gray8 bitmap as
     the PNG query, encoded as a real GIF89a (stdlib variable-width LZW +
@@ -1520,39 +1555,3 @@ ORACLES["multimodal_mjpeg_frame_decode"] = """
            TRUE AS within_tol
     FROM documents
 """
-
-
-def multimodal_png_interlaced_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Adam7-interlaced PNG round trip: the SAME deterministic gray8
-    bitmap as `multimodal_png_decode`, but encoded with Adam7 pass
-    ordering (`encode_png_gray8(interlace=True)`) and decoded through
-    the interlaced reconstruction path (per-pass unfilter + scatter,
-    `operators/multimodal.py:_decode_png`). The oracle is the identical
-    closed form — p00/p_last/pixel_sum only match if all seven pass
-    geometries reassemble exactly."""
-    from redpanda_to_parquet_writer_spark.operators.multimodal import (
-        DECODED_PNG_SCHEMA,
-        decode_png_features,
-        encode_png_gray8,
-        synth_gray_image,
-    )
-
-    docs = _doc_ids_spread(spark, sf_dir)
-
-    def _png(i: int) -> bytes:
-        w, h, px = synth_gray_image(int(i))
-        return encode_png_gray8(w, h, px, interlace=True)
-
-    synth = F.pandas_udf(lambda ids: ids.map(_png), "binary")
-    blobs = docs.withColumn("blob", synth("doc_id"))
-    with_meta = with_media_metadata(blobs, "blob", media_type="image").select(
-        "doc_id", "blob", F.col("media_meta.format").alias("format")
-    )
-    return map_media_batches(
-        with_meta,
-        "blob",
-        DECODED_PNG_SCHEMA,
-        codec=decode_png_features,
-        passthrough=["doc_id", "format"],
-    )
-
