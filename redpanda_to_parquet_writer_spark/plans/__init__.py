@@ -26,9 +26,10 @@ that round's window). Consequences, by construction:
   - green queries rotate in cohorts of 50: the cohort verified in round
     N re-enters the window together once every younger cohort has had
     its turn, so with R registry queries and a 50-row window, max
-    staleness is exactly ceil(R/50) rounds — the mathematical floor for
-    this window size (R=150 -> a row re-verifies at worst every 3rd
-    round, the ceiling the r7 verdict asked for);
+    a row re-verifies at worst every ceil(R/50)-th round — the
+    mathematical floor for this window size (R=150 -> every 3rd round,
+    i.e. a green row is never more than 2 rounds stale — the r7 #8
+    "Done" criterion);
   - the schedule needs no edits when queries are added: they are born
     never-covered and lead the next window automatically.
 
