@@ -175,8 +175,16 @@ def resample_locf(
         keys = pdf[key_col].to_numpy()
         ts_all = pdf[ts_col].to_numpy(dtype=np.int64)
         vals_all = pdf[value_col].to_numpy(dtype=np.float64)
+        # NULL-safe boundary scan: a NULL key is ONE group (matching
+        # both groupBy-on-the-key semantics and the JVM twin's window
+        # partitioning) — raw != would split it per row, since NaN !=
+        # NaN and Arrow hands null int/string keys to pandas as NaN/None
+        k = pdf[key_col]
+        new_grp = (k.ne(k.shift()) & ~(k.isna() & k.shift().isna())).to_numpy()
+        # row 0 always starts a group (the mask computes False there
+        # when the bucket's first key is itself NULL)
         starts = np.concatenate(
-            ([0], np.nonzero(keys[1:] != keys[:-1])[0] + 1, [len(keys)])
+            ([0], np.nonzero(new_grp[1:])[0] + 1, [len(keys)])
         )
         out_vals = np.empty(grid_points * (len(starts) - 1), dtype=np.float64)
         missing = np.empty_like(out_vals, dtype=bool)

@@ -406,6 +406,26 @@ def append_ivf_index_arrow(
     _write_ivf_rows(df, centroids, path, id_col, vec_col, "append", use_arrow=True)
 
 
+def _assign_batch_np(vecs, cmat, cnorm):
+    """Vectorized cosine argmax for one Arrow batch — the assignment
+    contract shared by `ivf_assign_arrow` and `assign_encode_arrow`
+    (factored so the tie/zero-norm rules live ONCE): ties go to the
+    FIRST maximum (= lowest cluster id, the JVM max_by order), and
+    zero-norm / all-NaN rows take index 0 (= lowest cluster id,
+    matching the JVM NULL-sim ordering — pinned in tests)."""
+    import numpy as np
+
+    sims = vecs @ cmat.T
+    denom = np.sqrt((vecs * vecs).sum(axis=1))[:, None] * cnorm[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = np.where(denom > 0, sims / denom, np.nan)
+    valid = ~np.all(np.isnan(sims), axis=1)
+    best = np.zeros(len(vecs), dtype=np.int64)
+    if valid.any():
+        best[valid] = np.nanargmax(sims[valid], axis=1)
+    return best
+
+
 def ivf_assign_arrow(
     df: DataFrame,
     centroids: DataFrame,
@@ -448,16 +468,7 @@ def ivf_assign_arrow(
             vecs = np.array(
                 [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
             )  # n x dim
-            sims = vecs @ cmat.T  # n x k
-            denom = np.sqrt((vecs * vecs).sum(axis=1))[:, None] * cnorm[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sims = np.where(denom > 0, sims / denom, np.nan)
-            valid = ~np.all(np.isnan(sims), axis=1)
-            # all-NaN rows (zero-norm vectors) take index 0 = the lowest
-            # cluster id, matching the JVM max_by's NULL-sim ordering
-            best = np.zeros(len(vecs), dtype=np.int64)
-            if valid.any():
-                best[valid] = np.nanargmax(sims[valid], axis=1)
+            best = _assign_batch_np(vecs, cmat, cnorm)
             out = pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
@@ -478,8 +489,13 @@ def _write_ivf_rows(
     c = df.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
     )
-    assign = ivf_assign_arrow if use_arrow else ivf_assign
-    assigned = assign(c, materialize_centroids(centroids), "neighbor_id", "v")
+    # the arrow path collects the codebook rows itself; only the JVM
+    # join path needs the local-relation rebuild (it references the
+    # codebook inside the plan)
+    if use_arrow:
+        assigned = ivf_assign_arrow(c, centroids, "neighbor_id", "v")
+    else:
+        assigned = ivf_assign(c, materialize_centroids(centroids), "neighbor_id", "v")
     (
         assigned.repartition("cluster_id")
         .write.partitionBy("cluster_id")
@@ -1080,14 +1096,7 @@ def assign_encode_arrow(
                 [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
             )
             n = len(vecs)
-            sims = vecs @ cmat.T
-            denom = np.sqrt((vecs * vecs).sum(axis=1))[:, None] * cnorm[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sims = np.where(denom > 0, sims / denom, np.nan)
-            valid = ~np.all(np.isnan(sims), axis=1)
-            best = np.zeros(n, dtype=np.int64)
-            if valid.any():
-                best[valid] = np.nanargmax(sims[valid], axis=1)
+            best = _assign_batch_np(vecs, cmat, cnorm)
             codes = np.empty((n, m), dtype=np.int64)
             for s in range(m):
                 sv = vecs[:, s * width : (s + 1) * width]
@@ -1120,12 +1129,14 @@ def _write_ivfadc_rows(
     use_arrow: bool = False,
 ) -> None:
     _pq_check(m, dim)
-    centroids = materialize_centroids(centroids)
     if use_arrow:
+        # the arrow path collects centroid/codebook rows itself — no
+        # local-relation rebuild needed
         index = assign_encode_arrow(
             df, centroids, codebooks, m, dim, id_col, vec_col
         )
     else:
+        centroids = materialize_centroids(centroids)
         c = df.select(
             F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
         )

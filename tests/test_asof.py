@@ -129,3 +129,29 @@ def test_resample_locf_bucketed_equals_per_key_reference(spark):
     assert set(arrow) == set(jvm) and len(arrow) == 40 * 8
     diffs = {k: (arrow[k], jvm[k]) for k in arrow if arrow[k] != jvm[k]}
     assert not diffs, dict(list(diffs.items())[:5])
+
+
+def test_resample_locf_null_keys_one_group(spark):
+    """A NULL key is ONE group — matching groupBy-on-the-key semantics
+    and the JVM twin's window partitioning. The bucketed boundary scan
+    must not split it per row (NaN != NaN), whether the null-key rows
+    lead the bucket or not (code-review r8 finding)."""
+    from redpanda_to_parquet_writer_spark.operators.asof import (
+        resample_locf,
+        resample_locf_sql,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (None, 1, 1.0, 0),
+            (None, 5, 2.0, 0),
+            ("u-a", 3, 7.0, 0),
+        ],
+        "uid string, ts long, value double, seq long",
+    )
+    args = ("uid", "ts", "value", "seq", 0, 2, 5)
+    arrow = {(r["uid"], r["grid_ts"]): r["value"] for r in resample_locf(df, *args).collect()}
+    jvm = {(r["uid"], r["grid_ts"]): r["value"] for r in resample_locf_sql(df, *args).collect()}
+    assert len(arrow) == 2 * 5, arrow  # exactly one grid per key, incl. NULL
+    assert arrow == jvm
+    assert arrow[(None, 4)] == 1.0 and arrow[(None, 6)] == 2.0  # LOCF across the null key
