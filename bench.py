@@ -200,6 +200,17 @@ HEADLINE = [
     # Residual cause: the r8 headline grew 122->143 rows, shifting
     # in-sweep order/GC context, on top of the documented ~15% host
     # variance.
+    #
+    # End-of-r8 bench_diff flags (ann_ivfadc_indexed_topk 1.97x,
+    # docs_line_dedup 1.63x in the final committed sweep): attributed
+    # to host drift — `git diff` between the two same-day recordings
+    # touches NEITHER query's lineage (the similarity refactor changed
+    # arrow-only build paths; both gated queries run the JVM paths),
+    # and a standalone min-of-3 at HEAD under this exact protocol times
+    # them at 0.685s / 0.589s — at their previous-artifact values
+    # (0.634 / 0.557), far off the flagged sweep rows (0.863 / 0.839).
+    # The host slowed ~15% across the day's recordings (see
+    # SCALING.md's curve note); absolute rows drift together.
 ]
 
 #: Every registry query is either in HEADLINE or here with its stated
