@@ -1332,3 +1332,34 @@ def test_png_adam7_truncated_pass_raises():
     bad = good[:idat_at] + chunk + good[idat_at + 12 + ln :]
     with pytest.raises(ValueError, match="size mismatch"):
         decode_png_gray8(bad)
+
+
+# --- r8 merged tokenizer: single-scan operator vs the two standalone ones
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab1 .,!\t\né中")),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_tokenizer_stats_fuzz_matches_standalone_ops(spark, texts):
+    """docs_tokenizer_stats' single-scan operator must agree with
+    token_stats + bpe_token_stats on arbitrary text — unicode,
+    whitespace runs, punctuation-only and empty strings included."""
+    from redpanda_to_parquet_writer_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    ws = {r["doc_id"]: r.asDict() for r in T.token_stats(df, "text", "doc_id").collect()}
+    bpe = {r["doc_id"]: r.asDict() for r in T.bpe_token_stats(df, "text", "doc_id").collect()}
+    both = {r["doc_id"]: r.asDict() for r in T.tokenizer_stats(df, "text", "doc_id").collect()}
+    for i, row in both.items():
+        expected = {**ws[i], **bpe[i]}
+        assert row == expected, (texts[i], row, expected)
