@@ -617,3 +617,24 @@ def test_tokenizer_stats_single_scan_no_shuffle(spark, sf_dir):
     plan = plan_str(QUERIES["docs_tokenizer_stats"](spark, sf_dir))
     assert plan.count("FileScan parquet") == 1
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_every_registry_query_benched_or_excluded_with_reason():
+    """bench.py's coverage contract (VERDICT r7 #6), enforced in the
+    suite so a new registry query can't silently skip the bench even
+    when bench.py itself isn't run: HEADLINE and EXCLUDED partition the
+    registry exactly, and every exclusion states a reason."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    hs, ex, reg = set(bench.HEADLINE), set(bench.EXCLUDED), set(QUERIES)
+    assert not hs & ex, hs & ex
+    assert not (hs | ex) - reg, sorted((hs | ex) - reg)
+    assert not reg - (hs | ex), sorted(reg - (hs | ex))
+    for name, reason in bench.EXCLUDED.items():
+        assert isinstance(reason, str) and len(reason) > 20, name
