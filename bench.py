@@ -213,6 +213,40 @@ HEADLINE = [
     # SCALING.md's curve note); absolute rows drift together.
 ]
 
+#: Calibration anchors (VERDICT r8 #3): three lineage-frozen queries
+#: timed under the sweep protocol at sweep START and sweep END. The
+#: cross-file ratio of anchor timings measures HOST speed, not code —
+#: their lineages are frozen (pricing_summary: single-scan agg since r1;
+#: docs_fingerprint: rolling-hash projection since r5; ann_ivf_topk:
+#: broadcast-probe IVF since r5) — so scripts/bench_diff.py divides each
+#: per-query ratio by the anchor factor before flagging, replacing the
+#: per-round standalone host-drift A/Bs (r6/r7/r8) with arithmetic.
+ANCHORS = ["pricing_summary", "docs_fingerprint", "ann_ivf_topk"]
+
+
+def _time_anchors(spark, sf_dir: str) -> dict[str, float]:
+    """Time the anchor queries under the exact sweep protocol (one warm
+    run, min of two timed runs)."""
+    out: dict[str, float] = {}
+    for name in ANCHORS:
+        df = QUERIES[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+        out[name] = round(min(runs), 4)
+    return out
+
+
+def anchor_drift(start: dict[str, float], end: dict[str, float]) -> float:
+    """Median end/start ratio across anchors — intra-sweep host drift.
+    1.0 = steady host; >1 = the host slowed while the sweep ran."""
+    ratios = sorted(end[n] / start[n] for n in start if n in end and start[n] > 0)
+    return round(ratios[len(ratios) // 2], 4) if ratios else 1.0
+
+
 #: Every registry query is either in HEADLINE or here with its stated
 #: exclusion reason (VERDICT r7 #6); `main()` asserts the union covers
 #: the registry, so a new query can't silently skip the bench.
@@ -337,9 +371,10 @@ def _timed(t: dict[str, object]) -> dict[str, float]:
 
 def main() -> None:
     uncovered = set(QUERIES) - set(HEADLINE) - set(EXCLUDED)
-    assert not uncovered, (
-        f"registry queries neither benched nor excluded-with-reason: {sorted(uncovered)}"
-    )
+    if uncovered:  # not assert: must survive python -O (ADVICE r8)
+        raise SystemExit(
+            f"registry queries neither benched nor excluded-with-reason: {sorted(uncovered)}"
+        )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -380,7 +415,14 @@ def main() -> None:
             )
         return
 
+    # unrecorded pass first: the very first queries on a fresh JVM pay
+    # codegen/JIT/footer-cache costs that a single per-query warm run
+    # doesn't fully absorb (measured: 3x inflation on anchors_start),
+    # which would corrupt the intra-sweep drift reading
+    _time_anchors(spark, sf_dir)
+    anchors_start = _time_anchors(spark, sf_dir)
     timings = _run_headline(spark, sf_dir)
+    anchors_end = _time_anchors(spark, sf_dir)
     ok = _timed(timings)
     try:
         ingest = _bench_ingest(spark, sf_dir)
@@ -399,6 +441,13 @@ def main() -> None:
         # shrinks silently; median + the exact ok-set make rounds
         # comparable (diff ok_queries before trusting value)
         "median_sec": round(med[len(med) // 2], 4) if med else None,
+        # drift calibration (VERDICT r8 #3): same three queries timed
+        # before and after the sweep; bench_diff.py uses the CROSS-file
+        # anchor ratio to normalize per-query deltas, and the intra-sweep
+        # anchor_drift documents how much the host moved during this run
+        "anchors_start": anchors_start,
+        "anchors_end": anchors_end,
+        "anchor_drift": anchor_drift(anchors_start, anchors_end),
         "ok_queries": sorted(ok),
         "queries": timings,
         "ingest": ingest,

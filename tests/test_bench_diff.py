@@ -1,0 +1,113 @@
+"""Cross-round bench guard: anchor-based host-drift normalization (r9).
+
+The recurring r6/r7/r8 pattern was a ~15% uniformly slower host
+producing bench_diff flags that each cost a standalone A/B to clear.
+With calibration anchors recorded in both artifacts, the guard divides
+per-query ratios by the cross-file anchor factor — these tests pin that
+arithmetic and the end-to-end flag behavior on synthetic artifacts.
+"""
+
+import importlib.util
+import json
+import os
+import subprocess
+import sys
+
+_HERE = os.path.dirname(__file__)
+_SCRIPT = os.path.join(_HERE, "..", "scripts", "bench_diff.py")
+
+spec = importlib.util.spec_from_file_location("bench_diff", _SCRIPT)
+bench_diff = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(bench_diff)
+
+
+def _artifact(path, queries, anchors_start=None, anchors_end=None):
+    doc = {"metric": "headline_queries_total_sec", "queries": queries}
+    if anchors_start is not None:
+        doc["anchors_start"] = anchors_start
+    if anchors_end is not None:
+        doc["anchors_end"] = anchors_end
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    return path
+
+
+def _run(before, after, *extra):
+    return subprocess.run(
+        [sys.executable, _SCRIPT, before, after, *extra],
+        capture_output=True,
+        text=True,
+    )
+
+
+def test_host_factor_median_of_common_anchor_ratios():
+    before = {"a": 1.0, "b": 2.0, "c": 4.0}
+    after = {"a": 1.2, "b": 2.2, "c": 4.8}  # ratios 1.2, 1.1, 1.2
+    assert bench_diff.host_factor(before, after) == 1.2
+    # anchors missing on either side -> neutral factor
+    assert bench_diff.host_factor({}, after) == 1.0
+    assert bench_diff.host_factor(before, {}) == 1.0
+    # only common anchors count
+    assert bench_diff.host_factor({"a": 1.0, "z": 9.0}, {"a": 1.5}) == 1.5
+
+
+def test_anchor_per_query_time_is_min_of_start_and_end():
+    doc = {
+        "anchors_start": {"a": 1.0, "b": 3.0},
+        "anchors_end": {"a": 0.8, "b": 3.5},
+    }
+    assert bench_diff._anchors(doc) == {"a": 0.8, "b": 3.0}
+    # one-sided recordings still usable
+    assert bench_diff._anchors({"anchors_start": {"a": 1.0}}) == {"a": 1.0}
+    assert bench_diff._anchors({}) == {}
+
+
+def test_uniform_host_slowdown_not_flagged_with_anchors(tmp_path):
+    """A 40% across-the-board slowdown with anchors drifting the same
+    40% must produce zero flags; the same files without anchors (old
+    format) must flag — proving normalization is doing the work."""
+    queries_b = {"q1": 1.0, "q2": 2.0, "q3": 0.5}
+    queries_a = {k: round(v * 1.4, 4) for k, v in queries_b.items()}
+    anch_b = {"pricing_summary": 0.5, "docs_fingerprint": 0.4, "ann_ivf_topk": 0.6}
+    anch_a = {k: round(v * 1.4, 4) for k, v in anch_b.items()}
+
+    b = _artifact(str(tmp_path / "b.json"), queries_b, anch_b, anch_b)
+    a = _artifact(str(tmp_path / "a.json"), queries_a, anch_a, anch_a)
+    res = _run(b, a, "--threshold", "1.3")
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "anchor host factor: 1.400x" in res.stdout
+
+    b2 = _artifact(str(tmp_path / "b2.json"), queries_b)
+    a2 = _artifact(str(tmp_path / "a2.json"), queries_a)
+    res2 = _run(b2, a2, "--threshold", "1.3")
+    assert res2.returncode == 1
+    assert "REGRESSION" in res2.stdout
+
+
+def test_real_regression_still_flagged_through_anchor_normalization(tmp_path):
+    """A query that got 3x slower on a 1.4x-slower host must still flag
+    (3/1.4 ≈ 2.1x normalized > 1.5x threshold)."""
+    queries_b = {"q1": 1.0, "q2": 2.0}
+    queries_a = {"q1": 3.0, "q2": 2.8}  # q1 real regression, q2 host-paced
+    anch = {"pricing_summary": 0.5, "ann_ivf_topk": 0.6}
+    anch_after = {k: v * 1.4 for k, v in anch.items()}
+    b = _artifact(str(tmp_path / "b.json"), queries_b, anch, anch)
+    a = _artifact(str(tmp_path / "a.json"), queries_a, anch_after, anch_after)
+    res = _run(b, a)
+    assert res.returncode == 1
+    assert "REGRESSION q1" in res.stdout
+    assert "REGRESSION q2" not in res.stdout
+    assert "drift-normalized" in res.stdout
+
+
+def test_no_anchor_flag_disables_normalization(tmp_path):
+    queries_b = {"q1": 1.0}
+    queries_a = {"q1": 1.6}
+    anch = {"pricing_summary": 0.5}
+    anch_after = {"pricing_summary": 0.8}
+    b = _artifact(str(tmp_path / "b.json"), queries_b, anch, anch)
+    a = _artifact(str(tmp_path / "a.json"), queries_a, anch_after, anch_after)
+    assert _run(b, a).returncode == 0  # 1.6/1.6 = 1.0x normalized
+    res = _run(b, a, "--no-anchor")
+    assert res.returncode == 1  # raw 1.6x > 1.5x
+    assert "REGRESSION q1" in res.stdout

@@ -619,11 +619,11 @@ def test_tokenizer_stats_single_scan_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan and "Join" not in plan
 
 
-def test_every_registry_query_benched_or_excluded_with_reason():
-    """bench.py's coverage contract (VERDICT r7 #6), enforced in the
-    suite so a new registry query can't silently skip the bench even
-    when bench.py itself isn't run: HEADLINE and EXCLUDED partition the
-    registry exactly, and every exclusion states a reason."""
+def test_bench_anchor_queries_frozen_and_headlined():
+    """The drift-calibration anchors (r9) must stay lineage-frozen
+    registry queries that also run in the headline sweep — an anchor
+    outside HEADLINE would measure a cold plan, and a renamed/removed
+    anchor would silently disable drift normalization in bench_diff."""
     import importlib.util
     import os
 
@@ -632,9 +632,9 @@ def test_every_registry_query_benched_or_excluded_with_reason():
     )
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
-    hs, ex, reg = set(bench.HEADLINE), set(bench.EXCLUDED), set(QUERIES)
-    assert not hs & ex, hs & ex
-    assert not (hs | ex) - reg, sorted((hs | ex) - reg)
-    assert not reg - (hs | ex), sorted(reg - (hs | ex))
-    for name, reason in bench.EXCLUDED.items():
-        assert isinstance(reason, str) and len(reason) > 20, name
+    assert bench.ANCHORS == ["pricing_summary", "docs_fingerprint", "ann_ivf_topk"]
+    assert set(bench.ANCHORS) <= set(bench.HEADLINE)
+    assert set(bench.ANCHORS) <= set(QUERIES)
+    # the drift factor is a median of end/start ratios
+    assert bench.anchor_drift({"a": 1.0, "b": 2.0, "c": 1.0}, {"a": 1.1, "b": 2.4, "c": 1.3}) == 1.2
+    assert bench.anchor_drift({}, {}) == 1.0
