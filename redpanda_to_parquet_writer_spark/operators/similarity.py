@@ -406,6 +406,31 @@ def append_ivf_index_arrow(
     _write_ivf_rows(df, centroids, path, id_col, vec_col, "append", use_arrow=True)
 
 
+def _batch_matrix(pdf, vec_col: str, dim: int):
+    """Build one Arrow batch's (n x dim) float64 matrix, flagging dirty
+    rows instead of letting numpy densify a NULL/ragged column into a
+    0-d or object array (whose matmul error names neither the row nor
+    the cause — ADVICE r8). Returns (mat, bad): bad rows (NULL vector,
+    wrong length, or non-1-d) are zero-filled in mat and True in the
+    mask; the caller decides the contract (route to the lowest cluster
+    like the JVM NULL-sim ordering, or fail fast naming the ids)."""
+    import numpy as np
+
+    n = len(pdf)
+    mat = np.zeros((n, dim), dtype=np.float64)
+    bad = np.zeros(n, dtype=bool)
+    for i, x in enumerate(pdf[vec_col]):
+        if x is None:
+            bad[i] = True
+            continue
+        arr = np.asarray(x, dtype=np.float64)
+        if arr.ndim != 1 or arr.shape[0] != dim:
+            bad[i] = True
+        else:
+            mat[i] = arr
+    return mat, bad
+
+
 def _assign_batch_np(vecs, cmat, cnorm):
     """Vectorized cosine argmax for one Arrow batch — the assignment
     contract shared by `ivf_assign_arrow` and `assign_encode_arrow`
@@ -449,7 +474,12 @@ def ivf_assign_arrow(
     scans the id-ordered score matrix and returns the first maximum).
     Zero-norm vectors land in the LOWEST cluster id on both paths (the
     JVM max_by orders struct(NULL sim, -cluster_id) with NULL smallest,
-    so the greatest -cluster_id wins — pinned in tests). Exact equality
+    so the greatest -cluster_id wins — pinned in tests). NULL and
+    wrong-length vectors ALSO land in the lowest cluster id (ADVICE
+    r8): the JVM path's zip_with pads a ragged pair with NULLs, so its
+    cosine is NULL and max_by picks the lowest id — this path detects
+    those rows per batch (`_batch_matrix`) instead of crashing with an
+    opaque numpy shape error. Exact equality
     with the JVM path is NOT guaranteed on adversarial near-ties (numpy
     pairwise-sums dot products; the JVM folds left-to-right, so the two
     can differ in final ulps) — equality of the SERVED top-k on the
@@ -465,10 +495,13 @@ def ivf_assign_arrow(
 
     def batches(it):
         for pdf in it:
-            vecs = np.array(
-                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
-            )  # n x dim
+            vecs, bad = _batch_matrix(pdf, vec_col, cmat.shape[1])  # n x dim
             best = _assign_batch_np(vecs, cmat, cnorm)
+            # NULL / wrong-length vectors -> LOWEST cluster id, the same
+            # place the JVM path's NULL cosine lands them (zip_with pads
+            # a ragged pair with NULLs -> NULL sim -> max_by's
+            # struct(NULL, -cluster_id) ordering picks the lowest id)
+            best[bad] = 0
             out = pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
@@ -1068,7 +1101,11 @@ def assign_encode_arrow(
     vector — the exact shape `_write_ivfadc_rows` persists. The JVM
     composition stays the gated default (fold-order ulps, see
     `ivf_assign_arrow`); served-top-k equality on the fixtures is
-    pinned in tests."""
+    pinned in tests. NULL / wrong-length vectors raise a ValueError
+    naming the offending ids (ADVICE r8): unlike coarse assignment —
+    where the JVM contract routes dirty rows to the lowest cluster —
+    PQ codes for an undefined vector would silently corrupt the
+    persisted index, so the build path fails fast instead."""
     import numpy as np
     import pandas as pd
 
@@ -1092,9 +1129,17 @@ def assign_encode_arrow(
 
     def batches(it):
         for pdf in it:
-            vecs = np.array(
-                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
-            )
+            vecs, bad = _batch_matrix(pdf, vec_col, dim)
+            if bad.any():
+                # a NULL/ragged vector has no defined PQ codes; writing
+                # one would silently corrupt the persisted index, so the
+                # BUILD path fails fast naming the rows (ADVICE r8)
+                bad_ids = [int(v) for v in pdf[id_col].values[bad][:5]]
+                raise ValueError(
+                    f"assign_encode_arrow: NULL or wrong-length {vec_col!r} "
+                    f"for {id_col}={bad_ids} (expected length {dim}); filter "
+                    "or repair these rows before the index build"
+                )
             n = len(vecs)
             best = _assign_batch_np(vecs, cmat, cnorm)
             codes = np.empty((n, m), dtype=np.int64)
