@@ -211,6 +211,24 @@ HEADLINE = [
     # (0.634 / 0.557), far off the flagged sweep rows (0.863 / 0.839).
     # The host slowed ~15% across the day's recordings (see
     # SCALING.md's curve note); absolute rows drift together.
+    #
+    # r8->r9 bench_diff flags (11 rows 1.50-2.19x, VERDICT r9 #1):
+    # adjudicated HOST DRIFT by a round-10 standalone min-of-3 A/B at
+    # HEAD (quiet host, load 0.13) covering ALL 11 flagged queries —
+    # every one reproduced its r8-era value, not the flagged r9 value:
+    # ann_kmeans_recall_audit 1.422s (r8 1.308 / r9 2.861, 1.09x vs r8),
+    # ann_recall_audit 0.965 (1.006/1.903, 0.96x), docs_repetition_stats
+    # 0.574 (0.573/0.967, 1.00x), ann_ivf_topk 0.906 (1.035/1.710,
+    # 0.88x), embeddings_kmeans_assign 0.477 (1.02x),
+    # embeddings_lsh_neardup_pairs 0.458 (1.01x), docs_hybrid_rrf_topk
+    # 0.623 (1.10x), ann_ivfadc_recall_audit 0.602 (1.00x),
+    # curation_pipeline 0.584 (0.97x), docs_dup_ngram_fraction 0.721
+    # (0.98x), docs_bm25_topk 0.573 (1.14x). Consistent with the r9
+    # in-run evidence (ann_ivf_topk anchored 1.01/0.91s in the same run
+    # that timed it 1.71s mid-sweep) and a runtime diff touching no
+    # benched lineage. The r9 start/end anchors read 1.03 while the
+    # sweep middle ran ~1.25x slow — fixed by the interleaved
+    # anchors_mid series below (VERDICT r9 #2).
 ]
 
 #: Calibration anchors (VERDICT r8 #3): three lineage-frozen queries
@@ -224,20 +242,21 @@ HEADLINE = [
 ANCHORS = ["pricing_summary", "docs_fingerprint", "ann_ivf_topk"]
 
 
-def _time_anchors(spark, sf_dir: str) -> dict[str, float]:
-    """Time the anchor queries under the exact sweep protocol (one warm
+def _time_one_anchor(spark, sf_dir: str, name: str) -> float:
+    """Time one anchor query under the exact sweep protocol (one warm
     run, min of two timed runs)."""
-    out: dict[str, float] = {}
-    for name in ANCHORS:
-        df = QUERIES[name](spark, sf_dir)
+    df = QUERIES[name](spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
         df.write.mode("overwrite").format("noop").save()
-        runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df.write.mode("overwrite").format("noop").save()
-            runs.append(time.perf_counter() - t0)
-        out[name] = round(min(runs), 4)
-    return out
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 4)
+
+
+def _time_anchors(spark, sf_dir: str) -> dict[str, float]:
+    return {name: _time_one_anchor(spark, sf_dir, name) for name in ANCHORS}
 
 
 def anchor_drift(start: dict[str, float], end: dict[str, float]) -> float:
@@ -245,6 +264,22 @@ def anchor_drift(start: dict[str, float], end: dict[str, float]) -> float:
     1.0 = steady host; >1 = the host slowed while the sweep ran."""
     ratios = sorted(end[n] / start[n] for n in start if n in end and start[n] > 0)
     return round(ratios[len(ratios) // 2], 4) if ratios else 1.0
+
+
+def anchor_drift_max(
+    start: dict[str, float],
+    mid: list[dict[str, object]],
+    end: dict[str, float],
+) -> float:
+    """Worst sample/start ratio over the WHOLE anchor series (mid + end).
+    The r9 endpoint pair read 1.03 while the sweep middle ran ~1.25x
+    slow; this is the number that catches such a transient spike."""
+    worst = 1.0
+    for row in list(mid) + [{"name": n, "sec": t} for n, t in end.items()]:
+        n, t = str(row["name"]), float(row["sec"])  # type: ignore[arg-type]
+        if start.get(n, 0) > 0:
+            worst = max(worst, t / start[n])
+    return round(worst, 4)
 
 
 #: Every registry query is either in HEADLINE or here with its stated
@@ -338,7 +373,9 @@ def _bench_ingest(spark, sf_dir: str) -> dict[str, float]:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def _run_headline(spark, sf_dir: str) -> dict[str, object]:
+def _run_headline(
+    spark, sf_dir: str, anchor_every: int = 0
+) -> tuple[dict[str, object], list[dict[str, object]]]:
     """Time each headline query; one broken query must not take down the
     benchmark — its row records {"err": ...} and the sweep continues.
 
@@ -348,9 +385,17 @@ def _run_headline(spark, sf_dir: str) -> dict[str, object]:
     that each cost a standalone A/B to clear; min-of-2 reports the
     query's noise floor. Cross-round diffs against pre-r8 single-run
     artifacts therefore read ~5-10% faster from methodology alone —
-    bench_diff verdicts should weigh that before blaming code."""
+    bench_diff verdicts should weigh that before blaming code.
+
+    When ``anchor_every`` > 0, one calibration anchor (rotating through
+    ANCHORS) is re-timed after every ``anchor_every`` headline queries
+    and the series returned as the second element (VERDICT r9 #2: the
+    r9 start/end anchor pair read drift 1.03 while the sweep's middle
+    ran ~1.25x slow — a transient spike is invisible to endpoint
+    sampling but shows up in an interleaved series)."""
     timings: dict[str, object] = {}
-    for name in HEADLINE:
+    anchors_mid: list[dict[str, object]] = []
+    for i, name in enumerate(HEADLINE):
         try:
             df = QUERIES[name](spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()  # warm (JIT + IO cache)
@@ -362,7 +407,12 @@ def _run_headline(spark, sf_dir: str) -> dict[str, object]:
             timings[name] = round(min(runs), 4)
         except Exception as exc:  # noqa: BLE001 — record and continue
             timings[name] = {"err": f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"}
-    return timings
+        if anchor_every and (i + 1) % anchor_every == 0 and (i + 1) < len(HEADLINE):
+            a = ANCHORS[(len(anchors_mid)) % len(ANCHORS)]
+            anchors_mid.append(
+                {"after": i + 1, "name": a, "sec": _time_one_anchor(spark, sf_dir, a)}
+            )
+    return timings, anchors_mid
 
 
 def _timed(t: dict[str, object]) -> dict[str, float]:
@@ -400,7 +450,7 @@ def main() -> None:
             # curve's smallest point
             _run_headline(spark, os.path.join(root, sfs[0]))
         for d in sfs:
-            t = _run_headline(spark, os.path.join(root, d))
+            t, _ = _run_headline(spark, os.path.join(root, d))
             ok = _timed(t)
             print(
                 json.dumps(
@@ -421,7 +471,7 @@ def main() -> None:
     # which would corrupt the intra-sweep drift reading
     _time_anchors(spark, sf_dir)
     anchors_start = _time_anchors(spark, sf_dir)
-    timings = _run_headline(spark, sf_dir)
+    timings, anchors_mid = _run_headline(spark, sf_dir, anchor_every=25)
     anchors_end = _time_anchors(spark, sf_dir)
     ok = _timed(timings)
     try:
@@ -446,8 +496,14 @@ def main() -> None:
         # anchor ratio to normalize per-query deltas, and the intra-sweep
         # anchor_drift documents how much the host moved during this run
         "anchors_start": anchors_start,
+        # interleaved series (VERDICT r9 #2): one anchor re-timed every
+        # 25 headline queries, so a transient mid-sweep spike is
+        # identifiable from the artifact alone; bench_diff.py's
+        # host-factor uses the median over ALL samples per anchor
+        "anchors_mid": anchors_mid,
         "anchors_end": anchors_end,
         "anchor_drift": anchor_drift(anchors_start, anchors_end),
+        "anchor_drift_max": anchor_drift_max(anchors_start, anchors_mid, anchors_end),
         "ok_queries": sorted(ok),
         "queries": timings,
         "ingest": ingest,

@@ -1134,7 +1134,9 @@ def assign_encode_arrow(
                 # a NULL/ragged vector has no defined PQ codes; writing
                 # one would silently corrupt the persisted index, so the
                 # BUILD path fails fast naming the rows (ADVICE r8)
-                bad_ids = [int(v) for v in pdf[id_col].values[bad][:5]]
+                # repr, not int(): a non-int-coercible id must not swap
+                # the diagnostic for an opaque cast error (ADVICE r9)
+                bad_ids = [repr(v) for v in pdf[id_col].values[bad][:5]]
                 raise ValueError(
                     f"assign_encode_arrow: NULL or wrong-length {vec_col!r} "
                     f"for {id_col}={bad_ids} (expected length {dim}); filter "

@@ -41,19 +41,47 @@ import re
 import sys
 
 _PAIR = re.compile(r'"([A-Za-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)')
-_NON_QUERY_KEYS = {"n", "rc", "cpus", "sf", "value", "rows", "sec", "rows_per_sec"}
+_NON_QUERY_KEYS = {
+    "n", "rc", "cpus", "sf", "value", "rows", "sec", "rows_per_sec",
+    # summary/anchor scalars that would otherwise regex-parse as query
+    # timings from a truncated driver tail (ADVICE r9)
+    "median_sec", "sec_per_query", "anchor_drift", "anchor_drift_max",
+    "after", "at", "n_queries", "n_errors",
+}
+# anchor maps in a truncated tail hold real query NAMES (the anchors are
+# themselves headline queries), so they must be stripped wholesale
+# before the regex pass — _NON_QUERY_KEYS can't catch them by name
+_ANCHOR_SPAN = re.compile(
+    r'"anchors_(?:start|end)":\s*\{[^{}]*\}|"anchors_mid":\s*\[[^\[\]]*\]'
+)
+
+#: documented same-day host variance envelope (see the r6-r9 attribution
+#: notes in bench.py): a cross-file anchor factor beyond this is NOT
+#: plain drift — normalizing by it would let a uniform code regression
+#: (or a regression in an anchor's own lineage) suppress every flag
+_MAX_AUTO_FACTOR = 1.25
 
 
 def _anchors(doc: dict) -> dict[str, float]:
-    """Per-anchor time: min of the sweep-start and sweep-end recordings
-    (the min is the host's best state that run, matching the min-of-N
-    per-query protocol). Empty dict when the file predates anchors (r8-)."""
-    start = doc.get("anchors_start") or {}
-    end = doc.get("anchors_end") or {}
-    return {
-        n: min(float(start.get(n, end.get(n))), float(end.get(n, start.get(n))))
-        for n in set(start) | set(end)
-    }
+    """Per-anchor time: median over ALL recorded samples of that anchor
+    (sweep start, the interleaved anchors_mid series, sweep end) — the
+    median estimates the host's typical state DURING the sweep, which
+    is the state the per-query timings saw (r9's endpoint-only pair
+    read 1.03 while the middle ran 1.25x slow). Empty dict when the
+    file predates anchors (r8-)."""
+    samples: dict[str, list[float]] = {}
+    for key in ("anchors_start", "anchors_end"):
+        for n, t in (doc.get(key) or {}).items():
+            samples.setdefault(n, []).append(float(t))
+    for row in doc.get("anchors_mid") or []:
+        if isinstance(row, dict) and "name" in row and "sec" in row:
+            samples.setdefault(str(row["name"]), []).append(float(row["sec"]))
+    out = {}
+    for n, ts in samples.items():
+        ts.sort()
+        mid = len(ts) // 2
+        out[n] = ts[mid] if len(ts) % 2 else (ts[mid - 1] + ts[mid]) / 2.0
+    return out
 
 
 def load_queries(path: str) -> tuple[dict[str, float], dict[str, float]]:
@@ -79,7 +107,7 @@ def load_queries(path: str) -> tuple[dict[str, float], dict[str, float]]:
             if isinstance(inner, str):
                 pairs = {
                     k: float(v)
-                    for k, v in _PAIR.findall(inner)
+                    for k, v in _PAIR.findall(_ANCHOR_SPAN.sub("", inner))
                     if k not in _NON_QUERY_KEYS
                 }
                 if pairs:
@@ -95,11 +123,13 @@ def host_factor(
     """Median after/before ratio over the common anchors: how much the
     HOST changed between the two recordings. 1.0 when either file
     predates anchors. Per-query deltas are divided by this before
-    flagging, so a uniformly slower host doesn't read as regressions."""
+    flagging, so a uniformly slower host doesn't read as regressions.
+    Pairs where either side is <= 0 are skipped (bench.py rounds to 4
+    decimals, so a sub-0.1ms anchor records 0.0 — ADVICE r9)."""
     ratios = sorted(
         anchors_after[n] / anchors_before[n]
         for n in set(anchors_before) & set(anchors_after)
-        if anchors_before[n] > 0
+        if anchors_before[n] > 0 and anchors_after[n] > 0
     )
     return ratios[len(ratios) // 2] if ratios else 1.0
 
@@ -113,6 +143,9 @@ def main() -> int:
                     help="skip queries faster than this in BOTH files (sec)")
     ap.add_argument("--no-anchor", action="store_true",
                     help="disable anchor-based host-drift normalization")
+    ap.add_argument("--force-anchor", action="store_true",
+                    help="normalize even when the anchor factor exceeds the "
+                         "documented host-variance envelope")
     args = ap.parse_args()
 
     before, anchors_b = load_queries(args.before)
@@ -123,6 +156,20 @@ def main() -> int:
         return 1
 
     drift = 1.0 if args.no_anchor else host_factor(anchors_b, anchors_a)
+    if not args.force_anchor and not (1 / _MAX_AUTO_FACTOR <= drift <= _MAX_AUTO_FACTOR):
+        # a factor outside the documented envelope is NOT plain host
+        # drift — dividing by it would let a uniform code regression
+        # (or one in an anchor's own lineage, which self-normalizes to
+        # ~1.0) silently suppress every flag (ADVICE r9). Refuse to
+        # normalize: flags then demand manual adjudication, the safe
+        # direction. --force-anchor overrides after that adjudication.
+        print(
+            f"WARNING: anchor host factor {drift:.3f}x is outside the "
+            f"documented variance envelope (1/{_MAX_AUTO_FACTOR}..{_MAX_AUTO_FACTOR}); "
+            "NOT auto-normalizing — adjudicate manually (A/B protocol) or "
+            "rerun with --force-anchor"
+        )
+        drift = 1.0
 
     regressions = []
     for name in common:

@@ -623,7 +623,12 @@ def test_bench_anchor_queries_frozen_and_headlined():
     """The drift-calibration anchors (r9) must stay lineage-frozen
     registry queries that also run in the headline sweep — an anchor
     outside HEADLINE would measure a cold plan, and a renamed/removed
-    anchor would silently disable drift normalization in bench_diff."""
+    anchor would silently disable drift normalization in bench_diff.
+
+    (ADVICE r9 #1 cross-reference: the HEADLINE/EXCLUDED registry
+    partition is still suite-enforced — the r9 change deleted a
+    DUPLICATE of test_bench_covers_or_excludes_every_registry_query
+    above, which remains and checks the full partition.)"""
     import importlib.util
     import os
 
