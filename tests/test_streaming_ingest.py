@@ -234,6 +234,162 @@ def test_undecodable_payload_keeps_raw_value(spark, tmp_path, cfg):
     assert row["symbol"] is None
 
 
+# ---------------------------------------------------------------------------
+# Crash injection (VERDICT r9 #3 / r8 #4): exactly-once must survive a
+# foreachBatch abort, not just a clean rerun. The reference's staging+
+# merge design (collector:653-686, 946-1046) exists precisely for the
+# batch-landed-but-not-committed window; these tests inject a failure in
+# each window and assert exact row parity with a clean single run.
+# ---------------------------------------------------------------------------
+
+
+def _clean_run_baseline(spark, tmp_path, cfg, src, n=96):
+    """One clean ingest of the same source -> the parity target."""
+    out = str(tmp_path / "baseline")
+    _run_stream(spark, tmp_path, cfg, src, out, str(tmp_path / "ck_base"))
+    rows = sorted(
+        tuple(r) for r in spark.read.parquet(out).drop("date").collect()
+    )
+    assert len(rows) == n
+    return rows
+
+
+def _rows(spark, out):
+    return sorted(tuple(r) for r in spark.read.parquet(out).drop("date").collect())
+
+
+def _crashing_stream(spark, src, writer, ckpt):
+    """Run an availableNow drain whose foreachBatch body is `writer`;
+    returns the exception the query died with."""
+    q = (
+        spark.readStream.schema(ENVELOPE_COLS)
+        .parquet(src)
+        .writeStream.foreachBatch(writer)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception) as exc:
+        q.awaitTermination()
+    return exc
+
+
+def test_crash_mid_write_merge_path_recovers_exactly_once(spark, tmp_path, cfg):
+    """Window 1, merge-dedup path: the foreachBatch body lands PART of
+    the batch (one date partition), then dies before the checkpoint
+    commit. Restart from the same checkpoint reprocesses the whole
+    batch; the anti-join merge must skip the already-landed rows —
+    final table identical to a clean single run (no dupes, no loss)."""
+    from redpanda_to_parquet_writer_spark.streaming.ingest import (
+        prepare_envelope_batch,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    # 96 hourly rows = 4 event dates
+    _envelope_df(spark, n=96).write.parquet(src)
+    merge_cfg = EngineConfig(
+        output_dir=cfg.output_dir, checkpoint_dir=ckpt, skip_dedup=False
+    )
+    baseline = _clean_run_baseline(spark, tmp_path, merge_cfg, src)
+
+    def partial_then_crash(batch_df, batch_id):
+        prepared = prepare_envelope_batch(spark, batch_df)
+        first_day = prepared.filter(F.col("date") == "2024-01-01")
+        merge_dedup_append(spark, first_day, out, cfg=merge_cfg)
+        raise RuntimeError("injected crash after first partition landed")
+
+    _crashing_stream(spark, src, partial_then_crash, ckpt)
+    landed = spark.read.parquet(out).count()
+    assert 0 < landed < 96, landed  # genuinely partial
+
+    # restart: same checkpoint, the REAL merge writer
+    stream = spark.readStream.schema(ENVELOPE_COLS).parquet(src)
+    ingest_available_now(spark, stream, out, ckpt, merge_cfg)
+    assert _rows(spark, out) == baseline
+
+    # and a further rerun stays idempotent
+    ingest_available_now(spark, stream, out, ckpt, merge_cfg)
+    assert _rows(spark, out) == baseline
+
+
+def test_crash_after_write_before_commit_merge_path(spark, tmp_path, cfg):
+    """Window 2, merge-dedup path: the batch write COMPLETES, the crash
+    hits before Spark records the batch in the checkpoint (the classic
+    at-least-once window). Restart fully reprocesses the batch; the
+    anti-join must produce zero new rows."""
+    from redpanda_to_parquet_writer_spark.streaming.ingest import (
+        make_merge_batch_writer,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    _envelope_df(spark, n=96).write.parquet(src)
+    merge_cfg = EngineConfig(
+        output_dir=cfg.output_dir, checkpoint_dir=ckpt, skip_dedup=False
+    )
+    baseline = _clean_run_baseline(spark, tmp_path, merge_cfg, src)
+    real_writer = make_merge_batch_writer(spark, out, merge_cfg)
+
+    def write_then_crash(batch_df, batch_id):
+        real_writer(batch_df, batch_id)
+        raise RuntimeError("injected crash after write, before batch commit")
+
+    _crashing_stream(spark, src, write_then_crash, ckpt)
+    assert spark.read.parquet(out).count() == 96  # write fully landed
+
+    stream = spark.readStream.schema(ENVELOPE_COLS).parquet(src)
+    ingest_available_now(spark, stream, out, ckpt, merge_cfg)
+    assert _rows(spark, out) == baseline
+
+
+def test_crash_mid_write_direct_path_committer_atomicity(spark, tmp_path, cfg):
+    """Window 1, direct (skip_dedup) sink: a crash INSIDE the write job
+    must leave no visible data (S12 — the file-commit protocol stages
+    task output and aborts uncommitted files), so the checkpoint replay
+    appends the batch exactly once. The direct path's exactly-once rests
+    on job atomicity + checkpoint replay; cross-run duplicate protection
+    (checkpoint loss) is the merge path's job, tested above."""
+    from redpanda_to_parquet_writer_spark.streaming.ingest import (
+        prepare_envelope_batch,
+    )
+    from redpanda_to_parquet_writer_spark.streaming.sink import (
+        _sink_exists,
+        write_date_partitioned,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    _envelope_df(spark, n=96).write.parquet(src)
+    direct_cfg = EngineConfig(
+        output_dir=cfg.output_dir, checkpoint_dir=ckpt, skip_dedup=True
+    )
+    baseline = _clean_run_baseline(spark, tmp_path, direct_cfg, src)
+
+    @F.udf("long")
+    def boom(off):
+        if off == 50:
+            raise RuntimeError("injected task failure mid-write")
+        return off
+
+    def poisoned_writer(batch_df, batch_id):
+        prepared = prepare_envelope_batch(spark, batch_df).withColumn(
+            "kafka_offset", boom("kafka_offset")
+        )
+        write_date_partitioned(prepared, out, direct_cfg, mode="append")
+
+    _crashing_stream(spark, src, poisoned_writer, ckpt)
+    # committer atomicity: the failed job left NO visible data files
+    assert not _sink_exists(spark, out)
+
+    stream = spark.readStream.schema(ENVELOPE_COLS).parquet(src)
+    ingest_available_now(spark, stream, out, ckpt, direct_cfg)
+    assert _rows(spark, out) == baseline
+
+
 def test_merge_dedup_raises_on_corrupt_sink(spark, tmp_path, cfg):
     """ADVICE r01: a transient/corrupt read of the existing sink must
     PROPAGATE (not silently disable the anti-join backstop and append
