@@ -537,6 +537,33 @@ def _write_ivf_rows(
     )
 
 
+def _materialize_probes(probes: DataFrame, reliable: bool) -> DataFrame:
+    """Materialize the bounded probe sub-plan once for its two consumers.
+
+    reliable=False (default, serving hot path): `localCheckpoint` —
+    executor-memory blocks, freed by the ContextCleaner with the result;
+    an executor loss before the caller consumes the result fails that
+    query (caller retries).
+
+    reliable=True (VERDICT r8 #6): `checkpoint()` against the
+    context's configured checkpoint directory — blocks live on shared
+    storage, so the returned plan survives executor churn without a
+    retry. Requires `spark.sparkContext.setCheckpointDir(...)` pointing
+    at storage every executor can read (HDFS/S3 on a cluster); raises
+    immediately when unset rather than letting Spark fail mid-query.
+    Same rows either way — the materialization strategy is not part of
+    the query semantics (bitwise equality is pinned in tests)."""
+    if not reliable:
+        return probes.localCheckpoint(eager=True)
+    sc = probes.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        raise ValueError(
+            "reliable=True needs a checkpoint directory: call "
+            "spark.sparkContext.setCheckpointDir(<shared path>) first"
+        )
+    return probes.checkpoint(eager=True)
+
+
 def ivf_topk_indexed(
     spark,
     index_path: str,
@@ -546,6 +573,7 @@ def ivf_topk_indexed(
     vec_col: str = "embedding",
     k: int = 3,
     n_probe: int = 4,
+    reliable: bool = False,
 ) -> DataFrame:
     """IVF top-k over a PERSISTED index (`build_ivf_index`): rank the
     codebook per query, collect ONLY the distinct probed cluster ids
@@ -574,13 +602,14 @@ def ivf_topk_indexed(
     the returned join makes THAT query fail (no recompute path) — the
     caller simply retries it; the index itself is durable parquet and
     unaffected. For a serving tier that must survive executor churn
-    without query retries, use reliable `checkpoint()` against the
-    cluster's checkpoint dir, or a caller-managed persist/unpersist
-    bracket around result consumption.
+    without query retries, pass `reliable=True`: the probe sub-plan is
+    checkpointed to the context's configured checkpoint dir instead
+    (`_materialize_probes`, VERDICT r8 #6) — identical rows, durable
+    blocks.
     """
     centroids = materialize_centroids(centroids)
-    probes = _rank_probes(queries, centroids, id_col, vec_col, n_probe).localCheckpoint(
-        eager=True
+    probes = _materialize_probes(
+        _rank_probes(queries, centroids, id_col, vec_col, n_probe), reliable
     )
     # driver-side state is O(n_centroids), never O(n_queries)
     probed_clusters = sorted(
@@ -1215,6 +1244,7 @@ def ivfadc_topk_indexed(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    reliable: bool = False,
 ) -> DataFrame:
     """IVFADC over a PERSISTED index (`build_ivfadc_index`): rank the
     codebook per query, collect only the distinct probed cluster ids
@@ -1227,12 +1257,17 @@ def ivfadc_topk_indexed(
     (`localCheckpoint(eager=True)`) and shared by both consumers; the
     executor-side blocks are freed by the ContextCleaner when the
     result is released (VERDICT r6 #4). Executor-loss failure mode and
-    the resilient alternatives: see `ivf_topk_indexed` (ADVICE r7)."""
+    the `reliable=True` durable-checkpoint variant: see
+    `ivf_topk_indexed` / `_materialize_probes` (ADVICE r7, VERDICT r8
+    #6)."""
     _pq_check(m, dim)
     centroids = materialize_centroids(centroids)
-    probes = _rank_probes(queries, centroids, id_col, vec_col, n_probe).select(
-        "query_id", "cluster_id"
-    ).localCheckpoint(eager=True)
+    probes = _materialize_probes(
+        _rank_probes(queries, centroids, id_col, vec_col, n_probe).select(
+            "query_id", "cluster_id"
+        ),
+        reliable,
+    )
     probed_clusters = sorted(
         int(r["cluster_id"])
         for r in probes.select("cluster_id").distinct().collect()
@@ -1383,6 +1418,19 @@ def rrf_fuse(
     appearing in only one list contributes that leg's reciprocal alone:
 
         rrf(d) = sum over legs containing d of 1 / (c + rank_leg(d))
+
+    PRECONDITION (ADVICE r8 #3): within each leg, `id_col` must be
+    NON-NULL and UNIQUE — exactly one rank per document per leg.
+    row_number()-ranked legs (this repo's BM25 and ANN legs) satisfy
+    both by construction. The union+groupBy formulation below silently
+    ASSUMES it: a duplicated id collapses to its max (worst) rank
+    instead of summing two reciprocals, and NULL ids from both legs
+    group into one phantom row — either would change fused scores
+    without erroring. A future leg ranked by something other than
+    row_number (e.g. dense_rank, which can emit ties) must dedup to one
+    row per id first. The deviation is pinned by
+    tests/test_similarity.py::test_rrf_fuse_precondition_unique_nonnull_ids
+    so this contract can't drift silently.
 
     Floating-point discipline: each term is ONE integer->double division
     (correctly rounded, engine-independent) and the sum of the two is a

@@ -459,11 +459,14 @@ def test_append_ivf_index_equals_rebuild(spark, sf_dir, tmp_path):
 
 
 def test_append_ivfadc_index_and_compaction(spark, sf_dir, tmp_path):
-    """IVFADC incremental maintenance + operational compaction: (a)
-    half-build + half-append under the frozen quantizers serves EXACTLY
-    what a full rebuild serves; (b) after several small appends,
+    """IVFADC incremental maintenance + operational compaction over the
+    FULL production cycle append -> compact -> append -> serve: (a)
+    build + append under the frozen quantizers; (b) mid-cycle
     compact_parquet(partition_by=['cluster_id']) collapses the part
-    files and the compacted index serves identical rows."""
+    files; (c) a further append lands on the COMPACTED index (VERDICT
+    r8 #7 — compaction is an online maintenance step, not the end of
+    the lineage); the post-compact-append index, its never-compacted
+    twin, and a full rebuild all serve EXACTLY the same rows."""
     import os
 
     from redpanda_to_parquet_writer_spark.operators.similarity import (
@@ -489,11 +492,29 @@ def test_append_ivfadc_index_and_compaction(spark, sf_dir, tmp_path):
     build_ivfadc_index(
         emb.filter(F.col("vec_id") % 3 == 0), centroids, cb, inc_path, PQ_M, EMB_DIM
     )
-    for r in (1, 2):  # two small ingest batches
-        append_ivfadc_index(
-            emb.filter(F.col("vec_id") % 3 == r), centroids, cb, inc_path,
-            PQ_M, EMB_DIM,
-        )
+    append_ivfadc_index(
+        emb.filter(F.col("vec_id") % 3 == 1), centroids, cb, inc_path,
+        PQ_M, EMB_DIM,
+    )
+
+    # mid-cycle compaction: 2/3 of the corpus, two part-file generations
+    compact_path = str(tmp_path / "compacted")
+    stats = compact_parquet(
+        spark, inc_path, compact_path, partition_by=["cluster_id"]
+    )
+    assert stats["files_after"] < stats["files_before"]
+
+    # the last ingest batch appends onto BOTH the compacted index and
+    # its never-compacted twin — compaction must be transparent to
+    # subsequent appends
+    last = emb.filter(F.col("vec_id") % 3 == 2)
+    append_ivfadc_index(last, centroids, cb, compact_path, PQ_M, EMB_DIM)
+    append_ivfadc_index(last, centroids, cb, inc_path, PQ_M, EMB_DIM)
+
+    n = emb.count()
+    for p in (compact_path, inc_path):
+        idx = spark.read.parquet(p)
+        assert idx.select("neighbor_id").distinct().count() == n
 
     queries = emb.filter(F.col("vec_id") < 8)
     serve = lambda p: sorted(
@@ -502,14 +523,9 @@ def test_append_ivfadc_index_and_compaction(spark, sf_dir, tmp_path):
             spark, p, queries, centroids, cb, PQ_M, EMB_DIM, 5, 3
         ).collect()
     )
-    assert serve(inc_path) == serve(full_path)
-
-    compact_path = str(tmp_path / "compacted")
-    stats = compact_parquet(
-        spark, inc_path, compact_path, partition_by=["cluster_id"]
-    )
-    assert stats["files_after"] < stats["files_before"]
-    assert serve(compact_path) == serve(full_path)
+    full_rows = serve(full_path)
+    assert serve(inc_path) == full_rows
+    assert serve(compact_path) == full_rows
 
 
 def test_append_under_wrong_codebook_is_callers_contract(spark, sf_dir, tmp_path):
@@ -540,6 +556,73 @@ def test_append_under_wrong_codebook_is_callers_contract(spark, sf_dir, tmp_path
         for r in ivf_topk_indexed(spark, p, queries, c8, k=5, n_probe=3).collect()
     )
     assert serve(bad_path) != serve(full_path)
+
+
+def test_reliable_serving_path_bitwise_equals_local(spark, sf_dir, tmp_path):
+    """VERDICT r8 #6: the resilient serving variant (reliable=True →
+    durable `checkpoint()` of the probe sub-plan against the configured
+    checkpoint dir) must return BITWISE the same top-k as the default
+    localCheckpoint path for both IVF and IVFADC serving — the
+    materialization strategy is operational, never semantic. Also pins
+    the fail-fast: reliable=True without a configured checkpoint dir
+    raises immediately with the fix in the message."""
+    import pytest as _pytest
+
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        build_ivf_index,
+        build_ivfadc_index,
+        deterministic_centroids,
+        ivf_topk_indexed,
+        ivfadc_topk_indexed,
+        materialize_centroids,
+        pq_codebooks,
+    )
+    from redpanda_to_parquet_writer_spark.plans.vector_queries import (
+        EMB_DIM,
+        PQ_KSUB,
+        PQ_M,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = materialize_centroids(deterministic_centroids(emb, 8))
+    cb = pq_codebooks(emb, PQ_M, PQ_KSUB, EMB_DIM)
+    ivf_path, adc_path = str(tmp_path / "ivf"), str(tmp_path / "adc")
+    build_ivf_index(emb, centroids, ivf_path)
+    build_ivfadc_index(emb, centroids, cb, adc_path, PQ_M, EMB_DIM)
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        with _pytest.raises(ValueError, match="checkpoint directory"):
+            ivf_topk_indexed(
+                spark, ivf_path, queries, centroids, k=5, n_probe=3, reliable=True
+            ).count()
+    sc.setCheckpointDir(str(tmp_path / "reliable_ckpt"))
+
+    def bits(df):
+        # float.hex: bitwise, not 9-sig-digit, equality on the scores
+        return sorted(
+            tuple(float(v).hex() if isinstance(v, float) else v for v in r)
+            for r in df.collect()
+        )
+
+    ivf_local = ivf_topk_indexed(spark, ivf_path, queries, centroids, k=5, n_probe=3)
+    ivf_rel = ivf_topk_indexed(
+        spark, ivf_path, queries, centroids, k=5, n_probe=3, reliable=True
+    )
+    assert bits(ivf_rel) == bits(ivf_local)
+
+    adc_local = ivfadc_topk_indexed(
+        spark, adc_path, queries, centroids, cb, PQ_M, EMB_DIM, 5, 3
+    )
+    adc_rel = ivfadc_topk_indexed(
+        spark, adc_path, queries, centroids, cb, PQ_M, EMB_DIM, 5, 3, reliable=True
+    )
+    assert bits(adc_rel) == bits(adc_local)
+    # durable blocks actually landed in the configured dir
+    import os
+
+    assert any(os.scandir(str(tmp_path / "reliable_ckpt")))
 
 
 def test_arrow_assignment_matches_jvm_and_serves_identically(spark, sf_dir, tmp_path):
@@ -630,3 +713,36 @@ def test_arrow_ivfadc_build_serves_identically(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert serve(str(tmp_path / "jvm")) == serve(str(tmp_path / "arrow"))
+
+
+def test_rrf_fuse_precondition_unique_nonnull_ids(spark):
+    """ADVICE r8 #3: rrf_fuse's union+groupBy formulation assumes each
+    leg carries one NON-NULL rank per unique id (row_number legs give
+    this by construction). This test (a) pins the correct fused scores
+    on clean legs, and (b) pins the documented DEVIATION on dirty legs
+    — a duplicated id collapses to its worst rank instead of summing,
+    and NULL ids merge into one phantom row — so the docstring contract
+    can't drift silently if the formulation changes."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import rrf_fuse
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, rank int")
+
+    # clean legs: the textbook case
+    a = mk([(1, 1), (2, 2)])
+    b = mk([(2, 1), (3, 2)])
+    fused = {r["doc_id"]: r["rrf"] for r in rrf_fuse(a, b, "doc_id", k=10, c=60).collect()}
+    assert fused[1] == 1.0 / 61.0
+    assert fused[2] == 1.0 / 62.0 + 1.0 / 61.0  # both legs sum
+    assert fused[3] == 1.0 / 62.0
+
+    # dirty leg 1: duplicate id within a leg -> collapses to max (worst)
+    # rank, NOT two reciprocals summed — the documented deviation
+    dup = mk([(1, 1), (1, 2)])
+    got = {r["doc_id"]: r["rrf"] for r in rrf_fuse(dup, mk([]), "doc_id", k=10, c=60).collect()}
+    assert got[1] == 1.0 / 62.0  # max(1,2)=2, single term
+
+    # dirty leg 2: NULL ids from both legs merge into one phantom row
+    na = spark.createDataFrame([(None, 1)], "doc_id long, rank int")
+    nb = spark.createDataFrame([(None, 1)], "doc_id long, rank int")
+    phantom = rrf_fuse(na, nb, "doc_id", k=10, c=60).collect()
+    assert len(phantom) == 1 and phantom[0]["doc_id"] is None
