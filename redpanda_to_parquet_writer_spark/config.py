@@ -92,3 +92,12 @@ class EngineConfig:
     master: str = field(
         default_factory=lambda: "local[%s]" % os.environ.get("SPARK_GRAFT_CPUS", "*")
     )
+    # JVM heap for the local-mode session (spark.driver.memory — in
+    # local mode the driver JVM IS every executor). Spark's 1g default
+    # starved a 32-thread session at the sf~1 scaling point (GCLocker
+    # retry warnings, then JVM death mid-sweep); on a real cluster this
+    # maps to executor memory sizing instead. None = leave Spark's
+    # default, keeping recorded bench baselines comparable.
+    driver_memory: str | None = field(
+        default_factory=lambda: os.environ.get("SPARK_GRAFT_DRIVER_MEMORY") or None
+    )

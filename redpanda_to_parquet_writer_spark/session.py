@@ -48,6 +48,10 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
     )
+    if cfg.driver_memory:
+        # must be set before the JVM launches; a getOrCreate that joins
+        # an already-running session cannot change it
+        builder = builder.config("spark.driver.memory", cfg.driver_memory)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
