@@ -229,6 +229,21 @@ HEADLINE = [
     # benched lineage. The r9 start/end anchors read 1.03 while the
     # sweep middle ran ~1.25x slow — fixed by the interleaved
     # anchors_mid series below (VERDICT r9 #2).
+    #
+    # r9->r10 bench_diff (first fully anchor-normalized diff): total
+    # 0.87x (r10 FASTER), 4 drift-NORMALIZED flags at 1.52-1.70x whose
+    # raw ratios are only 1.25-1.40x — the 0.826 anchor factor divides
+    # them up because r9's anchors were recorded inside r9's documented
+    # spike window (normalizing against an anomalous reference inflates
+    # honest ratios). Standalone min-of-3 A/B at HEAD, run on a BUSY
+    # host (load 5.6) the same hour: nation_volume_shipping 0.461s (r9
+    # 0.383, flagged 0.538), nation_part_profit 0.463 (0.509/0.687),
+    # sole_late_supplier 0.552 (0.552/0.729), events_value_percentile
+    # 0.257 (0.240/0.301) — all at their r9-era values, none at the
+    # flagged ones, and none of their lineages changed in the r10 diff
+    # (similarity serving opt-in param, bench tooling, a default-None
+    # config knob). Attribution: host drift during the r10 sweep
+    # (load 4-6 throughout) + the anomalous-reference effect above.
 ]
 
 #: Calibration anchors (VERDICT r8 #3): three lineage-frozen queries
