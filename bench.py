@@ -480,6 +480,7 @@ def main() -> None:
             )
         return
 
+    loadavg_start = round(os.getloadavg()[0], 2)
     # unrecorded pass first: the very first queries on a fresh JVM pay
     # codegen/JIT/footer-cache costs that a single per-query warm run
     # doesn't fully absorb (measured: 3x inflation on anchors_start),
@@ -519,6 +520,11 @@ def main() -> None:
         "anchors_end": anchors_end,
         "anchor_drift": anchor_drift(anchors_start, anchors_end),
         "anchor_drift_max": anchor_drift_max(anchors_start, anchors_mid, anchors_end),
+        # host evidence for future flag adjudications: the r10 session
+        # showed the same protocol reading 0.13 vs 5.6 load an hour
+        # apart, which is exactly the variance the A/B protocol exists
+        # to rule out — record it so the artifact carries its context
+        "loadavg_start_end": [loadavg_start, round(os.getloadavg()[0], 2)],
         "ok_queries": sorted(ok),
         "queries": timings,
         "ingest": ingest,

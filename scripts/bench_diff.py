@@ -84,8 +84,20 @@ def _anchors(doc: dict) -> dict[str, float]:
     return out
 
 
-def load_queries(path: str) -> tuple[dict[str, float], dict[str, float]]:
-    """Returns (per-query timings, per-anchor timings)."""
+def _self_drift(doc: dict) -> float | None:
+    """The file's own recorded intra-sweep drift (worst anchor sample vs
+    sweep start, r10+; falls back to the endpoint-pair drift). Used to
+    warn when a file's anchors were recorded in a spike window — the
+    r9->r10 lesson: normalizing against an anomalous REFERENCE inflates
+    honest ratios just as surely as a slow current host."""
+    v = doc.get("anchor_drift_max", doc.get("anchor_drift"))
+    return float(v) if isinstance(v, (int, float)) else None
+
+
+def load_queries(
+    path: str,
+) -> tuple[dict[str, float], dict[str, float], float | None]:
+    """Returns (per-query timings, per-anchor timings, intra-sweep drift)."""
     with open(path) as f:
         raw = f.read()
     try:
@@ -94,7 +106,11 @@ def load_queries(path: str) -> tuple[dict[str, float], dict[str, float]]:
         doc = None
     if isinstance(doc, dict):
         if isinstance(doc.get("queries"), dict):
-            return {k: float(v) for k, v in doc["queries"].items()}, _anchors(doc)
+            return (
+                {k: float(v) for k, v in doc["queries"].items()},
+                _anchors(doc),
+                _self_drift(doc),
+            )
         # driver wrapper: prefer a parseable inner line, fall back to the
         # truncated tail (regex over "name": seconds pairs)
         for key in ("parsed", "tail"):
@@ -103,6 +119,7 @@ def load_queries(path: str) -> tuple[dict[str, float], dict[str, float]]:
                 return (
                     {k: float(v) for k, v in inner["queries"].items()},
                     _anchors(inner),
+                    _self_drift(inner),
                 )
             if isinstance(inner, str):
                 pairs = {
@@ -113,7 +130,7 @@ def load_queries(path: str) -> tuple[dict[str, float], dict[str, float]]:
                 if pairs:
                     # regex recovery can't tell anchor maps from query
                     # maps; leave anchors empty (factor falls back to 1)
-                    return pairs, {}
+                    return pairs, {}, None
     raise SystemExit(f"{path}: no per-query timings found")
 
 
@@ -148,14 +165,25 @@ def main() -> int:
                          "documented host-variance envelope")
     args = ap.parse_args()
 
-    before, anchors_b = load_queries(args.before)
-    after, anchors_a = load_queries(args.after)
+    before, anchors_b, self_b = load_queries(args.before)
+    after, anchors_a, self_a = load_queries(args.after)
     common = sorted(set(before) & set(after))
     if not common:
         print("no common queries between the two files", file=sys.stderr)
         return 1
 
     drift = 1.0 if args.no_anchor else host_factor(anchors_b, anchors_a)
+    for label, sd in (("before", self_b), ("after", self_a)):
+        if sd is not None and sd > _MAX_AUTO_FACTOR:
+            # the r9->r10 lesson: a reference recorded mid-spike makes
+            # its anchors anomalous, and normalizing against them
+            # inflates honest ratios — surface it, don't silently trust
+            print(
+                f"WARNING: {label} file's own intra-sweep anchor drift is "
+                f"{sd:.3f}x (> {_MAX_AUTO_FACTOR}) — its anchors were recorded "
+                "on an unstable host; treat normalized flags as suspect and "
+                "A/B before blaming code"
+            )
     if not args.force_anchor and not (1 / _MAX_AUTO_FACTOR <= drift <= _MAX_AUTO_FACTOR):
         # a factor outside the documented envelope is NOT plain host
         # drift — dividing by it would let a uniform code regression

@@ -172,6 +172,23 @@ def test_tail_regex_skips_anchor_maps_and_summary_scalars(tmp_path):
     path = str(tmp_path / "wrapper.json")
     with open(path, "w") as f:
         json.dump({"tail": tail}, f)
-    queries, anchors = bench_diff.load_queries(path)
+    queries, anchors, self_drift = bench_diff.load_queries(path)
     assert queries == {"q1": 1.5, "pricing_summary": 0.55}
     assert anchors == {}  # regex recovery can't attribute anchor maps
+    assert self_drift is None
+
+
+def test_unstable_reference_file_warns(tmp_path):
+    """r9->r10 lesson: a reference artifact recorded mid-spike (its own
+    anchor_drift_max above the envelope) makes its anchors anomalous —
+    the diff must say so instead of silently normalizing against it."""
+    queries = {"q1": 1.0}
+    anch = {"pricing_summary": 0.5}
+    b = str(tmp_path / "b.json")
+    with open(b, "w") as f:
+        json.dump({"queries": queries, "anchors_start": anch,
+                   "anchors_end": anch, "anchor_drift_max": 1.4}, f)
+    a = _artifact(str(tmp_path / "a.json"), {"q1": 1.1}, anch, anch)
+    res = _run(b, a)
+    assert res.returncode == 0  # 1.1x is no flag either way
+    assert "before file's own intra-sweep anchor drift is 1.400x" in res.stdout
