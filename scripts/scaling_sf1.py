@@ -50,12 +50,9 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 ROOT = os.path.dirname(HERE)
 sys.path.insert(0, ROOT)
 
-from pyspark.sql import functions as F  # noqa: E402
-
 from redpanda_to_parquet_writer_spark.config import EngineConfig  # noqa: E402
 from redpanda_to_parquet_writer_spark.plans import QUERIES  # noqa: E402
 from redpanda_to_parquet_writer_spark.session import get_spark  # noqa: E402
-from redpanda_to_parquet_writer_spark.sources.parquet import load_table  # noqa: E402
 
 REPLICAS = 10
 FIXTURE_DIR = os.path.join(ROOT, ".scaling_sf1")
@@ -89,83 +86,86 @@ def _caesar_cols(i: int) -> tuple[str, str]:
     return _LOWER + _UPPER, rot + rot.upper()
 
 
-def _max_key(df, col: str) -> int:
-    return int(df.agg(F.max(col)).first()[0])
+def synthesize(src: str, dst: str) -> None:
+    """Build the sf~1 fixture with DuckDB, not Spark: DuckDB preserves
+    each column's PHYSICAL parquet type (events.ts stays
+    TIMESTAMP(NANOS) — a Spark rewrite would demote it to int64, the
+    exact dtype drift that caused the round-3 bench outage) and writes
+    ONE file per table, matching the driver fixtures' layout so the
+    DuckDB oracle harness (scripts/verify_oracle.py) can sweep the sf1
+    point directly."""
+    import duckdb
 
-
-def synthesize(spark, src: str, dst: str) -> None:
     os.makedirs(dst, exist_ok=True)
-    tables = {
-        n: load_table(spark, src, n)
-        for n in (
-            "region", "nation", "customer", "supplier", "part",
-            "orders", "lineitem", "events", "documents", "embeddings",
-        )
-    }
-    # fixed dims: copy once
+    con = duckdb.connect()
+    for n in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE OR REPLACE VIEW {n} AS SELECT * FROM '{src}/{n}.parquet'")
+
+    # fixed dims: copy once (their fan-in grows 10x, their size doesn't)
     for n in ("region", "nation"):
-        tables[n].write.mode("overwrite").parquet(f"{dst}/{n}.parquet")
+        con.execute(f"COPY (SELECT * FROM {n}) TO '{dst}/{n}.parquet' (FORMAT PARQUET)")
 
     pad = {
-        "cust": _max_key(tables["customer"], "c_custkey") + 1,
-        "supp": _max_key(tables["supplier"], "s_suppkey") + 1,
-        "part": _max_key(tables["part"], "p_partkey") + 1,
-        "order": _max_key(tables["orders"], "o_orderkey") + 1,
-        "event": _max_key(tables["events"], "event_id") + 1,
-        "user": _max_key(tables["events"], "user_id") + 1,
-        "doc": _max_key(tables["documents"], "doc_id") + 1,
-        "vec": _max_key(tables["embeddings"], "vec_id") + 1,
+        name: int(con.execute(f"SELECT max({col}) + 1 FROM {t}").fetchone()[0])
+        for name, t, col in (
+            ("cust", "customer", "c_custkey"),
+            ("supp", "supplier", "s_suppkey"),
+            ("part", "part", "p_partkey"),
+            ("order", "orders", "o_orderkey"),
+            ("event", "events", "event_id"),
+            ("user", "events", "user_id"),
+            ("doc", "documents", "doc_id"),
+            ("vec", "embeddings", "vec_id"),
+        )
     }
-    dim = len(tables["embeddings"].first()["embedding"])
+    dim = int(con.execute("SELECT len(embedding) FROM embeddings LIMIT 1").fetchone()[0])
 
-    def replica(name, i):
-        t = tables[name]
-        s = lambda col, p: (F.col(col) + F.lit(i * pad[p])).alias(col)
-        if name == "customer":
-            return t.select(s("c_custkey", "cust"), "c_name", "c_nationkey",
-                            "c_acctbal", "c_mktsegment")
-        if name == "supplier":
-            return t.select(s("s_suppkey", "supp"), "s_name", "s_nationkey",
-                            "s_acctbal")
-        if name == "part":
-            return t.select(s("p_partkey", "part"), "p_name", "p_brand",
-                            "p_type", "p_size", "p_retailprice")
-        if name == "orders":
-            return t.select(s("o_orderkey", "order"), s("o_custkey", "cust"),
-                            "o_orderstatus", "o_totalprice", "o_orderdate",
-                            "o_orderpriority")
-        if name == "lineitem":
-            return t.select(s("l_orderkey", "order"), s("l_partkey", "part"),
-                            s("l_suppkey", "supp"), "l_linenumber",
-                            "l_quantity", "l_extendedprice", "l_discount",
-                            "l_tax", "l_returnflag", "l_linestatus",
-                            "l_shipdate")
-        if name == "events":
-            return t.select(s("event_id", "event"), "ts", s("user_id", "user"),
-                            "event_type", "value", "props")
-        if name == "documents":
-            frm, to = _caesar_cols(i)
-            return t.select(s("doc_id", "doc"),
-                            F.translate("text", frm, to).alias("text"),
-                            "lang", "source", "n_chars")
-        if name == "embeddings":
-            rot = (
-                F.col("embedding")
+    def shifted(table: str, selects) -> str:
+        """UNION ALL of REPLICAS per-replica SELECTs (selects: i -> list)."""
+        return " UNION ALL ".join(
+            f"SELECT {', '.join(selects(i))} FROM {table}" for i in range(REPLICAS)
+        )
+
+    def s(col: str, p: str, i: int) -> str:
+        return f"{col} + {i * pad[p]} AS {col}"
+
+    specs = {
+        "customer": lambda i: [s("c_custkey", "cust", i), "c_name",
+                               "c_nationkey", "c_acctbal", "c_mktsegment"],
+        "supplier": lambda i: [s("s_suppkey", "supp", i), "s_name",
+                               "s_nationkey", "s_acctbal"],
+        "part": lambda i: [s("p_partkey", "part", i), "p_name", "p_brand",
+                           "p_type", "p_size", "p_retailprice"],
+        "orders": lambda i: [s("o_orderkey", "order", i), s("o_custkey", "cust", i),
+                             "o_orderstatus", "o_totalprice", "o_orderdate",
+                             "o_orderpriority"],
+        "lineitem": lambda i: [s("l_orderkey", "order", i), s("l_partkey", "part", i),
+                               s("l_suppkey", "supp", i), "l_linenumber",
+                               "l_quantity", "l_extendedprice", "l_discount",
+                               "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"],
+        "events": lambda i: [s("event_id", "event", i), "ts", s("user_id", "user", i),
+                             "event_type", "value", "props"],
+        "documents": lambda i: [
+            s("doc_id", "doc", i),
+            "translate(text, '{}', '{}') AS text".format(*_caesar_cols(i)),
+            "lang", "source", "n_chars",
+        ],
+        "embeddings": lambda i: [
+            s("vec_id", "vec", i),
+            (
+                "embedding"
                 if i % dim == 0
-                else F.concat(
-                    F.slice("embedding", i % dim + 1, dim - i % dim),
-                    F.slice("embedding", 1, i % dim),
-                ).alias("embedding")
-            )
-            return t.select(s("vec_id", "vec"), rot.alias("embedding"), "label")
-        raise ValueError(name)
-
-    for name in ("customer", "supplier", "part", "orders", "lineitem",
-                 "events", "documents", "embeddings"):
-        out = replica(name, 0)
-        for i in range(1, REPLICAS):
-            out = out.unionByName(replica(name, i))
-        out.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+                # 1-based inclusive slices; left-rotate by i positions
+                else f"embedding[{i % dim + 1}:{dim}] || embedding[1:{i % dim}] AS embedding"
+            ),
+            "label",
+        ],
+    }
+    for name, sel in specs.items():
+        con.execute(
+            f"COPY ({shifted(name, sel)}) TO '{dst}/{name}.parquet' (FORMAT PARQUET)"
+        )
         print(f"synthesized {name}", flush=True)
 
 
@@ -203,7 +203,7 @@ def main() -> None:
     )
     if not os.path.exists(os.path.join(FIXTURE_DIR, "embeddings.parquet")):
         print("synthesizing sf1 fixture ...", flush=True)
-        synthesize(spark, "/root/testdata/sf0.1", FIXTURE_DIR)
+        synthesize("/root/testdata/sf0.1", FIXTURE_DIR)
     if "--synth-only" in sys.argv:
         return
 

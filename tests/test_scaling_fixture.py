@@ -24,7 +24,7 @@ spec.loader.exec_module(scaling_sf1)
 def test_sf_fixture_cardinalities_honest(spark, tmp_path):
     src = "/root/testdata/sf0.001"
     dst = str(tmp_path / "sfx")
-    scaling_sf1.synthesize(spark, src, dst)
+    scaling_sf1.synthesize(src, dst)
     R = scaling_sf1.REPLICAS
 
     for t, key in [
@@ -75,7 +75,7 @@ def test_sf_fixture_cardinalities_honest(spark, tmp_path):
     base_emb = spark.read.parquet(f"{src}/embeddings.parquet")
     n0 = base_emb.count()
     sq = lambda c: F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)
-    pad = scaling_sf1._max_key(base_emb, "vec_id") + 1
+    pad = int(base_emb.agg(F.max("vec_id")).first()[0]) + 1
     pairs = (
         emb.filter(F.col("vec_id") < 3)  # replica 0 originals
         .alias("a")
