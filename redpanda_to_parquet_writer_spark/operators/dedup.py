@@ -75,6 +75,35 @@ def content_dedup_keep_first(
     )
 
 
+def _ckpt_fresh_stats(df: DataFrame) -> DataFrame:
+    """Materialize one iteration of a checkpoint loop with RESET stats.
+
+    A bare per-round `localCheckpoint` truncates lineage but PRESERVES
+    the child plan's Catalyst statistics in the resulting LogicalRDD —
+    and a join's size estimate is the BigInt PRODUCT of its children's
+    sizeInBytes. In an iterative loop that joins the checkpointed frame
+    (worst: a self-join, which squares it), the stat's bit-length
+    doubles every round, and round r's planning multiplies
+    (2^r)-bit BigIntegers: profiled on the sf~1 fixture, the driver
+    burned 50s of a 51s round inside BigInteger.multiplyToomCook3 by
+    round 21, with every executor thread idle — exponential driver CPU
+    on constant-size data (123s total; 18s after this fix; the gap is
+    unbounded in round count, so at 100 TB depth it is a hang).
+
+    Fix: persist -> count -> localCheckpoint -> unpersist. The count
+    materializes the cache, so the checkpoint's stats come from the
+    cached relation's REAL byte size instead of the compounded
+    estimate; the checkpoint then owns the data and the cache slot is
+    released immediately. Costs one extra in-memory copy of a
+    vertex-sized frame per round.
+    """
+    cached = df.persist()
+    cached.count()
+    out = cached.localCheckpoint(eager=True)
+    cached.unpersist()
+    return out
+
+
 def connected_components(
     vertices: DataFrame,
     pairs: DataFrame,
@@ -106,8 +135,10 @@ def connected_components(
       - Each round is two shuffle joins keyed on vertex id; the edge
         list (candidate pairs) is orders of magnitude smaller than the
         corpus.
-      - `localCheckpoint` truncates lineage every round so the plan does
-        not grow with iterations (the classic iterative-algorithm trap).
+      - Each round materializes through `_ckpt_fresh_stats`, which both
+        truncates lineage (the classic iterative-algorithm trap) AND
+        resets Catalyst's size statistics — see its docstring for the
+        exponential-driver-CPU failure a bare localCheckpoint loop has.
 
     Returns (id_col, cluster_id) with one row per vertex; singletons keep
     cluster_id == their own id.
@@ -128,20 +159,22 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        propagated = labels.join(
-            neighbor_min, labels["id"] == neighbor_min["dst"], "left"
-        ).select(
-            "id",
-            F.least(
-                F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
-            ).alias("cluster_id"),
+        propagated = _ckpt_fresh_stats(
+            labels.join(
+                neighbor_min, labels["id"] == neighbor_min["dst"], "left"
+            ).select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
         )
         # pointer jump: label(v) := min(label(v), label(label(v))) —
         # collapses label chains logarithmically instead of one hop/round
         parent = propagated.select(
             F.col("id").alias("p_id"), F.col("cluster_id").alias("p_cluster")
         )
-        new_labels = (
+        new_labels = _ckpt_fresh_stats(
             propagated.join(
                 parent, propagated["cluster_id"] == parent["p_id"], "left"
             )
@@ -151,7 +184,6 @@ def connected_components(
                     F.col("cluster_id"), F.coalesce("p_cluster", "cluster_id")
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
