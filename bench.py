@@ -102,6 +102,12 @@ HEADLINE = [
     "docs_stopword_stats",
     "docs_language_id",
     "docs_fingerprint",
+    # docs_dedup_clusters: NOTE the sweep times only the post-build noop
+    # save; CC's driver-controlled rounds run EAGERLY at plan build, so
+    # this row reads ~10ms while the real cost is build-time (see
+    # SCALING.md's CC note and the r10 stats-compounding fix). Kept in
+    # the sweep for lineage coverage; its scaling evidence lives in
+    # SCALING_CURVE_r10.jsonl.
     "docs_dedup_clusters",
     "docs_stratified_sample",
     "multimodal_byte_stats",
