@@ -963,12 +963,21 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.sum("tf").alias("n_tokens"),
         F.sum(F.col("tf") * F.col("lp")).alias("s"),
     )
+    # the average rounds via exact integer half-away-from-zero on
+    # micro-units, NEVER round() of a double ratio: engines disagree at
+    # exact .5 boundaries (first hit at the sf1 fixture: doc with
+    # s/n = -5.7056285 — Spark's double path gave ...28, DuckDB ...29).
+    # s is DECIMAL(.,6) so s*1e6 is integral; the final /1e6 is an
+    # exact-int-to-double division, correctly rounded identically
+    # everywhere.
     return per_doc.select(
         id_col,
         "n_tokens",
-        F.expr("round(CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)").alias(
-            "avg_logprob"
-        ),
+        F.expr(
+            "CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)"
+            " * ((2 * CAST(abs(s) * 1000000 AS BIGINT) + n_tokens)"
+            "    DIV (2 * n_tokens)) AS DOUBLE) / 1000000.0"
+        ).alias("avg_logprob"),
     )
 
 
