@@ -375,13 +375,27 @@ def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     form of the streaming windowed agg, on the event timestamp."""
     events = load_table(spark, sf_dir, "events")
     ts = F.timestamp_micros(event_epoch_us(events))
+    # value is exact 2dp, so DECIMAL accumulation is exact and the
+    # average rounds via integer half-away-from-zero on micro-units —
+    # round(avg(double), 6) split the engines at the sf1 fixture on an
+    # exact tie (72443.5/1600 = 45.2771875); the final int->double
+    # divisions are correctly rounded identically everywhere
     return (
-        events.select(F.window(ts, "1 hour").alias("w"), "value")
+        events.select(
+            F.window(ts, "1 hour").alias("w"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
         .groupBy(F.col("w.start").alias("window_start"))
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .select(
+            "window_start",
+            "n",
+            F.expr("CAST(s AS DOUBLE)").alias("total_value"),
+            F.expr(
+                "CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)"
+                " * ((2 * CAST(abs(s) * 1000000 AS BIGINT) + n)"
+                "    DIV (2 * n)) AS DOUBLE) / 1000000.0"
+            ).alias("avg_value"),
         )
     )
 
@@ -981,12 +995,21 @@ ORACLES = {
         GROUP BY n_name
     """,
     "hourly_event_stats": """
-        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-               count(*) AS n,
-               round(sum(value), 2) AS total_value,
-               round(avg(value), 6) AS avg_value
-        FROM events
-        GROUP BY 1
+        -- value is exact 2dp: DECIMAL accumulation + integer half-up
+        -- (sf1 boundary fix: round(avg(double),6) split engines on the
+        -- exact tie 72443.5/1600 = 45.2771875)
+        SELECT window_start, n,
+               CAST(s AS DOUBLE) AS total_value,
+               CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+                    * ((2 * CAST(abs(s) * 1000000 AS BIGINT) + n)
+                       // (2 * n)) AS DOUBLE) / 1000000.0 AS avg_value
+        FROM (
+          SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                 count(*) AS n,
+                 sum(CAST(value AS DECIMAL(18,2))) AS s
+          FROM events
+          GROUP BY 1
+        )
     """,
     "running_max_value": """
         SELECT event_id, user_id,
