@@ -250,6 +250,18 @@ HEADLINE = [
     # (similarity serving opt-in param, bench tooling, a default-None
     # config knob). Attribution: host drift during the r10 sweep
     # (load 4-6 throughout) + the anomalous-reference effect above.
+    #
+    # Known r10 lineage changes (named causes for the r10->r11 diff):
+    # hourly_event_stats ~0.13->0.32s — value now accumulates as
+    # DECIMAL(18,2) with integer half-up division (the sf1 campaign
+    # caught round(avg(double),6) splitting engines on the exact tie
+    # 72443.5/1600; decimal agg costs ~2.5x double agg, the price of
+    # oracle-exact arithmetic). docs_unigram_logprob gained the same
+    # exact-average tail (per-doc rows only; cost within noise).
+    # docs_dedup_clusters' CC loop now persists per round to reset
+    # Catalyst stats (fixes exponential driver CPU at sf1; its benched
+    # save-only row stays ~10ms either way — see the eager-build note
+    # at its HEADLINE entry).
 ]
 
 #: Calibration anchors (VERDICT r8 #3): three lineage-frozen queries
