@@ -206,3 +206,66 @@ def test_dup_ngram_fraction_fully_duplicated_doc(spark):
     )
     for r in dup_ngram_fraction(docs, "text", "doc_id", n=3).collect():
         assert r["dup_frac"] == 1.0 and r["n_positions"] == r["n_dup_positions"] == 2
+
+
+def test_cc_stats_stay_flat_across_rounds(spark):
+    """The r10 sf1 finding, pinned at the mechanism level: a bare
+    per-round localCheckpoint PRESERVES Catalyst stats, and the loop's
+    self-join SQUARES sizeInBytes each round — by round ~20 the driver
+    multiplies 100M-bit BigIntegers (50s/round on constant data).
+    `_ckpt_fresh_stats` resets stats from the cached relation, so the
+    returned labels frame's sizeInBytes must stay a sane, DATA-sized
+    number after many rounds — not an astronomically compounded
+    estimate. 2^63 is far above any real 100-node frame and far below
+    the compounded values (which exceed 2^1000 within 20 rounds)."""
+    vertices = spark.range(1, 101).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 100)], "id_a long, id_b long"
+    )
+    out = connected_components(vertices, pairs, max_iterations=20)
+    size = int(out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert 0 < size < 2**63, f"compounded stats leaked through: {size}"
+    assert {r["doc_id"]: r["cluster_id"] for r in out.collect()} == {
+        i: 1 for i in range(1, 101)
+    }
+
+
+def test_hourly_avg_exact_tie_rounds_half_away(spark, tmp_path):
+    """The r10 sf1 rounding-tie class, pinned on a constructed table:
+    32 events in one hour summing to exactly 0.01 put the average on a
+    perfect rounding boundary (0.01/32 = 0.0003125). round(double, 6)
+    leaves the verdict to whichever side of the tie the binary double
+    lands on — engine-dependent (the sf1 corpus split Spark from DuckDB
+    at 72443.5/1600). The exact integer half-away-from-zero path must
+    give 0.000313 from BOTH engines, bitwise."""
+    import duckdb
+
+    from redpanda_to_parquet_writer_spark.plans import ORACLES, QUERIES
+
+    rows = [
+        (i, "2024-01-01 05:%02d:00" % (i % 60), 1, "t", 0.01 if i == 0 else 0.0, "{}")
+        for i in range(32)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id", F.to_timestamp("ts").alias("ts"), "user_id",
+        "event_type", "value", "props",
+    )
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    got = QUERIES["hourly_event_stats"](spark, sf_dir).collect()
+    assert len(got) == 1
+    assert got[0]["n"] == 32
+    assert float(got[0]["avg_value"]).hex() == (0.000313).hex()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet/*.parquet'"
+    )
+    oracle = con.execute(ORACLES["hourly_event_stats"]).fetchall()
+    assert len(oracle) == 1
+    assert float(oracle[0][3]).hex() == (0.000313).hex()
