@@ -261,7 +261,11 @@ HEADLINE = [
     # docs_dedup_clusters' CC loop now persists per round to reset
     # Catalyst stats (fixes exponential driver CPU at sf1; its benched
     # save-only row stays ~10ms either way — see the eager-build note
-    # at its HEADLINE entry).
+    # at its HEADLINE entry). The same exact-average discipline was
+    # then applied proactively to topk_events_by_type and
+    # numeric_profile_events' means (decimal sums; the only remaining
+    # round-of-double-ratio sites are float-inherent stddevs/embedding
+    # means and the frozen anchor pricing_summary).
 ]
 
 #: Calibration anchors (VERDICT r8 #3): three lineage-frozen queries

@@ -37,14 +37,26 @@ def _partition(col: str = "user_id") -> F.Column:
 #     PARQUET_READER_README.md:417-424) -------------------------------------
 
 def topk_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # value is exact 2dp -> DECIMAL accumulation + integer half-up
+    # average (r10 rounding-tie discipline; see hourly_event_stats)
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy("event_type")
         .agg(
-            F.round(F.sum("value"), 2).alias("total_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
             F.max("value").alias("max_value"),
             F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.expr("CAST(s AS DOUBLE)").alias("total_value"),
+            F.expr(
+                "CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)"
+                " * ((2 * CAST(abs(s) * 1000000 AS BIGINT) + n_events)"
+                "    DIV (2 * n_events)) AS DOUBLE) / 1000000.0"
+            ).alias("avg_value"),
+            "max_value",
+            "n_events",
         )
         .orderBy(F.col("total_value").desc(), F.col("event_type").asc())
         .limit(10)
@@ -91,10 +103,23 @@ def numeric_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs += [
             F.min(F.col(c).cast("double")).alias(f"{c}__min"),
             F.max(F.col(c).cast("double")).alias(f"{c}__max"),
-            F.round(F.avg(c), 6).alias(f"{c}__mean"),
+            # exact mean (r10 rounding-tie discipline): every profiled
+            # column is integral or exact 2dp, so a DECIMAL sum +
+            # integer half-away-from-zero average is exact; stddev has
+            # no exact decimal form (inherent float) and keeps the
+            # 6-dp round as the documented cross-engine mitigation
+            F.sum(F.col(c).cast("decimal(25,2)")).alias(f"{c}__s"),
+            F.count(F.col(c)).alias(f"{c}__n"),
             F.round(F.stddev(c), 6).alias(f"{c}__std"),
         ]
     wide = events.agg(*aggs)
+    mean_exprs = [
+        f"CAST((CASE WHEN `{c}__s` < 0 THEN -1 ELSE 1 END)"
+        f" * ((2 * CAST(abs(`{c}__s`) * 1000000 AS BIGINT) + `{c}__n`)"
+        f"    DIV (2 * `{c}__n`)) AS DOUBLE) / 1000000.0 AS `{c}__mean`"
+        for c in cols
+    ]
+    wide = wide.selectExpr("*", *mean_exprs)
     stack = ", ".join(
         f"'{c}', `{c}__min`, `{c}__max`, `{c}__mean`, `{c}__std`" for c in cols
     )
@@ -819,13 +844,21 @@ ORACLES = {
         FROM per_session GROUP BY user_id
     """,
     "topk_events_by_type": """
+        -- value is exact 2dp: DECIMAL accumulation + integer half-up
+        -- average (r10 rounding-tie discipline)
         SELECT event_type,
-               round(sum(value), 2) AS total_value,
-               round(avg(value), 6) AS avg_value,
-               max(value) AS max_value,
-               count(*) AS n_events
-        FROM events
-        GROUP BY event_type
+               CAST(s AS DOUBLE) AS total_value,
+               CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+                    * ((2 * CAST(abs(s) * 1000000 AS BIGINT) + n_events)
+                       // (2 * n_events)) AS DOUBLE) / 1000000.0 AS avg_value,
+               max_value, n_events
+        FROM (
+          SELECT event_type,
+                 sum(CAST(value AS DECIMAL(18,2))) AS s,
+                 max(value) AS max_value,
+                 count(*) AS n_events
+          FROM events GROUP BY event_type
+        )
         ORDER BY total_value DESC, event_type ASC
         LIMIT 10
     """,
@@ -839,18 +872,40 @@ ORACLES = {
     """,
     "distinct_event_types": "SELECT DISTINCT event_type FROM events",
     "numeric_profile_events": """
-        SELECT 'event_id' AS "column", min(CAST(event_id AS DOUBLE)) AS min,
-               max(CAST(event_id AS DOUBLE)) AS max,
-               round(avg(event_id), 6) AS mean, round(stddev(event_id), 6) AS std
-        FROM events
+        -- exact means via DECIMAL sums + integer half-up (r10 discipline);
+        -- stddev keeps the 6-dp round (inherent float, no exact form)
+        WITH w AS (
+          SELECT sum(CAST(event_id AS DECIMAL(25,2))) AS e_s, count(event_id) AS e_n,
+                 sum(CAST(user_id AS DECIMAL(25,2))) AS u_s, count(user_id) AS u_n,
+                 sum(CAST(value AS DECIMAL(25,2))) AS v_s, count(value) AS v_n,
+                 min(CAST(event_id AS DOUBLE)) AS e_min, max(CAST(event_id AS DOUBLE)) AS e_max,
+                 min(CAST(user_id AS DOUBLE)) AS u_min, max(CAST(user_id AS DOUBLE)) AS u_max,
+                 min(value) AS v_min, max(value) AS v_max,
+                 round(stddev(event_id), 6) AS e_std,
+                 round(stddev(user_id), 6) AS u_std,
+                 round(stddev(value), 6) AS v_std
+          FROM events
+        )
+        SELECT 'event_id' AS "column", e_min AS min, e_max AS max,
+               CAST((CASE WHEN e_s < 0 THEN -1 ELSE 1 END)
+                    * ((2 * CAST(abs(e_s) * 1000000 AS BIGINT) + e_n)
+                       // (2 * e_n)) AS DOUBLE) / 1000000.0 AS mean,
+               e_std AS std
+        FROM w
         UNION ALL
-        SELECT 'user_id', min(CAST(user_id AS DOUBLE)), max(CAST(user_id AS DOUBLE)),
-               round(avg(user_id), 6), round(stddev(user_id), 6)
-        FROM events
+        SELECT 'user_id', u_min, u_max,
+               CAST((CASE WHEN u_s < 0 THEN -1 ELSE 1 END)
+                    * ((2 * CAST(abs(u_s) * 1000000 AS BIGINT) + u_n)
+                       // (2 * u_n)) AS DOUBLE) / 1000000.0,
+               u_std
+        FROM w
         UNION ALL
-        SELECT 'value', min(value), max(value),
-               round(avg(value), 6), round(stddev(value), 6)
-        FROM events
+        SELECT 'value', v_min, v_max,
+               CAST((CASE WHEN v_s < 0 THEN -1 ELSE 1 END)
+                    * ((2 * CAST(abs(v_s) * 1000000 AS BIGINT) + v_n)
+                       // (2 * v_n)) AS DOUBLE) / 1000000.0,
+               v_std
+        FROM w
     """,
     "null_counts_events": """
         SELECT count(*) FILTER (event_id IS NULL) AS nulls_event_id,
