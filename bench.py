@@ -266,6 +266,15 @@ HEADLINE = [
     # numeric_profile_events' means (decimal sums; the only remaining
     # round-of-double-ratio sites are float-inherent stddevs/embedding
     # means and the frozen anchor pricing_summary).
+    #
+    # Final r10 artifact (62.3s/137, load 1->10 during the sweep): one
+    # marginal flag, events_sliding_hour_counts 0.172->0.232s (1.51x
+    # normalized vs the 1.5 threshold, floor-adjacent row). Lineage
+    # untouched this round (git diff r9..HEAD changes only
+    # hourly/topk/numeric_profile in its file); the same-session
+    # min-of-3 A/B read 0.326s — slower than the flagged value on the
+    # still-loaded host, which is itself the attribution: sub-second
+    # rows wobble with load, the code did not change. Host drift.
 ]
 
 #: Calibration anchors (VERDICT r8 #3): three lineage-frozen queries
