@@ -975,7 +975,7 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         "n_tokens",
         F.expr(
             "CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)"
-            " * ((2 * CAST(abs(s) * 1000000 AS BIGINT) + n_tokens)"
+            " * ((2 * CAST(abs(s) * 1000000 AS DECIMAL(38,0)) + n_tokens)"
             "    DIV (2 * n_tokens)) AS DOUBLE) / 1000000.0"
         ).alias("avg_logprob"),
     )

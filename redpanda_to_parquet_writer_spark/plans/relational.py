@@ -52,7 +52,7 @@ def topk_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(s AS DOUBLE)").alias("total_value"),
             F.expr(
                 "CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)"
-                " * ((2 * CAST(abs(s) * 1000000 AS BIGINT) + n_events)"
+                " * ((2 * CAST(abs(s) * 1000000 AS DECIMAL(38,0)) + n_events)"
                 "    DIV (2 * n_events)) AS DOUBLE) / 1000000.0"
             ).alias("avg_value"),
             "max_value",
@@ -115,7 +115,7 @@ def numeric_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = events.agg(*aggs)
     mean_exprs = [
         f"CAST((CASE WHEN `{c}__s` < 0 THEN -1 ELSE 1 END)"
-        f" * ((2 * CAST(abs(`{c}__s`) * 1000000 AS BIGINT) + `{c}__n`)"
+        f" * ((2 * CAST(abs(`{c}__s`) * 1000000 AS DECIMAL(38,0)) + `{c}__n`)"
         f"    DIV (2 * `{c}__n`)) AS DOUBLE) / 1000000.0 AS `{c}__mean`"
         for c in cols
     ]
@@ -193,7 +193,10 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_k",
             F.when(
                 F.col("cnt_k") > 0,
-                F.expr("(sum_k * 2000000 + cnt_k) DIV (2 * cnt_k)")
+                F.expr(
+                    "(CAST(sum_k AS DECIMAL(38,0)) * 2000000 + cnt_k)"
+                    " DIV (2 * cnt_k)"
+                )
                 / F.lit(1000000.0),
             ),
         )
@@ -418,7 +421,7 @@ def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(s AS DOUBLE)").alias("total_value"),
             F.expr(
                 "CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)"
-                " * ((2 * CAST(abs(s) * 1000000 AS BIGINT) + n)"
+                " * ((2 * CAST(abs(s) * 1000000 AS DECIMAL(38,0)) + n)"
                 "    DIV (2 * n)) AS DOUBLE) / 1000000.0"
             ).alias("avg_value"),
         )
@@ -620,7 +623,10 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "avg_session_events",
-            F.expr("(n_events * 2000000 + n_sessions) DIV (2 * n_sessions)")
+            F.expr(
+                "(CAST(n_events AS DECIMAL(38,0)) * 2000000 + n_sessions)"
+                " DIV (2 * n_sessions)"
+            )
             / F.lit(1000000.0),
         )
         .select(
@@ -838,8 +844,8 @@ ORACLES = {
         SELECT user_id,
                count(*) AS n_sessions,
                CAST(sum(n_events) AS BIGINT) AS n_events,
-               ((sum(n_events) * 2000000 + count(*)) // (2 * count(*)))
-                 / 1000000.0 AS avg_session_events,
+               CAST((sum(n_events) * 2000000 + count(*)) // (2 * count(*))
+                 AS BIGINT) / 1000000.0 AS avg_session_events,
                max(span_sec) AS max_session_span_sec
         FROM per_session GROUP BY user_id
     """,
@@ -848,9 +854,10 @@ ORACLES = {
         -- average (r10 rounding-tie discipline)
         SELECT event_type,
                CAST(s AS DOUBLE) AS total_value,
-               CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
-                    * ((2 * CAST(abs(s) * 1000000 AS BIGINT) + n_events)
-                       // (2 * n_events)) AS DOUBLE) / 1000000.0 AS avg_value,
+               CAST(CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+                    * ((2 * CAST(abs(s) * 1000000 AS HUGEINT) + n_events)
+                       // (2 * n_events)) AS BIGINT) AS DOUBLE)
+                 / 1000000.0 AS avg_value,
                max_value, n_events
         FROM (
           SELECT event_type,
@@ -887,23 +894,24 @@ ORACLES = {
           FROM events
         )
         SELECT 'event_id' AS "column", e_min AS min, e_max AS max,
-               CAST((CASE WHEN e_s < 0 THEN -1 ELSE 1 END)
-                    * ((2 * CAST(abs(e_s) * 1000000 AS BIGINT) + e_n)
-                       // (2 * e_n)) AS DOUBLE) / 1000000.0 AS mean,
+               CAST(CAST((CASE WHEN e_s < 0 THEN -1 ELSE 1 END)
+                    * ((2 * CAST(abs(e_s) * 1000000 AS HUGEINT) + e_n)
+                       // (2 * e_n)) AS BIGINT) AS DOUBLE)
+                 / 1000000.0 AS mean,
                e_std AS std
         FROM w
         UNION ALL
         SELECT 'user_id', u_min, u_max,
-               CAST((CASE WHEN u_s < 0 THEN -1 ELSE 1 END)
-                    * ((2 * CAST(abs(u_s) * 1000000 AS BIGINT) + u_n)
-                       // (2 * u_n)) AS DOUBLE) / 1000000.0,
+               CAST(CAST((CASE WHEN u_s < 0 THEN -1 ELSE 1 END)
+                    * ((2 * CAST(abs(u_s) * 1000000 AS HUGEINT) + u_n)
+                       // (2 * u_n)) AS BIGINT) AS DOUBLE) / 1000000.0,
                u_std
         FROM w
         UNION ALL
         SELECT 'value', v_min, v_max,
-               CAST((CASE WHEN v_s < 0 THEN -1 ELSE 1 END)
-                    * ((2 * CAST(abs(v_s) * 1000000 AS BIGINT) + v_n)
-                       // (2 * v_n)) AS DOUBLE) / 1000000.0,
+               CAST(CAST((CASE WHEN v_s < 0 THEN -1 ELSE 1 END)
+                    * ((2 * CAST(abs(v_s) * 1000000 AS HUGEINT) + v_n)
+                       // (2 * v_n)) AS BIGINT) AS DOUBLE) / 1000000.0,
                v_std
         FROM w
     """,
@@ -941,7 +949,8 @@ ORACLES = {
         SELECT event_type,
                CAST(sum(k) AS BIGINT) AS sum_k,
                CASE WHEN count(k) > 0
-                    THEN ((sum(k) * 2000000 + count(k)) // (2 * count(k)))
+                    THEN CAST((sum(k) * 2000000 + count(k))
+                              // (2 * count(k)) AS BIGINT)
                          / 1000000.0
                END AS avg_k,
                count(*) FILTER (k IS NULL) AS null_k
@@ -1055,9 +1064,10 @@ ORACLES = {
         -- exact tie 72443.5/1600 = 45.2771875)
         SELECT window_start, n,
                CAST(s AS DOUBLE) AS total_value,
-               CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
-                    * ((2 * CAST(abs(s) * 1000000 AS BIGINT) + n)
-                       // (2 * n)) AS DOUBLE) / 1000000.0 AS avg_value
+               CAST(CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+                    * ((2 * CAST(abs(s) * 1000000 AS HUGEINT) + n)
+                       // (2 * n)) AS BIGINT) AS DOUBLE)
+                 / 1000000.0 AS avg_value
         FROM (
           SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                  count(*) AS n,

@@ -78,12 +78,16 @@ def events_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"sec DIV 86400 - {_DAY0}").alias("x"),
         "vu",
     )
+    # moment sums accumulate in DECIMAL(38,0): BIGINT sums of x², vu and
+    # x·vu wrap at cluster-scale group sizes (Σx² > 9.2e18 at ~1e13 rows
+    # of day-index ~2e4; r11 overflow-hardening sweep). The oracle's
+    # HUGEINT sums are naturally 128-bit.
     moments = base.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.sum("x").alias("sx"),
-        F.sum(F.expr("x * x")).alias("sxx"),
-        F.sum("vu").alias("syu"),
-        F.sum(F.expr("x * vu")).alias("sxyu"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("sx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(vu AS DECIMAL(38,0))")).alias("syu"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * vu")).alias("sxyu"),
     )
     return moments.select(
         "event_type",
@@ -220,7 +224,10 @@ def events_value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
             F.min("lo_cut").alias("lo_cut"),
             F.min("hi_cut").alias("hi_cut"),
-            F.sum(F.expr("CAST(round(cv * 1000000) AS BIGINT)")).alias("su"),
+            # accumulate micro-units in DECIMAL(38,0): a BIGINT sum wraps
+            # once a group's clipped value-sum exceeds ~9.2e12 (r11
+            # overflow-hardening sweep; see tests/test_exact_rounding.py)
+            F.sum(F.expr("CAST(round(cv * 1000000) AS DECIMAL(38,0))")).alias("su"),
         )
         .select(
             "event_type",
@@ -268,7 +275,9 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     moments = base.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum("vu").alias("syu"),
+        # syu in DECIMAL(38,0) — BIGINT wraps at a ~9.2e12 value-sum
+        # per group (r11 overflow-hardening sweep)
+        F.sum(F.expr("CAST(vu AS DECIMAL(38,0))")).alias("syu"),
         F.sum(F.expr("CAST(vu AS DECIMAL(38,0)) * vu")).alias("syy"),
     )
     scored = base.join(F.broadcast(moments), "event_type").withColumn(
@@ -331,7 +340,7 @@ def events_value_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.expr(
                 "CASE WHEN n = 1 THEN 0 ELSE"
-                " (2 * (CAST(rn AS BIGINT) - 1) * 1000000 + (n - 1))"
+                " (2 * (CAST(rn AS DECIMAL(38,0)) - 1) * 1000000 + (n - 1))"
                 " DIV (2 * (n - 1)) END"
             )
             / F.lit(1000000.0)
@@ -729,12 +738,14 @@ ORACLES = {
           FROM events
         ),
         moments AS (
+          -- DECIMAL(38,0): exact-rounding double casts on both engines
+          -- (DuckDB's negative hugeint->double mis-rounds; r11)
           SELECT event_type,
                  count(*) AS n_events,
-                 sum(x) AS sx,
-                 sum(x * x) AS sxx,
-                 sum(vu) AS syu,
-                 sum(x * vu) AS sxyu
+                 CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+                 CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+                 CAST(sum(vu) AS DECIMAL(38,0)) AS syu,
+                 CAST(sum(x * vu) AS DECIMAL(38,0)) AS sxyu
           FROM base GROUP BY event_type
         )
         SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
@@ -779,8 +790,9 @@ ORACLES = {
                  AS n_clipped_hi,
                min(lo_cut) AS lo_cut,
                min(hi_cut) AS hi_cut,
-               (2 * CAST(sum(CAST(round(cv * 1000000) AS BIGINT)) AS BIGINT)
-                  + count(*)) // (2 * count(*)) / 1000000.0 AS winsorized_mean
+               CAST((2 * CAST(sum(CAST(round(cv * 1000000) AS BIGINT)) AS HUGEINT)
+                  + count(*)) // (2 * count(*)) AS BIGINT)
+                 / 1000000.0 AS winsorized_mean
         FROM clipped GROUP BY event_type
     """,
     "events_anomaly_zscore": f"""
@@ -790,9 +802,13 @@ ORACLES = {
           FROM events
         ),
         moments AS (
+          -- DECIMAL(38,0) (not HUGEINT): DuckDB's negative
+          -- hugeint->double cast is not correctly rounded (r11), and
+          -- these moments feed CAST(.. AS DOUBLE); decimal->double is
+          -- exact-rounding on both engines and mirrors the Spark side
           SELECT event_type, count(*) AS n,
-                 CAST(sum(vu) AS BIGINT) AS syu,
-                 sum(vu * vu) AS syy
+                 CAST(sum(vu) AS DECIMAL(38,0)) AS syu,
+                 CAST(sum(vu * vu) AS DECIMAL(38,0)) AS syy
           FROM base GROUP BY event_type
         ),
         scored AS (
@@ -984,7 +1000,8 @@ ORACLES = {
         )
         SELECT event_id, event_type, value,
                CASE WHEN n = 1 THEN 0 ELSE
-                 (2 * (rn - 1) * 1000000 + (n - 1)) // (2 * (n - 1)) END
+                 (2 * (CAST(rn AS HUGEINT) - 1) * 1000000 + (n - 1))
+                   // (2 * (n - 1)) END
                  / 1000000.0 AS pct_rank
         FROM ranked
     """,

@@ -881,9 +881,10 @@ ORACLES["docs_unigram_logprob"] = """
     SELECT doc_id, n_tokens,
            -- exact integer half-away-from-zero (sf1 boundary fix: a
            -- doc hit s/n = -5.7056285 and round(double) split engines)
-           CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
-                * ((2 * CAST(abs(s) * 1000000 AS BIGINT) + n_tokens)
-                   // (2 * n_tokens)) AS DOUBLE) / 1000000.0 AS avg_logprob
+           CAST(CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+                * ((2 * CAST(abs(s) * 1000000 AS HUGEINT) + n_tokens)
+                   // (2 * n_tokens)) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS avg_logprob
     FROM per_doc
 """
 
