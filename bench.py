@@ -102,13 +102,9 @@ HEADLINE = [
     "docs_stopword_stats",
     "docs_language_id",
     "docs_fingerprint",
-    # docs_dedup_clusters: NOTE the sweep times only the post-build noop
-    # save; CC's driver-controlled rounds run EAGERLY at plan build, so
-    # this row reads ~10ms while the real cost is build-time (see
-    # SCALING.md's CC note and the r10 stats-compounding fix). Kept in
-    # the sweep for lineage coverage; its scaling evidence lives in
-    # SCALING_CURVE_r10.jsonl.
-    "docs_dedup_clusters",
+    # docs_dedup_clusters moved to EXCLUDED in r11 (VERDICT r10 #3): its
+    # eager CC build made the headline row a ~10ms no-op; the real cost
+    # is now measured per round as the artifact's `cc_build` metric.
     "docs_stratified_sample",
     "multimodal_byte_stats",
     "multimodal_png_roundtrip",
@@ -259,9 +255,9 @@ HEADLINE = [
     # oracle-exact arithmetic). docs_unigram_logprob gained the same
     # exact-average tail (per-doc rows only; cost within noise).
     # docs_dedup_clusters' CC loop now persists per round to reset
-    # Catalyst stats (fixes exponential driver CPU at sf1; its benched
-    # save-only row stays ~10ms either way — see the eager-build note
-    # at its HEADLINE entry). The same exact-average discipline was
+    # Catalyst stats (fixes exponential driver CPU at sf1; in r11 the
+    # row moved to EXCLUDED and the real build cost is the artifact's
+    # `cc_build` metric). The same exact-average discipline was
     # then applied proactively to topk_events_by_type and
     # numeric_profile_events' means (decimal sums; the only remaining
     # round-of-double-ratio sites are float-inherent stddevs/embedding
@@ -275,6 +271,25 @@ HEADLINE = [
     # min-of-3 A/B read 0.326s — slower than the flagged value on the
     # still-loaded host, which is itself the attribution: sub-second
     # rows wobble with load, the code did not change. Host drift.
+    #
+    # Known r11 lineage changes (named causes for the r10->r11 diff;
+    # VERDICT r10 #2 / ADVICE r10 #1 overflow hardening): the moment /
+    # micro-unit sums in events_value_trend_by_type (0.138->0.228s),
+    # events_anomaly_zscore (0.256->0.370s) and the rank product in
+    # events_value_percentile (0.224->0.296s) now accumulate in
+    # DECIMAL(38,0) instead of BIGINT — a BIGINT sum wraps at a ~9.2e12
+    # value-sum per group, reachable at cluster scale; Spark's >18-digit
+    # decimals leave the compact-long fast path, so decimal hash-agg
+    # update costs ~2x a primitive long sum (the exact mechanism behind
+    # r10's accepted hourly_event_stats 2.5x). Same-session min-of-3 on
+    # a load-3-4 host: 0.390 / 0.441 / 0.316s. Considered and rejected:
+    # two-level (long-per-partition, decimal-across-partials) aggregation
+    # — the per-(group,partition) overflow bound for the x*vu moment is
+    # only ~1 decade of headroom at 128MB partitions, and the extra
+    # exchange + guards buy back ~0.1s/query at sf0.1.
+    # docs_dedup_clusters leaves the headline sum this round (~0.01s
+    # no-op row -> EXCLUDED + the honest `cc_build` artifact metric, ~12s
+    # at sf0.1), so cross-round totals shift by -0.01s from the removal.
 ]
 
 #: Calibration anchors (VERDICT r8 #3): three lineage-frozen queries
@@ -363,7 +378,35 @@ EXCLUDED = {
         "documented exact-quadratic oracle twin; the scale plan is the "
         "benched embeddings_lsh_neardup_pairs (same oracle)"
     ),
+    "docs_dedup_clusters": (
+        "connected-components runs its driver-controlled rounds EAGERLY "
+        "at plan build, so a headline row timed only the post-build noop "
+        "save (~10ms) while the real cost is ~12s at sf0.1 — silently "
+        "under-counting the headline sum (VERDICT r10 #3). The honest "
+        "number is recorded per round as the artifact's top-level "
+        "`cc_build` metric (build+run, min-of-2), and its scaling "
+        "evidence lives in SCALING_CURVE_r10.jsonl / SCALING.md"
+    ),
 }
+
+
+def _bench_cc_build(spark, sf_dir: str) -> dict[str, object]:
+    """Honest docs_dedup_clusters cost: rebuild the plan INSIDE the
+    timed region so the eager CC rounds are measured, not the no-op
+    save of an already-materialized result (VERDICT r10 #3). Two
+    full build+run passes, min recorded — the first pass doubles as
+    the warm run (CC cost is shuffle/checkpoint-bound, not JIT-bound;
+    measured 23.9s cold / 11.9s warm at sf0.1, so a cold first run
+    would dominate a min-of-1)."""
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        df = QUERIES["docs_dedup_clusters"](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        runs.append(round(time.perf_counter() - t0, 4))
+    # key names chosen to stay invisible to bench_diff's truncated-tail
+    # regex recovery ("sec" is in _NON_QUERY_KEYS; a list doesn't parse)
+    return {"sec": min(runs), "runs": runs, "query": "docs_dedup_clusters"}
 
 
 def _bench_ingest(spark, sf_dir: str) -> dict[str, float]:
@@ -525,6 +568,10 @@ def main() -> None:
         ingest = _bench_ingest(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001 — the JSON line must still emit
         ingest = {"err": f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"}
+    try:
+        cc_build = _bench_cc_build(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        cc_build = {"err": f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"}
     med = sorted(ok.values())
     full = {
         "metric": "headline_queries_total_sec",
@@ -559,6 +606,10 @@ def main() -> None:
         "ok_queries": sorted(ok),
         "queries": timings,
         "ingest": ingest,
+        # honest eager-build cost for the EXCLUDED docs_dedup_clusters
+        # row (VERDICT r10 #3) — deliberately OUTSIDE the headline sum
+        # so the sum stays comparable across rounds
+        "cc_build": cc_build,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # VERDICT r6 #5: the driver wrapper records only the LAST 2000 chars
