@@ -561,7 +561,16 @@ def _materialize_probes(probes: DataFrame, reliable: bool) -> DataFrame:
             "reliable=True needs a checkpoint directory: call "
             "spark.sparkContext.setCheckpointDir(<shared path>) first"
         )
-    return probes.checkpoint(eager=True)
+    # persist-bracket the reliable checkpoint (ADVICE r10 #2): Spark's
+    # reliable RDD checkpoint runs a SECOND job to write the checkpoint
+    # files, which would recompute the probe sub-plan from scratch;
+    # caching first lets that write read cached blocks instead (the
+    # same discipline as dedup.py's _ckpt_fresh_stats)
+    probes = probes.persist()
+    try:
+        return probes.checkpoint(eager=True)
+    finally:
+        probes.unpersist()
 
 
 def ivf_topk_indexed(
@@ -620,6 +629,80 @@ def ivf_topk_indexed(
         F.col("cluster_id").isin(probed_clusters)
     )
     return _verify_and_rank_topk(index, probes, k)
+
+
+#: Inverted-list length the serving-flatness measurement was taken at:
+#: the sf10 probe (200k vectors) read 0.63s serve with a FIXED k=16
+#: (lists ~12.5k, candidates ~50k/query) and 0.215s after rebuilding
+#: with k=160 — i.e. lists of 200k/160 = 1250 — at the same n_probe
+#: (candidates ~5k; SCALING.md "codebook scaling"). Per-query serve
+#: cost is n_probe x list_len, so this is the knob that keeps serving
+#: flat as the corpus grows.
+IVF_TARGET_LIST_LEN = 1250
+
+
+def select_n_centroids(
+    n_rows: int,
+    target_list_len: int = IVF_TARGET_LIST_LEN,
+    k_min: int = 4,
+    k_max: int = 65536,
+) -> int:
+    """The codebook-scaling contract (VERDICT r10 #4): pick the IVF
+    centroid count so inverted lists stay bounded as the corpus grows —
+    k = clamp(ceil(n_rows / target_list_len), k_min, k_max).
+
+    Why a contract and not a footnote: the sf10 campaign MEASURED that
+    indexed serve time tracks per-list candidate volume (n_probe x
+    n_rows/k), so a fixed k re-couples serving to corpus size — 100x
+    data at k=16 grew serve 0.28 -> 0.74s, while k ∝ corpus restored
+    0.215s (SCALING.md). Mean list length is n_rows/k <= target_list_len
+    by construction whenever the k_min/k_max clamps are inactive.
+
+    Bounds: k_min keeps tiny corpora from degenerating to one list
+    (probe selectivity needs > n_probe lists to mean anything); k_max
+    caps quantizer cost — past k_max * target_list_len rows (~82M at
+    the defaults) lists grow again and the scale path is sharding the
+    index (one codebook per shard), not a single ever-larger codebook.
+    Build cost grows with k (assignment is k-wide): the deterministic
+    JVM join measured 31 -> 319s for 16 -> 160 at sf10, while the
+    Arrow path (`ivf_assign_arrow`) batch-matmuls the k width.
+    """
+    if n_rows < 0:
+        raise ValueError(f"n_rows must be >= 0, got {n_rows}")
+    if target_list_len < 1:
+        raise ValueError(f"target_list_len must be >= 1, got {target_list_len}")
+    if not 1 <= k_min <= k_max:
+        raise ValueError(f"need 1 <= k_min <= k_max, got {k_min}..{k_max}")
+    k = -(-n_rows // target_list_len)  # ceil
+    return max(k_min, min(k_max, k))
+
+
+def build_ivf_index_auto(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_list_len: int = IVF_TARGET_LIST_LEN,
+    n_updates: int = 1,
+    use_arrow: bool = False,
+) -> DataFrame:
+    """Production index build with the codebook sized BY the corpus:
+    counts the corpus once, selects k via `select_n_centroids`, trains
+    the Lloyd codebook, and persists the inverted lists. Returns the
+    LOCAL centroid relation (the codebook the caller must snapshot for
+    `append_ivf_index` / `ivf_topk_indexed` — same contract as
+    `build_ivf_index`).
+
+    The count is one column-pruned scan; at 100 TB the row count is
+    typically already known (catalog stats / ingest bookkeeping), so
+    callers with a known n can call `select_n_centroids` +
+    `kmeans_lloyd_centroids` + `build_ivf_index` directly — this
+    wrapper just makes the scaling contract the default path.
+    """
+    k = select_n_centroids(df.count(), target_list_len)
+    cents = kmeans_lloyd_centroids(df, id_col, vec_col, k=k, n_updates=n_updates)
+    build_ivf_index(df, cents, path, id_col, vec_col, use_arrow=use_arrow)
+    return cents
 
 
 def deterministic_centroids(

@@ -58,11 +58,6 @@ def synthesize_sf10() -> None:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF1_DIR}/{t}.parquet'"
         )
-    pads = {
-        "lineitem": ("l_orderkey", None),
-        "documents": ("doc_id", None),
-        "embeddings": ("vec_id", None),
-    }
     dim = int(con.execute("SELECT len(embedding) FROM embeddings LIMIT 1").fetchone()[0])
 
     def union(table: str, selects) -> str:
