@@ -16,7 +16,11 @@ SF_CORRECTNESS = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    cfg = EngineConfig(shuffle_partitions=8, master="local[4]")
+    # driver_memory: Spark's 1g local-mode default OOMs under the sf1
+    # streaming-twin tests (TaskResultLost -> STREAM_FAILED, the same
+    # heap class the r10 sf1 sweep hit); must be set at FIRST session
+    # creation — the JVM heap cannot grow after launch
+    cfg = EngineConfig(shuffle_partitions=8, master="local[4]", driver_memory="4g")
     spark = get_spark(cfg, app_name="engine-tests")
     yield spark
 
