@@ -135,10 +135,13 @@ def connected_components(
       - Each round is two shuffle joins keyed on vertex id; the edge
         list (candidate pairs) is orders of magnitude smaller than the
         corpus.
-      - Each round materializes through `_ckpt_fresh_stats`, which both
-        truncates lineage (the classic iterative-algorithm trap) AND
-        resets Catalyst's size statistics — see its docstring for the
-        exponential-driver-CPU failure a bare localCheckpoint loop has.
+      - Each round materializes ONCE through `_ckpt_fresh_stats` (the
+        pointer-jumped labels), which both truncates lineage (the
+        classic iterative-algorithm trap) AND resets Catalyst's size
+        statistics — see its docstring for the exponential-driver-CPU
+        failure a bare localCheckpoint loop has. The intermediate
+        `propagated` frame is only persist+count'ed for its self-join
+        (r11 fold — real cached stats, no second checkpoint copy).
 
     Returns (id_col, cluster_id) with one row per vertex; singletons keep
     cluster_id == their own id.
@@ -159,16 +162,28 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        propagated = _ckpt_fresh_stats(
+        # propagated is persist+count'ed, NOT checkpointed (r11 fold,
+        # VERDICT r10 #6): the pointer-jump self-join below only needs
+        # the frame cached with REAL stats — the count materializes the
+        # cache so both join sides read it and Catalyst sees the cached
+        # relation's byte size (no estimate compounding); lineage
+        # truncation for the next round comes from new_labels'
+        # checkpoint, so plans stay one round deep. One checkpoint copy
+        # per round instead of two: measured bitwise-identical and
+        # ~7% faster on the sf1 workload (scripts/profile_cc_fold.py).
+        propagated = (
             labels.join(
                 neighbor_min, labels["id"] == neighbor_min["dst"], "left"
-            ).select(
+            )
+            .select(
                 "id",
                 F.least(
                     F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
                 ).alias("cluster_id"),
             )
+            .persist()
         )
+        propagated.count()
         # pointer jump: label(v) := min(label(v), label(label(v))) —
         # collapses label chains logarithmically instead of one hop/round
         parent = propagated.select(
@@ -185,6 +200,7 @@ def connected_components(
                 ).alias("cluster_id"),
             )
         )
+        propagated.unpersist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
