@@ -290,6 +290,19 @@ HEADLINE = [
     # docs_dedup_clusters leaves the headline sum this round (~0.01s
     # no-op row -> EXCLUDED + the honest `cc_build` artifact metric, ~12s
     # at sf0.1), so cross-round totals shift by -0.01s from the removal.
+    #
+    # Second r11 lineage change (low-cardinality window removal, see
+    # SCALING.md "Window / ordered operators"): events_value_percentile
+    # ~0.30 -> ~0.80s — its per-event rank now decomposes through a
+    # (type, value) histogram pass + a tie-group window instead of ONE
+    # row_number window partitioned by event_type; the old shape put
+    # corpus/|types| rows in a single window task (a 20 TB single-task
+    # sort at 100 TB that AQE cannot split), the new one bounds the task
+    # unit by the tie group. The same histogram selection made
+    # events_sketch_audit FASTER (~1.71 -> ~1.61s) and left winsorized
+    # within noise — the percentile's extra cost is the second corpus
+    # scan its per-row output semantics forces. Bitwise-identical at
+    # sf0.01 AND sf1 (bitcheck-gated).
 ]
 
 #: Calibration anchors (VERDICT r8 #3): three lineage-frozen queries

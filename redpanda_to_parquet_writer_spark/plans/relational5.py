@@ -179,31 +179,40 @@ def events_value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     count/clip-count/winsorized-mean — the robust aggregation a quality
     pipeline uses so a handful of runaway values can't poison a metric.
 
-    Exact nearest-rank selection (rank windows over stored values, the
-    events_value_median_by_type approach) instead of interpolating
-    percentile built-ins whose IEEE arithmetic differs between engines.
-    Plan: one rank-window pass produces the 5-row cut table, broadcast
-    back over a fresh scan for the clip aggregate — the window never
-    touches the wide fact flow, and the mean comes from exact micro-unit
-    integer sums with half-up division (values are non-negative).
+    Exact nearest-rank selection instead of interpolating percentile
+    built-ins whose IEEE arithmetic differs between engines.
+    Plan (r11): the cut ranks come from cumulative counts over the
+    (type, value) HISTOGRAM — map-side partial agg collapses the corpus
+    before any window, so the rank window's frame is bounded by the
+    value DOMAIN (exact-2dp metric), not the row count; the 5-row cut
+    table broadcasts back over a fresh scan for the clip aggregate, and
+    the mean comes from exact micro-unit integer sums with half-up
+    division (values are non-negative).
     """
     events = load_table(spark, sf_dir, "events")
     base = events.select("event_type", "event_id", "value")
     from pyspark.sql import Window
 
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count("*").over(Window.partitionBy("event_type"))
-    )
+    # r11 scale fix: the cut ranks used to come from a row_number window
+    # over the FULL corpus partitioned by event_type — with a handful of
+    # types that is a handful of window tasks each holding corpus/|types|
+    # rows, the one window in the repo whose task size grew with data.
+    # An order-statistic SELECTION never needs per-row ranks: the value
+    # at rank r (ties broken by event_id order, which cannot cross equal
+    # values) is min{v : cumcount(value <= v) >= r}, computed on the
+    # (type, value) HISTOGRAM — map-side partial agg collapses the
+    # corpus, and the rank window runs over a domain-bounded frame
+    # (value is an exact-2dp metric), independent of row count.
+    # Bitwise-identical cuts (bitcheck-gated at sf0.01 and sf1).
+    cnts = base.groupBy("event_type", "value").agg(F.count("*").alias("c"))
+    cum = cnts.withColumn(
+        "cum", F.sum("c").over(Window.partitionBy("event_type").orderBy("value"))
+    ).withColumn("n", F.sum("c").over(Window.partitionBy("event_type")))
     lo_rank = f"((n - 1) * {WINSOR_LO_PCT}) DIV 100 + 1"
     hi_rank = f"((n - 1) * {WINSOR_HI_PCT}) DIV 100 + 1"
-    cuts = (
-        ranked.filter(F.expr(f"rn = {lo_rank} OR rn = {hi_rank}"))
-        .groupBy("event_type")
-        .agg(
-            F.min(F.expr(f"CASE WHEN rn = {lo_rank} THEN value END")).alias("lo_cut"),
-            F.min(F.expr(f"CASE WHEN rn = {hi_rank} THEN value END")).alias("hi_cut"),
-        )
+    cuts = cum.groupBy("event_type").agg(
+        F.min(F.expr(f"CASE WHEN cum >= {lo_rank} THEN value END")).alias("lo_cut"),
+        F.min(F.expr(f"CASE WHEN cum >= {hi_rank} THEN value END")).alias("hi_cut"),
     )
     clipped = base.join(F.broadcast(cuts), "event_type").withColumn(
         "cv",
@@ -322,16 +331,39 @@ def events_value_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     peer-comparison feature column ("this request was slower than 97%
     of its class") every feature-engineering pipeline derives. Exact
     rank arithmetic in half-up millionths (percentile = (rank-1)/(n-1);
-    single-member groups get 0); ONE hash exchange feeds both the rank
-    window and the count window.
+    single-member groups get 0).
+
+    Scale shape (r11): the rank over (value, event_id) decomposes as
+    rank = cumcount(values strictly below) + row_number within the
+    equal-value tie group. The cumulative counts ride the (type, value)
+    HISTOGRAM — domain-bounded (exact-2dp metric), broadcast back over
+    a fresh scan — so the fact-side window partitions by
+    (event_type, VALUE): its task unit is one tie group, not one event
+    type. The previous per-type window put corpus/|types| rows in a
+    single task — the only remaining data-sized low-cardinality window;
+    now the exchange key has |types| x |distinct values| cardinality.
+    Bitwise-identical output (bitcheck-gated at sf0.01 and sf1).
     """
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events")
     base = events.select("event_id", "event_type", "value")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count("*").over(Window.partitionBy("event_type"))
+    cnts = base.groupBy("event_type", "value").agg(F.count("*").alias("c"))
+    hist = (
+        cnts.withColumn(
+            "cum", F.sum("c").over(Window.partitionBy("event_type").orderBy("value"))
+        )
+        .withColumn("n", F.sum("c").over(Window.partitionBy("event_type")))
+        .select(
+            "event_type",
+            "value",
+            (F.col("cum") - F.col("c")).alias("below"),
+            "n",
+        )
+    )
+    w_tie = Window.partitionBy("event_type", "value").orderBy("event_id")
+    ranked = base.join(F.broadcast(hist), ["event_type", "value"]).withColumn(
+        "rn", F.col("below") + F.row_number().over(w_tie)
     )
     return ranked.select(
         "event_id",
@@ -534,17 +566,28 @@ def events_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact median is rank-selected ((n+1) DIV 2 over (value, event_id) —
     a stored value, engine-portable); exact distinct plans one expand.
+    The rank selection rides the (type, value) histogram's cumulative
+    counts (r11, same scale shape as events_value_winsorized_stats):
+    the corpus collapses map-side before any window, so even the
+    audit's exact side never puts a corpus-sized partition in one
+    window task.
     """
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events")
     base = events.select("event_type", "event_id", "user_id", "value")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cum = base.groupBy("event_type", "value").agg(
+        F.count("*").alias("c")
+    ).withColumn(
+        "cum", F.sum("c").over(Window.partitionBy("event_type").orderBy("value"))
+    ).withColumn("n", F.sum("c").over(Window.partitionBy("event_type")))
     med = (
-        base.withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count("*").over(Window.partitionBy("event_type")))
-        .filter(F.expr("rn = (n + 1) DIV 2"))
-        .select("event_type", F.col("value").alias("p50_exact"))
+        cum.groupBy("event_type")
+        .agg(
+            F.min(
+                F.expr("CASE WHEN cum >= (n + 1) DIV 2 THEN value END")
+            ).alias("p50_exact")
+        )
     )
     agg = base.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users_exact"),

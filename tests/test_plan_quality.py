@@ -412,17 +412,23 @@ def test_zorder_key_broadcast_bounds_only(spark, sf_dir):
     assert "Window" not in plan
 
 
-def test_winsorized_window_partitioned_and_cuts_broadcast(spark, sf_dir):
-    """Rank selection must stay partitioned per type (no data-sized
-    global window) and the 5-row cut table must broadcast back."""
+def test_winsorized_cuts_ride_histogram_and_broadcast(spark, sf_dir):
+    """The cut ranks must come from cumulative counts over the
+    (type, value) HISTOGRAM — i.e. every window sits above a partial
+    hash aggregate that collapses the corpus map-side — never from a
+    row_number window over the raw fact flow (a per-TYPE window puts
+    corpus/|types| rows in one task at scale); the 5-row cut table must
+    broadcast back over a fresh scan."""
     plan = plan_str(QUERIES["events_value_winsorized_stats"](spark, sf_dir))
     assert "Window" in plan
-    import re
-
-    # every Exchange SinglePartition must belong to a 1-row aggregate,
-    # never the windowed fact flow; the rank window partitions by type
-    assert re.search(r"partitionBy=\[event_type", plan) or "event_type" in plan
     assert "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan
+    # the window's input is the histogram aggregate, not the scan: a
+    # partial_count (map-side combine of the groupBy(type, value))
+    # appears below the window in the cuts sub-plan
+    assert "partial_count" in plan
+    # no data-sized row_number remains anywhere in this plan
+    assert "row_number" not in plan
 
 
 def test_pq_adc_broadcast_lut_no_sort_merge(spark, sf_dir):
@@ -502,11 +508,31 @@ def test_resample_single_key_shuffle(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1
 
 
-def test_percentile_single_exchange(spark, sf_dir):
-    """Both windows (rank + count) must reuse one event_type exchange."""
+def test_percentile_fact_window_partitions_by_tie_group(spark, sf_dir):
+    """The fact-side window must partition by (event_type, VALUE) — the
+    tie group, whose size is bounded by duplicates of one value — never
+    by event_type alone (|types| window tasks each holding
+    corpus/|types| rows at scale, r11). The domain-bounded histogram
+    (cumulative counts) must attach as a BROADCAST, and the histogram's
+    own windows run above a partial hash aggregate."""
     plan = plan_str(QUERIES["events_value_percentile"](spark, sf_dir))
-    assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+    import re
+
+    # the row_number window's partition clause carries BOTH keys (value
+    # arrives float-normalized)
+    assert re.search(
+        r"row_number\(\).*\], \[event_type#\d+, knownfloatingpointnormalized",
+        plan,
+    ), plan
+    # and the fact-side exchange hashes on (event_type, value)
+    assert re.search(
+        r"Exchange hashpartitioning\(event_type#\d+,\s*"
+        r"knownfloatingpointnormalized",
+        plan,
+    ), plan
 
 
 def test_edit_distance_rides_lsh_candidates(spark, sf_dir):
