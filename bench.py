@@ -303,6 +303,15 @@ HEADLINE = [
     # within noise — the percentile's extra cost is the second corpus
     # scan its per-row output semantics forces. Bitwise-identical at
     # sf0.01 AND sf1 (bitcheck-gated).
+    # The full low-cardinality-window sweep adds four more named rows
+    # (min-of-3 on a load~2 host): top_parts_per_brand 0.31->0.61
+    # (two-level salted top-k), customer_balance_quartiles 0.14->0.38
+    # (ntile -> histogram rank arithmetic), docs_token_budget_cap
+    # 0.11->0.25 and docs_sequence_pack 0.10->0.27 (two-level grouped
+    # prefix sum); events_value_median_by_type stayed flat (~0.44).
+    # Each trades fixed stage overhead at toy scale for removing a
+    # window whose task held corpus/|groups| rows — the 100-TB
+    # disqualifier. See SCALING.md "Window / ordered operators".
 ]
 
 #: Calibration anchors (VERDICT r8 #3): three lineage-frozen queries

@@ -61,6 +61,64 @@ def rebalance_sources(
     return df.sampleBy(source_col, fractions, seed=seed)
 
 
+#: contiguous id-range span for the two-level grouped prefix sum: the
+#: within-bucket window holds at most this many ids' rows in one task,
+#: and the per-group bucket-offset frame is data/span rows — at 1e13
+#: rows and 2^20 span that is ~1e7 offset rows, one more 2-level step
+#: away from any single-task bottleneck (not needed at realistic scale)
+PREFIX_SPAN = 1 << 20
+
+
+def _grouped_running_sum(
+    rows: DataFrame, group_col: str, id_col: str, val_col: str
+) -> DataFrame:
+    """Exact per-group running sum of `val_col` in ascending `id_col`
+    order, WITHOUT a per-group window (r11): a window partitioned by a
+    low-cardinality group (source/domain/language) puts corpus/|groups|
+    rows in ONE task at scale, and running sums were the last operators
+    using that shape. Two-level decomposition instead:
+
+      1. within-bucket running sum, window partitioned by
+         (group, id DIV span) — task unit bounded by the id span;
+      2. bucket offsets: per-(group, bucket) totals from a PLAIN
+         map-side-combined aggregate (never a second window),
+         prefix-summed per group over the TINY bucket frame;
+      3. cum = bucket_offset + within-bucket sum (integer adds — the
+         regrouping cannot change a single bit).
+
+    Appends `cum` (inclusive running sum) to the input columns.
+    """
+    w_in = (
+        Window.partitionBy(group_col, "__b")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bucketed = rows.withColumn(
+        "__b", F.expr(f"{id_col} DIV {PREFIX_SPAN}")
+    ).withColumn("__cum_in", F.sum(val_col).over(w_in))
+    totals = (
+        rows.withColumn("__b", F.expr(f"{id_col} DIV {PREFIX_SPAN}"))
+        .groupBy(group_col, "__b")
+        .agg(F.sum(val_col).alias("__tot"))
+    )
+    offsets = totals.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__tot").over(
+                Window.partitionBy(group_col)
+                .orderBy(F.col("__b").asc())
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select(group_col, "__b", "__off")
+    return (
+        bucketed.join(offsets, [group_col, "__b"])
+        .withColumn("cum", F.col("__off") + F.col("__cum_in"))
+        .drop("__b", "__cum_in", "__off")
+    )
+
+
 def token_budget_cap(
     df: DataFrame,
     text_col: str,
@@ -73,26 +131,23 @@ def token_budget_cap(
     group's running token total fits the budget — the mixture-capping
     step of a training-data pipeline ("at most N tokens of source X").
 
-    One shuffle (window partitioned by group); the running sum carries
-    two longs per row. Skewed sources are bounded by the budget itself —
-    a group stops accumulating once over budget, and the filter drops
-    the tail. Returns (group_col, id_col, n_tokens, cum_tokens).
+    The running sum rides the two-level grouped prefix sum
+    (`_grouped_running_sum`, r11) — the task unit is an id-span bucket,
+    never a whole (low-cardinality) source. Returns
+    (group_col, id_col, n_tokens, cum_tokens).
     """
     from redpanda_to_parquet_writer_spark.operators.text import token_count
 
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
     )
     return (
-        df.select(
-            F.col(group_col),
-            F.col(id_col),
-            token_count(text_col).alias("n_tokens"),
-        )
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        _grouped_running_sum(rows, group_col, id_col, "n_tokens")
+        .withColumnRenamed("cum", "cum_tokens")
         .filter(F.col("cum_tokens") <= budget_tokens)
+        .select(group_col, id_col, "n_tokens", "cum_tokens")
     )
 
 
@@ -110,24 +165,24 @@ def sequence_pack(
     a pretraining tokenization pipeline ("pack docs into 4k-token
     rows"), minus the tokenizer itself.
 
-    Same shape as `token_budget_cap`: one window shuffle per group, the
-    running sum carries two longs per row. Docs longer than `seq_tokens`
-    simply span sequences (greedy packing does not split or reorder).
-    Returns (group_col, id_col, n_tokens, seq_id, seq_offset) where
-    seq_offset is the doc's token offset within its sequence.
+    Same shape as `token_budget_cap`: the running sum rides the
+    two-level grouped prefix sum (`_grouped_running_sum`, r11), so the
+    task unit is an id-span bucket, never a whole source. Docs longer
+    than `seq_tokens` simply span sequences (greedy packing does not
+    split or reorder). Returns (group_col, id_col, n_tokens, seq_id,
+    seq_offset) where seq_offset is the doc's token offset within its
+    sequence.
     """
     from redpanda_to_parquet_writer_spark.operators.text import token_count
 
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    with_cum = df.select(
+    rows = df.select(
         F.col(group_col),
         F.col(id_col),
         token_count(text_col).alias("n_tokens"),
-    ).withColumn("__start", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    )
+    with_cum = _grouped_running_sum(rows, group_col, id_col, "n_tokens").withColumn(
+        "__start", F.col("cum") - F.col("n_tokens")
+    )
     return with_cum.select(
         group_col,
         id_col,

@@ -502,10 +502,26 @@ def clicks_asof_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(clicks, purchases, key_cols=["user_id"], ts_col="ts_us")
 
 
+#: salt width for the two-level per-brand top-k: local top-3 within
+#: each of TOPK_SALT id-hash shards, final top-3 over the surviving
+#: |brands| x TOPK_SALT x 3 rows — the final window's frame is bounded
+#: by the salt, never by |parts|
+TOPK_SALT = 16
+
+
 def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group top-k (vs the global top-k of O3): 3 highest-revenue
-    parts within every brand. Plans as one shuffle on the group key +
-    rank window — no global sort, no per-group driver loops."""
+    parts within every brand.
+
+    Scale shape (r11): TWO-LEVEL rank selection. p_brand has ~25
+    distinct values, so a single rank window partitioned by brand puts
+    |parts|/25 rows in one task at cluster scale. Instead the first
+    window partitions by (brand, p_partkey % 16): each shard keeps its
+    local top-3, a shard's top-3 provably contains every global top-3
+    row, and the final window ranks the surviving
+    |brands| x 16 x 3 bounded frame. Both windows reuse one exchange
+    lineage; results are bitwise-identical to the single-window form
+    (same deterministic (revenue DESC, p_partkey ASC) order)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -514,11 +530,16 @@ def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_partkey")
         .agg(F.round(F.sum(revenue), 2).alias("revenue"))
     )
-    w = Window.partitionBy("p_brand").orderBy(
-        F.col("revenue").desc(), F.col("p_partkey").asc()
-    )
+    order = (F.col("revenue").desc(), F.col("p_partkey").asc())
+    local_w = Window.partitionBy(
+        "p_brand", F.pmod(F.col("p_partkey"), F.lit(TOPK_SALT))
+    ).orderBy(*order)
+    survivors = per_part.withColumn(
+        "__lrank", F.row_number().over(local_w)
+    ).filter(F.col("__lrank") <= 3)
+    w = Window.partitionBy("p_brand").orderBy(*order)
     return (
-        per_part.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("p_brand", "p_partkey", "revenue", "rank")
     )

@@ -228,26 +228,67 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-nation balance quartiles via ntile — the distributed form of
-    decile/quartile reporting: the window partitions on nation (NO
-    global single-partition window), ties broken by c_custkey so the
-    tiling is deterministic in any engine. min/max copy stored values —
-    no arithmetic, no rounding surface.
-    """
+    """Per-nation balance quartiles — the distributed form of
+    decile/quartile reporting. min/max copy stored values — no
+    arithmetic, no rounding surface.
+
+    Scale shape (r11): ntile is PURE RANK ARITHMETIC, so it decomposes
+    over the (nation, acctbal) HISTOGRAM instead of a per-nation window
+    over the customer table (~25 nations → customers/25 rows in one
+    window task at scale). ntile(4)'s bucket sizes are
+    n DIV 4 (+1 for the first n%4 buckets); quartile q spans ranks
+    [start_q, end_q], and because balances are monotone along the rank
+    order, max_bal(q) / min_bal(q) are exactly the values AT ranks
+    start_q / end_q — each read from cumulative histogram counts as
+    max{v : cumcount(>=v) >= r}. The custkey tiebreak only decides
+    which equal-valued ROWS sit at a boundary, never the boundary
+    VALUE, so the output is bitwise-identical to the ntile window
+    (oracle unchanged, ntile SQL)."""
     from pyspark.sql import Window
 
     customer = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
-    )
-    return (
-        customer.withColumn("quartile", F.ntile(4).over(w))
-        .groupBy("c_nationkey", "quartile")
-        .agg(
-            F.count("*").alias("n_customers"),
-            F.min("c_acctbal").alias("min_bal"),
-            F.max("c_acctbal").alias("max_bal"),
+    cum = (
+        customer.groupBy("c_nationkey", "c_acctbal")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "cum",
+            F.sum("c").over(
+                Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+            ),
         )
+        .withColumn("n", F.sum("c").over(Window.partitionBy("c_nationkey")))
+    )
+    aggs = [F.max("n").alias("n")]
+    for q in (1, 2, 3, 4):
+        start = f"(({q} - 1) * (n DIV 4) + least({q} - 1, n % 4) + 1)"
+        end = f"({q} * (n DIV 4) + least({q}, n % 4))"
+        aggs += [
+            F.max(F.expr(f"CASE WHEN cum >= {start} THEN c_acctbal END")).alias(
+                f"__max{q}"
+            ),
+            F.max(F.expr(f"CASE WHEN cum >= {end} THEN c_acctbal END")).alias(
+                f"__min{q}"
+            ),
+        ]
+    stacked = ", ".join(f"{q}, `__min{q}`, `__max{q}`" for q in (1, 2, 3, 4))
+    return (
+        cum.groupBy("c_nationkey")
+        .agg(*aggs)
+        .selectExpr(
+            "c_nationkey",
+            "n",
+            f"stack(4, {stacked}) AS (quartile, min_bal, max_bal)",
+        )
+        .select(
+            "c_nationkey",
+            "quartile",
+            F.expr(
+                "(n DIV 4) + CASE WHEN quartile <= n % 4 THEN 1 ELSE 0 END"
+            ).alias("n_customers"),
+            "min_bal",
+            "max_bal",
+        )
+        .filter(F.col("n_customers") > 0)
         .orderBy("c_nationkey", "quartile")
     )
 

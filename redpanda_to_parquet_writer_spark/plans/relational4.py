@@ -216,11 +216,16 @@ def events_value_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     the last ulps, but selecting STORED values by row_number and
     averaging at most two of them is the same IEEE arithmetic everywhere.
 
-    Plan: one shuffle on the group key; the rank window and the count
-    window share that partitioning; the middle rows ((n+1) DIV 2 and
-    (n+2) DIV 2 — equal when n is odd) collapse in a partial-aggregated
-    groupBy. At corpus scale, exact per-group medians fundamentally
-    require a per-group sort; this shape does exactly one.
+    Plan (r11): the middle ranks ride cumulative counts over the
+    (type, value) HISTOGRAM — the corpus collapses in a map-side
+    partial aggregate before any window, so the rank window's frame is
+    bounded by the value domain, never by rows (the previous per-type
+    row_number window put corpus/|types| rows in one task — see
+    SCALING.md "Window / ordered operators"). The value at rank r is
+    min{v : cumcount(<=v) >= r}; the even-n average (v1+v2)/2 runs the
+    same IEEE ops as the old two-row sum/count, so the output is
+    bitwise-identical (tie ranks landing in one cell give v1 == v2 and
+    (v+v)/2 == v exactly).
     """
     from pyspark.sql import Window
 
@@ -229,24 +234,29 @@ def events_value_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would shift which rows are the middle ranks between engines
     events = (
         load_table(spark, sf_dir, "events")
-        .select("event_type", "value", "event_id")
+        .select("event_type", "value")
         .filter(F.col("value").isNotNull())
     )
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("value").asc(), F.col("event_id").asc()
-    )
-    cw = Window.partitionBy("event_type")
-    ranked = events.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(cw)
-    )
-    mid = ranked.filter(
-        (F.col("rn") == F.expr("(n + 1) DIV 2")) | (F.col("rn") == F.expr("(n + 2) DIV 2"))
+    cum = (
+        events.groupBy("event_type", "value")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "cum",
+            F.sum("c").over(Window.partitionBy("event_type").orderBy("value")),
+        )
+        .withColumn("n", F.sum("c").over(Window.partitionBy("event_type")))
     )
     return (
-        mid.groupBy("event_type")
+        cum.groupBy("event_type")
         .agg(
             F.max("n").alias("n_events"),
-            (F.sum("value") / F.count(F.lit(1))).alias("median_value"),
+            F.min(F.expr("CASE WHEN cum >= (n + 1) DIV 2 THEN value END")).alias("__v1"),
+            F.min(F.expr("CASE WHEN cum >= (n + 2) DIV 2 THEN value END")).alias("__v2"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            ((F.col("__v1") + F.col("__v2")) / F.lit(2)).alias("median_value"),
         )
         .orderBy("event_type")
     )

@@ -140,16 +140,37 @@ def test_repetition_stats_zero_shuffle(spark, sf_dir):
     assert "Exchange" not in plan
 
 
-def test_token_budget_cap_single_shuffle(spark, sf_dir):
-    """Budget capping = one window over (source): exactly one exchange."""
+def _assert_two_level_prefix_plan(plan: str) -> None:
+    """The r11 grouped running-sum shape: the FACT-side window
+    partitions by (group, id-span bucket) — never by the
+    low-cardinality group alone — the bucket-total aggregate reuses
+    that exchange (no second corpus shuffle), and only the tiny
+    bucket-offset frames exchange on the bare group key."""
+    import re
+
+    assert "Exchange SinglePartition" not in plan
+    # the corpus-side window's partition clause carries BOTH keys
+    assert re.search(r"\], \[source#\d+, __b#\d+L?\]", plan), plan
+    # one fact exchange on (source, __b); the remaining exchanges carry
+    # the bucket/offset frames (post-aggregate, bounded by data/span)
+    assert re.search(r"Exchange hashpartitioning\(source#\d+, __b#\d+", plan), plan
+    # the bucket totals come from a partial aggregate, and the corpus
+    # window is planned exactly once (the totals branch must NOT window)
+    assert "partial_sum" in plan
+    assert plan.count("windowspecdefinition(source") == 2  # fact cum + offsets
+
+
+def test_token_budget_cap_two_level_prefix(spark, sf_dir):
+    """Budget capping rides the two-level grouped prefix sum (r11):
+    a per-source window would put corpus/|sources| rows in one task."""
     plan = plan_str(QUERIES["docs_token_budget_cap"](spark, sf_dir))
-    assert plan.count("Exchange hashpartitioning") == 1
+    _assert_two_level_prefix_plan(plan)
 
 
-def test_sequence_pack_single_shuffle(spark, sf_dir):
-    """Sequence packing = one window over (source): exactly one exchange."""
+def test_sequence_pack_two_level_prefix(spark, sf_dir):
+    """Sequence packing rides the two-level grouped prefix sum (r11)."""
     plan = plan_str(QUERIES["docs_sequence_pack"](spark, sf_dir))
-    assert plan.count("Exchange hashpartitioning") == 1
+    _assert_two_level_prefix_plan(plan)
 
 
 def test_large_order_customers_take_ordered(spark, sf_dir):
@@ -160,12 +181,17 @@ def test_large_order_customers_take_ordered(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
-def test_quartiles_window_is_partitioned(spark, sf_dir):
-    """ntile must run per-nation — a SinglePartition exchange feeding the
-    window would serialize the whole table through one task."""
+def test_quartiles_ride_histogram_no_ntile_window(spark, sf_dir):
+    """The quartile boundaries must come from cumulative counts over the
+    (nation, acctbal) histogram (r11) — an ntile window partitioned by
+    the ~25-value nation key puts customers/25 rows in one task at
+    scale. The corpus collapses in a partial aggregate below every
+    window, and no per-row rank function remains."""
     plan = plan_str(QUERIES["customer_balance_quartiles"](spark, sf_dir))
     assert "Window" in plan
     assert "Exchange SinglePartition" not in plan
+    assert "partial_count" in plan
+    assert "ntile" not in plan and "row_number" not in plan
 
 
 def test_top_event_type_double_agg_no_window(spark, sf_dir):

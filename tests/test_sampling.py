@@ -53,3 +53,44 @@ def test_temperature_sample_keeps_min_group_whole(spark):
     # the emitted bucket satisfies the exact integer predicate
     for r in kept:
         assert r["bucket"] ** 2 * r["n_group"] < 10**12 * r["n_min"]
+
+
+def test_grouped_running_sum_multi_bucket_equals_single_window(spark, monkeypatch):
+    """The two-level prefix sum (r11: within-bucket window + per-group
+    bucket offsets) must equal the naive per-group running-sum window
+    on inputs that SPAN MANY BUCKETS — the fixtures' ids all fit one
+    2^20 span, so without shrinking the span the second level is never
+    exercised. Random ids with gaps across three groups, span patched
+    to 8 (~60 buckets per group)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from redpanda_to_parquet_writer_spark.operators import sampling
+
+    monkeypatch.setattr(sampling, "PREFIX_SPAN", 8)
+    rng = random.Random(11)
+    rows = []
+    for g in ("web", "code", "books"):
+        ids = sorted(rng.sample(range(0, 500), 120))  # ~60 buckets of 8
+        rows += [(g, i, rng.randint(0, 50)) for i in ids]
+    df = spark.createDataFrame(rows, "grp string, doc_id long, n long")
+
+    got = {
+        (r["grp"], r["doc_id"]): r["cum"]
+        for r in sampling._grouped_running_sum(df, "grp", "doc_id", "n").collect()
+    }
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["grp"], r["doc_id"]): r["cum"]
+        for r in df.withColumn("cum", F.sum("n").over(w)).collect()
+    }
+    assert got == want
+    # and the bucketing really was multi-level under the patched span
+    n_buckets = df.selectExpr("count(DISTINCT grp, doc_id DIV 8)").collect()[0][0]
+    assert n_buckets > 100
