@@ -17,8 +17,6 @@ measured 16 -> 160.
 
 from __future__ import annotations
 
-import math
-
 import pytest
 from pyspark.sql import functions as F
 
