@@ -265,7 +265,12 @@ def main() -> None:
     }
     lines.append(summary)
     print(json.dumps(summary), flush=True)
-    with open(os.path.join(ROOT, "SCALING_CURVE_r10.jsonl"), "w") as f:
+    # --out <name> overrides the artifact name so a re-run under newer
+    # lineages does not clobber an earlier round's committed curve
+    out = "SCALING_CURVE_r10.jsonl"
+    if "--out" in sys.argv:
+        out = sys.argv[sys.argv.index("--out") + 1]
+    with open(os.path.join(ROOT, out), "w") as f:
         for line in lines:
             f.write(json.dumps(line) + "\n")
 
