@@ -33,7 +33,9 @@ Usage:
   python scripts/scaling_sf1.py              # synthesize (if absent) + run
   python scripts/scaling_sf1.py --synth-only # build the fixture, skip timing
 
-Output: SCALING_CURVE_r10.jsonl at the repo root — one JSON line per SF
+Output: SCALING_CURVE_r10.jsonl at the repo root (override with
+--out <name> — re-runs under newer lineages must not clobber an
+earlier round's committed curve) — one JSON line per SF
 with per-query min-of-2 timings (bench.py protocol), plus a final
 "decade_ratios" line comparing each query's sf0.1->sf1 ratio against
 its sf0.01->sf0.1 ratio (flag when the new decade is >1.5x steeper).
