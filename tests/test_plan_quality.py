@@ -140,37 +140,43 @@ def test_repetition_stats_zero_shuffle(spark, sf_dir):
     assert "Exchange" not in plan
 
 
-def _assert_two_level_prefix_plan(plan: str) -> None:
-    """The r11 grouped running-sum shape: the FACT-side window
+def _assert_two_level_prefix_plan(df) -> None:
+    """The r12 grouped running-sum shape: the FACT-side window
     partitions by (group, id-span bucket) — never by the
-    low-cardinality group alone — the bucket-total aggregate reuses
-    that exchange (no second corpus shuffle), and only the tiny
-    bucket-offset frames exchange on the bare group key."""
+    low-cardinality group alone — the bucket totals are read off the
+    windowed frame itself (max_by of the inclusive running sum), so
+    after AQE the totals branch is a ReusedExchange of the fact
+    branch's window-input shuffle: exactly ONE corpus FileScan, one
+    tokenize evaluation. Only the tiny bucket-offset frame exchanges
+    on the bare group key."""
     import re
 
+    plan = plan_str(df)
     assert "Exchange SinglePartition" not in plan
     # the corpus-side window's partition clause carries BOTH keys
     assert re.search(r"\], \[source#\d+, __b#\d+L?\]", plan), plan
     # one fact exchange on (source, __b); the remaining exchanges carry
     # the bucket/offset frames (post-aggregate, bounded by data/span)
     assert re.search(r"Exchange hashpartitioning\(source#\d+, __b#\d+", plan), plan
-    # the bucket totals come from a partial aggregate, and the corpus
-    # window is planned exactly once (the totals branch must NOT window)
-    assert "partial_sum" in plan
-    assert plan.count("windowspecdefinition(source") == 2  # fact cum + offsets
+    # the bucket totals ride a partial max_by over the windowed frame
+    assert "partial_max_by" in plan
+    # the single-scan contract is an AQE runtime property (stage-level
+    # exchange reuse) — assert it on the FINAL plan, counting scans
+    final = final_plan_str(df).split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final
+    assert final.count("FileScan parquet") == 1, final
+    assert final.count("ReusedExchange") >= 1, final
 
 
 def test_token_budget_cap_two_level_prefix(spark, sf_dir):
-    """Budget capping rides the two-level grouped prefix sum (r11):
+    """Budget capping rides the two-level grouped prefix sum:
     a per-source window would put corpus/|sources| rows in one task."""
-    plan = plan_str(QUERIES["docs_token_budget_cap"](spark, sf_dir))
-    _assert_two_level_prefix_plan(plan)
+    _assert_two_level_prefix_plan(QUERIES["docs_token_budget_cap"](spark, sf_dir))
 
 
 def test_sequence_pack_two_level_prefix(spark, sf_dir):
-    """Sequence packing rides the two-level grouped prefix sum (r11)."""
-    plan = plan_str(QUERIES["docs_sequence_pack"](spark, sf_dir))
-    _assert_two_level_prefix_plan(plan)
+    """Sequence packing rides the two-level grouped prefix sum."""
+    _assert_two_level_prefix_plan(QUERIES["docs_sequence_pack"](spark, sf_dir))
 
 
 def test_large_order_customers_take_ordered(spark, sf_dir):
