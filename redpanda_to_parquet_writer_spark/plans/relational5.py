@@ -362,7 +362,13 @@ def events_value_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w_tie = Window.partitionBy("event_type", "value").orderBy("event_id")
-    ranked = base.join(F.broadcast(hist), ["event_type", "value"]).withColumn(
+    # no explicit broadcast hint (r12): the histogram is
+    # |types| x |distinct 2dp values| — small for a domain-bounded
+    # metric, but a forced hint would bypass size-based planning and
+    # OOM the driver on a wide value domain at scale. AQE's runtime
+    # conversion broadcasts it when it is ACTUALLY small and falls back
+    # to a shuffle join when it is not (plan-audited on the final plan).
+    ranked = base.join(hist, ["event_type", "value"]).withColumn(
         "rn", F.col("below") + F.row_number().over(w_tie)
     )
     return ranked.select(

@@ -1,14 +1,13 @@
 #!/usr/bin/env python
-"""Profile the CC round's materialization count (VERDICT r10 #6).
+"""A/B the CC round's materialization count (VERDICT r10 #6, r11 fold).
 
-`connected_components` materializes TWICE per round through
-`_ckpt_fresh_stats` (the propagated labels, then the pointer-jumped
-labels). The first materialization exists because the pointer jump
-self-joins `propagated` — but a self-join only needs the frame CACHED
-with REAL stats (persist + count); lineage truncation for the next
-round is already provided by the second checkpoint. This script times
-both shapes on the sf1 docs near-dup workload (the r10 campaign's
-24.7s point) and bit-compares their outputs.
+The fold (persist+count the propagated labels instead of a second
+checkpoint copy per round) was ADOPTED into production
+`connected_components` in r11 after this script measured it ~7% faster
+and bitwise-identical on the sf1 docs near-dup workload. To keep the
+A/B meaningful after adoption, this script carries a FROZEN copy of the
+pre-fold two-checkpoint loop (`cc_prefold_2ckpt`, the r10 shape) as the
+baseline — production is the folded one-checkpoint shape.
 
 Usage: python scripts/profile_cc_fold.py [sf_dir]  (default .scaling_sf1)
 Alternates variants x3 each to control host drift; prints min/median.
@@ -38,12 +37,12 @@ from redpanda_to_parquet_writer_spark.session import get_spark  # noqa: E402
 from redpanda_to_parquet_writer_spark.sources.parquet import load_table  # noqa: E402
 
 
-def cc_folded(vertices, pairs, id_col="doc_id", src_col="id_a",
-              dst_col="id_b", max_iterations=25):
-    """connected_components with ONE checkpoint per round: `propagated`
-    is persist+count'ed (real stats for the self-join, no recompute)
-    but NOT checkpointed — new_labels' checkpoint truncates the round's
-    lineage, so plans stay one round deep."""
+def cc_prefold_2ckpt(vertices, pairs, id_col="doc_id", src_col="id_a",
+                     dst_col="id_b", max_iterations=25):
+    """FROZEN r10 shape: TWO `_ckpt_fresh_stats` materializations per
+    round (propagated labels, then pointer-jumped labels). Kept verbatim
+    as the A/B baseline after the r11 fold replaced the first checkpoint
+    with persist+count in production `connected_components`."""
     edges = pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -58,7 +57,7 @@ def cc_folded(vertices, pairs, id_col="doc_id", src_col="id_a",
             .groupBy("dst")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        propagated = (
+        propagated = _ckpt_fresh_stats(
             labels.join(neighbor_min, labels["id"] == neighbor_min["dst"], "left")
             .select(
                 "id",
@@ -66,9 +65,7 @@ def cc_folded(vertices, pairs, id_col="doc_id", src_col="id_a",
                     F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
                 ).alias("cluster_id"),
             )
-            .persist()
         )
-        propagated.count()  # real cached stats before the self-join
         parent = propagated.select(
             F.col("id").alias("p_id"), F.col("cluster_id").alias("p_cluster")
         )
@@ -81,7 +78,6 @@ def cc_folded(vertices, pairs, id_col="doc_id", src_col="id_a",
                 ).alias("cluster_id"),
             )
         )
-        propagated.unpersist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -110,7 +106,10 @@ def main() -> None:
     vertices = docs.localCheckpoint(eager=True)
     print(f"pairs={pairs.count()} vertices={vertices.count()}  ({sf_dir})")
 
-    variants = {"current(2ckpt)": connected_components, "folded(1ckpt)": cc_folded}
+    variants = {
+        "prefold(2ckpt, frozen r10)": cc_prefold_2ckpt,
+        "production(1ckpt fold)": connected_components,
+    }
     results: dict[str, list] = {}
     times: dict[str, list[float]] = {k: [] for k in variants}
     for rep in range(3):
@@ -121,7 +120,7 @@ def main() -> None:
             times[name].append(round(time.perf_counter() - t0, 2))
             prev = results.setdefault(name, rows)
             assert rows == prev, f"{name} nondeterministic across reps"
-    a, b = results["current(2ckpt)"], results["folded(1ckpt)"]
+    a, b = results["prefold(2ckpt, frozen r10)"], results["production(1ckpt fold)"]
     print("bitwise identical:", a == b, f"({len(a)} rows)")
     for name, ts in times.items():
         print(f"{name}: min={min(ts)} median={sorted(ts)[1]} all={ts}")

@@ -190,6 +190,16 @@ def time_queries(spark, sf_dir: str) -> dict[str, object]:
 
 
 def main() -> None:
+    # validate flags BEFORE the (long) run: a malformed `--out` with no
+    # value used to IndexError only at artifact-write time, losing the
+    # completed sweep's results
+    out = "SCALING_CURVE_r10.jsonl"
+    if "--out" in sys.argv:
+        idx = sys.argv.index("--out")
+        if idx + 1 >= len(sys.argv) or sys.argv[idx + 1].startswith("--"):
+            sys.exit("error: --out requires a filename argument")
+        out = sys.argv[idx + 1]
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
         EngineConfig(
@@ -267,11 +277,9 @@ def main() -> None:
     }
     lines.append(summary)
     print(json.dumps(summary), flush=True)
-    # --out <name> overrides the artifact name so a re-run under newer
-    # lineages does not clobber an earlier round's committed curve
-    out = "SCALING_CURVE_r10.jsonl"
-    if "--out" in sys.argv:
-        out = sys.argv[sys.argv.index("--out") + 1]
+    # --out <name> (parsed and validated at main() entry) overrides the
+    # artifact name so a re-run under newer lineages does not clobber an
+    # earlier round's committed curve
     with open(os.path.join(ROOT, out), "w") as f:
         for line in lines:
             f.write(json.dumps(line) + "\n")
