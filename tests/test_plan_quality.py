@@ -544,27 +544,35 @@ def test_percentile_fact_window_partitions_by_tie_group(spark, sf_dir):
     """The fact-side window must partition by (event_type, VALUE) — the
     tie group, whose size is bounded by duplicates of one value — never
     by event_type alone (|types| window tasks each holding
-    corpus/|types| rows at scale, r11). The domain-bounded histogram
-    (cumulative counts) must attach as a BROADCAST, and the histogram's
-    own windows run above a partial hash aggregate."""
+    corpus/|types| rows at scale, r11). The histogram's own windows run
+    above a partial hash aggregate. Since r12 the histogram join has NO
+    forced broadcast hint — Catalyst/AQE size-based planning decides
+    (at the fixture SF it broadcasts whichever side is tiny; at scale a
+    wide value domain falls back to a shuffle join on (type, value),
+    whose cardinality is |types| x |values| — skew-safe either way)."""
     plan = plan_str(QUERIES["events_value_percentile"](spark, sf_dir))
     assert "Exchange SinglePartition" not in plan
+    # at fixture scale one side is tiny, so size-based planning still
+    # picks a broadcast — but the hint is gone, so don't pin the side
     assert "BroadcastHashJoin" in plan
     assert "partial_count" in plan
     import re
 
     # the row_number window's partition clause carries BOTH keys (value
-    # arrives float-normalized)
+    # arrives float-normalized) — the scale invariant: the tie-group
+    # window never partitions by the low-cardinality type alone
     assert re.search(
         r"row_number\(\).*\], \[event_type#\d+, knownfloatingpointnormalized",
         plan,
     ), plan
-    # and the fact-side exchange hashes on (event_type, value)
-    assert re.search(
-        r"Exchange hashpartitioning\(event_type#\d+,\s*"
-        r"knownfloatingpointnormalized",
-        plan,
-    ), plan
+    # no exchange hashes on the bare low-cardinality type key for the
+    # FACT side: every (event_type)-only hash partitioning must belong
+    # to the histogram's domain-bounded aggregate/window frames, which
+    # sit above a partial_count — i.e. the fact flow itself only ever
+    # exchanges on (event_type, value)
+    for m in re.finditer(r"Exchange hashpartitioning\(event_type#(\d+), \d+\)", plan):
+        tail = plan[m.end() : m.end() + 2000]
+        assert "partial_count" in tail, plan
 
 
 def test_edit_distance_rides_lsh_candidates(spark, sf_dir):
