@@ -43,3 +43,44 @@ def duck():
         )
     yield con
     con.close()
+
+
+#: repo-root sf1 fixture dir — derived (240 MB), correctly not committed
+_SF1_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scaling_sf1"
+)
+
+
+def pytest_configure(config):
+    """Auto-build the sf1 fixture when asked (SPARK_GRAFT_SYNTH_SF1=1):
+    a fresh clone can opt into the 10-test sf1 streaming scale gate
+    without a manual step."""
+    if os.environ.get("SPARK_GRAFT_SYNTH_SF1") and not os.path.isdir(_SF1_DIR):
+        import subprocess
+
+        script = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "scaling_sf1.py",
+        )
+        subprocess.run([sys.executable, script, "--synth-only"], check=True)
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """Make the sf1 scale gate's absence LOUD (VERDICT r11 #3): without
+    this, a fresh clone reports ~10 fewer passes with no visible signal
+    that a scale-correctness gate silently skipped."""
+    if not os.path.isdir(_SF1_DIR):
+        terminalreporter.write_sep("=", "SF1 SCALE GATE SKIPPED", yellow=True, bold=True)
+        terminalreporter.write_line(
+            "tests/test_streaming_sf1.py (10 tests) was SKIPPED: the derived"
+        )
+        terminalreporter.write_line(
+            f"sf1 fixture {_SF1_DIR} is absent. Build it (~240 MB) with:"
+        )
+        terminalreporter.write_line(
+            "  python scripts/scaling_sf1.py --synth-only"
+        )
+        terminalreporter.write_line(
+            "or run pytest with SPARK_GRAFT_SYNTH_SF1=1 to auto-build it."
+        )

@@ -11,7 +11,9 @@ compares at sf0.01 (column-name-sorted rows, %.9g float norm).
 
 The sf1 fixture is derived, never committed (scripts/scaling_sf1.py
 --synth-only); the whole module skips when it is absent so the suite
-stays green on a fresh clone.
+stays green on a fresh clone — but the skip is LOUD: conftest prints
+an "SF1 SCALE GATE SKIPPED" terminal banner, and SPARK_GRAFT_SYNTH_SF1=1
+auto-builds the fixture at collection time (r12, VERDICT r11 #3).
 """
 
 from __future__ import annotations
