@@ -325,6 +325,15 @@ HEADLINE = [
     # (where tokenize is BPE, not a whitespace split, and the scan is
     # 100 TB of I/O). Bitwise-gated at sf0.01 AND sf1; plan audit now
     # pins final FileScan==1 + ReusedExchange>=1.
+    #
+    # r12 lineage change #2 (docs_line_dedup skew hardening, VERDICT
+    # r11 #5): the keep-first row_number window partitioned by line
+    # CONTENT is gone — a hot boilerplate line concentrated every
+    # corpus copy in one unsplittable window task. Now: (line, doc)
+    # pre-collapse aggregate (hot keys combine map-side) + min-struct
+    # firsts + an AQE-skew-splittable join, single corpus scan via
+    # ReusedExchange. Same-host A/B at sf0.1 (min-of-3): 0.92->1.06s.
+    # Bitwise-gated at sf0.01 AND sf1; plan audit forbids any Window.
 ]
 
 #: Calibration anchors (VERDICT r8 #3): three lineage-frozen queries

@@ -804,14 +804,40 @@ def line_dedup_stats(
     at sub-document granularity — exact dedup (D1/D2) and near-dup LSH
     work on whole docs; boilerplate repeats at line level.
 
-    Plan shape: narrow line synthesis (pure array expressions) ->
-    posexplode -> ONE shuffle keyed on line CONTENT (row_number window —
-    scale-safe: no collect_list, a hot boilerplate line costs a window
-    count, not an array) -> per-doc aggregation. Returns
-    (id_col, n_lines, n_kept, n_dupes).
-    """
-    from pyspark.sql import Window
+    Plan shape (r12 skew hardening): narrow line synthesis (pure array
+    expressions) -> posexplode -> NO window anywhere. The old shape was
+    a row_number window partitioned by line CONTENT — a hot boilerplate
+    line ("click here to subscribe") concentrates every corpus copy in
+    ONE window task, the same 100-TB disqualifier class the r11 sweep
+    removed from low-cardinality windows. Aggregates don't have that
+    problem: partial (map-side) combine collapses hot keys before the
+    shuffle. So:
 
+      1. pre-collapse on (line, doc) — within-doc repeats of a hot
+         line collapse map-side; the shuffled key carries the DOC id,
+         so a cross-corpus hot line spreads over |docs-containing-it|
+         reducers instead of one;
+      2. global first occurrence per line: min (doc, min_line_idx, c)
+         struct over the collapsed frame ((doc, mi) is unique per
+         line, so appending __c never changes the lexicographic
+         winner — it is there so BOTH consumers of the collapsed
+         frame read the same columns and Catalyst/AQE plans the
+         (line, doc) exchange ONCE: one scan, one tokenize,
+         ReusedExchange — column pruning otherwise specializes the
+         branches apart);
+      3. join the firsts back on line and aggregate per doc. When the
+         per-line frame is small it broadcasts (no probe shuffle at
+         all); when the line domain is corpus-sized, AQE's skew join
+         SPLITS a hot line's sort-merge partition — the property the
+         old window shape could never have (a window partition is
+         unsplittable).
+
+    n_kept(doc) = rows whose (doc, mi) IS the global first for their
+    content — the exact integer identity with the old per-row rn==1
+    split; n_dupes = n_lines - n_kept.
+
+    Returns (id_col, n_lines, n_kept, n_dupes).
+    """
     # split() on any non-null string yields >= 1 element ("" -> [""]), so
     # n_lines >= 1 always — an empty doc contributes one "" line, which
     # dedups against other empty docs like any other content
@@ -824,17 +850,27 @@ def line_dedup_stats(
     exploded = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.posexplode(lines).alias("line_idx", "line")
     )
-    w = Window.partitionBy("line").orderBy(
-        F.col(id_col).asc(), F.col("line_idx").asc()
+    per_line_doc = exploded.groupBy("line", id_col).agg(
+        F.count("*").alias("__c"), F.min("line_idx").alias("__mi")
     )
-    marked = exploded.withColumn("__rn", F.row_number().over(w))
+    firsts = per_line_doc.groupBy("line").agg(
+        F.min(F.struct(F.col(id_col), F.col("__mi"), F.col("__c"))).alias("__f")
+    )
+    # the redundant __f.__mi == __mi conjunct keeps __mi referenced on
+    # the probe side (same column-pruning symmetry as __c in the
+    # struct); it is implied by __f.<id> == <id> since (line, doc) is
+    # unique in per_line_doc
+    is_first = (F.col(f"__f.{id_col}") == F.col(id_col)) & (
+        F.col("__f.__mi") == F.col("__mi")
+    )
     return (
-        marked.groupBy(id_col)
+        per_line_doc.join(firsts, "line")
+        .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_lines"),
-            F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0)).alias("n_kept"),
-            F.sum(F.when(F.col("__rn") > 1, 1).otherwise(0)).alias("n_dupes"),
+            F.sum("__c").cast("long").alias("n_lines"),
+            F.sum(F.when(is_first, 1).otherwise(0)).cast("long").alias("n_kept"),
         )
+        .withColumn("n_dupes", (F.col("n_lines") - F.col("n_kept")).cast("long"))
     )
 
 

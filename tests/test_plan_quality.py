@@ -575,6 +575,26 @@ def test_percentile_fact_window_partitions_by_tie_group(spark, sf_dir):
         assert "partial_count" in tail, plan
 
 
+def test_line_dedup_no_window_single_scan(spark, sf_dir):
+    """C4-style line dedup must contain NO window anywhere (r12): the
+    old keep-first row_number partitioned by line CONTENT put every
+    corpus copy of a hot boilerplate line in ONE unsplittable window
+    task. The rewrite is pure aggregates (map-side-combined, hot keys
+    collapse before the shuffle) + a join AQE can skew-split — and the
+    two consumers of the collapsed (line, doc) frame must share its
+    exchange: exactly one corpus FileScan in the final plan."""
+    df = QUERIES["docs_line_dedup"](spark, sf_dir)
+    plan = plan_str(df)
+    assert "Window" not in plan
+    assert "row_number" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "partial_count" in plan and "partial_min" in plan
+    final = final_plan_str(df).split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final
+    assert final.count("FileScan parquet") == 1, final
+    assert final.count("ReusedExchange") >= 1, final
+
+
 def test_edit_distance_rides_lsh_candidates(spark, sf_dir):
     """Levenshtein must run on the banded candidate pairs only — one
     signature pass (no duplicated corpus lineage on the pair side)."""
