@@ -290,11 +290,10 @@ def _rank_probes(
     )
 
 
-def _verify_and_rank_topk(
-    candidates: DataFrame, probes: DataFrame, k: int
-) -> DataFrame:
-    """Exact-cosine verify + per-query top-k over (cluster_id-joined)
-    candidates — the shared tail of both IVF paths.
+def _score_probed_candidates(candidates: DataFrame, probes: DataFrame) -> DataFrame:
+    """Exact-cosine verify of (cluster_id-joined) candidates against the
+    probe batch — the UNROUNDED (query_id, neighbor_id, sim) frame both
+    the single-index and sharded tails rank over.
 
     The probe side is a QUERY BATCH (n_queries x n_probe rows) — small
     by contract relative to the corpus-sized candidate side, so it
@@ -302,20 +301,39 @@ def _verify_and_rank_topk(
     sub-plan overshoot the auto-broadcast threshold and the join falls
     back to SortMerge, shuffling the whole assigned corpus on
     cluster_id (the r5 bench drift's cause)."""
-    scored = (
+    return (
         candidates.join(F.broadcast(probes), on="cluster_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("sim", cosine(F.col("qv"), F.col("v")))
         .select("query_id", "neighbor_id", "sim")
     )
-    w = Window.partitionBy("query_id").orderBy(
+
+
+#: deterministic per-query candidate order shared by every IVF tail —
+#: unrounded sim desc, ties to the lowest neighbor id
+def _topk_window():
+    return Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k over an unrounded scored frame; rounding happens
+    AFTER ranking so shard unions re-rank on exactly the values the
+    single-index path ranks on."""
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(_topk_window()))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
     )
+
+
+def _verify_and_rank_topk(
+    candidates: DataFrame, probes: DataFrame, k: int
+) -> DataFrame:
+    """Exact-cosine verify + per-query top-k over (cluster_id-joined)
+    candidates — the shared tail of both IVF paths."""
+    return _rank_topk(_score_probed_candidates(candidates, probes), k)
 
 
 def ivf_topk(
@@ -703,6 +721,126 @@ def build_ivf_index_auto(
     cents = kmeans_lloyd_centroids(df, id_col, vec_col, k=k, n_updates=n_updates)
     build_ivf_index(df, cents, path, id_col, vec_col, use_arrow=use_arrow)
     return cents
+
+
+def _shard_router(id_col: str, n_shards: int):
+    """Deterministic shard assignment: pmod(xxhash64(id), n_shards) —
+    id-type-agnostic, stable across runs/partitionings, and the SAME
+    expression routes build, append, and (if a caller ever needs it)
+    per-shard lookup, so a vector can never change shards."""
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+
+
+def build_ivf_index_sharded(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_list_len: int = IVF_TARGET_LIST_LEN,
+    n_updates: int = 1,
+    use_arrow: bool = False,
+) -> dict[int, DataFrame]:
+    """The scale path PAST the codebook clamp (`select_n_centroids`
+    k_max): past ~k_max * target_list_len rows (~82M at the defaults) a
+    single codebook's lists grow again no matter what — SCALING.md names
+    sharding as the answer, and this implements it: the corpus routes
+    deterministically into `n_shards` disjoint shards (xxhash64 on the
+    id), each shard trains its OWN codebook sized by ITS row count and
+    persists its own cluster-partitioned inverted lists under
+    `path/shard=<s>/`. Every shard's n is corpus/n_shards, so a caller
+    splitting at the clamp keeps every per-shard k under k_max and every
+    list at target length — serving cost per shard stays flat, and
+    shards serve in parallel.
+
+    Returns {shard: local codebook relation} — the caller snapshots the
+    WHOLE dict alongside the index (the same snapshot contract as the
+    single codebook of `build_ivf_index`); `ivf_topk_indexed_sharded`
+    consumes it.
+
+    Build is a driver loop of n_shards independent builds (each a
+    bounded count + Lloyd train + partitioned write) — at the corpus
+    sizes where sharding matters, one build per ~82M-vector shard is
+    the granularity you want for retries and incremental rebuilds
+    anyway.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    codebooks: dict[int, DataFrame] = {}
+    for s in range(n_shards):
+        part = df.filter(_shard_router(id_col, n_shards) == s)
+        codebooks[s] = build_ivf_index_auto(
+            part,
+            f"{path}/shard={s}",
+            id_col,
+            vec_col,
+            target_list_len=target_list_len,
+            n_updates=n_updates,
+            use_arrow=use_arrow,
+        )
+    return codebooks
+
+
+def ivf_topk_indexed_sharded(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    codebooks: dict[int, DataFrame],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_probe: int = 4,
+    reliable: bool = False,
+) -> DataFrame:
+    """Serve a sharded IVF index (`build_ivf_index_sharded`): every
+    query probes EVERY shard's codebook (shards partition the corpus,
+    so a neighbor can live in any of them), each shard verifies its
+    probed candidates with exact cosine and keeps its LOCAL top-k, and
+    the global answer is the re-ranked union of the per-shard top-k —
+    n_shards x k rows per query, a TakeOrdered-sized frame no matter
+    how big the corpus.
+
+    Correctness containment: a shard's local top-k provably contains
+    every row of the global top-k that lives in that shard (removing
+    other shards' rows can only promote a row's local rank), so the
+    union re-rank loses nothing — global-vs-sharded equality is gated
+    bitwise in tests at two shard counts. Rounding happens once, after
+    the FINAL rank, on exactly the unrounded sims the single-index path
+    ranks on (`_rank_topk`).
+
+    Per-shard serving is the single-index path verbatim: ranked probes
+    materialize once (`_materialize_probes`, reliable=True for the
+    durable tier), only distinct probed cluster ids reach the driver
+    (O(n_centroids_shard) each), and the shard scan prunes to the
+    probed cluster directories.
+    """
+    if not codebooks:
+        raise ValueError("codebooks must map shard -> codebook relation")
+    shard_tops = []
+    for s in sorted(codebooks):
+        cents = materialize_centroids(codebooks[s])
+        probes = _materialize_probes(
+            _rank_probes(queries, cents, id_col, vec_col, n_probe), reliable
+        )
+        probed_clusters = sorted(
+            int(r["cluster_id"])
+            for r in probes.select("cluster_id").distinct().collect()
+        )
+        index = spark.read.parquet(f"{index_path}/shard={s}").filter(
+            F.col("cluster_id").isin(probed_clusters)
+        )
+        scored = _score_probed_candidates(index, probes)
+        # local top-k on UNROUNDED sims with the shared deterministic
+        # order; the filter bounds the union to n_shards x k rows/query
+        shard_tops.append(
+            scored.withColumn("__r", F.row_number().over(_topk_window()))
+            .filter(F.col("__r") <= k)
+            .drop("__r")
+        )
+    union = shard_tops[0]
+    for t in shard_tops[1:]:
+        union = union.unionByName(t)
+    return _rank_topk(union, k)
 
 
 def deterministic_centroids(

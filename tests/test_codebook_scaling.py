@@ -129,3 +129,103 @@ def test_candidate_volume_bounded_across_decades(spark, tmp_path):
     # contrast: the fixed-k failure mode this contract kills — at the
     # 10x corpus a frozen k=16 means 10x the per-probe candidates
     assert (10 * n1) / k1 >= 10 * target
+
+
+# --- sharding: the scale path PAST the k_max clamp (VERDICT r11 #4) --------
+
+SF001 = "/root/testdata/sf0.01"
+
+
+def _served(df) -> list[tuple]:
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_sharded_index_serves_identically_at_two_shard_counts(spark, tmp_path):
+    """`build_ivf_index_sharded` + `ivf_topk_indexed_sharded` must
+    return the unsharded build's rows BITWISE at n_shards=2 and 4.
+
+    The config makes the equality a guarantee, not a coincidence: with
+    the default target the fixture selects k_min=4 centroids per shard
+    and per codebook, and n_probe=4 covers them all — both paths verify
+    the full corpus with exact cosine, so any divergence is a bug in
+    the shard routing, the local-top-k containment, or the union
+    re-rank (ties, rounding order), which is exactly what this pins."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        build_ivf_index_sharded,
+        ivf_topk_indexed,
+        ivf_topk_indexed_sharded,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    queries = emb.limit(5)
+    cents = build_ivf_index_auto(emb, str(tmp_path / "flat"), use_arrow=True)
+    flat = _served(
+        ivf_topk_indexed(spark, str(tmp_path / "flat"), queries, cents, k=3, n_probe=4)
+    )
+    assert len(flat) == 15  # 5 queries x k=3, fully ranked
+    for n_shards in (2, 4):
+        books = build_ivf_index_sharded(
+            emb, str(tmp_path / f"sh{n_shards}"), n_shards, use_arrow=True
+        )
+        assert sorted(books) == list(range(n_shards))
+        served = _served(
+            ivf_topk_indexed_sharded(
+                spark,
+                str(tmp_path / f"sh{n_shards}"),
+                queries,
+                books,
+                k=3,
+                n_probe=4,
+            )
+        )
+        assert served == flat, f"n_shards={n_shards} diverged from unsharded"
+
+
+def test_sharded_codebooks_sized_by_their_own_shard(spark, tmp_path):
+    """Each shard's codebook must size by the SHARD's row count (the
+    point of sharding: per-shard k stays under the clamp while total
+    capacity grows with shards), and each shard's lists must honor the
+    target bound."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        _shard_router,
+        build_ivf_index_sharded,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    target, n_shards = 25, 4
+    books = build_ivf_index_sharded(
+        emb,
+        str(tmp_path / "sh"),
+        n_shards,
+        target_list_len=target,
+        n_updates=0,
+        use_arrow=True,
+    )
+    shard_counts = {
+        int(r["s"]): r["c"]
+        for r in emb.groupBy(_shard_router("vec_id", n_shards).alias("s"))
+        .count()
+        .withColumnRenamed("count", "c")
+        .collect()
+    }
+    assert sum(shard_counts.values()) == emb.count()  # partition, no loss
+    total_k = 0
+    for s, book in books.items():
+        k = book.count()
+        assert k == select_n_centroids(shard_counts[s], target_list_len=target), s
+        mean_len, _ = _mean_list_len(spark, str(tmp_path / "sh" / f"shard={s}"))
+        assert mean_len <= target, (s, mean_len)
+        total_k += k
+    # total quantizer capacity grows with shards — a single codebook at
+    # the same target would need select_n_centroids(n) in ONE codebook;
+    # sharding spreads it (ceil per shard can only add centroids)
+    assert total_k >= select_n_centroids(emb.count(), target_list_len=target)
+
+
+def test_shard_router_rejects_bad_counts():
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        build_ivf_index_sharded,
+    )
+
+    with pytest.raises(ValueError):
+        build_ivf_index_sharded(None, "/tmp/x", 0)
