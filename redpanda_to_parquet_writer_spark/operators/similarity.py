@@ -843,6 +843,50 @@ def ivf_topk_indexed_sharded(
     return _rank_topk(union, k)
 
 
+def append_ivf_index_sharded(
+    df: DataFrame,
+    codebooks: dict[int, DataFrame],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_arrow: bool = False,
+) -> None:
+    """Incremental maintenance of a SHARDED index — the operation
+    sharding exists for (the corpus outgrew one codebook, so it is
+    still growing): route the NEW vectors with the SAME xxhash64
+    router the build used (`_shard_router` — n_shards is recovered
+    from the codebook dict, so a batch can never route differently
+    than its index), assign each slice against its shard's FROZEN
+    codebook, and append into that shard's cluster-partitioned layout.
+    Per-shard semantics are `append_ivf_index` verbatim: existing
+    lists are never read or rewritten, and append-equals-rebuild holds
+    per shard exactly as it does for the single index (same frozen
+    quantizer ⇒ same assignments ⇒ same directories; gated in tests).
+
+    The codebook-freshness caveat compounds under sharding: appending
+    under ANY shard's stale codebook silently corrupts THAT shard's
+    lists, so callers snapshot the whole dict with the index (the
+    `build_ivf_index_sharded` contract)."""
+    if not codebooks:
+        raise ValueError("codebooks must map shard -> codebook relation")
+    n_shards = len(codebooks)
+    if sorted(codebooks) != list(range(n_shards)):
+        raise ValueError(
+            f"codebooks must cover shards 0..{n_shards - 1}, got {sorted(codebooks)}"
+        )
+    for s in range(n_shards):
+        part = df.filter(_shard_router(id_col, n_shards) == s)
+        _write_ivf_rows(
+            part,
+            codebooks[s],
+            f"{path}/shard={s}",
+            id_col,
+            vec_col,
+            "append",
+            use_arrow=use_arrow,
+        )
+
+
 def deterministic_centroids(
     df: DataFrame,
     n_centroids: int = 16,

@@ -229,3 +229,68 @@ def test_shard_router_rejects_bad_counts():
 
     with pytest.raises(ValueError):
         build_ivf_index_sharded(None, "/tmp/x", 0)
+
+
+def test_sharded_append_equals_rebuild(spark, tmp_path):
+    """`append_ivf_index_sharded` must route with the build's router
+    and assign under each shard's frozen codebook: building on 80% of
+    the fixture, then appending the remaining 20%, must serve the SAME
+    rows as a from-scratch sharded build over the full corpus with the
+    SAME codebooks (same frozen quantizer => same assignments => same
+    directories — the single-index append contract, per shard)."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        _write_ivf_rows,
+        append_ivf_index_sharded,
+        build_ivf_index_sharded,
+        ivf_topk_indexed_sharded,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    n = emb.count()
+    head = emb.filter(F.col("vec_id") < int(n * 0.8))
+    tail = emb.filter(F.col("vec_id") >= int(n * 0.8))
+    assert tail.count() > 0
+    queries = emb.limit(5)
+    n_shards = 2
+
+    books = build_ivf_index_sharded(
+        head, str(tmp_path / "grown"), n_shards, use_arrow=True
+    )
+    append_ivf_index_sharded(tail, books, str(tmp_path / "grown"), use_arrow=True)
+
+    # rebuild over the full corpus under the SAME (frozen) codebooks
+    from redpanda_to_parquet_writer_spark.operators.similarity import _shard_router
+
+    for s in range(n_shards):
+        _write_ivf_rows(
+            emb.filter(_shard_router("vec_id", n_shards) == s),
+            books[s],
+            str(tmp_path / "rebuilt" / f"shard={s}"),
+            "vec_id",
+            "embedding",
+            "overwrite",
+            use_arrow=True,
+        )
+
+    grown = _served(
+        ivf_topk_indexed_sharded(
+            spark, str(tmp_path / "grown"), queries, books, k=3, n_probe=4
+        )
+    )
+    rebuilt = _served(
+        ivf_topk_indexed_sharded(
+            spark, str(tmp_path / "rebuilt"), queries, books, k=3, n_probe=4
+        )
+    )
+    assert grown == rebuilt and len(grown) == 15
+
+
+def test_sharded_append_rejects_sparse_codebook_dict():
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        append_ivf_index_sharded,
+    )
+
+    with pytest.raises(ValueError):
+        append_ivf_index_sharded(None, {}, "/tmp/x")
+    with pytest.raises(ValueError):
+        append_ivf_index_sharded(None, {0: None, 2: None}, "/tmp/x")
