@@ -334,6 +334,14 @@ HEADLINE = [
     # firsts + an AQE-skew-splittable join, single corpus scan via
     # ReusedExchange. Same-host A/B at sf0.1 (min-of-3): 0.92->1.06s.
     # Bitwise-gated at sf0.01 AND sf1; plan audit forbids any Window.
+    #
+    # r12 bench_diff adjudication (vs the r11 driver artifact): two
+    # 1.54x-normalized flags. docs_line_dedup is the named lineage
+    # change above (the r11 artifact's 0.50s was a faster host day;
+    # the same-host A/B is the honest 0.92->1.06). docs_jaccard_pairs
+    # (untouched this round) adjudicated by timing the r11 CODE from a
+    # worktree on the same host: r11 1.435s vs r12 1.334s min-of-3 —
+    # host/load state (loadavg 4.8->7.4 during the sweep), not lineage.
 ]
 
 #: Calibration anchors (VERDICT r8 #3): three lineage-frozen queries
