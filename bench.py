@@ -335,6 +335,17 @@ HEADLINE = [
     # ReusedExchange. Same-host A/B at sf0.1 (min-of-3): 0.92->1.06s.
     # Bitwise-gated at sf0.01 AND sf1; plan audit forbids any Window.
     #
+    # r12 lineage change #3 (exact keep-first, same class as #2): both
+    # content-keyed keep-first row_number windows
+    # (dedup_content_keep_first, operators/dedup.py
+    # content_dedup_keep_first) are now min/min_by AGGREGATES — the
+    # hottest exact duplicate (the thing dedup removes) no longer owns
+    # one unsplittable window task; partial combine collapses it
+    # map-side. FASTER at toy scale too: 0.56->0.37s same-host min-of-3
+    # at sf0.1. Bitwise-gated at sf0.01, sf0.1 AND sf1 (oracle
+    # unchanged in window form); NULLS FIRST order-key semantics pinned
+    # in tests/test_properties.py.
+    #
     # r12 bench_diff adjudication (vs the r11 driver artifact): two
     # 1.54x-normalized flags. docs_line_dedup is the named lineage
     # change above (the r11 artifact's 0.50s was a faster host day;

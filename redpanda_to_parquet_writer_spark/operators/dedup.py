@@ -12,17 +12,18 @@ Scale notes:
   - The anti-join's right side (already-persisted keys for one
     topic/date) is small relative to the batch -> broadcast hint avoids a
     shuffle of the big side entirely.
-  - Window dedup shuffles once on the hash; with AQE skew-join/partition
-    coalescing this holds at 100 TB because hash keys are uniform by
-    construction.
-  - `exact_dedup_min_key` is the groupBy formulation (map-side partial
-    aggregation) — cheaper than a window when only the surviving keys are
-    needed, because partial min() collapses duplicates before the shuffle.
+  - Content keep-first is a min_by AGGREGATE (r12): hash keys are
+    uniform by construction, but list LENGTHS are not — the corpus's
+    hottest exact duplicate is precisely what dedup removes, and a
+    window partitioned by the hash would hold all its copies in one
+    unsplittable task; partial min_by collapses them map-side instead.
+  - `exact_dedup_min_key` is the keys-only groupBy formulation —
+    cheaper still when only the surviving keys are needed.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from redpanda_to_parquet_writer_spark.functions.hashing import content_columns, content_hash
@@ -65,14 +66,33 @@ def content_dedup_keep_first(
     Hash all non-kafka columns (F4, reader:596-618), keep the row with the
     lowest (partition, offset) — a deterministic sharpening of Polars'
     row-order-dependent keep="first" (SURVEY 7.3 risk 3).
+
+    Skew shape (r12): keep-first runs as a min_by AGGREGATE, not a
+    row_number window — a window partitioned by content hash puts every
+    copy of the corpus's hottest duplicate (the exact thing dedup
+    exists to remove) in ONE unsplittable task, while the aggregate's
+    map-side partial combine collapses hot hashes to one candidate row
+    per map partition before the shuffle. The ordering struct encodes
+    NULLS FIRST per order column ((0, null) sorts below (1, v)), so the
+    selected row is bit-for-bit the one the old `orderBy(asc)` window
+    picked, for any caller (ties in `order_cols` — impossible for the
+    (partition, offset) default — were window-nondeterministic anyway).
     """
     hashed = df.withColumn("_content_hash", content_hash(df, content_cols))
-    w = Window.partitionBy("_content_hash").orderBy(*[F.col(c).asc() for c in order_cols])
-    return (
-        hashed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_content_hash", "_rn")
+    order_key = F.struct(
+        *[
+            f
+            for c in order_cols
+            for f in (
+                F.when(F.col(c).isNotNull(), F.lit(1)).otherwise(F.lit(0)),
+                F.col(c),
+            )
+        ]
     )
+    first = F.min_by(
+        F.struct(*[F.col(c) for c in df.columns]), order_key
+    ).alias("__first")
+    return hashed.groupBy("_content_hash").agg(first).select("__first.*")
 
 
 def _ckpt_fresh_stats(df: DataFrame) -> DataFrame:

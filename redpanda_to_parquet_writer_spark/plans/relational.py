@@ -158,13 +158,15 @@ def dedup_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- D2: content dedup keep-first (reader:653-710) -------------------------
 
 def dedup_content_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # keep-first == min(event_id) per content group, since the group
+    # keys ARE the content: a plain map-side-combined aggregate, never
+    # a window partitioned by content (the corpus's hottest duplicate
+    # would own ONE unsplittable window task at scale — r12, the same
+    # class as docs_line_dedup; oracle unchanged in window form)
     events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type", "value", "props").orderBy(
-        F.col("event_id").asc()
-    )
     return (
-        events.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        events.groupBy("user_id", "event_type", "value", "props")
+        .agg(F.min("event_id").alias("event_id"))
         .select("event_id", "user_id", "event_type", "value", "props")
     )
 

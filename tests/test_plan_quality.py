@@ -575,6 +575,18 @@ def test_percentile_fact_window_partitions_by_tie_group(spark, sf_dir):
         assert "partial_count" in tail, plan
 
 
+def test_content_keep_first_no_window(spark, sf_dir):
+    """Exact-content keep-first must plan as a map-side-combined
+    aggregate, never a row_number window partitioned by content (r12):
+    the corpus's hottest duplicate — the thing dedup exists to remove —
+    would own ONE unsplittable window task at scale."""
+    plan = plan_str(QUERIES["dedup_content_keep_first"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "row_number" not in plan
+    assert "partial_min" in plan
+    assert plan.count("FileScan parquet") == 1
+
+
 def test_line_dedup_no_window_single_scan(spark, sf_dir):
     """C4-style line dedup must contain NO window anywhere (r12): the
     old keep-first row_number partitioned by line CONTENT put every

@@ -102,6 +102,28 @@ def test_content_dedup_idempotent_and_exact(spark, rows):
         assert key == min((p, o) for p, o, pl in rows if pl == payload)
 
 
+def test_content_dedup_null_order_keys_sort_first(spark):
+    """The r12 min_by aggregate must reproduce the old window's
+    NULLS FIRST ascending order: a NULL order key beats every non-null
+    one, and within equal leading keys the tail key decides."""
+    rows = [
+        (None, 5, "hot"),   # null partition: sorts before every other
+        (0, None, "hot"),
+        (0, 1, "hot"),
+        (1, 0, "hot"),
+        (0, 2, "cold"),
+        (0, 1, "cold"),
+    ]
+    df = spark.createDataFrame(rows, _ROWS_SCHEMA)
+    got = {
+        r["payload"]: (r["kafka_partition"], r["kafka_offset"])
+        for r in content_dedup_keep_first(
+            df, content_cols=["payload"], order_cols=["kafka_partition", "kafka_offset"]
+        ).collect()
+    }
+    assert got == {"hot": (None, 5), "cold": (0, 1)}
+
+
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(rows=_rows, mod=st.integers(2, 5))
 def test_anti_join_removes_exactly_existing_keys(spark, rows, mod):
