@@ -346,6 +346,24 @@ HEADLINE = [
     # unchanged in window form); NULLS FIRST order-key semantics pinned
     # in tests/test_properties.py.
     #
+    # r12 lineage change #4 (skewed-key window sweep — the r11 sweep's
+    # completion on the OTHER axis): document/term-frequency windows
+    # partitioned by term / n-gram / fingerprint keys are gone. Those
+    # keys are high-cardinality but extremely skewed — a stopword's
+    # window partition holds one row per document containing it
+    # (|docs| rows in ONE task at corpus scale, and AQE can split a
+    # skewed JOIN but never a window partition). Now aggregates +
+    # join-backs, map-side combine collapsing hot keys. Same-host
+    # min-of-3 at sf0.1 (vs this round's pre-sweep bench run):
+    # docs_tfidf_top_terms 0.53->0.77, docs_dup_ngram_fraction
+    # 0.75->1.24, docs_unigram_logprob 0.45->0.78 (tf exchange REUSED,
+    # still one exploded scan), docs_normalized_dedup 0.24->0.80 (the
+    # duplicated subtree is the regex-normalize+md5 projection),
+    # docs_bm25_topk 0.49->0.80. Each is fixed stage overhead at toy
+    # scale buying removal of an unsplittable |docs|-row window task at
+    # 100 TB. All bitwise-gated at sf0.01 AND sf1 against unchanged
+    # oracles; plan audit forbids term/gram/fp-keyed windowspecs.
+    #
     # r12 bench_diff adjudication (vs the r11 driver artifact): two
     # 1.54x-normalized flags. docs_line_dedup is the named lineage
     # change above (the r11 artifact's 0.50s was a faster host day;

@@ -432,15 +432,21 @@ def jaccard_pairs(
     if max_doc_freq is not None:
         # drop hot shingles before their posting list is collected, then
         # recompute set sizes over the SURVIVING shingles so
-        # |A|+|B|-common stays a consistent union size. Two extra window
-        # passes (on g, then on id) — the price of the guard path only.
-        gw = Window.partitionBy("g")
+        # |A|+|B|-common stays a consistent union size. The DF guard is
+        # an aggregate + join-back, NOT a window partitioned by the
+        # shingle (r12): the guard exists precisely because a shingle
+        # can be corpus-hot, and that shingle's window partition would
+        # hold one row per containing doc in one unsplittable task —
+        # the aggregate collapses it map-side and the join-back is
+        # AQE-skew-splittable. The size recompute window on the doc id
+        # stays: its partition is one doc's shingles, doc-length-bounded.
         iw = Window.partitionBy(id_col)
+        dfs = shingles.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
         shingles = (
-            shingles.withColumn("__df", F.count(F.lit(1)).over(gw))
+            shingles.join(dfs, "g")
             .filter(F.col("__df") <= max_doc_freq)
             .withColumn("n", F.count(F.lit(1)).over(iw))
-            .drop("__df")
+            .select(F.col(id_col), F.col("n"), F.col("g"))
         )
     # per-shingle posting lists instead of a shingle self-join (which
     # would run the explode lineage twice); hot shingles (huge posting
@@ -719,21 +725,25 @@ def tfidf_top_terms(
     """Top-k terms per document by TF-IDF — keyword extraction for
     corpus indexing/topic tagging.
 
-    One map-side-combined term-freq aggregation per (doc, term); document
-    freq is then a count window over the term key on those already
-    distinct pairs — NOT a separate aggregate branch, which would make
-    Catalyst recompute the explode subtree and scan the corpus twice.
-    The 1-row corpus count rides a broadcast cross join (no driver
-    round-trip, stays one plan). idf = ln(n_docs / df). The rank window
-    orders by the ROUNDED score (then term text) so last-ulp ln()
-    differences between engines can't reorder mathematically-equal
-    scores.
+    One map-side-combined term-freq aggregation per (doc, term);
+    document freq is a second AGGREGATE over those pairs, joined back
+    on term (r12 — the old count window partitioned by term held one
+    row per document containing a stopword in ONE unsplittable window
+    task; the aggregate collapses hot terms map-side, the join-back is
+    AQE-skew-splittable, and because both branches consume the tf
+    aggregate's full output the shared (doc, term) exchange is REUSED:
+    still one corpus scan, plan-audited). The 1-row corpus count rides
+    a broadcast cross join (no driver round-trip, stays one plan).
+    idf = ln(n_docs / df). The rank window orders by the ROUNDED score
+    (then term text) so last-ulp ln() differences between engines
+    can't reorder mathematically-equal scores.
     """
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     n_docs = df.select(F.count("*").alias("__n"))
+    dfs = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
-        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+        tf.join(dfs, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
@@ -968,24 +978,31 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     perplexity filter (documents whose tokens are globally rare score
     low and get routed to review/drop).
 
-    Two corpus scans, no vocabulary join: term freq per (doc, term) is
-    one map-side-combined aggregate, the corpus count per term is a sum
-    window over the term key on those pairs (a separate aggregate
-    branch would make Catalyst recompute the explode subtree and
-    re-scan), and the 1-row grand total comes from a narrow
-    token-count scan (sum of doc lengths == sum of all tf — no explode,
-    no shuffle) that rides a broadcast cross join. Each distinct term's
-    ln(count/total) rounds to 6 dp and the per-doc total accumulates
-    tf x DECIMAL — exact and order-independent, so task interleaving
-    cannot move a score.
+    Scale shape: term freq per (doc, term) is one map-side-combined
+    aggregate; the corpus count per term is a second AGGREGATE over
+    those pairs, joined back on term (r12 — it used to be a sum window
+    partitioned by term, but a stopword's partition holds one row per
+    DOCUMENT containing it, an unsplittable |docs|-row window task at
+    scale; the aggregate collapses hot terms map-side and the
+    join-back is AQE-skew-splittable). The 1-row grand total comes
+    from a narrow token-count scan (sum of doc lengths == sum of all
+    tf — no explode, no shuffle) that rides a broadcast cross join.
+    Each distinct term's ln(count/total) rounds to 6 dp and the
+    per-doc total accumulates tf x DECIMAL — exact and
+    order-independent, so task interleaving cannot move a score.
     """
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # both branches consume tf's full (id, term, tf) output — grouping
+    # keys are never pruned and the count expression feeds both — so
+    # the shared (id, term) aggregate subtree canonicalizes identically
+    # and AQE reuses its exchange (one corpus scan)
+    cnts = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     total = df.select(token_count(text_col).alias("__dl")).agg(
         F.sum("__dl").alias("__t")
     )
     scored = (
-        tf.withColumn("cnt", F.sum("tf").over(Window.partitionBy("term")))
+        tf.join(cnts, "term")
         .crossJoin(F.broadcast(total))
         .withColumn(
             "lp",
@@ -1045,13 +1062,16 @@ def containment_pairs(
         F.explode("__gs").alias("g"),
     )
     if max_doc_freq is not None:
-        gw = Window.partitionBy("g")
+        # aggregate + join-back DF guard, not a shingle-keyed window —
+        # see jaccard_pairs (r12): the hot shingle the guard targets
+        # would own one unsplittable window task
         iw = Window.partitionBy(id_col)
+        dfs = shingles.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
         shingles = (
-            shingles.withColumn("__df", F.count(F.lit(1)).over(gw))
+            shingles.join(dfs, "g")
             .filter(F.col("__df") <= max_doc_freq)
             .withColumn("n", F.count(F.lit(1)).over(iw))
-            .drop("__df")
+            .select(F.col(id_col), F.col("n"), F.col("g"))
         )
     postings = (
         shingles.groupBy("g")
@@ -1094,8 +1114,15 @@ def normalized_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFra
     Character classes are spelled explicitly ([ \\t\\n\\r]) instead of
     \\s because Java regex (Spark) includes \\x0B in \\s and RE2
     (DuckDB) does not — the one place the engines' regex dialects
-    diverge for this pipeline. One window shuffle on the fingerprint
-    assigns the canonical (min-id) representative per group.
+    diverge for this pipeline.
+
+    Skew shape (r12, same class as the keep-first rewrites): the
+    canonical-representative stats ride a map-side-combined AGGREGATE
+    + join-back, never a window partitioned by the fingerprint — a hot
+    boilerplate document (the thing this dedup pass exists to catch)
+    would put every copy in ONE unsplittable window task, while the
+    aggregate collapses it to one row per map partition and the
+    join-back is AQE-skew-splittable.
     """
     norm = F.trim(
         F.regexp_replace(
@@ -1105,11 +1132,12 @@ def normalized_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFra
         )
     )
     base = df.select(F.col(id_col), F.md5(norm).alias("norm_fp"))
-    w = Window.partitionBy("norm_fp")
-    return (
-        base.withColumn("canonical_id", F.min(id_col).over(w))
-        .withColumn("n_variants", F.count(F.lit(1)).over(w))
-        .select(id_col, "norm_fp", "canonical_id", "n_variants")
+    stats = base.groupBy("norm_fp").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_variants"),
+    )
+    return base.join(stats, "norm_fp").select(
+        id_col, "norm_fp", "canonical_id", "n_variants"
     )
 
 
@@ -1248,10 +1276,13 @@ def bm25_topk(
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
     )
+    # df per query term as an aggregate + join-back, not a window
+    # partitioned by term (r12): a stopword query term's posting list
+    # is one row per matching DOCUMENT — corpus-sized in one window
+    # task; the aggregate collapses it map-side
+    dfs = postings.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
-        postings.withColumn(
-            "df", F.count("*").over(Window.partitionBy("term"))
-        )
+        postings.join(dfs, "term")
         .crossJoin(F.broadcast(corpus))
         .withColumn(
             "idf",
@@ -1298,13 +1329,17 @@ def dup_ngram_fraction(
 
     Scale shape: raw positions exist only inside ONE map-side-combined
     (doc, gram) -> tf aggregation — after that every frame is distinct
-    (doc, gram) pairs. Document frequency is a count window over the
-    gram key on those pairs (NOT a separate aggregate branch, which
-    would make Catalyst recompute the explode subtree and scan the
-    corpus twice), so the whole signal is one scan, and every exchange
-    moves O(distinct grams), not O(corpus tokens). No driver state,
-    nothing O(n^2). The fraction rounds via exact integer half-up
-    millionths so the oracle hashes bitwise.
+    (doc, gram) pairs. Document frequency is a second AGGREGATE over
+    those pairs, joined back on the gram (r12 — the old count window
+    partitioned by the gram held one row per document containing a hot
+    boilerplate gram in ONE unsplittable window task; the aggregate
+    collapses hot grams map-side, the join-back is
+    AQE-skew-splittable, and both branches consuming the tf
+    aggregate's full output keeps the shared (doc, gram) exchange
+    REUSED: still one corpus scan, plan-audited). Every exchange moves
+    O(distinct grams), not O(corpus tokens). No driver state, nothing
+    O(n^2). The fraction rounds via exact integer half-up millionths
+    so the oracle hashes bitwise.
     """
     grams = with_ngrams(df, text_col, n)
     tf = (
@@ -1312,8 +1347,9 @@ def dup_ngram_fraction(
         .groupBy(id_col, "__g")
         .agg(F.count("*").alias("__tf"))
     )
+    dfs = tf.groupBy("__g").agg(F.count("*").alias("__df"))
     out = (
-        tf.withColumn("__df", F.count("*").over(Window.partitionBy("__g")))
+        tf.join(dfs, "__g")
         .groupBy(id_col)
         .agg(
             F.sum("__tf").alias("n_positions"),

@@ -575,6 +575,43 @@ def test_percentile_fact_window_partitions_by_tie_group(spark, sf_dir):
         assert "partial_count" in tail, plan
 
 
+def test_no_skew_keyed_windows_in_text_stats(spark, sf_dir):
+    """The r12 skewed-key window sweep: document/term frequency stats
+    must ride aggregates + join-backs, never a window partitioned by a
+    term / n-gram / fingerprint — such keys are high-cardinality but
+    EXTREMELY skewed (a stopword's partition holds one row per document
+    containing it), and AQE can split a skewed join but never a window
+    partition. The only windows left in these plans are bounded rank
+    windows (per-doc top-k / k-row global rank)."""
+    import re
+
+    for q, max_windows in (
+        ("docs_tfidf_top_terms", 1),   # per-doc rank window only
+        ("docs_dup_ngram_fraction", 0),
+        ("docs_unigram_logprob", 0),
+        ("docs_normalized_dedup", 0),
+        ("docs_bm25_topk", 1),         # k-row global rank window only
+    ):
+        plan = plan_str(QUERIES[q](spark, sf_dir))
+        assert plan.count("Window [") <= max_windows, (q, plan)
+        # no window may partition on a term/gram/fingerprint key
+        assert not re.search(
+            r"windowspecdefinition\((term|__g|norm_fp)#", plan
+        ), (q, plan)
+
+
+def test_unigram_logprob_reuses_tf_exchange(spark, sf_dir):
+    """The corpus-count-per-term branch shares the (doc, term) tf
+    aggregate subtree with the join probe — after AQE exactly one
+    exploded corpus scan (the second FileScan is the deliberate narrow
+    token-count total)."""
+    df = QUERIES["docs_unigram_logprob"](spark, sf_dir)
+    final = final_plan_str(df).split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final
+    assert final.count("ReusedExchange") >= 1, final
+    assert final.count("FileScan parquet") <= 2, final
+
+
 def test_content_keep_first_no_window(spark, sf_dir):
     """Exact-content keep-first must plan as a map-side-combined
     aggregate, never a row_number window partitioned by content (r12):
