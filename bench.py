@@ -364,6 +364,20 @@ HEADLINE = [
     # 100 TB. All bitwise-gated at sf0.01 AND sf1 against unchanged
     # oracles; plan audit forbids term/gram/fp-keyed windowspecs.
     #
+    # r12 lineage change #5 (LSH hot-bucket cap): the cap's size count
+    # was a window partitioned by the bucket key — streaming the very
+    # hot bucket it exists to drop through ONE unsplittable task. Now a
+    # salted two-phase collect: sub-collect per (bucket, salt),
+    # map-side-combined totals over the sub frame, flatten only within
+    # the cap — the hot bucket fans out over 64 salts and never passes
+    # one reducer; the sub-collect's exchange is planned once
+    # (ReusedExchange, unit-audited), keeping the one-signature-pass
+    # invariant. Same-host min-of-3 at sf0.1: minhash_lsh_pairs
+    # 1.27->1.18s, incremental_neardup_filter 2.57->2.45s (the bench
+    # artifact's 0.75s rows for both are quiet-host values — the
+    # same-session window-form re-run reads 1.27/2.57). Bitwise-gated
+    # at sf0.01 AND sf1.
+    #
     # r12 bench_diff adjudication (vs the r11 driver artifact): two
     # 1.54x-normalized flags. docs_line_dedup is the named lineage
     # change above (the r11 artifact's 0.50s was a faster host day;

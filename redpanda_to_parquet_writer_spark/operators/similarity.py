@@ -97,29 +97,51 @@ def bucket_pair_candidates(
     carry a degenerate key (empty docs, zero vectors, one boilerplate
     shingle) that is quadratic in ANY formulation. `max_bucket_size`
     is the standard LSH guard: buckets larger than the cap are DROPPED
-    before their member array is ever collected (a pre-agg window count
-    over the same bucket partitioning — one extra in-partition pass, no
-    extra shuffle), bounding pair output at cap^2/2 per bucket. A hot
-    bucket of near-identical members loses nothing real: its members
-    still pair in their other bands/tables.
+    before their full member array is ever collected. The guard is a
+    SALTED two-phase collect (r12 — it used to be a window count
+    partitioned by the bucket key, which streamed the whole hot bucket
+    through ONE unsplittable window task before dropping it): members
+    sub-collect per (bucket, salt-of-id) — the hot bucket fans out
+    over the salt range — bucket totals aggregate the sub-frame
+    (map-side combined, skew-free), and only buckets within the cap
+    flatten their sub-arrays (cap-bounded). Both consumers of the
+    sub-collect read its full output, so its exchange plans ONCE (the
+    one-signature-pass invariant this function exists for, now
+    final-plan-audited). Pair output stays bounded at cap^2/2 per
+    bucket; a hot bucket of near-identical members loses nothing real:
+    its members still pair in their other bands/tables.
 
     Returns one row per distinct unordered pair: (id_a, id_b,
     <payload>_a, <payload>_b) with id_a < id_b, deduplicated across
     buckets.
     """
-    if max_bucket_size is not None:
-        bw = Window.partitionBy(*bucket_cols)
-        df = df.withColumn("__bn", F.count(F.lit(1)).over(bw)).filter(
-            F.col("__bn") <= max_bucket_size
-        )
     member = F.struct(
         F.col(id_col).alias("id"), *[F.col(c).alias(c) for c in payload_cols]
     )
-    buckets = (
-        df.groupBy(*bucket_cols)
-        .agg(F.collect_list(member).alias("__ms"))
-        .filter(F.size("__ms") > 1)
-    )
+    if max_bucket_size is not None:
+        sub = df.groupBy(
+            *bucket_cols,
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(64)).alias("__s"),
+        ).agg(F.collect_list(member).alias("__sub"))
+        # totals consume __sub (size, not a separate count) so both
+        # branches read the sub-collect's full output and its exchange
+        # canonicalizes identically — the r12 exchange-reuse symmetry
+        totals = sub.groupBy(*bucket_cols).agg(
+            F.sum(F.size("__sub")).alias("__bn")
+        )
+        buckets = (
+            sub.join(totals, list(bucket_cols))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .groupBy(*bucket_cols)
+            .agg(F.flatten(F.collect_list("__sub")).alias("__ms"))
+            .filter(F.size("__ms") > 1)
+        )
+    else:
+        buckets = (
+            df.groupBy(*bucket_cols)
+            .agg(F.collect_list(member).alias("__ms"))
+            .filter(F.size("__ms") > 1)
+        )
     lhs = buckets.select(F.explode("__ms").alias("a"), "__ms")
     pairs = lhs.select("a", F.explode("__ms").alias("b")).filter(
         F.col("a.id") < F.col("b.id")

@@ -186,21 +186,24 @@ def test_bucket_pair_candidates_hot_bucket_cap(spark):
     capped = bucket_pair_candidates(df, ["bucket"], "doc_id", [], max_bucket_size=10)
     got = [(r["id_a"], r["id_b"]) for r in capped.collect()]
     assert got == [(1000, 1001)], "hot bucket must be dropped, normal kept"
-    # the cap's window count rides the groupBy's bucket partitioning:
-    # same exchange count as the uncapped plan
-    def exchanges(q):
-        return (
-            q._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-            .count("Exchange hashpartitioning")
-        )
+    # the cap rides an aggregate + join-back (r12): NO window keyed on
+    # the bucket — the hot bucket the cap targets would otherwise pass
+    # through one unsplittable window task before being dropped. The
+    # join-back adds at most one exchange over the uncapped plan.
+    def plan(q):
+        return q._jdf.queryExecution().executedPlan().toString()
 
-    # compare unexecuted plans (an executed AQE plan prints final +
-    # initial sections, doubling the count)
     fresh_capped = bucket_pair_candidates(df, ["bucket"], "doc_id", [], max_bucket_size=10)
-    fresh = bucket_pair_candidates(df, ["bucket"], "doc_id", [])
-    assert exchanges(fresh_capped) == exchanges(fresh)
+    assert "Window" not in plan(fresh_capped)
+    # the one-signature-pass invariant: both consumers of the salted
+    # sub-collect (bucket totals + the flatten probe) share its
+    # exchange — the static plan duplicates the branch, but after AQE
+    # the input lineage plans once (the capped input scans once)
+    fresh_capped.collect()
+    final = plan(fresh_capped).split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final
+    assert final.count("ReusedExchange") >= 1, final
+    assert final.count("Scan ExistingRDD") == 1, final
 
 
 def test_jaccard_max_doc_freq_caps_hot_shingle(spark):
