@@ -199,6 +199,17 @@ def main() -> None:
         if idx + 1 >= len(sys.argv) or sys.argv[idx + 1].startswith("--"):
             sys.exit("error: --out requires a filename argument")
         out = sys.argv[idx + 1]
+    # --queries a,b,c overrides the TOP15 list (r12: curve a lineage
+    # change's specific rows instead of the global expensive tail)
+    if "--queries" in sys.argv:
+        idx = sys.argv.index("--queries")
+        if idx + 1 >= len(sys.argv) or sys.argv[idx + 1].startswith("--"):
+            sys.exit("error: --queries requires a comma-separated list")
+        names = sys.argv[idx + 1].split(",")
+        unknown = [n for n in names if n not in QUERIES]
+        if unknown:
+            sys.exit(f"error: unknown queries {unknown}")
+        TOP15[:] = names
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
