@@ -378,13 +378,17 @@ HEADLINE = [
     # same-session window-form re-run reads 1.27/2.57). Bitwise-gated
     # at sf0.01 AND sf1.
     #
-    # r12 bench_diff adjudication (vs the r11 driver artifact): two
-    # 1.54x-normalized flags. docs_line_dedup is the named lineage
-    # change above (the r11 artifact's 0.50s was a faster host day;
-    # the same-host A/B is the honest 0.92->1.06). docs_jaccard_pairs
-    # (untouched this round) adjudicated by timing the r11 CODE from a
-    # worktree on the same host: r11 1.435s vs r12 1.334s min-of-3 —
-    # host/load state (loadavg 4.8->7.4 during the sweep), not lineage.
+    # r12 bench_diff adjudication (vs the r11 driver artifact): the
+    # final quiet-host run (58.5s/136, 0.98x of r11, anchor factor
+    # 0.978) flags exactly ONE row — docs_normalized_dedup 3.1x, the
+    # named lineage change #4 above (the fingerprint-window removal's
+    # duplicated regex+md5 projection). Two transient flags from the
+    # mid-round loaded-host run were adjudicated then: docs_line_dedup
+    # is lineage change #2 (honest same-host A/B 0.92->1.06; the r11
+    # artifact's 0.50 was a faster host), and docs_jaccard_pairs
+    # (untouched) timed on r11 CODE from a same-host worktree read
+    # 1.435 vs r12's 1.334 — load state (loadavg 4.8->7.4), not
+    # lineage.
 ]
 
 #: Calibration anchors (VERDICT r8 #3): three lineage-frozen queries
