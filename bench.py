@@ -378,6 +378,17 @@ HEADLINE = [
     # same-session window-form re-run reads 1.27/2.57). Bitwise-gated
     # at sf0.01 AND sf1.
     #
+    # r12 lineage change #6 (offset-gap scan): the batch gap detector's
+    # lag window was partitioned by the KAFKA PARTITION alone — the
+    # r11 low-cardinality disqualifier shape, surviving in the
+    # streaming module's batch twin. Now the two-level adjacency
+    # decomposition (within-(partition, offset DIV 2^20)-bucket lag +
+    # previous-bucket max over the tiny bucket frame), window-input
+    # exchange reused (one scan). offset_gap_check 0.26->0.82s at
+    # sf0.1 (fixed extra-stage overhead); bitwise at sf0.01 AND sf1,
+    # boundary/empty-bucket paths pinned with a shrunken span in
+    # tests/test_stateful_streaming.py.
+    #
     # r12 bench_diff adjudication (vs the r11 driver artifact): the
     # final quiet-host run (58.5s/136, 0.98x of r11, anchor factor
     # 0.978) flags exactly ONE row — docs_normalized_dedup 3.1x, the

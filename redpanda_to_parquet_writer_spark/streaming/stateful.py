@@ -74,18 +74,60 @@ def detect_offset_gaps(df: DataFrame) -> DataFrame:
     )
 
 
+#: offset-span bucket for the two-level gap scan (same role as
+#: sampling.PREFIX_SPAN): the within-bucket lag window holds at most
+#: one span of offsets per task, never a whole kafka partition
+GAP_SPAN = 1 << 20
+
+
 def offset_gaps_batch(
     df: DataFrame,
     partition_col: str = "kafka_partition",
     offset_col: str = "kafka_offset",
 ) -> DataFrame:
-    """Batch formulation of the same gaps: lag window per partition."""
-    w = Window.partitionBy(partition_col).orderBy(offset_col)
-    prev = F.lag(offset_col).over(w)
-    return (
+    """Batch formulation of the same gaps, two-level (r12): a lag
+    window partitioned by the kafka partition alone is the r11
+    disqualifier shape — |topic|/|partitions| offsets in ONE window
+    task at scale. Decomposed exactly like the grouped prefix sums:
+
+      1. within-bucket lag, window on (partition, offset DIV span) —
+         finds every gap except at bucket boundaries;
+      2. per-bucket max offsets — read off the WINDOWED frame (the
+         greatest(o, prev) wrapper consumes the lag column so both
+         branches read identical columns and the window-input exchange
+         is REUSED: one scan);
+      3. a bucket-first row's predecessor is the previous NON-EMPTY
+         bucket's max (buckets exist only when non-empty and offsets
+         are monotone in the bucket id), computed by a lag over the
+         TINY per-bucket frame and joined back.
+
+    Identical rows to the flat per-partition lag (bitwise-gated): every
+    distinct offset sees the same predecessor, only the task shape
+    changed.
+    """
+    rows = (
         df.select(F.col(partition_col), F.col(offset_col).cast("long"))
         .distinct()
-        .withColumn("__prev", prev)
+        .withColumn("__b", F.expr(f"{offset_col} DIV {GAP_SPAN}"))
+        .filter(F.col("__b").isNotNull())
+    )
+    w_in = Window.partitionBy(partition_col, "__b").orderBy(offset_col)
+    bucketed = rows.withColumn("__prev_in", F.lag(offset_col).over(w_in))
+    # greatest(o, prev_in) == o (prev_in < o within a bucket); the
+    # wrapper exists so this branch consumes __prev_in too and the
+    # shared exchange canonicalizes identically (r12 symmetry rule)
+    bmax = bucketed.groupBy(partition_col, "__b").agg(
+        F.max(
+            F.greatest(F.col(offset_col), F.coalesce("__prev_in", F.col(offset_col)))
+        ).alias("__bmax")
+    )
+    w_b = Window.partitionBy(partition_col).orderBy(F.col("__b").asc())
+    boundary = bmax.withColumn("__prev_bmax", F.lag("__bmax").over(w_b)).select(
+        partition_col, "__b", "__prev_bmax"
+    )
+    return (
+        bucketed.join(boundary, [partition_col, "__b"])
+        .withColumn("__prev", F.coalesce("__prev_in", "__prev_bmax"))
         .filter(F.col(offset_col) > F.col("__prev") + 1)
         .select(
             F.col(partition_col).alias("kafka_partition"),

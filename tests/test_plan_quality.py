@@ -612,6 +612,27 @@ def test_unigram_logprob_reuses_tf_exchange(spark, sf_dir):
     assert final.count("FileScan parquet") <= 2, final
 
 
+def test_offset_gap_lag_partitions_by_span_bucket(spark, sf_dir):
+    """The batch gap detector's lag window must carry BOTH keys
+    (partition, offset-span bucket) — never the low-cardinality kafka
+    partition alone (r12) — and the bucket-max branch must reuse the
+    window-input exchange: one corpus scan in the final plan."""
+    import re
+
+    df = QUERIES["offset_gap_check"](spark, sf_dir)
+    plan = plan_str(df)
+    assert "Exchange SinglePartition" not in plan
+    assert not re.search(
+        r"lag\(kafka_offset#\d+L?, -?1, null\), \[kafka_partition#\d+L\], \[kafka_offset",
+        plan,
+    ), plan
+    assert re.search(r"\[kafka_partition#\d+L?, __b#\d+L?\]", plan), plan
+    final = final_plan_str(df).split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final
+    assert final.count("FileScan parquet") == 1, final
+    assert final.count("ReusedExchange") >= 1, final
+
+
 def test_content_keep_first_no_window(spark, sf_dir):
     """Exact-content keep-first must plan as a map-side-combined
     aggregate, never a row_number window partitioned by content (r12):
