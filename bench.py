@@ -390,16 +390,16 @@ HEADLINE = [
     # tests/test_stateful_streaming.py.
     #
     # r12 bench_diff adjudication (vs the r11 driver artifact): the
-    # final quiet-host run (58.5s/136, 0.98x of r11, anchor factor
-    # 0.978) flags exactly ONE row — docs_normalized_dedup 3.1x, the
-    # named lineage change #4 above (the fingerprint-window removal's
-    # duplicated regex+md5 projection). Two transient flags from the
-    # mid-round loaded-host run were adjudicated then: docs_line_dedup
-    # is lineage change #2 (honest same-host A/B 0.92->1.06; the r11
-    # artifact's 0.50 was a faster host), and docs_jaccard_pairs
-    # (untouched) timed on r11 CODE from a same-host worktree read
-    # 1.435 vs r12's 1.334 — load state (loadavg 4.8->7.4), not
-    # lineage.
+    # final run (62.5s/136 at anchor factor 1.065; the quieter-host
+    # mid-round run read 58.5s/0.98x of r11) flags FOUR rows, every
+    # one a named lineage change above: docs_normalized_dedup 3.0x
+    # (#4, the duplicated regex+md5 projection), offset_gap_check 1.6x
+    # (#6, two-level gap scan), docs_dup_ngram_fraction 1.55x (#4, df
+    # join-back), docs_line_dedup 1.54x (#2, window->aggregate; the
+    # r11 artifact's 0.50 was a faster host — honest same-host A/B
+    # 0.92->1.06). One transient mid-round flag, docs_jaccard_pairs
+    # (untouched), was adjudicated by timing r11 CODE from a same-host
+    # worktree: 1.435 vs r12's 1.334 — load state, not lineage.
 ]
 
 #: Calibration anchors (VERDICT r8 #3): three lineage-frozen queries
