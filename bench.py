@@ -357,8 +357,11 @@ HEADLINE = [
     # min-of-3 at sf0.1 (vs this round's pre-sweep bench run):
     # docs_tfidf_top_terms 0.53->0.77, docs_dup_ngram_fraction
     # 0.75->1.24, docs_unigram_logprob 0.45->0.78 (tf exchange REUSED,
-    # still one exploded scan), docs_normalized_dedup 0.24->0.80 (the
-    # duplicated subtree is the regex-normalize+md5 projection),
+    # still one exploded scan), docs_normalized_dedup 0.24->0.60 (the
+    # narrow (id, fp) projection repartitions on (fp, salt) and both
+    # consumers reuse that exchange: regex+md5 runs ONCE, null-safe
+    # join keeps the window form's null-text semantics — faster than
+    # the intermediate 2-scan join form's 0.80),
     # docs_bm25_topk 0.49->0.80. Each is fixed stage overhead at toy
     # scale buying removal of an unsplittable |docs|-row window task at
     # 100 TB. All bitwise-gated at sf0.01 AND sf1 against unchanged

@@ -92,6 +92,21 @@ def test_normalized_fingerprint_collapses_variants(spark):
     assert rows[4]["norm_fp"] != rows[1]["norm_fp"] and rows[4]["n_variants"] == 1
 
 
+def test_normalized_fingerprint_null_text_groups_together(spark):
+    """Null-text docs share the null fingerprint like any other group —
+    the window form's semantics, preserved across the r12 null-safe
+    join-back (a plain inner join would silently DROP null-text rows)."""
+    from redpanda_to_parquet_writer_spark.operators.text import normalized_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "a b")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in normalized_fingerprint(df, "text", "doc_id").collect()}
+    assert len(rows) == 3
+    assert rows[1]["canonical_id"] == 1 and rows[2]["canonical_id"] == 1
+    assert rows[1]["n_variants"] == 2 and rows[3]["n_variants"] == 1
+
+
 def test_bloom_no_false_negatives(spark):
     """Every key that IS in the built set must probe maybe_seen=True —
     the guarantee the prefilter's correctness rests on; false positives
