@@ -402,7 +402,12 @@ HEADLINE = [
     # r11 artifact's 0.50 was a faster host — honest same-host A/B
     # 0.92->1.06). One transient mid-round flag, docs_jaccard_pairs
     # (untouched), was adjudicated by timing r11 CODE from a same-host
-    # worktree: 1.435 vs r12's 1.334 — load state, not lineage.
+    # worktree: 1.435 vs r12's 1.334 — load state, not lineage. The
+    # end-of-round artifact (61.7s/136, after the normalized-dedup
+    # salted fuse landed) normalizes to ZERO flags at anchor factor
+    # 1.11 (its own intra-sweep drift 0.79 — host speeding up
+    # mid-sweep; the named lineage rows above remain the honest
+    # per-query record).
 ]
 
 #: Calibration anchors (VERDICT r8 #3): three lineage-frozen queries
