@@ -331,7 +331,8 @@ HEADLINE = [
     # CONTENT is gone — a hot boilerplate line concentrated every
     # corpus copy in one unsplittable window task. Now: (line, doc)
     # pre-collapse aggregate (hot keys combine map-side) + min-struct
-    # firsts + an AQE-skew-splittable join, single corpus scan via
+    # firsts + a join-back (skew story: tests/test_aqe_skew_join.py),
+    # single corpus scan via
     # ReusedExchange. Same-host A/B at sf0.1 (min-of-3): 0.92->1.06s.
     # Bitwise-gated at sf0.01 AND sf1; plan audit forbids any Window.
     #
@@ -351,9 +352,10 @@ HEADLINE = [
     # partitioned by term / n-gram / fingerprint keys are gone. Those
     # keys are high-cardinality but extremely skewed — a stopword's
     # window partition holds one row per document containing it
-    # (|docs| rows in ONE task at corpus scale, and AQE can split a
-    # skewed JOIN but never a window partition). Now aggregates +
-    # join-backs, map-side combine collapsing hot keys. Same-host
+    # (|docs| rows in ONE task at corpus scale; AQE can never split a
+    # window partition). Now aggregates + join-backs, map-side combine
+    # collapsing hot keys (the join-back's own skew coverage is
+    # measured precisely in tests/test_aqe_skew_join.py). Same-host
     # min-of-3 at sf0.1 (vs this round's pre-sweep bench run):
     # docs_tfidf_top_terms 0.53->0.77, docs_dup_ngram_fraction
     # 0.75->1.24, docs_unigram_logprob 0.45->0.78 (tf exchange REUSED,

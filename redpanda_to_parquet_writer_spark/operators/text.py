@@ -437,9 +437,9 @@ def jaccard_pairs(
         # shingle (r12): the guard exists precisely because a shingle
         # can be corpus-hot, and that shingle's window partition would
         # hold one row per containing doc in one unsplittable task —
-        # the aggregate collapses it map-side and the join-back is
-        # AQE-skew-splittable. The size recompute window on the doc id
-        # stays: its partition is one doc's shingles, doc-length-bounded.
+        # the aggregate collapses it map-side (join-back skew story:
+        # tests/test_aqe_skew_join.py). The size recompute window on
+        # the doc id stays: one doc's shingles, doc-length-bounded.
         iw = Window.partitionBy(id_col)
         dfs = shingles.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
         shingles = (
@@ -729,8 +729,8 @@ def tfidf_top_terms(
     document freq is a second AGGREGATE over those pairs, joined back
     on term (r12 — the old count window partitioned by term held one
     row per document containing a stopword in ONE unsplittable window
-    task; the aggregate collapses hot terms map-side, the join-back is
-    AQE-skew-splittable, and because both branches consume the tf
+    task; the aggregate collapses hot terms map-side (join-back skew story:
+    tests/test_aqe_skew_join.py), and because both branches consume the tf
     aggregate's full output the shared (doc, term) exchange is REUSED:
     still one corpus scan, plan-audited). The 1-row corpus count rides
     a broadcast cross join (no driver round-trip, stays one plan).
@@ -983,8 +983,8 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     those pairs, joined back on term (r12 — it used to be a sum window
     partitioned by term, but a stopword's partition holds one row per
     DOCUMENT containing it, an unsplittable |docs|-row window task at
-    scale; the aggregate collapses hot terms map-side and the
-    join-back is AQE-skew-splittable). The 1-row grand total comes
+    scale; the aggregate collapses hot terms map-side; join-back
+    skew story: tests/test_aqe_skew_join.py). The 1-row grand total comes
     from a narrow token-count scan (sum of doc lengths == sum of all
     tf — no explode, no shuffle) that rides a broadcast cross join.
     Each distinct term's ln(count/total) rounds to 6 dp and the
@@ -1356,8 +1356,8 @@ def dup_ngram_fraction(
     those pairs, joined back on the gram (r12 — the old count window
     partitioned by the gram held one row per document containing a hot
     boilerplate gram in ONE unsplittable window task; the aggregate
-    collapses hot grams map-side, the join-back is
-    AQE-skew-splittable, and both branches consuming the tf
+    collapses hot grams map-side (join-back skew story:
+    tests/test_aqe_skew_join.py), and both branches consuming the tf
     aggregate's full output keeps the shared (doc, gram) exchange
     REUSED: still one corpus scan, plan-audited). Every exchange moves
     O(distinct grams), not O(corpus tokens). No driver state, nothing

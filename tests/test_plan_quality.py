@@ -580,8 +580,9 @@ def test_no_skew_keyed_windows_in_text_stats(spark, sf_dir):
     must ride aggregates + join-backs, never a window partitioned by a
     term / n-gram / fingerprint — such keys are high-cardinality but
     EXTREMELY skewed (a stopword's partition holds one row per document
-    containing it), and AQE can split a skewed join but never a window
-    partition. The only windows left in these plans are bounded rank
+    containing it), and AQE can never split a window partition (the
+    join-back's own skew coverage is measured in
+    tests/test_aqe_skew_join.py). The only windows left in these plans are bounded rank
     windows (per-doc top-k / k-row global rank)."""
     import re
 
