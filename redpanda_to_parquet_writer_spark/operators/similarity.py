@@ -780,18 +780,22 @@ def build_ivf_index_sharded(
     single codebook of `build_ivf_index`); `ivf_topk_indexed_sharded`
     consumes it.
 
-    Build is a driver loop of n_shards independent builds (each a
-    bounded count + Lloyd train + partitioned write) — at the corpus
-    sizes where sharding matters, one build per ~82M-vector shard is
-    the granularity you want for retries and incremental rebuilds
-    anyway.
+    Build fans n_shards independent builds (each a bounded count +
+    Lloyd train + partitioned write into its own directory) over a
+    thread pool — Spark's scheduler runs jobs from multiple submitter
+    threads concurrently, so one shard's Lloyd driver round-trips
+    overlap another's assignment/write stages instead of serializing
+    (the 200k-vector probe measured the per-shard build phases leaving
+    the cluster underutilized). At the corpus sizes where sharding
+    matters, one build per ~82M-vector shard also stays the right
+    granularity for retries and incremental rebuilds.
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    codebooks: dict[int, DataFrame] = {}
-    for s in range(n_shards):
+
+    def _build(s: int):
         part = df.filter(_shard_router(id_col, n_shards) == s)
-        codebooks[s] = build_ivf_index_auto(
+        return s, build_ivf_index_auto(
             part,
             f"{path}/shard={s}",
             id_col,
@@ -800,7 +804,13 @@ def build_ivf_index_sharded(
             n_updates=n_updates,
             use_arrow=use_arrow,
         )
-    return codebooks
+
+    if n_shards == 1:
+        return dict([_build(0)])
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, n_shards)) as ex:
+        return dict(ex.map(_build, range(n_shards)))
 
 
 def ivf_topk_indexed_sharded(
