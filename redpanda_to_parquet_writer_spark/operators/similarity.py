@@ -927,7 +927,8 @@ def append_ivf_index_sharded(
         raise ValueError(
             f"codebooks must cover shards 0..{n_shards - 1}, got {sorted(codebooks)}"
         )
-    for s in range(n_shards):
+
+    def _append(s: int) -> None:
         part = df.filter(_shard_router(id_col, n_shards) == s)
         _write_ivf_rows(
             part,
@@ -938,6 +939,16 @@ def append_ivf_index_sharded(
             "append",
             use_arrow=use_arrow,
         )
+
+    # per-shard appends write into disjoint shard=<s>/ directories —
+    # independent jobs, fanned out like the build (thread pool)
+    if n_shards == 1:
+        _append(0)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, n_shards)) as ex:
+        list(ex.map(_append, range(n_shards)))
 
 
 def deterministic_centroids(
