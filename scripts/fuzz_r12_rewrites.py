@@ -1,0 +1,245 @@
+#!/usr/bin/env python
+"""Randomized differential fuzz of the r12 skew-hardened rewrites.
+
+Every r12 rewrite replaced a window-form operator with an
+aggregate/join decomposition that must be ROW-IDENTICAL. The unit
+tests pin hand-built adversarial shapes (boundary-straddling gaps,
+all-ties, null order keys); this fuzzer drives the same equivalences
+with seeded random frames — hot keys, empty groups, null text,
+single-row groups, span-straddling ids — comparing each rewrite
+against a naive window/lag reference built inline.
+
+Usage: python scripts/fuzz_r12_rewrites.py [n_rounds] [base_seed]
+Prints one line per (operator, round); exits non-zero on any mismatch.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+sys.path.insert(0, ROOT)
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from redpanda_to_parquet_writer_spark.config import EngineConfig  # noqa: E402
+from redpanda_to_parquet_writer_spark.session import get_spark  # noqa: E402
+
+WORDS = ["the", "hot", "line", "a", "b", "c", "xx", "yy", "zz", "boiler"]
+
+
+def _random_docs(rng: random.Random, spark):
+    """Docs with hot repeated lines, empty/null texts, short docs."""
+    n = rng.randint(1, 120)
+    hot_line = " ".join(rng.choices(WORDS, k=10))
+    rows = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.15:
+            text = None
+        elif r < 0.3:
+            text = ""
+        elif r < 0.6:
+            # contains the hot line + noise
+            noise = " ".join(rng.choices(WORDS, k=rng.randint(0, 25)))
+            text = (hot_line + " " + noise).strip()
+        else:
+            text = " ".join(rng.choices(WORDS, k=rng.randint(1, 40)))
+        rows.append((i, text))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _rows_sorted(df):
+    # repr-keyed sort: None-safe (mixed None/int tuples don't compare)
+    return sorted((tuple(r) for r in df.collect()), key=repr)
+
+
+def fuzz_line_dedup(rng, spark) -> bool:
+    from redpanda_to_parquet_writer_spark.operators.text import (
+        line_dedup_stats,
+        tokens,
+    )
+
+    df = _random_docs(rng, spark)
+    got = _rows_sorted(line_dedup_stats(df, "text", "doc_id", line_tokens=3))
+
+    toks = tokens("text")
+    n_lines = F.ceil(F.size(toks).cast("double") / 3).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 3 + 1, 3)),
+    )
+    exploded = df.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id"), F.posexplode(lines).alias("line_idx", "line")
+    )
+    w = Window.partitionBy("line").orderBy("doc_id", "line_idx")
+    ref = (
+        exploded.withColumn("__rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("__rn") > 1, 1).otherwise(0)).alias("n_dupes"),
+        )
+    )
+    return got == _rows_sorted(ref)
+
+
+def fuzz_normalized_fingerprint(rng, spark) -> bool:
+    from redpanda_to_parquet_writer_spark.operators.text import (
+        normalized_fingerprint,
+    )
+
+    df = _random_docs(rng, spark)
+    got = _rows_sorted(normalized_fingerprint(df, "text", "doc_id"))
+
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 \\t\\n\\r]", " "),
+            "[ \\t\\n\\r]+",
+            " ",
+        )
+    )
+    base = df.select(F.col("doc_id"), F.md5(norm).alias("norm_fp"))
+    w = Window.partitionBy("norm_fp")
+    ref = (
+        base.withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("n_variants", F.count(F.lit(1)).over(w))
+        .select("doc_id", "norm_fp", "canonical_id", "n_variants")
+    )
+    return got == _rows_sorted(ref)
+
+
+def fuzz_keep_first(rng, spark) -> bool:
+    from redpanda_to_parquet_writer_spark.operators.dedup import (
+        content_dedup_keep_first,
+    )
+
+    n = rng.randint(1, 150)
+    payloads = [rng.choice(["dup", "dup2", "x", "y", None]) for _ in range(n)]
+    rows = []
+    seen = set()
+    for i, p in enumerate(payloads):
+        # unique (partition, offset) with occasional null order keys
+        part = rng.choice([0, 1, None])
+        off = i if rng.random() > 0.1 else None
+        key = (part, off)
+        if key in seen:
+            off = i + 1000
+        seen.add((part, off))
+        rows.append((part, off, p))
+    df = spark.createDataFrame(
+        rows, "kafka_partition long, kafka_offset long, payload string"
+    )
+    got = _rows_sorted(
+        content_dedup_keep_first(
+            df, content_cols=["payload"], order_cols=["kafka_partition", "kafka_offset"]
+        )
+    )
+    hashed = df.withColumn("_h", F.md5(F.coalesce(F.col("payload"), F.lit("\0"))))
+    w = Window.partitionBy("_h").orderBy(
+        F.col("kafka_partition").asc(), F.col("kafka_offset").asc()
+    )
+    ref = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+    # compare as payload -> surviving key (content_hash differs from the
+    # md5 stand-in, but the SELECTED ROW per content must match)
+    def keymap(rows_):
+        return {r[2]: (r[0], r[1]) for r in rows_}
+
+    return keymap(got) == keymap(_rows_sorted(ref))
+
+
+def fuzz_offset_gaps(rng, spark) -> bool:
+    import redpanda_to_parquet_writer_spark.streaming.stateful as st
+
+    span_was = st.GAP_SPAN
+    st.GAP_SPAN = rng.choice([4, 8, 16])
+    try:
+        rows = []
+        for p in range(rng.randint(1, 4)):
+            offs = sorted(
+                rng.sample(range(0, 200), rng.randint(1, 60))
+            )
+            rows += [(p, o) for o in offs]
+        df = spark.createDataFrame(rows, "kafka_partition long, kafka_offset long")
+        got = _rows_sorted(st.offset_gaps_batch(df))
+        w = Window.partitionBy("kafka_partition").orderBy("kafka_offset")
+        prev = F.lag("kafka_offset").over(w)
+        ref = (
+            df.distinct()
+            .withColumn("__p", prev)
+            .filter(F.col("kafka_offset") > F.col("__p") + 1)
+            .select(
+                "kafka_partition",
+                (F.col("__p") + 1).alias("gap_start"),
+                (F.col("kafka_offset") - 1).alias("gap_end"),
+                (F.col("kafka_offset") - F.col("__p") - 1).alias("n_missing"),
+            )
+        )
+        return got == _rows_sorted(ref)
+    finally:
+        st.GAP_SPAN = span_was
+
+
+def fuzz_grouped_running_sum(rng, spark) -> bool:
+    import redpanda_to_parquet_writer_spark.operators.sampling as sa
+
+    span_was = sa.PREFIX_SPAN
+    sa.PREFIX_SPAN = rng.choice([4, 8, 32])
+    try:
+        rows = []
+        i = 0
+        for g in ["a", "b", "c"][: rng.randint(1, 3)]:
+            for _ in range(rng.randint(1, 80)):
+                rows.append((g, i, rng.randint(0, 50)))
+                i += rng.randint(1, 9)  # sparse, span-straddling ids
+        df = spark.createDataFrame(rows, "source string, doc_id long, v long")
+        got = _rows_sorted(sa._grouped_running_sum(df, "source", "doc_id", "v"))
+        w = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        ref = df.withColumn("cum", F.sum("v").over(w))
+        return got == _rows_sorted(ref)
+    finally:
+        sa.PREFIX_SPAN = span_was
+
+
+FUZZERS = {
+    "line_dedup": fuzz_line_dedup,
+    "normalized_fingerprint": fuzz_normalized_fingerprint,
+    "keep_first": fuzz_keep_first,
+    "offset_gaps": fuzz_offset_gaps,
+    "grouped_running_sum": fuzz_grouped_running_sum,
+}
+
+
+def main() -> int:
+    n_rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    base_seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1234
+    spark = get_spark(
+        EngineConfig(master="local[8]", shuffle_partitions=8), "fuzz-r12"
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    rc = 0
+    for rnd in range(n_rounds):
+        for name, fn in FUZZERS.items():
+            seed = base_seed + rnd * 1000 + hash(name) % 1000
+            ok = fn(random.Random(seed), spark)
+            print(f"{name} round={rnd} seed={seed} {'OK' if ok else 'MISMATCH'}", flush=True)
+            if not ok:
+                rc = 1
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
