@@ -91,6 +91,18 @@ def _grouped_running_sum(
          regrouping cannot change a single bit).
 
     Appends `cum` (inclusive running sum) to the input columns.
+
+    Ordering contract (ADVICE r12): running sums are only well-defined
+    up to the order of rows that TIE on `id_col`. With unique ids per
+    group the helper is exact for ANY integer `val_col`. With duplicate
+    ids, the per-row `cum` among tied rows is order-dependent in any
+    formulation (the window's tie order is not contractual), but the
+    bucket totals — and therefore every LATER bucket's cum — stay exact
+    for non-negative `val_col`: the tie on max-id rows breaks to the
+    LARGEST inclusive sum (`max_by` on struct(id, __cum_in)), which
+    equals the true bucket total when no tied row carries a negative
+    value. Callers with duplicate ids AND negative values must
+    de-duplicate ids first (e.g. pre-aggregate val per (group, id)).
     """
     w_in = (
         Window.partitionBy(group_col, "__b")
@@ -108,9 +120,17 @@ def _grouped_running_sum(
     )
     # max_by (not max): the total is the LAST inclusive sum in id
     # order, which equals max only for non-negative values — max_by is
-    # sign-agnostic, keeping the helper exact for any integer val_col
+    # sign-agnostic, keeping the helper exact for any integer val_col.
+    # The ordering key is struct(id, __cum_in), not bare id (ADVICE
+    # r12): with duplicate ids in one bucket a bare-id max_by resolves
+    # the tie non-deterministically and can return a mid-tie partial
+    # sum as the bucket total; the struct breaks the tie to the largest
+    # inclusive sum, which IS the total whenever tied rows are
+    # non-negative (see the ordering contract above).
     totals = bucketed.groupBy(group_col, "__b").agg(
-        F.max_by("__cum_in", F.col(id_col)).alias("__tot")
+        F.max_by(
+            "__cum_in", F.struct(F.col(id_col), F.col("__cum_in"))
+        ).alias("__tot")
     )
     offsets = totals.withColumn(
         "__off",

@@ -129,8 +129,20 @@ def bucket_pair_candidates(
         totals = sub.groupBy(*bucket_cols).agg(
             F.sum(F.size("__sub")).alias("__bn")
         )
+        # NULL-SAFE join back (ADVICE r12): a plain equi-join drops
+        # null-keyed buckets (null != null), silently diverging from
+        # the uncapped path, which groups null keys like any other
+        # value (hyperplane-LSH signatures of null/ragged vectors are
+        # null). eqNullSafe keeps the capped path a pure refinement:
+        # same buckets, minus the oversize ones.
+        t = totals.select(
+            *[F.col(c).alias(f"__t_{c}") for c in bucket_cols], "__bn"
+        )
+        cond = F.lit(True)
+        for c in bucket_cols:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__t_{c}"))
         buckets = (
-            sub.join(totals, list(bucket_cols))
+            sub.join(t, cond)
             .filter(F.col("__bn") <= max_bucket_size)
             .groupBy(*bucket_cols)
             .agg(F.flatten(F.collect_list("__sub")).alias("__ms"))

@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 import random
 import sys
+import zlib
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 ROOT = os.path.dirname(HERE)
@@ -233,7 +234,10 @@ def main() -> int:
     rc = 0
     for rnd in range(n_rounds):
         for name, fn in FUZZERS.items():
-            seed = base_seed + rnd * 1000 + hash(name) % 1000
+            # crc32, not hash(): str hash is PYTHONHASHSEED-randomized
+            # per process, so a printed seed would not replay a failure
+            # in a fresh run (ADVICE r12)
+            seed = base_seed + rnd * 1000 + zlib.crc32(name.encode()) % 1000
             ok = fn(random.Random(seed), spark)
             print(f"{name} round={rnd} seed={seed} {'OK' if ok else 'MISMATCH'}", flush=True)
             if not ok:

@@ -94,3 +94,28 @@ def test_grouped_running_sum_multi_bucket_equals_single_window(spark, monkeypatc
     # and the bucketing really was multi-level under the patched span
     n_buckets = df.selectExpr("count(DISTINCT grp, doc_id DIV 8)").collect()[0][0]
     assert n_buckets > 100
+
+def test_grouped_running_sum_duplicate_id_bucket_totals_exact(spark, monkeypatch):
+    """ADVICE r12: with DUPLICATE ids in one bucket, the bucket total
+    read off the windowed frame (`max_by`) must not return a mid-tie
+    partial sum — the tie breaks to the largest inclusive sum via
+    struct(id, __cum_in), which is the true total for non-negative
+    values. Per-row cum among tied ids is order-dependent by contract;
+    what must be exact is every LATER bucket's cum."""
+    from pyspark.sql import functions as F
+
+    from redpanda_to_parquet_writer_spark.operators import sampling
+
+    monkeypatch.setattr(sampling, "PREFIX_SPAN", 4)
+    # bucket 0: ids 3,3 (vals 5 and 0 — a zero-val duplicate is the
+    # adversarial tie: a bare-id max_by that picks the 0-val row's cum
+    # BEFORE the 5 was added reports total 0); bucket 1: id 7
+    df = spark.createDataFrame(
+        [("g", 3, 5), ("g", 3, 0), ("g", 7, 2)],
+        "grp string, doc_id long, n long",
+    )
+    out = sampling._grouped_running_sum(df, "grp", "doc_id", "n")
+    later = {r["n"]: r["cum"] for r in out.filter(F.col("doc_id") == 7).collect()}
+    assert later == {2: 7}  # 5 + 0 + 2: bucket-0 total carried exactly
+    # the group's final running sum is the full group total
+    assert out.agg(F.max("cum")).collect()[0][0] == 7

@@ -206,6 +206,37 @@ def test_bucket_pair_candidates_hot_bucket_cap(spark):
     assert final.count("Scan ExistingRDD") == 1, final
 
 
+def test_bucket_pair_candidates_cap_keeps_null_keyed_buckets(spark):
+    """ADVICE r12: the capped path's totals join-back must be NULL-SAFE
+    — a plain equi-join drops null-keyed buckets (null != null), so
+    members bucketed under a null key (hyperplane-LSH signature of a
+    null/ragged vector) would silently stop pairing ONLY when the cap
+    is set. The cap must be a pure refinement of the uncapped path:
+    identical pairs for every bucket under the cap, null key included."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        bucket_pair_candidates,
+    )
+
+    rows = [(1, None), (2, None), (3, "ok"), (4, "ok"), (5, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, bucket string")
+
+    def pairs(q):
+        return sorted((r["id_a"], r["id_b"]) for r in q.collect())
+
+    uncapped = pairs(bucket_pair_candidates(df, ["bucket"], "doc_id", []))
+    assert uncapped == [(1, 2), (3, 4)]
+    capped = pairs(
+        bucket_pair_candidates(df, ["bucket"], "doc_id", [], max_bucket_size=10)
+    )
+    assert capped == uncapped, "null-keyed bucket lost on the capped path"
+    # and the cap itself still applies to a null-keyed hot bucket
+    hot = [(i, None) for i in range(50)] + [(100, "ok"), (101, "ok")]
+    hot_df = spark.createDataFrame(hot, "doc_id long, bucket string")
+    assert pairs(
+        bucket_pair_candidates(hot_df, ["bucket"], "doc_id", [], max_bucket_size=10)
+    ) == [(100, 101)]
+
+
 def test_jaccard_max_doc_freq_caps_hot_shingle(spark):
     """A boilerplate shingle shared by every doc must not pair the whole
     corpus when capped; surviving-set sizes stay consistent."""
