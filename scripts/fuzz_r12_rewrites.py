@@ -215,12 +215,273 @@ def fuzz_grouped_running_sum(rng, spark) -> bool:
         sa.PREFIX_SPAN = span_was
 
 
+def fuzz_tfidf_top_terms(rng, spark) -> bool:
+    """df-guard rewrite (r12): document frequency as an aggregate +
+    join-back must match the naive pre-r12 count window over the term."""
+    from redpanda_to_parquet_writer_spark.operators.text import (
+        tfidf_top_terms,
+        tokens,
+    )
+
+    df = _random_docs(rng, spark)
+    k = rng.randint(1, 5)
+    got = _rows_sorted(tfidf_top_terms(df, "text", "doc_id", k=k))
+
+    toks = df.select(F.col("doc_id"), F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = df.count()
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    ref = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
+    )
+    return got == _rows_sorted(ref)
+
+
+def fuzz_unigram_logprob(rng, spark) -> bool:
+    """df-guard rewrite (r12): corpus term counts as an aggregate +
+    join-back must match the naive sum window over the term. The tail
+    (DECIMAL micro-unit rounding) is shared verbatim, so any mismatch
+    isolates the guard itself."""
+    from redpanda_to_parquet_writer_spark.operators.text import (
+        token_count,
+        tokens,
+        unigram_logprob,
+    )
+
+    df = _random_docs(rng, spark)
+    got = _rows_sorted(unigram_logprob(df, "text", "doc_id"))
+
+    toks = df.select(F.col("doc_id"), F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    total = df.select(token_count("text").alias("__dl")).agg(
+        F.sum("__dl").alias("__t")
+    )
+    scored = (
+        tf.withColumn("cnt", F.sum("tf").over(Window.partitionBy("term")))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "lp",
+            F.expr(
+                "CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(__t AS DOUBLE)), 6)"
+                " AS DECIMAL(18,6))"
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.sum(F.col("tf") * F.col("lp")).alias("s"),
+    )
+    ref = per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            "CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)"
+            " * ((2 * CAST(abs(s) * 1000000 AS DECIMAL(38,0)) + n_tokens)"
+            "    DIV (2 * n_tokens)) AS DOUBLE) / 1000000.0"
+        ).alias("avg_logprob"),
+    )
+    return got == _rows_sorted(ref)
+
+
+def fuzz_dup_ngram_fraction(rng, spark) -> bool:
+    """df-guard rewrite (r12): gram document-frequency as an aggregate +
+    join-back must match the naive count window over the gram."""
+    from redpanda_to_parquet_writer_spark.operators.text import (
+        dup_ngram_fraction,
+        with_ngrams,
+    )
+
+    df = _random_docs(rng, spark)
+    n = rng.choice([2, 3])
+    min_docs = rng.choice([2, 3])
+    got = _rows_sorted(dup_ngram_fraction(df, "text", "doc_id", n=n, min_docs=min_docs))
+
+    grams = with_ngrams(df, "text", n)
+    tf = (
+        grams.select(F.col("doc_id"), F.explode("ngrams").alias("__g"))
+        .groupBy("doc_id", "__g")
+        .agg(F.count("*").alias("__tf"))
+    )
+    out = (
+        tf.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("__g")))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__tf").alias("n_positions"),
+            F.coalesce(
+                F.sum(F.when(F.col("__df") >= min_docs, F.col("__tf"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_dup_positions"),
+        )
+    )
+    dup_frac = F.expr(
+        "(n_dup_positions * 2000000 + n_positions) DIV (2 * n_positions)"
+    ) / F.lit(1000000.0)
+    ref = out.select("doc_id", "n_positions", "n_dup_positions", dup_frac.alias("dup_frac"))
+    return got == _rows_sorted(ref)
+
+
+def fuzz_bm25_topk(rng, spark) -> bool:
+    """df-guard rewrite (r12): per-term document frequency as an
+    aggregate + join-back must match the naive count window over the
+    postings."""
+    from redpanda_to_parquet_writer_spark.operators.text import (
+        bm25_topk,
+        token_count,
+        tokens,
+    )
+
+    df = _random_docs(rng, spark)
+    terms = tuple(rng.sample(WORDS, rng.randint(1, 4)))
+    k = rng.randint(1, 20)
+    got = _rows_sorted(bm25_topk(df, "text", "doc_id", terms, k=k))
+
+    k1, b = 1.2, 0.75
+    corpus = df.select(token_count("text").alias("dl")).agg(
+        F.count("*").alias("__n"), F.avg("dl").alias("__avgdl")
+    )
+    term_set = F.array(*[F.lit(t) for t in terms])
+    postings = (
+        df.select(
+            F.col("doc_id"),
+            token_count("text").alias("dl"),
+            F.explode(
+                F.filter(tokens("text"), lambda t: F.array_contains(term_set, t))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    scored = (
+        postings.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0) + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.round(F.sum("term_score"), 6).alias("bm25"),
+        F.count("*").alias("n_terms_matched"),
+    )
+    topk = per_doc.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    ref = topk.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "bm25", "n_terms_matched", "rank"
+    )
+    return got == _rows_sorted(ref)
+
+
+def fuzz_jaccard_max_doc_freq(rng, spark) -> bool:
+    """`jaccard_pairs(max_doc_freq=...)` against a PURE-PYTHON oracle:
+    Jaccard over the DF-filtered shingle space, computed driver-side
+    from the collected shingle sets (threshold 0 so no rounded-boundary
+    filter flake; values compare within 2e-6 of the exact rational)."""
+    from fractions import Fraction
+
+    from redpanda_to_parquet_writer_spark.operators.text import (
+        jaccard_pairs,
+        with_ngrams,
+    )
+
+    df = _random_docs(rng, spark)
+    cap = rng.randint(1, 6)
+    grams = with_ngrams(df, "text", 2)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(grams, "doc_id", "ngrams", 0.0, max_doc_freq=cap).collect()
+    }
+
+    sets = {
+        r["doc_id"]: set(r["ngrams"] or [])
+        for r in grams.select("doc_id", "ngrams").collect()
+    }
+    from collections import Counter
+
+    dfc = Counter(g for s in sets.values() for g in s)
+    surviving = {d: {g for g in s if dfc[g] <= cap} for d, s in sets.items()}
+    expected = {}
+    ids = sorted(surviving)
+    for i, a in enumerate(ids):
+        for bb in ids[i + 1 :]:
+            common = len(surviving[a] & surviving[bb])
+            if common == 0:
+                continue
+            union = len(surviving[a]) + len(surviving[bb]) - common
+            expected[(a, bb)] = Fraction(common, union)
+    if set(got) != set(expected):
+        return False
+    return all(abs(got[p] - float(expected[p])) < 2e-6 for p in got)
+
+
+def fuzz_lsh_salted_bucket_cap(rng, spark) -> bool:
+    """The salted hot-bucket cap (r12: two-phase sub-collect) against a
+    PURE-PYTHON oracle: drop buckets over the cap, enumerate in-bucket
+    pairs, dedupe across buckets. Plants a hot over-cap bucket and NULL
+    bucket keys (the ADVICE r12 null-safe join-back case)."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        bucket_pair_candidates,
+    )
+
+    n = rng.randint(2, 150)
+    keys = ["k1", "k2", "k3", "hot", "hot", "hot", "hot", None]
+    rows = [(i, rng.randint(0, 2), rng.choice(keys)) for i in range(n)]
+    cap = rng.randint(1, 12)
+    df = spark.createDataFrame(rows, "id long, band int, key string")
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in bucket_pair_candidates(
+            df, ["band", "key"], "id", [], max_bucket_size=cap
+        ).collect()
+    )
+
+    buckets: dict[tuple, list[int]] = {}
+    for i, band, key in rows:
+        buckets.setdefault((band, key), []).append(i)
+    pairs = set()
+    for members in buckets.values():
+        if 1 < len(members) <= cap:
+            ms = sorted(members)
+            for x in range(len(ms)):
+                for y in range(x + 1, len(ms)):
+                    pairs.add((ms[x], ms[y]))
+    return got == sorted(pairs)
+
+
 FUZZERS = {
     "line_dedup": fuzz_line_dedup,
     "normalized_fingerprint": fuzz_normalized_fingerprint,
     "keep_first": fuzz_keep_first,
     "offset_gaps": fuzz_offset_gaps,
     "grouped_running_sum": fuzz_grouped_running_sum,
+    # r13 extensions (VERDICT r12 #3): the df join-back guards and the
+    # salted LSH hot-bucket cap, previously oracle-gated on fixed
+    # fixtures only
+    "tfidf_top_terms": fuzz_tfidf_top_terms,
+    "unigram_logprob": fuzz_unigram_logprob,
+    "dup_ngram_fraction": fuzz_dup_ngram_fraction,
+    "bm25_topk": fuzz_bm25_topk,
+    "jaccard_max_doc_freq": fuzz_jaccard_max_doc_freq,
+    "lsh_salted_bucket_cap": fuzz_lsh_salted_bucket_cap,
 }
 
 

@@ -294,3 +294,196 @@ def test_sharded_append_rejects_sparse_codebook_dict():
         append_ivf_index_sharded(None, {}, "/tmp/x")
     with pytest.raises(ValueError):
         append_ivf_index_sharded(None, {0: None, 2: None}, "/tmp/x")
+
+
+# --- the sharding contract: select_n_shards (VERDICT r12 #5) ----------------
+
+
+def test_select_n_shards_contract():
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        select_n_shards,
+    )
+
+    cap = 65536 * IVF_TARGET_LIST_LEN  # ~82M at the defaults
+    # flat below the clamp boundary, sharded above — the exact boundary
+    assert select_n_shards(0) == 1
+    assert select_n_shards(cap) == 1
+    assert select_n_shards(cap + 1) == 2
+    assert select_n_shards(10 * cap) == 10
+    with pytest.raises(ValueError):
+        select_n_shards(-1)
+    with pytest.raises(ValueError):
+        select_n_shards(10, target_list_len=0)
+    with pytest.raises(ValueError):
+        select_n_shards(10, k_max=0)
+
+
+def test_select_n_shards_keeps_per_shard_k_under_clamp():
+    """The property sharding exists for, property-tested across the
+    boundary: for ANY corpus size, the expected per-shard row count
+    n/n_shards keeps that shard's select_n_centroids UNDER its clamp —
+    so lists stay at target length no matter how big the corpus."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        select_n_shards,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=10**13),
+        target=st.integers(min_value=1, max_value=5000),
+        k_max=st.integers(min_value=1, max_value=100_000),
+    )
+    def check(n, target, k_max):
+        s = select_n_shards(n, target, k_max)
+        assert s >= 1
+        per_shard = -(-n // s)  # ceil: the heaviest shard's expected load
+        k = select_n_centroids(per_shard, target, k_min=1, k_max=k_max)
+        # unclamped k for the per-shard load never exceeds k_max…
+        assert -(-per_shard // target) <= k_max, (n, target, k_max, s)
+        # …so per-shard mean list length honors the target
+        assert per_shard / max(k, 1) <= target or per_shard <= target, (
+            n, target, k_max, s, k,
+        )
+        # and sharding is minimal: one fewer shard would break the cap
+        if s > 1:
+            assert n > (s - 1) * k_max * target, (n, target, k_max, s)
+
+    check()
+
+
+def test_auto_sharded_escalates_across_the_boundary(spark, tmp_path):
+    """`build_ivf_index_auto_sharded` must stay FLAT (one shard, one
+    codebook) below k_max * target_list_len rows and shard past it —
+    exercised on the 500-row fixture by shrinking the boundary. The
+    1-shard auto layout must serve BITWISE what the flat auto build
+    serves (the degenerate shard is the flat plan plus a shard
+    predicate)."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        build_ivf_index_auto_sharded,
+        ivf_topk_indexed,
+        ivf_topk_indexed_sharded,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    queries = emb.limit(5)
+
+    # below the boundary (defaults: cap ~82M >> 500) -> flat, 1 shard
+    books = build_ivf_index_auto_sharded(
+        emb, str(tmp_path / "auto_flat"), use_arrow=True
+    )
+    assert sorted(books) == [0]
+    flat_auto = build_ivf_index_auto(emb, str(tmp_path / "flat"), use_arrow=True)
+    served_1 = _served(
+        ivf_topk_indexed_sharded(
+            spark, str(tmp_path / "auto_flat"), queries, books, k=3, n_probe=4
+        )
+    )
+    served_flat = _served(
+        ivf_topk_indexed(
+            spark, str(tmp_path / "flat"), queries, flat_auto, k=3, n_probe=4
+        )
+    )
+    assert served_1 == served_flat and len(served_1) == 15
+
+    # past the boundary (cap = k_max * target = 10 * 10 = 100 < 500
+    # rows) -> escalates to ceil(500/100) = 5 shards, each with its own
+    # codebook sized by its shard
+    books5 = build_ivf_index_auto_sharded(
+        emb,
+        str(tmp_path / "auto_sharded"),
+        target_list_len=10,
+        k_max=10,
+        n_updates=0,
+        use_arrow=True,
+    )
+    assert sorted(books5) == list(range(5))
+    served_5 = ivf_topk_indexed_sharded(
+        spark, str(tmp_path / "auto_sharded"), queries, books5, k=3, n_probe=4
+    )
+    assert served_5.count() == 15
+
+
+def test_staged_build_routes_once_and_serves_identically(spark, tmp_path):
+    """`build_ivf_index_sharded(staging_path=...)` must (a) write the
+    routed corpus shard-partitioned so per-shard builds read only their
+    own directory, and (b) serve BITWISE what the in-plan-routed build
+    serves (routing layout cannot leak into the deterministic Lloyd
+    codebook)."""
+    import os
+
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        build_ivf_index_sharded,
+        ivf_topk_indexed_sharded,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    queries = emb.limit(5)
+    n_shards = 4
+
+    books_a = build_ivf_index_sharded(
+        emb, str(tmp_path / "inplan"), n_shards, use_arrow=True
+    )
+    books_b = build_ivf_index_sharded(
+        emb,
+        str(tmp_path / "staged"),
+        n_shards,
+        use_arrow=True,
+        staging_path=str(tmp_path / "routing"),
+    )
+    # the staging layout is the route-once artifact: one dir per shard
+    staged_dirs = sorted(
+        d for d in os.listdir(tmp_path / "routing") if d.startswith("__ivf_shard=")
+    )
+    assert staged_dirs == [f"__ivf_shard={s}" for s in range(n_shards)]
+    # identical codebooks shard by shard…
+    for s in range(n_shards):
+        assert sorted(
+            (int(r["cluster_id"]), [round(x, 9) for x in r["cv"]])
+            for r in books_a[s].collect()
+        ) == sorted(
+            (int(r["cluster_id"]), [round(x, 9) for x in r["cv"]])
+            for r in books_b[s].collect()
+        ), s
+    # …and identical served rows
+    a = _served(
+        ivf_topk_indexed_sharded(
+            spark, str(tmp_path / "inplan"), queries, books_a, k=3, n_probe=4
+        )
+    )
+    b = _served(
+        ivf_topk_indexed_sharded(
+            spark, str(tmp_path / "staged"), queries, books_b, k=3, n_probe=4
+        )
+    )
+    assert a == b and len(a) == 15
+
+
+def test_sharded_serve_is_one_pruned_scan(spark, tmp_path):
+    """The collapsed sharded serve (VERDICT r12 #1) must plan ONE index
+    scan whose PartitionFilters carry BOTH partition levels (shard and
+    cluster_id) — not one scan per shard — so the fixed serve costs are
+    paid once regardless of n_shards."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        build_ivf_index_sharded,
+        ivf_topk_indexed_sharded,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    queries = emb.limit(3)
+    books = build_ivf_index_sharded(
+        emb, str(tmp_path / "sh"), 4, use_arrow=True
+    )
+    df = ivf_topk_indexed_sharded(
+        spark, str(tmp_path / "sh"), queries, books, k=3, n_probe=2
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly one scan of the index directory tree
+    assert plan.count("FileScan parquet") == 1, plan[:3000]
+    pf_at = plan.index("PartitionFilters")
+    pf = plan[pf_at : pf_at + 400]
+    assert "shard" in pf and "cluster_id" in pf, pf
+    # and the result is still fully ranked
+    assert df.count() == 9
