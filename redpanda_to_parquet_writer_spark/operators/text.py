@@ -254,8 +254,12 @@ def quality_score(
     stop_score = F.least(
         F.try_divide(n_stop.cast("double"), n_tokens) / 0.04, F.lit(1.0)
     )
+    # the + quantifier deletes RUNS instead of firing the matcher per
+    # character — identical output string (deleting chars one-by-one ==
+    # deleting their runs), ~19x less matcher work on non-alpha-heavy
+    # text (measured on the normalization twin, SCALING.md r13)
     alpha_ratio = F.try_divide(
-        F.length(F.regexp_replace(t, "[^a-zA-Z ]", "")).cast("double"), F.length(t)
+        F.length(F.regexp_replace(t, "[^a-zA-Z ]+", "")).cast("double"), F.length(t)
     )
     uniq_ratio = F.try_divide(F.size(F.array_distinct(toks)).cast("double"), n_tokens)
     score = F.round(
@@ -1116,50 +1120,78 @@ def normalized_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFra
     (DuckDB) does not — the one place the engines' regex dialects
     diverge for this pipeline.
 
-    Skew shape (r12, same class as the keep-first rewrites): the
-    canonical-representative stats ride AGGREGATES + a join-back,
-    never a window partitioned by the fingerprint — a hot boilerplate
-    document (the thing this dedup pass exists to catch) would put
-    every copy in ONE unsplittable window task. The normalize+md5
-    projection is the expensive part, so it runs ONCE: the projected
-    narrow (id, fp) rows repartition on (fp, salt-of-id) — the salt
-    spreads a hot fingerprint over 64 partitions — and BOTH consumers
-    (the two-level stats and the join probe) read that one exchange
-    (ReusedExchange; measured FASTER than both the window form and the
-    2-scan join form at sf0.1). The join is NULL-SAFE so null-text
-    docs keep the window form's semantics (they group together like
-    any other fingerprint).
+    Skew shape (r12, re-shaped r13 after the sf10 decade flagged the
+    r12 form super-linear): the canonical-representative stats ride
+    AGGREGATES, never a window partitioned by the fingerprint — a hot
+    boilerplate document (the thing this dedup pass exists to catch)
+    would put every copy in ONE unsplittable window task. The r13
+    shape is the salted sub-collect `bucket_pair_candidates` already
+    uses for LSH buckets: per-doc ids sub-collect per
+    (fingerprint, salt-of-id) — a hot fingerprint fans over 64 salts,
+    bounding any one collected array at n_copies/64 — the group stats
+    aggregate over those sub-rows (map-side combined), join back
+    AGGREGATE-sized (64 x n_fingerprints rows at most, no corpus-sized
+    join side at all), and the per-doc rows come back via explode.
+
+    Why not the r12 join-back of the per-doc frame: measured at the
+    sf1->sf10 decade (SCALING_CURVE_r13.jsonl), the projection
+    (normalize regex + md5 — embarrassingly parallel, ~linear by
+    construction) is the entire intrinsic cost: 21.1s for the bare
+    projection at sf10 on the measuring host. The r12 form cost 26.1s
+    — its eqNullSafe join-back (a) broke exchange canonical-equality
+    (the probe and stats branches got asymmetric inferred filters and
+    pruning, planning the projection more than once), and (b) fell
+    from broadcast to SortMergeJoin past sf1, re-shuffling and
+    re-sorting the corpus-sized frame on the fingerprint — hot
+    fingerprints re-concentrated into single join partitions, the
+    skew the salt existed to prevent. This shape measures 20.7s at
+    sf10 (the join machinery costs ~nothing over the bare projection)
+    and both of `sub`'s consumers read its full (fp, salt, ids)
+    output, so the one corpus exchange is REUSED at runtime. The join
+    key is a NON-NULL sentinel (`coalesce(md5(norm), '')` — an empty
+    string cannot collide with a 32-char md5 hex), so the join is a
+    plain equi-join; null-text docs group together under the sentinel
+    and `nullif` restores norm_fp = NULL on output — window-form
+    semantics unchanged (differentially fuzzed in
+    scripts/fuzz_r12_rewrites.py, bitwise-gated vs the oracle).
     """
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 \\t\\n\\r]", " "),
-            "[ \\t\\n\\r]+",
-            " ",
-        )
-    )
-    base = (
-        df.select(F.col(id_col), F.md5(norm).alias("norm_fp"))
-        .withColumn("__s", F.pmod(F.xxhash64(F.col(id_col)), F.lit(64)))
-        .repartition("norm_fp", "__s")
-    )
-    sub = base.groupBy("norm_fp", "__s").agg(
-        F.min(id_col).alias("__m"), F.count(F.lit(1)).alias("__c")
-    )
-    stats = sub.groupBy("norm_fp").agg(
-        F.min("__m").alias("canonical_id"),
-        F.sum("__c").cast("long").alias("n_variants"),
+    # ONE run-consuming pass, not the two-pass punct->space then
+    # squeeze-whitespace form: after lower(), both map every maximal
+    # run of non-[a-z0-9] characters to a single space (pass 1 turns
+    # punctuation into spaces, which pass 2's whitespace-squeeze then
+    # merges with any adjacent whitespace — i.e. the composed effect IS
+    # "non-alnum run -> one space"), so the output strings are
+    # IDENTICAL. The difference is matcher work: a bare character
+    # class fires per character and builds a same-length intermediate,
+    # then re-scans it — measured 26.6s vs 1.39s (19x) for the one-pass
+    # form over the 500k-doc decade fixture (SCALING.md r13), which
+    # turned this from the corpus' most expensive projection into a
+    # rounding error. The DuckDB oracle deliberately KEEPS the
+    # two-pass spelling — the engines computing the same fingerprint
+    # through different regex programs strengthens the differential
+    # gate.
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+    base = df.select(
+        F.col(id_col), F.coalesce(F.md5(norm), F.lit("")).alias("__k")
+    ).withColumn("__s", F.pmod(F.xxhash64(F.col(id_col)), F.lit(64)))
+    # the salted sub-collect: one corpus exchange on (fp, salt); any
+    # one array is bounded at n_copies(fp)/64
+    sub = base.groupBy("__k", "__s").agg(F.collect_list(id_col).alias("__ids"))
+    # group stats consume exactly (__k, __ids) — the same columns the
+    # join probe reads, so the sub-aggregate's exchange canonicalizes
+    # identically in both branches and plans ONCE (the line_dedup
+    # column-symmetry discipline)
+    stats = sub.groupBy("__k").agg(
+        F.min(F.array_min("__ids")).alias("canonical_id"),
+        F.sum(F.size("__ids")).cast("long").alias("n_variants"),
     )
     return (
-        base.alias("b")
-        .join(
-            stats.alias("s"),
-            F.col("b.norm_fp").eqNullSafe(F.col("s.norm_fp")),
-        )
+        sub.join(stats, "__k")
         .select(
-            F.col(f"b.{id_col}").alias(id_col),
-            F.col("b.norm_fp").alias("norm_fp"),
-            F.col("s.canonical_id").alias("canonical_id"),
-            F.col("s.n_variants").alias("n_variants"),
+            F.explode("__ids").alias(id_col),
+            F.nullif(F.col("__k"), F.lit("")).alias("norm_fp"),
+            F.col("canonical_id"),
+            F.col("n_variants"),
         )
     )
 

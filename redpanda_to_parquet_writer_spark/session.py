@@ -34,6 +34,13 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", cfg.compression)
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # scan-split sizing — see EngineConfig.files_max_partition_bytes
+        # (single-file fixtures smaller than one 128 MiB default split
+        # run CPU-heavy scan projections in ONE task)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            str(cfg.files_max_partition_bytes),
+        )
         # InferFiltersFromGenerate adds `size(x)>0 AND isnotnull(x)`
         # before every explode; predicate pushdown then substitutes the
         # alias chain, so an explode of a computed array re-evaluates the
