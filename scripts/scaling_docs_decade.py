@@ -13,7 +13,8 @@ Sub-linear PER-DATA is the gate: a 10x corpus may cost up to 10x; more
 means a super-linear term (an unsplittable task, a driver sink, a
 quadratic bucket) crept in.
 
-Usage: python scripts/scaling_docs_decade.py
+Usage: python scripts/scaling_docs_decade.py [query ...]
+  (default: the two rows VERDICT r12 #4 named)
 Appends one JSON line to SCALING_CURVE_r13.jsonl.
 """
 
@@ -34,7 +35,7 @@ from redpanda_to_parquet_writer_spark.session import get_spark  # noqa: E402
 
 SF1_DIR = os.path.join(ROOT, ".scaling_sf1")
 SF10_DIR = os.path.join(ROOT, ".scaling_sf10")
-TARGETS = ["docs_line_dedup", "docs_normalized_dedup"]
+TARGETS = sys.argv[1:] or ["docs_line_dedup", "docs_normalized_dedup"]
 
 
 def main() -> None:

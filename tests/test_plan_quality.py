@@ -601,6 +601,21 @@ def test_no_skew_keyed_windows_in_text_stats(spark, sf_dir):
         ), (q, plan)
 
 
+def test_normalized_dedup_single_scan_reused_exchange(spark, sf_dir):
+    """normalized_fingerprint (r13 shape): the expensive normalize+md5
+    projection must plan ONCE — the salted (fp, salt) sub-collect's
+    exchange is consumed by both the stats branch and the join probe
+    with identical columns, so after AQE there is exactly one corpus
+    FileScan and the second consumer is a ReusedExchange. (The r12
+    eqNullSafe join-back silently planned the projection 2-3 times —
+    caught only by the sf10 decade timing, hence this pin.)"""
+    df = QUERIES["docs_normalized_dedup"](spark, sf_dir)
+    final = final_plan_str(df).split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final
+    assert final.count("ReusedExchange") >= 1, final
+    assert final.count("FileScan parquet") == 1, final
+
+
 def test_unigram_logprob_reuses_tf_exchange(spark, sf_dir):
     """The corpus-count-per-term branch shares the (doc, term) tf
     aggregate subtree with the join probe — after AQE exactly one
