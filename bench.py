@@ -410,6 +410,35 @@ HEADLINE = [
     # 1.11 (its own intra-sweep drift 0.79 — host speeding up
     # mid-sweep; the named lineage rows above remain the honest
     # per-query record).
+    #
+    # r13 lineage change (normalized-fingerprint reshape, found by the
+    # sf1->sf10 decade probe — VERDICT r12 #4): the normalization regex
+    # is ONE run-consuming pass ([^a-z0-9]+ -> space; output-identical
+    # to the two-pass punct-then-squeeze form, 19x less matcher work —
+    # the two-pass bare char class fires per character and re-scans an
+    # intermediate string), and the fingerprint join-back is the salted
+    # sub-collect shape (ids collect per (fp, salt), stats aggregate
+    # over sub-rows, aggregate-sized join, explode back) instead of the
+    # r12 eqNullSafe per-doc join, which broke exchange canonical-
+    # equality (projection planned 2-3x — now plan-pinned to ONE
+    # FileScan + ReusedExchange) and fell to a corpus-reshuffling SMJ
+    # past sf1. docs_normalized_dedup 0.31->0.22s at sf0.1, 26.1->2.08s
+    # at sf10 (14.1x/decade -> 2.1x). quality_score's alpha_ratio got
+    # the same one-pass fix ([^a-zA-Z ]+ deletion, output-identical):
+    # docs_quality_score 0.32->0.27s. DuckDB oracles deliberately KEEP
+    # the two-pass spellings (different regex programs computing the
+    # same strings = a stronger differential gate); all touched rows
+    # bitwise-gated at sf0.01.
+    #
+    # r13 bench_diff adjudication (vs the r12 driver artifact): two
+    # same-day runs flagged disjoint row sets (1.69x and 1.45x
+    # intra-sweep anchor drift — unstable host), with ZERO source
+    # changes on any flagged row's lineage this round. Order-reversed
+    # same-host A/Bs on the twice-flagged rows (embeddings_semdedup_keep,
+    # embeddings_lsh_neardup_pairs, plus untouched ann_cosine_topk as a
+    # control): whichever PROCESS ran second read ~20% slower on every
+    # query including the untouched control, both orders — run-order
+    # host state, not lineage.
 ]
 
 #: Calibration anchors (VERDICT r8 #3): three lineage-frozen queries
