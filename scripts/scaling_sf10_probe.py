@@ -7,7 +7,7 @@ reads n_probe/n_centroids of the corpus via directory pruning, so its
 cost tracks the query batch, not corpus size — probed here one decade
 beyond SCALING_CURVE's sf1 point. Full-registry timing/correctness at
 sf10 is NOT the goal (that's the sf1 campaign); this synthesizes ONLY
-the three tables the probe queries read:
+the tables the probe and decade scripts read:
 
   - embeddings (x10 from the sf1 fixture): keys shift per replica;
     each replica r>0 applies rotate-by-r THEN negate-first-r-dims — a
@@ -54,7 +54,7 @@ def synthesize_sf10() -> None:
 
     os.makedirs(SF10_DIR, exist_ok=True)
     con = duckdb.connect()
-    for t in ("lineitem", "documents", "embeddings"):
+    for t in ("lineitem", "documents", "embeddings", "events"):
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF1_DIR}/{t}.parquet'"
         )
@@ -95,6 +95,27 @@ def synthesize_sf10() -> None:
         )
     )
     print("synthesized documents", flush=True)
+    # events (x10, r13): event_id and user_id shift per replica (user
+    # series stay disjoint and same-length — bounded window keys stay
+    # bounded), ts/type/value unchanged so (type, hour) buckets get 10x
+    # hotter — the skew case the r11/r12 event-side rewrites exist for
+    ev_pad = int(con.execute("SELECT max(event_id)+1 FROM events").fetchone()[0])
+    u_pad = int(con.execute("SELECT max(user_id)+1 FROM events").fetchone()[0])
+    con.execute(
+        "COPY ({}) TO '{}/events.parquet' (FORMAT PARQUET)".format(
+            union(
+                "events",
+                lambda i: [
+                    f"event_id + {i * ev_pad} AS event_id",
+                    "ts",
+                    f"user_id + {i * u_pad} AS user_id",
+                    "event_type", "value", "props",
+                ],
+            ),
+            SF10_DIR,
+        )
+    )
+    print("synthesized events", flush=True)
     vec_pad = int(con.execute("SELECT max(vec_id)+1 FROM embeddings").fetchone()[0])
 
     def emb_select(i):
