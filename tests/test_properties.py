@@ -1385,3 +1385,55 @@ def test_tokenizer_stats_fuzz_matches_standalone_ops(spark, texts):
     for i, row in both.items():
         expected = {**ws[i], **bpe[i]}
         assert row == expected, (texts[i], row, expected)
+
+
+def test_salted_dedup_rewrites_survive_degenerate_corpus(spark):
+    """The adversarial input every salted rewrite exists for: a corpus
+    where EVERY document is identical — one corpus-hot fingerprint /
+    line / content hash. A window-form plan would stream every copy
+    through one unsplittable task; the salted aggregate shapes must
+    complete AND return exact group stats. (The 500k-row wall-clock
+    evidence lives in SCALING.md; this pins correctness at 50k.)"""
+    from pyspark.sql import functions as F
+
+    from redpanda_to_parquet_writer_spark.operators.dedup import (
+        content_dedup_keep_first,
+    )
+    from redpanda_to_parquet_writer_spark.operators.text import (
+        line_dedup_stats,
+        normalized_fingerprint,
+    )
+
+    n = 50_000
+    boiler = "Click here to subscribe! " * 12
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(boiler).alias("text")
+    )
+
+    nf = normalized_fingerprint(docs, "text", "doc_id").agg(
+        F.min("canonical_id").alias("c"),
+        F.max("n_variants").alias("v"),
+        F.count("*").alias("n"),
+        F.count_distinct("norm_fp").alias("fps"),
+    ).collect()[0]
+    assert (nf["c"], nf["v"], nf["n"], nf["fps"]) == (0, n, n, 1)
+
+    # 48 tokens per doc -> 5 lines of 10/10/10/10/8 tokens; the 4-word
+    # phrase gives lines phases 0,2,0,2 plus the short tail: exactly 3
+    # distinct line contents corpus-wide, each kept once
+    ld = line_dedup_stats(docs, "text", "doc_id").agg(
+        F.sum("n_kept").alias("k"), F.sum("n_dupes").alias("d")
+    ).collect()[0]
+    assert (ld["k"], ld["d"]) == (3, 5 * n - 3)
+
+    kf = content_dedup_keep_first(
+        docs.select(
+            F.lit(0).alias("kafka_partition"),
+            F.col("doc_id").alias("kafka_offset"),
+            F.col("text").alias("payload"),
+        ),
+        content_cols=["payload"],
+        order_cols=["kafka_partition", "kafka_offset"],
+    )
+    rows = kf.collect()
+    assert len(rows) == 1 and rows[0]["kafka_offset"] == 0
