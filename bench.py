@@ -438,7 +438,13 @@ HEADLINE = [
     # embeddings_lsh_neardup_pairs, plus untouched ann_cosine_topk as a
     # control): whichever PROCESS ran second read ~20% slower on every
     # query including the untouched control, both orders — run-order
-    # host state, not lineage.
+    # host state, not lineage. The end-of-round run (67.3s/136, anchor
+    # factor 1.12, own intra-sweep drift 1.31 — the host stayed noisy
+    # all day; the committed mid-round quiet run read 64.1s) flags ONE
+    # row, cheapest_supplier_per_part 1.32x normalized — untouched
+    # since r12 (git log on plans/), and the same-session min-of-3 A/B
+    # read 0.913s, slower than the flagged 0.544s itself: sub-second
+    # rows wobble with load, the code did not change.
 ]
 
 #: Calibration anchors (VERDICT r8 #3): three lineage-frozen queries
