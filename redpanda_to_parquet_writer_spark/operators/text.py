@@ -1154,6 +1154,10 @@ def normalized_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFra
     and `nullif` restores norm_fp = NULL on output — window-form
     semantics unchanged (differentially fuzzed in
     scripts/fuzz_r12_rewrites.py, bitwise-gated vs the oracle).
+
+    Contract: `id_col` is a KEY — rows whose id is NULL are dropped
+    (collect_list skips nulls), matching every other dedup operator's
+    key contract; a null "canonical id" would be meaningless anyway.
     """
     # ONE run-consuming pass, not the two-pass punct->space then
     # squeeze-whitespace form: after lower(), both map every maximal
