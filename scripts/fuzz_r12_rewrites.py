@@ -31,10 +31,45 @@ from redpanda_to_parquet_writer_spark.config import EngineConfig  # noqa: E402
 from redpanda_to_parquet_writer_spark.session import get_spark  # noqa: E402
 
 WORDS = ["the", "hot", "line", "a", "b", "c", "xx", "yy", "zz", "boiler"]
+# ADVICE r13: the regex-rewrite differential (one-pass [^a-z0-9]+ vs the
+# oracle's two-pass punct->space + whitespace-squeeze) only has teeth on
+# inputs where the two programs COULD diverge — punctuation runs, digits,
+# uppercase, unicode, and mixed-whitespace runs, none of which the old
+# lowercase-alpha-words generator ever produced.
+RICH_WORDS = WORDS + [
+    "Hello,",
+    "WORLD!",
+    "e.g.",
+    "42",
+    "3.14",
+    "FOO_BAR",
+    "x+y=z",
+    "(paren)",
+    "—dash—",
+    "naïve",
+    "…",
+    "a1b2",
+    "semi;colon",
+    '"quoted"',
+]
+# separators: mostly single spaces, sometimes runs/tabs/newlines/CRLF/\x0B
+SEPS = [" "] * 8 + ["  ", "\t", "\n", "\r\n", " \t ", "\x0b", "   \n\t"]
 
 
-def _random_docs(rng: random.Random, spark):
-    """Docs with hot repeated lines, empty/null texts, short docs."""
+def _random_docs(rng: random.Random, spark, null_id_p: float = 0.0):
+    """Docs with hot repeated lines, empty/null texts, short docs, rich
+    punctuation/digit/uppercase/whitespace-run content (ADVICE r13), and
+    — when `null_id_p` > 0 — occasional NULL doc_ids (the key-contract
+    input: dedup operators treat id as a KEY and drop null-id rows)."""
+
+    def _text(k_lo: int, k_hi: int) -> str:
+        k = rng.randint(k_lo, k_hi)
+        toks = rng.choices(RICH_WORDS, k=k)
+        return "".join(
+            t + (rng.choice(SEPS) if j < k - 1 else "")
+            for j, t in enumerate(toks)
+        )
+
     n = rng.randint(1, 120)
     hot_line = " ".join(rng.choices(WORDS, k=10))
     rows = []
@@ -46,11 +81,12 @@ def _random_docs(rng: random.Random, spark):
             text = ""
         elif r < 0.6:
             # contains the hot line + noise
-            noise = " ".join(rng.choices(WORDS, k=rng.randint(0, 25)))
+            noise = _text(0, 25)
             text = (hot_line + " " + noise).strip()
         else:
-            text = " ".join(rng.choices(WORDS, k=rng.randint(1, 40)))
-        rows.append((i, text))
+            text = _text(1, 40)
+        doc_id = None if rng.random() < null_id_p else i
+        rows.append((doc_id, text))
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
@@ -95,7 +131,10 @@ def fuzz_normalized_fingerprint(rng, spark) -> bool:
         normalized_fingerprint,
     )
 
-    df = _random_docs(rng, spark)
+    # null_id_p: the id is a KEY (null-id rows dropped — the documented
+    # normalized_fingerprint contract); the reference applies the same
+    # drop explicitly, so the fuzz gates it differentially (ADVICE r13)
+    df = _random_docs(rng, spark, null_id_p=0.1)
     got = _rows_sorted(normalized_fingerprint(df, "text", "doc_id"))
 
     norm = F.trim(
@@ -105,7 +144,9 @@ def fuzz_normalized_fingerprint(rng, spark) -> bool:
             " ",
         )
     )
-    base = df.select(F.col("doc_id"), F.md5(norm).alias("norm_fp"))
+    base = df.filter(F.col("doc_id").isNotNull()).select(
+        F.col("doc_id"), F.md5(norm).alias("norm_fp")
+    )
     w = Window.partitionBy("norm_fp")
     ref = (
         base.withColumn("canonical_id", F.min("doc_id").over(w))

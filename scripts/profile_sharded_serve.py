@@ -21,6 +21,14 @@ Usage: python scripts/profile_sharded_serve.py [emb_parquet]
   synthesize via scripts/scaling_sf10_probe.py). Builds a 4-shard and
   a flat index, then alternates collapsed/per-shard/flat serves x3
   each to control host drift; prints min/median per variant.
+
+       python scripts/profile_sharded_serve.py --sweep [emb_parquet]
+  the FLATNESS CURVE (VERDICT r13 #1 done-condition): builds indexes
+  at 1/2/4/8 shards, then times the collapsed serve min-of-3
+  interleaved across shard counts (full call: prep + job). The claim
+  under test: the serve's fixed costs are n_shards-free, so cost
+  growth across the curve is candidate volume only (n_shards x
+  n_probe lists verified at equal n_probe).
 """
 
 from __future__ import annotations
@@ -97,7 +105,52 @@ def serve_r12_pershard(spark, index_path, queries, codebooks, k, n_probe):
     return _rank_topk(union, k)
 
 
+def sweep(emb_path: str) -> None:
+    """Flatness curve: collapsed serve at 1/2/4/8 shards, min-of-3
+    interleaved (host-drift control), plus per-count build times."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        EngineConfig(master=f"local[{cpus}]", shuffle_partitions=int(cpus)),
+        app_name="sharded_serve_flatness",
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="sharded_serve_sweep_")
+    emb = spark.read.parquet(emb_path)
+    queries = emb.limit(N_QUERIES)
+    counts = [1, 2, 4, 8]
+    books: dict[int, dict] = {}
+    print(f"corpus={emb.count()} vectors; building {counts}-shard indexes…", flush=True)
+    for n in counts:
+        t0 = time.perf_counter()
+        books[n] = build_ivf_index_sharded(emb, f"{tmp}/sh{n}", n, use_arrow=True)
+        print(f"{n}-shard build {time.perf_counter() - t0:.1f}s", flush=True)
+    times: dict[int, list[float]] = {n: [] for n in counts}
+    for _ in range(3):
+        for n in counts:
+            t0 = time.perf_counter()
+            ivf_topk_indexed_sharded(
+                spark, f"{tmp}/sh{n}", queries, books[n], k=K, n_probe=N_PROBE
+            ).write.mode("overwrite").format("noop").save()
+            times[n].append(time.perf_counter() - t0)
+    for n in counts:
+        ts = times[n]
+        print(
+            f"{n} shards: min={min(ts):.3f}s median={statistics.median(ts):.3f}s runs={[round(t, 3) for t in ts]}",
+            flush=True,
+        )
+
+
 def main() -> None:
+    argv = [a for a in sys.argv[1:] if a != "--sweep"]
+    if "--sweep" in sys.argv[1:]:
+        sweep(
+            argv[0]
+            if argv
+            else os.path.join(ROOT, ".scaling_sf10", "embeddings.parquet")
+        )
+        return
     emb_path = (
         sys.argv[1]
         if len(sys.argv) > 1

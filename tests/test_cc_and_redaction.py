@@ -107,6 +107,26 @@ def test_normalized_fingerprint_null_text_groups_together(spark):
     assert rows[1]["n_variants"] == 2 and rows[3]["n_variants"] == 1
 
 
+def test_normalized_fingerprint_drops_null_id_rows(spark):
+    """`id_col` is a KEY (the documented contract, ADVICE r13): rows
+    whose id is NULL are dropped — absent from the output AND excluded
+    from n_variants — matching every other dedup operator's key
+    contract. Pinned here because the r13 salted sub-collect shape
+    introduced the drop structurally (collect_list skips nulls); the
+    fuzzer also drives it with random null-id mixes."""
+    from redpanda_to_parquet_writer_spark.operators.text import normalized_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (None, "a b"), (2, "a b"), (None, None), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in normalized_fingerprint(df, "text", "doc_id").collect()}
+    assert set(rows) == {1, 2, 3}  # null-id rows gone, incl. the null-text one
+    assert rows[1]["n_variants"] == 2  # the null-id "a b" copy does not count
+    assert rows[1]["canonical_id"] == 1 and rows[2]["canonical_id"] == 1
+    assert rows[3]["n_variants"] == 1 and rows[3]["norm_fp"] is None
+
+
 def test_bloom_no_false_negatives(spark):
     """Every key that IS in the built set must probe maybe_seen=True —
     the guarantee the prefilter's correctness rests on; false positives

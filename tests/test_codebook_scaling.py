@@ -432,6 +432,7 @@ def test_staged_build_routes_once_and_serves_identically(spark, tmp_path):
         n_shards,
         use_arrow=True,
         staging_path=str(tmp_path / "routing"),
+        cleanup_staging=False,  # keep the scratch tree to inspect the layout
     )
     # the staging layout is the route-once artifact: one dir per shard
     staged_dirs = sorted(
@@ -451,6 +452,76 @@ def test_staged_build_routes_once_and_serves_identically(spark, tmp_path):
     a = _served(
         ivf_topk_indexed_sharded(
             spark, str(tmp_path / "inplan"), queries, books_a, k=3, n_probe=4
+        )
+    )
+    b = _served(
+        ivf_topk_indexed_sharded(
+            spark, str(tmp_path / "staged"), queries, books_b, k=3, n_probe=4
+        )
+    )
+    assert a == b and len(a) == 15
+
+
+def test_staging_is_scratch_cleaned_after_success(spark, tmp_path):
+    """`staging_path` is SCRATCH (ADVICE r13): the default build deletes
+    the routed tree after success (cleanup_staging=True), and a
+    pre-existing file at the path is clobbered by the routing write."""
+    import os
+
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        build_ivf_index_sharded,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    routing = tmp_path / "routing"
+    routing.mkdir()
+    (routing / "leftover.txt").write_text("scratch contract: overwritten")
+    build_ivf_index_sharded(
+        emb, str(tmp_path / "idx"), 2, use_arrow=True, staging_path=str(routing)
+    )
+    assert not os.path.exists(routing)
+
+
+def test_staged_append_routes_once_and_appends_identically(spark, tmp_path):
+    """`append_ivf_index_sharded(staging_path=...)` (VERDICT r13 #3)
+    must append EXACTLY what the in-plan-routed append appends — same
+    router expression either way, so a staged batch can never land a
+    vector in a different shard or list — and clean up its scratch tree
+    by default, like the build."""
+    import os
+
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        append_ivf_index_sharded,
+        build_ivf_index_sharded,
+        ivf_topk_indexed_sharded,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    n = emb.count()
+    head = emb.filter(F.col("vec_id") < int(n * 0.8))
+    tail = emb.filter(F.col("vec_id") >= int(n * 0.8))
+    queries = emb.limit(5)
+    n_shards = 2
+
+    books = build_ivf_index_sharded(
+        head, str(tmp_path / "inplan"), n_shards, use_arrow=True
+    )
+    books_b = build_ivf_index_sharded(
+        head, str(tmp_path / "staged"), n_shards, use_arrow=True
+    )
+    append_ivf_index_sharded(tail, books, str(tmp_path / "inplan"), use_arrow=True)
+    append_ivf_index_sharded(
+        tail,
+        books_b,
+        str(tmp_path / "staged"),
+        use_arrow=True,
+        staging_path=str(tmp_path / "routing"),
+    )
+    assert not os.path.exists(tmp_path / "routing")  # scratch cleaned up
+
+    a = _served(
+        ivf_topk_indexed_sharded(
+            spark, str(tmp_path / "inplan"), queries, books, k=3, n_probe=4
         )
     )
     b = _served(
