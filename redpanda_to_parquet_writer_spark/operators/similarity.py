@@ -351,12 +351,44 @@ def _topk_window():
     )
 
 
+#: salt fan-out for the two-level top-k (same role as the dedup salts):
+#: bounds any one window task at candidates/64 per query
+TOPK_SALTS = 64
+
+
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     """Per-query top-k over an unrounded scored frame; rounding happens
     AFTER ranking so shard unions re-rank on exactly the values the
-    single-index path ranks on."""
+    single-index path ranks on.
+
+    Skew shape (r14 — found by the degenerate-vector probe): a top-k
+    window partitioned by query_id alone streams EVERY probed candidate
+    of a query through ONE task. Candidate volume per query is bounded
+    by contract at n_shards × n_probe × target_list_len — but at max
+    sharding that is already ~10^5 rows per query in one task, and a
+    degenerate corpus (identical vectors → one hot IVF list holding a
+    whole shard) makes it the corpus itself: measured 6.96s vs 2.38s
+    for an 8-query batch over 200k all-identical vectors at 4 shards.
+    Two-level selection fixes the task shape: a per-(query, salt)
+    partial top-k (any one window task bounded at candidates/64) feeds
+    the global rank, whose input is ≤ 64 × k rows per query. Top-k is
+    selection — it decomposes over ANY partition of the candidates
+    (every global top-k row is its salt's top-k row), so the final rows
+    are IDENTICAL to the flat window's for any input, tie-breaks
+    included (both levels order by unrounded sim desc, neighbor asc);
+    gated bitwise by the suite's serve-equality tests and the oracle.
+    The extra shuffle is the tiny partial-top-k output, not the
+    candidate frame.
+    """
+    salt = F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(TOPK_SALTS))
+    pre = Window.partitionBy("query_id", salt).orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    partial = scored.withColumn("__pr", F.row_number().over(pre)).filter(
+        F.col("__pr") <= k
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(_topk_window()))
+        partial.withColumn("rank", F.row_number().over(_topk_window()))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
     )
@@ -978,6 +1010,7 @@ def ivf_topk_indexed_sharded(
     k: int = 3,
     n_probe: int = 4,
     reliable: bool = False,
+    verify_parallelism: int | None = None,
 ) -> DataFrame:
     """Serve a sharded IVF index (`build_ivf_index_sharded`) as ONE
     union job: every query probes EVERY shard's codebook (shards
@@ -1036,6 +1069,21 @@ def ivf_topk_indexed_sharded(
     sum(n_centroids) literals worst-case, but is bounded in practice by
     the PROBED pairs: <= n_queries x n_probe x n_shards and never more
     than the directory count.
+
+    `verify_parallelism` (r14, found by the degenerate-vector probe):
+    the exact-cosine verify runs in the SCAN's tasks, and its task
+    count is the pruned files' BYTE count — which a pathological list
+    defeats twice over: a hot list holds a whole shard in one
+    directory, and if its vectors are near-identical, parquet
+    RLE/dictionary encoding shrinks the file so far that byte-range
+    splitting yields ONE task for a corpus-sized decompressed verify
+    (measured: 200k identical vectors -> 4 single-file lists, the
+    8-query verify+rank tail ran 7.4s on 4 of 32 cores; repartitioned,
+    2.8s). Set it (e.g. to the cluster's core count) to shuffle the
+    pruned candidate slice before the verify; default None keeps the
+    shuffle-free plan, which is right whenever file splitting already
+    yields parallelism — every healthy corpus. The structural fix for
+    identical vectors remains exact pre-dedup (SCALING.md).
     """
     if not codebooks:
         raise ValueError("codebooks must map shard -> codebook relation")
@@ -1085,6 +1133,8 @@ def ivf_topk_indexed_sharded(
             (F.col("shard") == s) & F.col("cluster_id").isin(sorted(probed[s]))
         )
     index = spark.read.parquet(index_path).filter(cond)
+    if verify_parallelism is not None:
+        index = index.repartition(verify_parallelism)
 
     # 6. verify on (shard, cluster_id) — a probe of shard s may only
     # match shard s's lists — then one global top-k

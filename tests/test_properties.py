@@ -1437,3 +1437,90 @@ def test_salted_dedup_rewrites_survive_degenerate_corpus(spark):
     )
     rows = kf.collect()
     assert len(rows) == 1 and rows[0]["kafka_offset"] == 0
+
+
+def test_vector_operators_survive_degenerate_corpus(spark, tmp_path):
+    """The VECTOR-side degenerate gate (VERDICT r13 #4, the text-side
+    treatment applied to embeddings): 50k IDENTICAL vectors + 500
+    near-parallel tail vectors — one hot LSH bucket in EVERY table, one
+    hot IVF list per shard, a SemDeDup "cluster" that is the whole
+    corpus. Exact expected outputs; 200k wall-clock evidence lives in
+    SCALING.md (scripts/probe_degenerate_vectors.py)."""
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from redpanda_to_parquet_writer_spark.operators.dedup import (
+        content_dedup_keep_first,
+    )
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        build_ivf_index_sharded,
+        ivf_topk_indexed_sharded,
+        lsh_bucketed_neighbors,
+    )
+    from redpanda_to_parquet_writer_spark.plans.vector_queries import _lsh_planes
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from probe_degenerate_vectors import degenerate_embeddings
+
+    n_hot, n_rest = 50_000, 500
+    emb = degenerate_embeddings(spark, n_hot, n_rest)
+    emb.write.mode("overwrite").parquet(str(tmp_path / "emb"))
+    emb = spark.read.parquet(str(tmp_path / "emb"))
+
+    # 1. exact vector dedup: the hot group collapses MAP-SIDE (min_by
+    # partial combine) to its lowest id; every distinct tail survives
+    survivors = content_dedup_keep_first(
+        emb, content_cols=["embedding"], order_cols=["vec_id"]
+    )
+    ids = sorted(r["vec_id"] for r in survivors.select("vec_id").collect())
+    assert len(ids) == 1 + n_rest and ids[0] == 0 and ids[1] == n_hot
+
+    # 2. capped LSH on the RAW corpus: the hot vector's bucket holds all
+    # n_hot copies in every table -> always over cap -> dropped salted,
+    # so NO pair touches a hot id; the tail (near-parallel by
+    # construction: component 0 carries the dominating raw id) sits in
+    # one at-cap bucket and pairs completely
+    pairs = lsh_bucketed_neighbors(
+        emb, _lsh_planes(), "vec_id", "embedding", 0.9, max_bucket_size=n_rest
+    )
+    got = pairs.agg(
+        F.count("*").alias("n"), F.min("id_a").alias("lo"), F.min("sim").alias("s")
+    ).collect()[0]
+    assert got["n"] == n_rest * (n_rest - 1) // 2  # all C(500,2) tail pairs
+    assert got["lo"] == n_hot  # no hot id in any pair
+    assert got["s"] >= 0.9
+
+    # 3. SemDeDup on a degenerate corpus = exact pre-pass ∘ capped LSH:
+    # identical vectors are bitwise equal — collapse them exactly first;
+    # the near-parallel tail then collapses to ITS min id via LSH
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    keep = sorted(
+        r["vec_id"]
+        for r in survivors.join(dropped, "vec_id", "left_anti")
+        .select("vec_id")
+        .collect()
+    )
+    assert keep == [0, n_hot]
+
+    # 4. sharded build + serve with ONE hot list per shard: every vector
+    # ties to cluster 0 (ivf_assign breaks ties to the lowest cluster
+    # id), every centroid is the hot vector; global top-k of query 0
+    # must be neighbors 1,2,3 at sim 1.0 (ties break to lowest id)
+    books = build_ivf_index_sharded(
+        emb, str(tmp_path / "idx"), 2, n_updates=0, use_arrow=True
+    )
+    served = ivf_topk_indexed_sharded(
+        spark,
+        str(tmp_path / "idx"),
+        emb.filter(F.col("vec_id") == 0),
+        books,
+        k=3,
+        n_probe=2,
+        verify_parallelism=8,
+    ).collect()
+    assert sorted((r["rank"], r["neighbor_id"], r["sim"]) for r in served) == [
+        (1, 1, 1.0),
+        (2, 2, 1.0),
+        (3, 3, 1.0),
+    ]
