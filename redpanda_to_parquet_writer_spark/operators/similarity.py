@@ -667,6 +667,7 @@ def ivf_topk_indexed(
     k: int = 3,
     n_probe: int = 4,
     reliable: bool = False,
+    verify_parallelism: int | None = None,
 ) -> DataFrame:
     """IVF top-k over a PERSISTED index (`build_ivf_index`): rank the
     codebook per query, collect ONLY the distinct probed cluster ids
@@ -699,6 +700,12 @@ def ivf_topk_indexed(
     checkpointed to the context's configured checkpoint dir instead
     (`_materialize_probes`, VERDICT r8 #6) — identical rows, durable
     blocks.
+
+    `verify_parallelism`: same escape hatch as the sharded serve's —
+    repartition the pruned candidate slice before the exact-cosine
+    verify when a hot list's parquet files compress past byte-range
+    splitting (see `ivf_topk_indexed_sharded`). Default None keeps the
+    shuffle-free plan.
     """
     centroids = materialize_centroids(centroids)
     probes = _materialize_probes(
@@ -712,6 +719,8 @@ def ivf_topk_indexed(
     index = spark.read.parquet(index_path).filter(
         F.col("cluster_id").isin(probed_clusters)
     )
+    if verify_parallelism is not None:
+        index = index.repartition(verify_parallelism)
     return _verify_and_rank_topk(index, probes, k)
 
 

@@ -532,6 +532,56 @@ def test_staged_append_routes_once_and_appends_identically(spark, tmp_path):
     assert a == b and len(a) == 15
 
 
+def test_verify_parallelism_is_plan_only(spark, tmp_path):
+    """`verify_parallelism` (r14 — the RLE-compressed-hot-list escape
+    hatch) must be PLAN-ONLY: repartitioning the pruned candidate slice
+    before the exact-cosine verify cannot change a single served row,
+    on both the flat and the sharded serve."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        build_ivf_index_auto,
+        build_ivf_index_sharded,
+        ivf_topk_indexed,
+        ivf_topk_indexed_sharded,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    queries = emb.limit(5)
+    flat_book = build_ivf_index_auto(emb, str(tmp_path / "flat"), use_arrow=True)
+    books = build_ivf_index_sharded(emb, str(tmp_path / "sh"), 2, use_arrow=True)
+
+    flat_a = _served(
+        ivf_topk_indexed(spark, str(tmp_path / "flat"), queries, flat_book, k=3, n_probe=4)
+    )
+    flat_b = _served(
+        ivf_topk_indexed(
+            spark,
+            str(tmp_path / "flat"),
+            queries,
+            flat_book,
+            k=3,
+            n_probe=4,
+            verify_parallelism=8,
+        )
+    )
+    assert flat_a == flat_b and len(flat_a) == 15
+
+    sh_a = _served(
+        ivf_topk_indexed_sharded(spark, str(tmp_path / "sh"), queries, books, k=3, n_probe=4)
+    )
+    sh_b = _served(
+        ivf_topk_indexed_sharded(
+            spark,
+            str(tmp_path / "sh"),
+            queries,
+            books,
+            k=3,
+            n_probe=4,
+            verify_parallelism=8,
+        )
+    )
+    assert sh_a == sh_b and len(sh_a) == 15
+
+
 def test_sharded_serve_is_one_pruned_scan(spark, tmp_path):
     """The collapsed sharded serve (VERDICT r12 #1) must plan ONE index
     scan whose PartitionFilters carry BOTH partition levels (shard and
