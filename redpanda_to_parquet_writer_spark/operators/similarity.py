@@ -356,39 +356,45 @@ def _topk_window():
 TOPK_SALTS = 64
 
 
-def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+def _rank_topk(scored: DataFrame, k: int, salted: bool = False) -> DataFrame:
     """Per-query top-k over an unrounded scored frame; rounding happens
     AFTER ranking so shard unions re-rank on exactly the values the
     single-index path ranks on.
 
     Skew shape (r14 — found by the degenerate-vector probe): a top-k
     window partitioned by query_id alone streams EVERY probed candidate
-    of a query through ONE task. Candidate volume per query is bounded
-    by contract at n_shards × n_probe × target_list_len — but at max
-    sharding that is already ~10^5 rows per query in one task, and a
-    degenerate corpus (identical vectors → one hot IVF list holding a
-    whole shard) makes it the corpus itself: measured 6.96s vs 2.38s
-    for an 8-query batch over 200k all-identical vectors at 4 shards.
-    Two-level selection fixes the task shape: a per-(query, salt)
-    partial top-k (any one window task bounded at candidates/64) feeds
-    the global rank, whose input is ≤ 64 × k rows per query. Top-k is
-    selection — it decomposes over ANY partition of the candidates
-    (every global top-k row is its salt's top-k row), so the final rows
-    are IDENTICAL to the flat window's for any input, tie-breaks
-    included (both levels order by unrounded sim desc, neighbor asc);
-    gated bitwise by the suite's serve-equality tests and the oracle.
-    The extra shuffle is the tiny partial-top-k output, not the
-    candidate frame.
+    of a query through ONE task. `salted=True` runs a two-level
+    selection instead: a per-(query, salt-of-neighbor) partial top-k
+    (any one window task bounded at candidates/64) feeds the global
+    rank, whose input is ≤ 64 × k rows per query. Top-k is selection —
+    it decomposes over ANY partition of the candidates (every global
+    top-k row is its salt's top-k row), so the rows are IDENTICAL to
+    the flat window's for any input, tie-breaks included (both levels
+    order by unrounded sim desc, neighbor asc); gated bitwise by the
+    suite's serve-equality tests and the oracle.
+
+    Who salts (the r14 bench_diff adjudication): the SHARDED serve —
+    its per-query candidate volume is n_shards × n_probe × list_len,
+    which GROWS with the shard count (~10^5 rows per query in one task
+    at max sharding) and becomes the corpus itself on a degenerate
+    hot list (measured 6.96s vs 2.38s for an 8-query batch over 200k
+    identical vectors at 4 shards). The flat paths stay single-level:
+    their candidates are bounded at n_probe × target_list_len (~5k
+    rows) by the codebook-scaling contract, and the extra exchange +
+    window stage measured as a fixed ~0.1-0.2s per serve on the sf0.1
+    bench (ann_ivf_append_topk 0.13→0.38s) — a constant the bounded
+    window never pays back.
     """
-    salt = F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(TOPK_SALTS))
-    pre = Window.partitionBy("query_id", salt).orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    partial = scored.withColumn("__pr", F.row_number().over(pre)).filter(
-        F.col("__pr") <= k
-    )
+    if salted:
+        salt = F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(TOPK_SALTS))
+        pre = Window.partitionBy("query_id", salt).orderBy(
+            F.col("sim").desc(), F.col("neighbor_id").asc()
+        )
+        scored = scored.withColumn("__pr", F.row_number().over(pre)).filter(
+            F.col("__pr") <= k
+        ).drop("__pr")
     return (
-        partial.withColumn("rank", F.row_number().over(_topk_window()))
+        scored.withColumn("rank", F.row_number().over(_topk_window()))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
     )
@@ -1052,7 +1058,8 @@ def ivf_topk_indexed_sharded(
          `spark.read.parquet(index_path)` with the OR-of-conjunctions
          partition predicate prunes to exactly the probed directories
          (PartitionFilters in the plan — asserted in tests).
-      6. ONE verify join on (shard, cluster_id) + ONE global top-k.
+      6. ONE verify join on (shard, cluster_id) + ONE global top-k
+         (itself two-level since r14 — see `_rank_topk`).
 
     Equality with the per-shard formulation (gated bitwise in tests at
     two shard counts against the unsharded build): the old path kept a
@@ -1153,7 +1160,7 @@ def ivf_topk_indexed_sharded(
         .withColumn("sim", cosine(F.col("qv"), F.col("v")))
         .select("query_id", "neighbor_id", "sim")
     )
-    return _rank_topk(scored, k)
+    return _rank_topk(scored, k, salted=True)
 
 
 def append_ivf_index_sharded(
