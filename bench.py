@@ -445,6 +445,18 @@ HEADLINE = [
     # since r12 (git log on plans/), and the same-session min-of-3 A/B
     # read 0.913s, slower than the flagged 0.544s itself: sub-second
     # rows wobble with load, the code did not change.
+    #
+    # r14 bench_diff adjudication (vs the r13 driver artifact): the
+    # mid-round run (61.0s/136, anchor factor 0.93) flagged three rows.
+    # Two had real r14 lineage — ann_ivf_append_topk 0.13->0.38s and
+    # ann_ivf_indexed_topk 0.17->0.27s, the fixed extra exchange+window
+    # stage of the (then always-on) two-level salted top-k — FIXED by
+    # scoping the salt to the sharded serve, whose per-query candidate
+    # volume actually grows with n_shards; the flat paths' candidates
+    # are contract-bounded at n_probe x target_list_len and never pay
+    # the stage back. The third (events_weekly_cohorts 1.50x, no r14
+    # lineage) cleared on the same-host rerun after the fix (62.2s/136
+    # total, zero flags beyond 1.5x) — load wobble on a 0.25s row.
 ]
 
 #: Calibration anchors (VERDICT r8 #3): three lineage-frozen queries
