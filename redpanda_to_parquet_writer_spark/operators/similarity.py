@@ -393,10 +393,30 @@ def _rank_topk(scored: DataFrame, k: int, salted: bool = False) -> DataFrame:
         scored = scored.withColumn("__pr", F.row_number().over(pre)).filter(
             F.col("__pr") <= k
         ).drop("__pr")
+    ranked = scored.withColumn("rank", F.row_number().over(_topk_window())).filter(
+        F.col("rank") <= k
+    )
+    return ranked.select(
+        "query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank"
+    )
+
+
+def _topk_unrounded(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k KEEPING the unrounded sims (no rank column) —
+    the per-chunk selection of the chunked serve, whose global re-rank
+    must order by the same unrounded values the unchunked plan ranks on
+    (rounding first could reorder sub-1e-6 near-ties across chunks).
+    Same salted two-level task shape as `_rank_topk(salted=True)`."""
+    salt = F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(TOPK_SALTS))
+    pre = Window.partitionBy("query_id", salt).orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(_topk_window()))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+        scored.withColumn("__pr", F.row_number().over(pre))
+        .filter(F.col("__pr") <= k)
+        .withColumn("__r", F.row_number().over(_topk_window()))
+        .filter(F.col("__r") <= k)
+        .select("query_id", "neighbor_id", "sim")
     )
 
 
@@ -1103,7 +1123,36 @@ def ivf_topk_indexed_sharded(
     """
     if not codebooks:
         raise ValueError("codebooks must map shard -> codebook relation")
+    scored = _sharded_scored(
+        spark,
+        index_path,
+        queries,
+        codebooks,
+        id_col,
+        vec_col,
+        n_probe,
+        reliable,
+        verify_parallelism,
+    )
+    return _rank_topk(scored, k, salted=True)
 
+
+def _sharded_scored(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    codebooks: dict[int, DataFrame],
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+    reliable: bool,
+    verify_parallelism: int | None,
+) -> DataFrame:
+    """Steps 1-6 of the collapsed sharded serve, returning the UNROUNDED
+    (query_id, neighbor_id, sim) verify frame — shared by the one-shot
+    serve (`ivf_topk_indexed_sharded`) and the chunked escalation
+    (`ivf_topk_indexed_sharded_chunked`), whose global re-rank must see
+    unrounded sims to stay bitwise-equal to the unchunked plan."""
     # 1. combined (shard, cluster_id, cv) codebook relation: union the
     # per-shard local relations JVM-side with a lit(shard) tag — no
     # collect, no re-createDataFrame, no driver round-trip
@@ -1154,13 +1203,80 @@ def ivf_topk_indexed_sharded(
 
     # 6. verify on (shard, cluster_id) — a probe of shard s may only
     # match shard s's lists — then one global top-k
-    scored = (
+    return (
         index.join(F.broadcast(probes), on=["shard", "cluster_id"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("sim", cosine(F.col("qv"), F.col("v")))
         .select("query_id", "neighbor_id", "sim")
     )
-    return _rank_topk(scored, k, salted=True)
+
+
+def ivf_topk_indexed_sharded_chunked(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    codebooks: dict[int, DataFrame],
+    chunk_shards: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_probe: int = 4,
+    reliable: bool = False,
+    verify_parallelism: int | None = None,
+) -> DataFrame:
+    """The escalation past the collapsed serve's broadcast ceiling
+    (`ivf_topk_indexed_sharded`'s documented contract): the combined
+    codebook broadcast is sum-over-shards of n_centroids × dim doubles
+    — ~400 MB per CLAMPED shard at dim=768 — so past ~20 fully-clamped
+    shards one broadcast would cross Spark's 8 GB broadcast-table
+    ceiling. This serves the SAME index in codebook CHUNKS of
+    `chunk_shards` shards each: every chunk is one collapsed serve
+    (one bounded broadcast, one pruned scan, its own salted top-k —
+    a per-chunk k is a row bound, not a semantic one, exactly like the
+    old per-shard local top-k), and the global rank re-ranks the
+    unioned per-chunk top-k on unrounded sims. Selection decomposes
+    over any partition of the shards, so the rows are IDENTICAL to the
+    unchunked serve for any input (gated in tests at two chunk sizes).
+
+    Cost shape: fixed costs are paid once per CHUNK (ceil(n_shards /
+    chunk_shards) times), not per shard — the caller sizes
+    `chunk_shards` so one chunk's codebook fits the broadcast budget
+    (chunk_shards × k_max × dim × 8 bytes), recovering the collapsed
+    serve exactly when chunk_shards >= n_shards. Per-chunk selections
+    keep UNROUNDED sims (`_topk_unrounded`) so the global re-rank
+    orders by exactly the values the unchunked plan ranks on — rounding
+    first could reorder sub-1e-6 near-ties across chunks; rounding
+    still happens exactly once, after the final rank.
+    """
+    if chunk_shards < 1:
+        raise ValueError(f"chunk_shards must be >= 1, got {chunk_shards}")
+    if not codebooks:
+        raise ValueError("codebooks must map shard -> codebook relation")
+    shards = sorted(codebooks)
+    chunks = [
+        {s: codebooks[s] for s in shards[i : i + chunk_shards]}
+        for i in range(0, len(shards), chunk_shards)
+    ]
+    tops = [
+        _topk_unrounded(
+            _sharded_scored(
+                spark,
+                index_path,
+                queries,
+                chunk,
+                id_col,
+                vec_col,
+                n_probe,
+                reliable,
+                verify_parallelism,
+            ),
+            k,
+        )
+        for chunk in chunks
+    ]
+    from functools import reduce
+
+    return _rank_topk(reduce(DataFrame.unionByName, tops), k)
 
 
 def append_ivf_index_sharded(

@@ -532,6 +532,45 @@ def test_staged_append_routes_once_and_appends_identically(spark, tmp_path):
     assert a == b and len(a) == 15
 
 
+def test_chunked_serve_equals_unchunked(spark, tmp_path):
+    """`ivf_topk_indexed_sharded_chunked` (r14 — the escalation past the
+    combined-codebook broadcast ceiling) must serve BITWISE what the
+    one-shot collapsed serve serves, at every chunking: per-chunk top-k
+    is a row bound (selection decomposes over any partition of the
+    shards), per-chunk sims stay unrounded into the global re-rank, and
+    chunk_shards >= n_shards degenerates to the unchunked plan."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        build_ivf_index_sharded,
+        ivf_topk_indexed_sharded,
+        ivf_topk_indexed_sharded_chunked,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    queries = emb.limit(5)
+    n_shards = 4
+    books = build_ivf_index_sharded(emb, str(tmp_path / "sh"), n_shards, use_arrow=True)
+
+    base = _served(
+        ivf_topk_indexed_sharded(
+            spark, str(tmp_path / "sh"), queries, books, k=3, n_probe=4
+        )
+    )
+    assert len(base) == 15
+    for chunk_shards in (1, 2, 4, 7):
+        got = _served(
+            ivf_topk_indexed_sharded_chunked(
+                spark,
+                str(tmp_path / "sh"),
+                queries,
+                books,
+                chunk_shards,
+                k=3,
+                n_probe=4,
+            )
+        )
+        assert got == base, chunk_shards
+
+
 def test_verify_parallelism_is_plan_only(spark, tmp_path):
     """`verify_parallelism` (r14 — the RLE-compressed-hot-list escape
     hatch) must be PLAN-ONLY: repartitioning the pruned candidate slice
