@@ -1099,9 +1099,9 @@ def ivf_topk_indexed_sharded(
     admits ~20 fully-clamped shards (far more when per-shard k sits at
     the usual n_shard/target_list_len << k_max, since
     `select_n_shards` keeps every shard UNDER the clamp). Past that,
-    serve in codebook chunks (split the dict, union the per-chunk
-    top-k, re-rank) — the same escalation shape sharding itself applies
-    to the index. The OR-of-conjunctions partition predicate grows as
+    serve in codebook chunks — `ivf_topk_indexed_sharded_chunked`, the
+    same escalation shape sharding itself applies to the index, gated
+    bitwise-equal to this serve in tests. The OR-of-conjunctions partition predicate grows as
     sum(n_centroids) literals worst-case, but is bounded in practice by
     the PROBED pairs: <= n_queries x n_probe x n_shards and never more
     than the directory count.
