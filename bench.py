@@ -457,6 +457,20 @@ HEADLINE = [
     # the stage back. The third (events_weekly_cohorts 1.50x, no r14
     # lineage) cleared on the same-host rerun after the fix (62.2s/136
     # total, zero flags beyond 1.5x) — load wobble on a 0.25s row.
+    # End-of-round runs repeated the r13 disjoint-flags pattern: five
+    # same-day sweeps (61.0/62.2/72.1/67.6/68.6s) flagged five
+    # DISJOINT row sets, none with r14 lineage (the round's diff is
+    # similarity.py serve paths + scripts + tests; git log shows zero
+    # text/relational plan changes). Every flagged row cleared in a
+    # later run unchanged — ann_ivfadc_compact_topk read 1.47s in one
+    # sweep and 0.62s (the r13 value) in the next — and the 72.1s
+    # sweep self-reported anchors drifting 1.45x intra-run (bench_diff
+    # prints its unstable-host warning for exactly this). Direct
+    # min-of-3 A/Bs on the last flags (docs_decontaminate,
+    # docs_bloom_prefilter) ran WITH pricing_summary as the
+    # lineage-frozen control: the whole A/B session read ~2x slower
+    # than in-sweep including the control — run-order host state, the
+    # same signature r13 measured with order-reversed process pairs.
 ]
 
 #: Calibration anchors (VERDICT r8 #3): three lineage-frozen queries
