@@ -571,6 +571,62 @@ def test_chunked_serve_equals_unchunked(spark, tmp_path):
         assert got == base, chunk_shards
 
 
+def test_chunked_rerank_orders_sub_rounding_near_ties(spark, tmp_path):
+    """The chunked serve's WHY-unrounded gate: two candidates in
+    DIFFERENT shards whose sims differ by ~2e-7 (both round to the same
+    6-decimal value), with the higher unrounded sim on the HIGHER
+    neighbor id. The unchunked serve ranks the higher-sim candidate
+    first; a chunked re-rank over ROUNDED per-chunk sims would see a
+    tie and flip the order to the lower id. `_topk_unrounded` must keep
+    the unchunked order across chunks."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        build_ivf_index_sharded,
+        ivf_topk_indexed_sharded,
+        ivf_topk_indexed_sharded_chunked,
+    )
+
+    # pick two ids the router sends to DIFFERENT shards (n_shards=2)
+    ids = spark.range(10, 40).select(
+        F.col("id"), F.pmod(F.xxhash64(F.col("id")), F.lit(2)).alias("s")
+    ).collect()
+    shard0 = [int(r["id"]) for r in ids if r["s"] == 0]
+    shard1 = [int(r["id"]) for r in ids if r["s"] == 1]
+    # id_hi > id_lo AND cos(id_hi) > cos(id_lo): rounded tie-break
+    # (id asc) would WRONGLY put id_lo first
+    id_lo, id_hi = min(shard0[0], shard1[0]), max(shard0[0], shard1[0])
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    eps_lo = math.sqrt(6e-7)  # cos ≈ 1 - 3e-7
+    eps_hi = math.sqrt(2e-7)  # cos ≈ 1 - 1e-7  (closer to q)
+    rows = [
+        (0, q),
+        (id_lo, [1.0, eps_lo, 0.0, 0.0]),
+        (id_hi, [1.0, eps_hi, 0.0, 0.0]),
+    ]
+    # orthogonal-ish fillers so both shards hold several rows
+    rows += [(100 + j, [0.0, 1.0, float(j), 1.0]) for j in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    books = build_ivf_index_sharded(
+        emb, str(tmp_path / "idx"), 2, n_updates=0, use_arrow=True
+    )
+    queries = emb.filter(F.col("vec_id") == 0)
+    base = ivf_topk_indexed_sharded(
+        spark, str(tmp_path / "idx"), queries, books, k=2, n_probe=4
+    ).collect()
+    order = [r["neighbor_id"] for r in sorted(base, key=lambda r: r["rank"])]
+    assert order == [id_hi, id_lo]  # unrounded sims decide, not the ids
+    assert base[0]["sim"] == base[1]["sim"]  # …and they ROUND equal
+    chunked = ivf_topk_indexed_sharded_chunked(
+        spark, str(tmp_path / "idx"), queries, books, 1, k=2, n_probe=4
+    ).collect()
+    assert sorted(map(tuple, chunked)) == sorted(map(tuple, base))
+
+
 def test_verify_parallelism_is_plan_only(spark, tmp_path):
     """`verify_parallelism` (r14 — the RLE-compressed-hot-list escape
     hatch) must be PLAN-ONLY: repartitioning the pruned candidate slice
