@@ -508,8 +508,45 @@ def fuzz_lsh_salted_bucket_cap(rng, spark) -> bool:
     return got == sorted(pairs)
 
 
+def fuzz_salted_topk(rng, spark) -> bool:
+    """The r14 two-level salted top-k (`_rank_topk(salted=True)`, the
+    sharded serve's rank) vs the flat single-window form, on random
+    scored frames with engineered near-ties: duplicate sims (the
+    tie-break path), sims differing by less than the 1e-6 rounding
+    grain (the order-by-unrounded path), hot queries with many
+    candidates, and queries with fewer than k candidates. Selection
+    must decompose over the salt partition EXACTLY — identical rows,
+    ranks, and rounded sims."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import _rank_topk
+
+    n_queries = rng.randint(1, 6)
+    rows = []
+    for qid in range(n_queries):
+        n_cand = rng.randint(1, 80)
+        base = rng.random()
+        for c in range(n_cand):
+            r = rng.random()
+            if r < 0.3:
+                sim = base  # exact ties
+            elif r < 0.5:
+                sim = base + rng.choice([1e-9, -1e-9, 3e-7, -3e-7]) * c  # near-ties
+            else:
+                sim = rng.random()
+            rows.append((qid, rng.randint(0, 10_000), float(sim)))
+    df = spark.createDataFrame(rows, "query_id long, neighbor_id long, sim double")
+    # neighbor ids can repeat across rows for one query (distinct rows
+    # still rank deterministically: sim desc, id asc is a total order
+    # only up to duplicates — drop exact duplicate (q, n, sim) rows)
+    df = df.dropDuplicates(["query_id", "neighbor_id"])
+    k = rng.randint(1, 5)
+    got = _rows_sorted(_rank_topk(df, k, salted=True))
+    ref = _rows_sorted(_rank_topk(df, k, salted=False))
+    return got == ref
+
+
 FUZZERS = {
     "line_dedup": fuzz_line_dedup,
+    "salted_topk": fuzz_salted_topk,
     "normalized_fingerprint": fuzz_normalized_fingerprint,
     "keep_first": fuzz_keep_first,
     "offset_gaps": fuzz_offset_gaps,
