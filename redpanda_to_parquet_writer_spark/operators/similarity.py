@@ -1004,6 +1004,7 @@ def build_ivf_index_auto_sharded(
     n_updates: int = 1,
     use_arrow: bool = False,
     staging_path: str | None = None,
+    cleanup_staging: bool = True,
 ) -> dict[int, DataFrame]:
     """The fully-automatic index build (VERDICT r12 #5): counts the
     corpus once, picks the shard count from the sharding contract
@@ -1032,6 +1033,7 @@ def build_ivf_index_auto_sharded(
         n_updates=n_updates,
         use_arrow=use_arrow,
         staging_path=staging_path,
+        cleanup_staging=cleanup_staging,
     )
 
 
