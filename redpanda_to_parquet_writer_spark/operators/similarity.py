@@ -853,6 +853,62 @@ def select_n_shards(
     return max(1, -(-n_rows // cap))  # ceil, never 0
 
 
+#: Spark's hard per-relation broadcast-table ceiling (8 GiB). The
+#: chunk-sizing default budgets HALF of it: the raw-vector estimate
+#: (n_centroids x dim x 8 bytes) undercounts the broadcast relation's
+#: real JVM footprint (UnsafeRow + array headers per codebook row, plus
+#: the driver holding the built relation while executors fetch it), so
+#: self-sized chunks leave the other half as headroom.
+BROADCAST_TABLE_CEILING_BYTES = 8 * 1024**3
+
+
+def select_chunk_shards(
+    shard_centroids: dict[int, int],
+    dim: int,
+    budget_bytes: int = BROADCAST_TABLE_CEILING_BYTES // 2,
+) -> int:
+    """The chunk-sizing contract (VERDICT r14 #4) — the serving twin of
+    `select_n_shards`: pick the LARGEST `chunk_shards` whose combined
+    per-chunk codebook broadcast stays inside `budget_bytes`, from the
+    ACTUAL per-shard codebook sizes (counts of the relations the caller
+    is about to serve), not the k_max worst case — real codebooks sit
+    at n_shard/target_list_len << k_max, so the worst-case formula in
+    `ivf_topk_indexed_sharded`'s contract would chunk ~20x too eagerly.
+
+    Sizing is against the LARGEST shard codebook (chunk_shards x
+    max_shard_bytes <= budget), so EVERY chunk of that many shards fits
+    the budget no matter how the sorted-shard order composes them.
+    Floor is 1 (one shard per chunk): a single shard's codebook is
+    bounded by the build clamp at k_max x dim x 8 bytes (~400 MB at
+    dim=768), far inside any sane budget — if even that exceeds
+    `budget_bytes` the caller asked for an impossible budget and gets a
+    ValueError rather than a silently over-budget broadcast. Capped at
+    n_shards (more than all shards is just the one-shot serve).
+    `ivf_topk_indexed_sharded_chunked` self-sizes with this when
+    `chunk_shards=None`, measuring the real codebook counts with one
+    bounded aggregate job."""
+    if not shard_centroids:
+        raise ValueError("shard_centroids must map shard -> n_centroids")
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    if budget_bytes < 1:
+        raise ValueError(f"budget_bytes must be >= 1, got {budget_bytes}")
+    if any(n < 0 for n in shard_centroids.values()):
+        raise ValueError(f"centroid counts must be >= 0, got {shard_centroids}")
+    n_shards = len(shard_centroids)
+    max_bytes = max(shard_centroids.values()) * dim * 8
+    if max_bytes == 0:  # all-empty codebooks: any chunking fits
+        return n_shards
+    if max_bytes > budget_bytes:
+        raise ValueError(
+            f"largest shard codebook is {max_bytes} bytes, over the "
+            f"{budget_bytes}-byte budget — even one-shard chunks cannot "
+            "serve within it; rebuild with a larger target_list_len or "
+            "raise the budget"
+        )
+    return min(n_shards, budget_bytes // max_bytes)
+
+
 def _shard_router(id_col: str, n_shards: int):
     """Deterministic shard assignment: pmod(xxhash64(id), n_shards) —
     id-type-agnostic, stable across runs/partitionings, and the SAME
@@ -884,6 +940,35 @@ def _stage_routed(
         .parquet(staging_path)
     )
     return df.sparkSession.read.parquet(staging_path)
+
+
+def _path_segments(p: str) -> list[str]:
+    """Normalize a path/URI into comparison segments: local paths
+    (no scheme) resolve through abspath/normpath so relative and
+    absolute spellings of one directory compare equal; scheme'd URIs
+    (s3://, hdfs://) just drop empty segments — good enough to detect
+    equality and containment, which is all the guard needs."""
+    if "://" in p:
+        return [s for s in p.rstrip("/").split("/") if s]
+    import os as _os
+
+    return [s for s in _os.path.normpath(_os.path.abspath(p)).split(_os.sep) if s]
+
+
+def _check_staging_disjoint(staging_path: str, path: str) -> None:
+    """Refuse a staging_path that equals, contains, or lives inside the
+    index path (ADVICE r14 #1): `_stage_routed` OVERWRITES the staging
+    tree and the default `cleanup_staging=True` recursively DELETES it
+    after a successful build/append — a caller who points staging at
+    the index (or a parent of it) would get the freshly written index
+    silently destroyed by its own 'successful' run."""
+    a, b = _path_segments(staging_path), _path_segments(path)
+    if a[: len(b)] == b or b[: len(a)] == a:
+        raise ValueError(
+            f"staging_path {staging_path!r} overlaps the index path "
+            f"{path!r}: staging is scratch (overwritten, then deleted on "
+            "success) and must be a disjoint directory"
+        )
 
 
 def _remove_staging(spark, staging_path: str) -> None:
@@ -959,6 +1044,8 @@ def build_ivf_index_sharded(
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if staging_path is not None:
+        _check_staging_disjoint(staging_path, path)
 
     staged = (
         None
@@ -1218,13 +1305,14 @@ def ivf_topk_indexed_sharded_chunked(
     index_path: str,
     queries: DataFrame,
     codebooks: dict[int, DataFrame],
-    chunk_shards: int,
+    chunk_shards: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
     n_probe: int = 4,
     reliable: bool = False,
     verify_parallelism: int | None = None,
+    broadcast_budget_bytes: int = BROADCAST_TABLE_CEILING_BYTES // 2,
 ) -> DataFrame:
     """The escalation past the collapsed serve's broadcast ceiling
     (`ivf_topk_indexed_sharded`'s documented contract): the combined
@@ -1241,26 +1329,67 @@ def ivf_topk_indexed_sharded_chunked(
     unchunked serve for any input (gated in tests at two chunk sizes).
 
     Cost shape: fixed costs are paid once per CHUNK (ceil(n_shards /
-    chunk_shards) times), not per shard — the caller sizes
-    `chunk_shards` so one chunk's codebook fits the broadcast budget
-    (chunk_shards × k_max × dim × 8 bytes), recovering the collapsed
-    serve exactly when chunk_shards >= n_shards. Per-chunk selections
-    keep UNROUNDED sims (`_topk_unrounded`) so the global re-rank
-    orders by exactly the values the unchunked plan ranks on — rounding
-    first could reorder sub-1e-6 near-ties across chunks; rounding
-    still happens exactly once, after the final rank.
+    chunk_shards) times), not per shard — and since r15 the chunks'
+    preparations OVERLAP instead of queueing (VERDICT r14 #2): each
+    chunk's `_sharded_scored` runs two blocking driver actions eagerly
+    (the probe `localCheckpoint` and the bounded probed-pairs collect,
+    ~1.3s of measured fixed cost per chunk), the chunks are independent
+    until the final union, and Spark's scheduler accepts jobs from
+    multiple submitter threads — so the chunk plans build on a
+    ThreadPoolExecutor, the same fan-out shape (and the same
+    shared-SparkSession thread-safety argument: session and reads are
+    thread-safe, each thread builds its own lazy plan, nothing mutates
+    shared state) as `build_ivf_index_sharded` and
+    `append_ivf_index_sharded`. `ex.map` keeps chunk order, so the
+    unioned plan is the same plan the serial loop built.
+
+    Sizing (VERDICT r14 #4): `chunk_shards=None` (the default)
+    SELF-SIZES via `select_chunk_shards` — one bounded aggregate job
+    measures the actual per-shard codebook row counts and dim, and the
+    largest chunk whose worst-case combined codebook fits
+    `broadcast_budget_bytes` is chosen (recovering the one-shot serve
+    whenever everything fits, which is every corpus below ~20 clamped
+    shards). Pass an explicit `chunk_shards` to override. Per-chunk
+    selections keep UNROUNDED sims (`_topk_unrounded`) so the global
+    re-rank orders by exactly the values the unchunked plan ranks on —
+    rounding first could reorder sub-1e-6 near-ties across chunks;
+    rounding still happens exactly once, after the final rank.
     """
-    if chunk_shards < 1:
-        raise ValueError(f"chunk_shards must be >= 1, got {chunk_shards}")
     if not codebooks:
         raise ValueError("codebooks must map shard -> codebook relation")
+    if chunk_shards is None:
+        from functools import reduce as _reduce
+
+        # one bounded job over the (tiny-by-contract) codebook relations:
+        # n_shards rows of (count, dim) reach the driver, nothing else
+        stats = (
+            _reduce(
+                DataFrame.unionByName,
+                [
+                    codebooks[s].select(
+                        F.lit(int(s)).alias("shard"), F.size("cv").alias("d")
+                    )
+                    for s in sorted(codebooks)
+                ],
+            )
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("d").alias("dim"))
+            .collect()
+        )
+        counts = {s: 0 for s in codebooks}  # empty codebooks count as 0
+        counts.update({int(r["shard"]): int(r["n"]) for r in stats})
+        dim = max((int(r["dim"]) for r in stats), default=1)
+        chunk_shards = select_chunk_shards(counts, dim, broadcast_budget_bytes)
+    if chunk_shards < 1:
+        raise ValueError(f"chunk_shards must be >= 1, got {chunk_shards}")
     shards = sorted(codebooks)
     chunks = [
         {s: codebooks[s] for s in shards[i : i + chunk_shards]}
         for i in range(0, len(shards), chunk_shards)
     ]
-    tops = [
-        _topk_unrounded(
+
+    def _chunk_top(chunk: dict[int, DataFrame]) -> DataFrame:
+        return _topk_unrounded(
             _sharded_scored(
                 spark,
                 index_path,
@@ -1274,8 +1403,14 @@ def ivf_topk_indexed_sharded_chunked(
             ),
             k,
         )
-        for chunk in chunks
-    ]
+
+    if len(chunks) == 1:
+        tops = [_chunk_top(chunks[0])]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(chunks))) as ex:
+            tops = list(ex.map(_chunk_top, chunks))
     from functools import reduce
 
     return _rank_topk(reduce(DataFrame.unionByName, tops), k)
@@ -1330,6 +1465,8 @@ def append_ivf_index_sharded(
         raise ValueError(
             f"codebooks must cover shards 0..{n_shards - 1}, got {sorted(codebooks)}"
         )
+    if staging_path is not None:
+        _check_staging_disjoint(staging_path, path)
 
     staged = (
         None

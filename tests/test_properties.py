@@ -1460,7 +1460,14 @@ def test_vector_operators_survive_degenerate_corpus(spark, tmp_path):
     )
     from redpanda_to_parquet_writer_spark.plans.vector_queries import _lsh_planes
 
-    sys.path.insert(0, "/root/repo/scripts")
+    import os
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+        ),
+    )
     from probe_degenerate_vectors import degenerate_embeddings
 
     n_hot, n_rest = 50_000, 500
