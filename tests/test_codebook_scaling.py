@@ -354,6 +354,104 @@ def test_select_n_shards_keeps_per_shard_k_under_clamp():
     check()
 
 
+def test_select_chunk_shards_keeps_every_chunk_under_budget():
+    """The chunk-sizing contract (VERDICT r14 #4), property-tested
+    across the broadcast boundary: for ANY per-shard codebook sizes the
+    selected chunking keeps EVERY possible chunk's combined codebook
+    bytes inside the budget, and is maximal (one more shard per chunk
+    would break it, unless all shards already fit in one chunk)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        select_chunk_shards,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        counts=st.lists(
+            st.integers(min_value=0, max_value=65536), min_size=1, max_size=64
+        ),
+        dim=st.integers(min_value=1, max_value=4096),
+        budget=st.integers(min_value=1, max_value=8 * 1024**3),
+    )
+    def check(counts, dim, budget):
+        import pytest
+
+        shard_centroids = dict(enumerate(counts))
+        max_bytes = max(counts) * dim * 8
+        if max_bytes > budget:
+            # even one-shard chunks cannot fit: explicit refusal, never
+            # a silently over-budget broadcast
+            with pytest.raises(ValueError, match="over the"):
+                select_chunk_shards(shard_centroids, dim, budget)
+            return
+        c = select_chunk_shards(shard_centroids, dim, budget)
+        assert 1 <= c <= len(counts)
+        if max_bytes == 0:
+            assert c == len(counts)  # all-empty: one chunk serves all
+            return
+        # EVERY window of c shards fits (worst window <= c * max)
+        assert c * max_bytes <= budget, (counts, dim, budget, c)
+        # and the chunking is maximal
+        if c < len(counts):
+            assert (c + 1) * max_bytes > budget, (counts, dim, budget, c)
+
+    check()
+
+
+def test_chunked_serve_self_sizes_within_budget(spark, tmp_path):
+    """`chunk_shards=None` (the r15 default) must self-size from the
+    ACTUAL codebook sizes: the default budget admits everything (one
+    chunk = the one-shot plan), a budget of exactly 2 max-shard
+    codebooks forces 2-shard chunks, and either way the served rows
+    stay BITWISE equal to the one-shot serve."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        build_ivf_index_sharded,
+        ivf_topk_indexed_sharded,
+        ivf_topk_indexed_sharded_chunked,
+        select_chunk_shards,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    queries = emb.limit(5)
+    n_shards = 4
+    books = build_ivf_index_sharded(emb, str(tmp_path / "sh"), n_shards, use_arrow=True)
+    base = _served(
+        ivf_topk_indexed_sharded(
+            spark, str(tmp_path / "sh"), queries, books, k=3, n_probe=4
+        )
+    )
+
+    counts = {s: books[s].count() for s in books}
+    dim = len(books[0].select("cv").first()["cv"])
+    max_bytes = max(counts.values()) * dim * 8
+
+    # default budget: everything fits -> the contract picks one chunk
+    assert select_chunk_shards(counts, dim) == n_shards
+    got_default = _served(
+        ivf_topk_indexed_sharded_chunked(
+            spark, str(tmp_path / "sh"), queries, books, k=3, n_probe=4
+        )
+    )
+    assert got_default == base
+
+    # a budget of exactly two max-shard codebooks forces 2-shard chunks
+    assert select_chunk_shards(counts, dim, 2 * max_bytes) == 2
+    got_forced = _served(
+        ivf_topk_indexed_sharded_chunked(
+            spark,
+            str(tmp_path / "sh"),
+            queries,
+            books,
+            k=3,
+            n_probe=4,
+            broadcast_budget_bytes=2 * max_bytes,
+        )
+    )
+    assert got_forced == base
+
+
 def test_auto_sharded_escalates_across_the_boundary(spark, tmp_path):
     """`build_ivf_index_auto_sharded` must stay FLAT (one shard, one
     codebook) below k_max * target_list_len rows and shard past it —
@@ -480,6 +578,58 @@ def test_staging_is_scratch_cleaned_after_success(spark, tmp_path):
         emb, str(tmp_path / "idx"), 2, use_arrow=True, staging_path=str(routing)
     )
     assert not os.path.exists(routing)
+
+
+def test_staging_overlapping_index_path_rejected(spark, tmp_path):
+    """ADVICE r14 #1: staging is overwritten then deleted, so a
+    staging_path that equals, contains, or lives inside the index path
+    would destroy the index on a 'successful' run — both sharded entry
+    points must refuse it BEFORE any write happens."""
+    import pytest
+
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        _check_staging_disjoint,
+        append_ivf_index_sharded,
+        build_ivf_index_sharded,
+    )
+
+    # the guard itself: equal, parent-of, child-of, and URI forms
+    for staging, path in [
+        ("/idx", "/idx"),
+        ("/idx/", "/idx"),
+        ("/a/b", "/a/b/c"),  # staging contains the index
+        ("/a/b/c", "/a/b"),  # staging inside the index
+        ("s3://bkt/idx", "s3://bkt/idx/shard=0"),
+        ("relative/../x", "x"),  # normalizes to the same local dir
+    ]:
+        with pytest.raises(ValueError, match="overlaps the index path"):
+            _check_staging_disjoint(staging, path)
+    # disjoint siblings (and lookalike prefixes) pass
+    _check_staging_disjoint("/a/scratch", "/a/idx")
+    _check_staging_disjoint("/a/idx_scratch", "/a/idx")  # not a segment prefix
+    _check_staging_disjoint("s3://bkt/scratch", "s3://bkt/idx")
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    idx = tmp_path / "idx"
+    books = build_ivf_index_sharded(emb, str(idx), 2, use_arrow=True)
+    # build: refuse before touching storage
+    with pytest.raises(ValueError, match="overlaps the index path"):
+        build_ivf_index_sharded(
+            emb, str(idx), 2, use_arrow=True, staging_path=str(idx)
+        )
+    with pytest.raises(ValueError, match="overlaps the index path"):
+        build_ivf_index_sharded(
+            emb, str(idx), 2, use_arrow=True, staging_path=str(tmp_path)
+        )
+    # append: same refusal; the existing index survives untouched
+    batch = emb.limit(3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="overlaps the index path"):
+        append_ivf_index_sharded(
+            batch, books, str(idx), staging_path=str(idx / "shard=0")
+        )
+    assert spark.read.parquet(str(idx)).count() == emb.count()
 
 
 def test_staged_append_routes_once_and_appends_identically(spark, tmp_path):
