@@ -544,9 +544,80 @@ def fuzz_salted_topk(rng, spark) -> bool:
     return got == ref
 
 
+def fuzz_chunked_serve(rng, spark) -> bool:
+    """r15 family #13 (VERDICT r14 #5): the chunked sharded serve
+    (`ivf_topk_indexed_sharded_chunked`) vs the one-shot collapsed
+    serve on random corpora — random dims, shard counts, chunk sizes
+    (including >= n_shards, the degenerate one-chunk case, and None,
+    the self-sizing contract), duplicate vectors (tie-break path), and
+    near-parallel vectors whose sims differ below the 1e-6 rounding
+    grain (the order-by-unrounded path the near-tie fixture pins once;
+    this generalizes it). Selection decomposes over any partition of
+    the shards, so rows, ranks, and rounded sims must match EXACTLY."""
+    import tempfile
+
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        build_ivf_index_sharded,
+        ivf_topk_indexed_sharded,
+        ivf_topk_indexed_sharded_chunked,
+    )
+
+    dim = rng.choice([4, 8, 16])
+    base = [1.0] + [0.0] * (dim - 1)
+    n = rng.randint(60, 120)
+    rows = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.2 and rows:
+            vec = list(rng.choice(rows)[1])  # duplicate vector, new id
+        elif r < 0.55:
+            # near-parallel to a shared axis: sims differ at the 1e-7
+            # scale, so a rounded-per-chunk re-rank would reorder them
+            vec = [
+                b + rng.choice([1e-7, -1e-7, 3e-8, -3e-8]) * (c + 1)
+                for c, b in enumerate(base)
+            ]
+        else:
+            vec = [rng.uniform(-1.0, 1.0) for _ in range(dim)]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < rng.randint(1, 5))
+    n_shards = rng.randint(2, 4)
+    k = rng.randint(1, 4)
+    n_probe = rng.randint(1, 4)
+    with tempfile.TemporaryDirectory(prefix="fuzz_chunked_") as tmp:
+        books = build_ivf_index_sharded(
+            df, f"{tmp}/idx", n_shards, n_updates=0, use_arrow=True
+        )
+        ref = _rows_sorted(
+            ivf_topk_indexed_sharded(
+                spark, f"{tmp}/idx", queries, books, k=k, n_probe=n_probe
+            )
+        )
+        # one explicit chunking (1..n_shards+1 covers forced chunks and
+        # the degenerate >= n_shards one-chunk case) plus the
+        # self-sizing default (chunk_shards=None)
+        for chunk_shards in (rng.randint(1, n_shards + 1), None):
+            got = _rows_sorted(
+                ivf_topk_indexed_sharded_chunked(
+                    spark,
+                    f"{tmp}/idx",
+                    queries,
+                    books,
+                    chunk_shards,
+                    k=k,
+                    n_probe=n_probe,
+                )
+            )
+            if got != ref:
+                return False
+    return True
+
+
 FUZZERS = {
     "line_dedup": fuzz_line_dedup,
     "salted_topk": fuzz_salted_topk,
+    "chunked_serve": fuzz_chunked_serve,
     "normalized_fingerprint": fuzz_normalized_fingerprint,
     "keep_first": fuzz_keep_first,
     "offset_gaps": fuzz_offset_gaps,

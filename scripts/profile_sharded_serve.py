@@ -142,8 +142,76 @@ def sweep(emb_path: str) -> None:
         )
 
 
+def sweep_chunked(emb_path: str) -> None:
+    """Chunked-serve cost shape (VERDICT r14 #2 done-condition): 8-shard
+    index, one-shot serve vs chunked at chunk_shards 8/4/2 (= 1/2/4
+    chunks), min-of-3 interleaved, rows asserted identical. r14's
+    serial chunk loop measured one-shot 3.53s / 1 chunk 3.18s /
+    2 chunks 4.26s / 4 chunks 6.01s (~1.3s fixed cost per extra chunk,
+    queued serially); r15 fans the per-chunk preparations out on a
+    thread pool, so the 2- and 4-chunk points should drop toward the
+    one-shot cost plus ONE chunk's fixed cost."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        EngineConfig(master=f"local[{cpus}]", shuffle_partitions=int(cpus)),
+        app_name="chunked_serve_overlap",
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import tempfile
+
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        ivf_topk_indexed_sharded_chunked,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="chunked_serve_sweep_")
+    emb = spark.read.parquet(emb_path)
+    queries = emb.limit(N_QUERIES)
+    n_shards = 8
+    print(f"corpus={emb.count()} vectors; building {n_shards}-shard index…", flush=True)
+    t0 = time.perf_counter()
+    books = build_ivf_index_sharded(emb, f"{tmp}/sh", n_shards, use_arrow=True)
+    print(f"build {time.perf_counter() - t0:.1f}s", flush=True)
+
+    variants = {
+        "one-shot": lambda: ivf_topk_indexed_sharded(
+            spark, f"{tmp}/sh", queries, books, k=K, n_probe=N_PROBE
+        ),
+        **{
+            f"chunk_shards={cs} ({-(-n_shards // cs)} chunks)": (
+                lambda cs=cs: ivf_topk_indexed_sharded_chunked(
+                    spark, f"{tmp}/sh", queries, books, cs, k=K, n_probe=N_PROBE
+                )
+            )
+            for cs in (8, 4, 2)
+        },
+    }
+    base = sorted(tuple(r) for r in variants["one-shot"]().collect())
+    for name, fn in variants.items():
+        assert sorted(tuple(r) for r in fn().collect()) == base, name
+    print(f"rows identical across variants ({len(base)} rows)", flush=True)
+
+    times: dict[str, list[float]] = {n: [] for n in variants}
+    for _ in range(3):  # interleaved to control host drift
+        for name, fn in variants.items():
+            t0 = time.perf_counter()
+            fn().write.mode("overwrite").format("noop").save()
+            times[name].append(time.perf_counter() - t0)
+    for name, ts in times.items():
+        print(
+            f"{name}: min={min(ts):.3f}s median={statistics.median(ts):.3f}s runs={[round(t, 3) for t in ts]}",
+            flush=True,
+        )
+
+
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a != "--sweep"]
+    argv = [a for a in sys.argv[1:] if a not in ("--sweep", "--chunked")]
+    if "--chunked" in sys.argv[1:]:
+        sweep_chunked(
+            argv[0]
+            if argv
+            else os.path.join(ROOT, ".scaling_sf10", "embeddings.parquet")
+        )
+        return
     if "--sweep" in sys.argv[1:]:
         sweep(
             argv[0]
