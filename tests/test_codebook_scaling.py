@@ -827,6 +827,52 @@ def test_verify_parallelism_is_plan_only(spark, tmp_path):
     assert sh_a == sh_b and len(sh_a) == 15
 
 
+def test_flat_serve_salted_is_row_identical(spark, tmp_path):
+    """`salted=True` on the FLAT serve (r15 — the degenerate-corpus
+    opt-in documented on `ivf_topk_indexed`) must swap only the task
+    shape of the top-k rank, never a row: selection decomposes over the
+    neighbor-salt partition, so rows, ranks, and rounded sims match the
+    default single-window plan bitwise."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        build_ivf_index_auto,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    queries = emb.limit(5)
+    flat_book = build_ivf_index_auto(emb, str(tmp_path / "flat"), use_arrow=True)
+    base = _served(
+        ivf_topk_indexed(spark, str(tmp_path / "flat"), queries, flat_book, k=3, n_probe=4)
+    )
+    salted = _served(
+        ivf_topk_indexed(
+            spark,
+            str(tmp_path / "flat"),
+            queries,
+            flat_book,
+            k=3,
+            n_probe=4,
+            salted=True,
+        )
+    )
+    assert salted == base and len(base) == 15
+    # and combined with the verify escape hatch (the measured fix pair
+    # for the degenerate corpus: scripts/probe_degenerate_vectors.py)
+    both = _served(
+        ivf_topk_indexed(
+            spark,
+            str(tmp_path / "flat"),
+            queries,
+            flat_book,
+            k=3,
+            n_probe=4,
+            salted=True,
+            verify_parallelism=8,
+        )
+    )
+    assert both == base
+
+
 def test_sharded_serve_is_one_pruned_scan(spark, tmp_path):
     """The collapsed sharded serve (VERDICT r12 #1) must plan ONE index
     scan whose PartitionFilters carry BOTH partition levels (shard and
