@@ -471,6 +471,20 @@ HEADLINE = [
     # lineage-frozen control: the whole A/B session read ~2x slower
     # than in-sweep including the control — run-order host state, the
     # same signature r13 measured with order-reversed process pairs.
+    #
+    # r15 settled the one r14 watch item the disjoint-flags pattern
+    # did NOT automatically cover (VERDICT r14 #3): ann_ivf_append_topk
+    # read 0.134->0.176s (1.3x) in BOTH quiet same-protocol runs, so a
+    # dedicated interleaved A/B ran HEAD vs the r13 revision (a9eb8ae
+    # in a worktree): four alternating fresh-session processes
+    # (HEAD/r13/HEAD/r13), construct-once + warm + min-of-3 each,
+    # pricing_summary as the frozen control. Control: 0.377-0.396
+    # across all four (host stable). ann_ivf_append_topk: HEAD
+    # {0.201, 0.227} vs r13 {0.219, 0.215} — overlapping, HEAD's best
+    # BELOW r13's best; ann_ivf_indexed_topk: HEAD {0.157, 0.166} vs
+    # r13 {0.175, 0.175} — HEAD strictly faster. Verdict: no residual
+    # fixed cost in the r14 serve refactor; the artifact delta was
+    # sub-second session/host wobble on a ~0.15s row.
 ]
 
 #: Calibration anchors (VERDICT r8 #3): three lineage-frozen queries
