@@ -485,6 +485,21 @@ HEADLINE = [
     # r13 {0.175, 0.175} — HEAD strictly faster. Verdict: no residual
     # fixed cost in the r14 serve refactor; the artifact delta was
     # sub-second session/host wobble on a ~0.15s row.
+    #
+    # r15 end-of-round run (72.1s/136, bench's own load 0.89->7.72):
+    # bench_diff vs the r14 driver artifact flagged two ANN rows
+    # (ann_ivfadc_recall_audit 1.79x, ann_pq_adc_topk 1.67x
+    # normalized) — both with ZERO r15 lineage (the round's diff is
+    # chunked-serve/flat-salted machinery off these paths, and the
+    # committed PLANS.md regeneration proved every registry plan
+    # byte-identical after expr-id normalization). Same-host idle
+    # min-of-3 A/B x2 with the frozen control: recall_audit
+    # {0.971, 0.866} and pq_adc {1.126, 0.978} — at-or-below sweep
+    # expectations on a session whose CONTROL read 1.5-2x slower
+    # than in-sweep (0.44/0.45 vs 0.20-0.30), pq_adc back under its
+    # 1.158 r14 baseline, and the flagged values (1.14/1.73) never
+    # reproduced. Verdict: in-sweep host state, the same
+    # disjoint-flags signature as r13/r14.
 ]
 
 #: Calibration anchors (VERDICT r8 #3): three lineage-frozen queries
