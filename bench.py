@@ -499,7 +499,11 @@ HEADLINE = [
     # than in-sweep (0.44/0.45 vs 0.20-0.30), pq_adc back under its
     # 1.158 r14 baseline, and the flagged values (1.14/1.73) never
     # reproduced. Verdict: in-sweep host state, the same
-    # disjoint-flags signature as r13/r14.
+    # disjoint-flags signature as r13/r14. A second same-day sweep on
+    # an idle host read 91.9s with anchor_drift_max 1.486 (bench_diff's
+    # own unstable-host threshold) and its control 1.6x slower at
+    # start than mid-run — rejected as evidence; the committed 72.1s
+    # run is the round's quietest complete sweep.
 ]
 
 #: Calibration anchors (VERDICT r8 #3): three lineage-frozen queries
