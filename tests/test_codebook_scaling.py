@@ -777,6 +777,50 @@ def test_chunked_rerank_orders_sub_rounding_near_ties(spark, tmp_path):
     assert sorted(map(tuple, chunked)) == sorted(map(tuple, base))
 
 
+def test_chunked_serve_reliable_matches_default(spark, tmp_path):
+    """`reliable=True` through the THREADED chunked serve (r15): each
+    chunk's probe materialization becomes a persist -> checkpoint ->
+    unpersist bracket, and the thread fan-out runs those brackets
+    CONCURRENTLY against the shared SparkContext — the one corner where
+    the fan-out could bite. Materialization strategy is not part of the
+    query semantics: rows must match the default-localCheckpoint serve
+    bitwise."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        build_ivf_index_sharded,
+        ivf_topk_indexed_sharded_chunked,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    queries = emb.limit(5)
+    books = build_ivf_index_sharded(emb, str(tmp_path / "sh"), 4, use_arrow=True)
+    base = _served(
+        ivf_topk_indexed_sharded_chunked(
+            spark, str(tmp_path / "sh"), queries, books, 2, k=3, n_probe=4
+        )
+    )
+    assert len(base) == 15
+    sc = spark.sparkContext
+    old = sc.getCheckpointDir()
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        durable = _served(
+            ivf_topk_indexed_sharded_chunked(
+                spark,
+                str(tmp_path / "sh"),
+                queries,
+                books,
+                2,
+                k=3,
+                n_probe=4,
+                reliable=True,
+            )
+        )
+    finally:
+        if old is not None:
+            sc.setCheckpointDir(old)
+    assert durable == base
+
+
 def test_verify_parallelism_is_plan_only(spark, tmp_path):
     """`verify_parallelism` (r14 — the RLE-compressed-hot-list escape
     hatch) must be PLAN-ONLY: repartitioning the pruned candidate slice
