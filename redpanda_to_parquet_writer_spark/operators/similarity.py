@@ -934,6 +934,27 @@ def select_chunk_shards(
     return min(n_shards, budget_bytes // max_bytes)
 
 
+def _select_chunk_workers(worst_chunk_bytes: int, n_chunks: int, cap: int = 8) -> int:
+    """Bound the chunked serve's CONCURRENT chunk preparations so the
+    fan-out's transient broadcast footprint stays inside the same
+    envelope the one-shot serve occupies (r15 — the scale reflection on
+    the thread fan-out itself): each chunk's prep runs its probe job
+    eagerly, and that job BROADCASTS the chunk's combined codebook, so
+    `workers × worst_chunk_bytes` of broadcast tables are live at once
+    until the ContextCleaner frees them. Tiny codebooks (every healthy
+    corpus) keep the full `cap`-way overlap; chunks sized near the
+    budget serialize down to however many fit the 8 GiB ceiling
+    together — never below 1, which is the serial loop the fan-out
+    replaced."""
+    if n_chunks < 1:
+        raise ValueError(f"n_chunks must be >= 1, got {n_chunks}")
+    if worst_chunk_bytes <= 0:  # empty codebooks broadcast nothing
+        return min(cap, n_chunks)
+    return max(
+        1, min(cap, n_chunks, BROADCAST_TABLE_CEILING_BYTES // worst_chunk_bytes)
+    )
+
+
 def _shard_router(id_col: str, n_shards: int):
     """Deterministic shard assignment: pmod(xxhash64(id), n_shards) —
     id-type-agnostic, stable across runs/partitionings, and the SAME
@@ -1366,7 +1387,20 @@ def ivf_topk_indexed_sharded_chunked(
     thread-safe, each thread builds its own lazy plan, nothing mutates
     shared state) as `build_ivf_index_sharded` and
     `append_ivf_index_sharded`. `ex.map` keeps chunk order, so the
-    unioned plan is the same plan the serial loop built.
+    unioned plan is the same plan the serial loop built. The fan-out's
+    WIDTH is itself budgeted (`_select_chunk_workers`): each concurrent
+    prep's probe job holds its chunk's codebook broadcast live, so
+    naive 8-way overlap of budget-sized chunks would put up to 8 ×
+    budget of broadcast tables in memory at once — 4× the very ceiling
+    chunking exists to respect; workers are capped at ceiling //
+    worst_chunk_bytes — the ACTUAL worst chunk when self-sizing (the
+    counts are already in hand), the declared `broadcast_budget_bytes`
+    bound on the explicit-chunk_shards path (re-measuring it would
+    cost a per-serve Spark job, ~2s of fixed scheduling even on local
+    relations; explicit callers with tiny chunks pass a matching small
+    budget to widen the overlap). Tiny codebooks keep the full 8-way
+    overlap, budget-sized chunks serialize down to the 2 that fit the
+    ceiling together, never below the 1-way serial loop this replaced.
 
     Sizing (VERDICT r14 #4): `chunk_shards=None` (the default)
     SELF-SIZES via `select_chunk_shards` — one bounded aggregate job
@@ -1382,13 +1416,17 @@ def ivf_topk_indexed_sharded_chunked(
     """
     if not codebooks:
         raise ValueError("codebooks must map shard -> codebook relation")
-    if chunk_shards is None:
-        from functools import reduce as _reduce
+    from functools import reduce
 
-        # one bounded job over the (tiny-by-contract) codebook relations:
-        # n_shards rows of (count, dim) reach the driver, nothing else
+    if chunk_shards is None:
+        # one bounded job over the (tiny-by-contract) codebook
+        # relations: n_shards rows of (count, dim) reach the driver,
+        # nothing else. Self-sizing only — a Spark job costs a fixed
+        # few-hundred-ms of scheduling even on a 20-row local relation
+        # (measured ~2s for this aggregate), which the explicit path
+        # must not pay per serve call.
         stats = (
-            _reduce(
+            reduce(
                 DataFrame.unionByName,
                 [
                     codebooks[s].select(
@@ -1405,6 +1443,8 @@ def ivf_topk_indexed_sharded_chunked(
         counts.update({int(r["shard"]): int(r["n"]) for r in stats})
         dim = max((int(r["dim"]) for r in stats), default=1)
         chunk_shards = select_chunk_shards(counts, dim, broadcast_budget_bytes)
+    else:
+        counts = None
     if chunk_shards < 1:
         raise ValueError(f"chunk_shards must be >= 1, got {chunk_shards}")
     shards = sorted(codebooks)
@@ -1434,9 +1474,23 @@ def ivf_topk_indexed_sharded_chunked(
     else:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=min(8, len(chunks))) as ex:
+        # concurrency is bounded so workers x worst_chunk_bytes stays
+        # inside the one-shot serve's own 8 GiB envelope
+        # (`_select_chunk_workers`): each concurrent prep holds its
+        # chunk's codebook broadcast live. Self-sized serves know the
+        # ACTUAL worst chunk bytes; explicit-chunk_shards serves use
+        # `broadcast_budget_bytes` as the caller's declared per-chunk
+        # bound (the same bound the chunking contract asks them to
+        # size chunk_shards against).
+        if counts is not None:
+            worst_chunk_bytes = max(
+                sum(counts[s] for s in chunk) * dim * 8 for chunk in chunks
+            )
+        else:
+            worst_chunk_bytes = broadcast_budget_bytes
+        workers = _select_chunk_workers(worst_chunk_bytes, len(chunks))
+        with ThreadPoolExecutor(max_workers=workers) as ex:
             tops = list(ex.map(_chunk_top, chunks))
-    from functools import reduce
 
     return _rank_topk(reduce(DataFrame.unionByName, tops), k)
 

@@ -178,8 +178,19 @@ def sweep_chunked(emb_path: str) -> None:
         ),
         **{
             f"chunk_shards={cs} ({-(-n_shards // cs)} chunks)": (
+                # the probe's chunks are tiny (~10 KB of centroids), so
+                # declare that via the per-chunk budget: the fan-out
+                # widens to the full 8-way overlap instead of the
+                # default budget's envelope-bounded 2-way
                 lambda cs=cs: ivf_topk_indexed_sharded_chunked(
-                    spark, f"{tmp}/sh", queries, books, cs, k=K, n_probe=N_PROBE
+                    spark,
+                    f"{tmp}/sh",
+                    queries,
+                    books,
+                    cs,
+                    k=K,
+                    n_probe=N_PROBE,
+                    broadcast_budget_bytes=1 << 20,
                 )
             )
             for cs in (8, 4, 2)

@@ -400,6 +400,39 @@ def test_select_chunk_shards_keeps_every_chunk_under_budget():
     check()
 
 
+def test_chunk_fanout_workers_respect_broadcast_envelope():
+    """`_select_chunk_workers` (r15 — the scale bound on the thread
+    fan-out itself): concurrent chunk preps each hold their chunk's
+    codebook broadcast live, so workers × worst_chunk_bytes must stay
+    inside the one-shot serve's own 8 GiB broadcast envelope — tiny
+    codebooks keep full overlap, budget-sized chunks serialize down,
+    and the floor is the serial loop (1), never a refusal."""
+    import pytest
+
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        BROADCAST_TABLE_CEILING_BYTES as CEIL,
+    )
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        _select_chunk_workers,
+    )
+
+    # tiny codebooks: full 8-way overlap (bounded by chunk count)
+    assert _select_chunk_workers(1024, 20) == 8
+    assert _select_chunk_workers(1024, 3) == 3
+    assert _select_chunk_workers(0, 5) == 5  # empty codebooks
+    # budget-sized chunks (default budget = CEIL // 2): exactly 2 fit
+    assert _select_chunk_workers(CEIL // 2, 20) == 2
+    # chunks at the full ceiling: serial, never 0
+    assert _select_chunk_workers(CEIL, 20) == 1
+    assert _select_chunk_workers(CEIL * 3, 20) == 1
+    # the envelope invariant across a sweep of sizes
+    for bytes_ in (1, 10**6, 10**9, CEIL // 3, CEIL - 1):
+        w = _select_chunk_workers(bytes_, 20)
+        assert 1 <= w <= 8 and (w == 1 or w * bytes_ <= CEIL)
+    with pytest.raises(ValueError, match="n_chunks"):
+        _select_chunk_workers(1024, 0)
+
+
 def test_chunked_serve_self_sizes_within_budget(spark, tmp_path):
     """`chunk_shards=None` (the r15 default) must self-size from the
     ACTUAL codebook sizes: the default budget admits everything (one
