@@ -1408,7 +1408,12 @@ def ivf_topk_indexed_sharded_chunked(
     largest chunk whose worst-case combined codebook fits
     `broadcast_budget_bytes` is chosen (recovering the one-shot serve
     whenever everything fits, which is every corpus below ~20 clamped
-    shards). Pass an explicit `chunk_shards` to override. Per-chunk
+    shards). Pass an explicit `chunk_shards` to override. The sizing
+    job costs a fixed ~2s of scheduling per serve call (measured —
+    Spark jobs have that floor even on local relations), so a serving
+    tier below the broadcast ceiling should call
+    `ivf_topk_indexed_sharded` directly, or size once with
+    `select_chunk_shards` and pass the result explicitly. Per-chunk
     selections keep UNROUNDED sims (`_topk_unrounded`) so the global
     re-rank orders by exactly the values the unchunked plan ranks on —
     rounding first could reorder sub-1e-6 near-ties across chunks;
