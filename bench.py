@@ -504,6 +504,14 @@ HEADLINE = [
     # own unstable-host threshold) and its control 1.6x slower at
     # start than mid-run — rejected as evidence; the committed 72.1s
     # run is the round's quietest complete sweep.
+    #
+    # r16 lineage note (VERDICT r15 #2/#4): two r15 commits swapped
+    # content and message — ab364b2 ("Guard staging_path...") carries
+    # the thread-fan + select_chunk_shards SOURCE changes (+167 lines
+    # of similarity.py), while 6efdc84 ("Thread-fan the chunked
+    # serve...") carries only the +150-line test file. Future lineage
+    # audits (git log --stat zero-lineage arguments) should treat the
+    # PAIR as one changeset; both halves landed and both are gated.
 ]
 
 #: Calibration anchors (VERDICT r8 #3): three lineage-frozen queries
