@@ -300,7 +300,13 @@ def materialize_centroids(centroids: DataFrame) -> DataFrame:
         (int(r["cluster_id"]), [float(x) for x in r["cv"]])
         for r in centroids.collect()
     ]
-    return spark.createDataFrame(rows, "cluster_id int, cv array<double>")
+    out = spark.createDataFrame(rows, "cluster_id int, cv array<double>")
+    # stats ride along (rows just passed through the driver anyway) so
+    # the sharded build can write its stats sidecar with ZERO extra
+    # jobs (VERDICT r15 #1) — an implementation detail, not API: every
+    # consumer falls back to a bounded aggregate when absent
+    out._codebook_stats = (len(rows), len(rows[0][1]) if rows else 0)
+    return out
 
 
 def _rank_probes(
@@ -988,16 +994,37 @@ def _stage_routed(
     return df.sparkSession.read.parquet(staging_path)
 
 
+#: Hadoop connectors that address the SAME object-store location under
+#: different scheme spellings — normalized to one token so the staging
+#: guard compares locations, not connector names (ADVICE r15 #1).
+_SCHEME_ALIASES = {"s3": "s3", "s3a": "s3", "s3n": "s3"}
+
+
 def _path_segments(p: str) -> list[str]:
-    """Normalize a path/URI into comparison segments: local paths
-    (no scheme) resolve through abspath/normpath so relative and
-    absolute spellings of one directory compare equal; scheme'd URIs
-    (s3://, hdfs://) just drop empty segments — good enough to detect
-    equality and containment, which is all the guard needs."""
-    if "://" in p:
-        return [s for s in p.rstrip("/").split("/") if s]
+    """Normalize a path/URI into comparison segments so the staging
+    guard compares LOCATIONS, not spellings (ADVICE r15 #1): a
+    `file:` URI strips its scheme and resolves through the LOCAL
+    branch — `file:///tmp/idx`, `file:/tmp/idx`, and `/tmp/idx` all
+    yield the same segments (abspath/normpath also folds relative vs
+    absolute spellings, and normpath collapses the URI's repeated
+    leading slashes); aliased object-store schemes (s3/s3a/s3n — one
+    bucket, three Hadoop connectors) normalize to one leading token.
+    Other scheme'd URIs (hdfs://, abfs://) keep their lowercased
+    scheme as the first segment and drop empty segments — good enough
+    to detect equality and containment, which is all the guard
+    needs."""
     import os as _os
 
+    if p.lower().startswith("file:"):
+        # authority-less file URI: file:/x, file://x, file:///x — the
+        # path part begins at the last leading slash
+        p = "/" + p[len("file:") :].lstrip("/")
+    elif "://" in p:
+        scheme, rest = p.split("://", 1)
+        scheme = scheme.lower()
+        return [_SCHEME_ALIASES.get(scheme, scheme)] + [
+            s for s in rest.rstrip("/").split("/") if s
+        ]
     return [s for s in _os.path.normpath(_os.path.abspath(p)).split(_os.sep) if s]
 
 
@@ -1027,6 +1054,138 @@ def _remove_staging(spark, staging_path: str) -> None:
     fs.delete(jpath, True)
 
 
+#: Codebook-stats sidecar filename (VERDICT r15 #1). Underscore-prefixed
+#: so Spark's file index treats it as hidden — `spark.read.parquet` on
+#: the sharded layout never sees it (the `_SUCCESS` convention).
+_CODEBOOK_STATS_SIDECAR = "_codebook_stats.json"
+
+
+def _sidecar_jpath(spark, index_path: str):
+    jvm = spark._jvm
+    return jvm.org.apache.hadoop.fs.Path(
+        f"{index_path.rstrip('/')}/{_CODEBOOK_STATS_SIDECAR}"
+    )
+
+
+def _write_codebook_sidecar(
+    spark, index_path: str, counts: dict[int, int], dim: int
+) -> None:
+    """Persist `{shard: n_centroids}` + dim next to a sharded index
+    (VERDICT r15 #1): the stats are KNOWN at build time (the per-shard
+    codebooks are local relations whose rows just passed through the
+    driver), so writing them once makes the chunked serve's
+    self-sizing FREE — without the sidecar every `chunk_shards=None`
+    serve call pays a ~2s fixed-scheduling aggregate job to re-measure
+    what the build already knew. Storage-agnostic (Hadoop FileSystem,
+    same as `_remove_staging`); overwritten on rebuild."""
+    import json
+
+    jpath = _sidecar_jpath(spark, index_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        payload = {
+            "dim": int(dim),
+            "counts": {str(int(s)): int(n) for s, n in sorted(counts.items())},
+        }
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_codebook_sidecar(spark, index_path: str):
+    """Read the build-time stats sidecar; returns (counts, dim) or
+    None when absent/unreadable — the serve falls back to the bounded
+    aggregate job, so a missing or corrupt sidecar can never fail a
+    query, only cost the pre-sidecar fixed ~2s again."""
+    import json
+
+    try:
+        jpath = _sidecar_jpath(spark, index_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return None
+        stream = fs.open(jpath)
+        try:
+            text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        payload = json.loads(text)
+        counts = {int(s): int(n) for s, n in payload["counts"].items()}
+        dim = int(payload["dim"])
+        if dim < 1 or any(n < 0 for n in counts.values()):
+            return None
+        return counts, dim
+    except Exception:
+        return None
+
+
+def _local_codebook_stats(codebooks: dict[int, DataFrame]):
+    """(counts, dim) from the `_codebook_stats` attribute
+    `materialize_centroids` stashes on every local codebook relation —
+    zero Spark jobs. None when any codebook lacks the attribute (a
+    caller-constructed relation); the build then falls back to the
+    bounded aggregate job once, at build time."""
+    counts: dict[int, int] = {}
+    dim = 0
+    for s, book in codebooks.items():
+        st = getattr(book, "_codebook_stats", None)
+        if st is None:
+            return None
+        counts[int(s)] = int(st[0])
+        dim = max(dim, int(st[1]))
+    return counts, max(dim, 1)
+
+
+def _codebook_stats_job(codebooks: dict[int, DataFrame]):
+    """The bounded fallback measurement: ONE aggregate over the
+    (tiny-by-contract) codebook relations — n_shards rows of
+    (count, dim) reach the driver, nothing else. Costs a fixed ~2s of
+    Spark job scheduling even on 20-row local relations (measured),
+    which is exactly why the sidecar exists; this runs only when the
+    sidecar is absent. A NULL centroid vector raises a targeted error
+    naming the bad shards (ADVICE r15 #3) instead of letting
+    F.size(NULL) drive a confusing 'dim must be >= 1' downstream."""
+    from functools import reduce
+
+    stats = (
+        reduce(
+            DataFrame.unionByName,
+            [
+                codebooks[s].select(
+                    F.lit(int(s)).alias("shard"),
+                    F.size("cv").alias("d"),
+                    F.col("cv").isNull().cast("int").alias("bad"),
+                )
+                for s in sorted(codebooks)
+            ],
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("d").alias("dim"),
+            F.sum("bad").alias("n_null"),
+        )
+        .collect()
+    )
+    null_shards = sorted(
+        int(r["shard"]) for r in stats if int(r["n_null"] or 0) > 0
+    )
+    if null_shards:
+        raise ValueError(
+            f"codebook shards {null_shards} contain NULL centroid vectors "
+            "(cv) — rebuild those shards' codebooks before serving"
+        )
+    counts = {int(s): 0 for s in codebooks}  # empty codebooks count as 0
+    counts.update({int(r["shard"]): int(r["n"]) for r in stats})
+    dim = max(
+        (int(r["dim"]) for r in stats if r["dim"] is not None), default=1
+    )
+    return counts, max(dim, 1)
+
+
 def build_ivf_index_sharded(
     df: DataFrame,
     path: str,
@@ -1054,7 +1213,11 @@ def build_ivf_index_sharded(
     Returns {shard: local codebook relation} — the caller snapshots the
     WHOLE dict alongside the index (the same snapshot contract as the
     single codebook of `build_ivf_index`); `ivf_topk_indexed_sharded`
-    consumes it.
+    consumes it. The build also persists a `_codebook_stats.json`
+    sidecar ({shard: n_centroids} + dim) at the index root (VERDICT
+    r15 #1) — stats it has for free — so the chunked serve's
+    self-sizing and fan-out width read exact bytes from one FS
+    metadata lookup instead of a ~2s per-serve aggregate job.
 
     Build fans n_shards independent builds (each a bounded count +
     Lloyd train + partitioned write into its own directory) over a
@@ -1122,6 +1285,12 @@ def build_ivf_index_sharded(
 
         with ThreadPoolExecutor(max_workers=min(8, n_shards)) as ex:
             books = dict(ex.map(_build, range(n_shards)))
+    # stats sidecar (VERDICT r15 #1): {shard: n_centroids} + dim are in
+    # hand right here (local codebook relations), so persist them next
+    # to the layout — the chunked serve self-sizes from the sidecar
+    # instead of paying a ~2s aggregate job per serve call
+    stats = _local_codebook_stats(books) or _codebook_stats_job(books)
+    _write_codebook_sidecar(df.sparkSession, path, *stats)
     if staging_path is not None and cleanup_staging:
         _remove_staging(df.sparkSession, staging_path)
     return books
@@ -1393,27 +1562,35 @@ def ivf_topk_indexed_sharded_chunked(
     naive 8-way overlap of budget-sized chunks would put up to 8 ×
     budget of broadcast tables in memory at once — 4× the very ceiling
     chunking exists to respect; workers are capped at ceiling //
-    worst_chunk_bytes — the ACTUAL worst chunk when self-sizing (the
-    counts are already in hand), the declared `broadcast_budget_bytes`
-    bound on the explicit-chunk_shards path (re-measuring it would
-    cost a per-serve Spark job, ~2s of fixed scheduling even on local
-    relations; explicit callers with tiny chunks pass a matching small
-    budget to widen the overlap). Tiny codebooks keep the full 8-way
-    overlap, budget-sized chunks serialize down to the 2 that fit the
-    ceiling together, never below the 1-way serial loop this replaced.
+    worst_chunk_bytes — the ACTUAL worst chunk whenever stats are in
+    hand (the build-time sidecar, or the self-sizing job's counts),
+    the declared `broadcast_budget_bytes` bound only on a sidecar-less
+    explicit-chunk_shards serve. CAVEAT on that last path (ADVICE r15
+    #2): with no sidecar and no sizing job the serve cannot see actual
+    chunk bytes, so the 8 GiB envelope guarantee holds only if the
+    caller's chunks honor `broadcast_budget_bytes` — size chunk_shards
+    with `select_chunk_shards` against the same budget (explicit
+    callers with tiny chunks pass a matching small budget to widen the
+    overlap). Tiny codebooks keep the full 8-way overlap, budget-sized
+    chunks serialize down to the 2 that fit the ceiling together,
+    never below the 1-way serial loop this replaced.
 
-    Sizing (VERDICT r14 #4): `chunk_shards=None` (the default)
-    SELF-SIZES via `select_chunk_shards` — one bounded aggregate job
-    measures the actual per-shard codebook row counts and dim, and the
-    largest chunk whose worst-case combined codebook fits
+    Sizing (VERDICT r14 #4, free since r16 — VERDICT r15 #1):
+    `chunk_shards=None` (the default) SELF-SIZES via
+    `select_chunk_shards` from the per-shard codebook stats the BUILD
+    already knew: `build_ivf_index_sharded` persists
+    `{shard: n_centroids}` + dim as a `_codebook_stats.json` sidecar
+    next to the layout (appends backfill it), so self-sizing is one FS
+    metadata read — no Spark job. Only a sidecar-less index (or one
+    whose sidecar doesn't cover the served shards) falls back to the
+    bounded aggregate job (`_codebook_stats_job`, a fixed ~2s of
+    scheduling per serve call — Spark jobs have that floor even on
+    local relations); a serving tier below the broadcast ceiling
+    should still call `ivf_topk_indexed_sharded` directly. The largest
+    chunk whose worst-case combined codebook fits
     `broadcast_budget_bytes` is chosen (recovering the one-shot serve
     whenever everything fits, which is every corpus below ~20 clamped
-    shards). Pass an explicit `chunk_shards` to override. The sizing
-    job costs a fixed ~2s of scheduling per serve call (measured —
-    Spark jobs have that floor even on local relations), so a serving
-    tier below the broadcast ceiling should call
-    `ivf_topk_indexed_sharded` directly, or size once with
-    `select_chunk_shards` and pass the result explicitly. Per-chunk
+    shards). Pass an explicit `chunk_shards` to override. Per-chunk
     selections keep UNROUNDED sims (`_topk_unrounded`) so the global
     re-rank orders by exactly the values the unchunked plan ranks on —
     rounding first could reorder sub-1e-6 near-ties across chunks;
@@ -1423,33 +1600,26 @@ def ivf_topk_indexed_sharded_chunked(
         raise ValueError("codebooks must map shard -> codebook relation")
     from functools import reduce
 
+    # per-shard stats: the build-time SIDECAR first (VERDICT r15 #1 —
+    # one FS metadata read, zero Spark jobs; `build_ivf_index_sharded`
+    # writes it, `append_ivf_index_sharded` backfills it), and only
+    # when it's absent AND self-sizing needs counts, the bounded
+    # aggregate job (`_codebook_stats_job`, a fixed ~2s of scheduling
+    # even on 20-row local relations — the cost the sidecar removes).
+    # BOTH serve paths consume the stats: self-sizing picks
+    # chunk_shards, and the fan-out width gets EXACT worst-chunk bytes
+    # instead of trusting the caller's declared budget (ADVICE r15 #2).
+    counts = dim = None
+    sidecar = _read_codebook_sidecar(spark, index_path)
+    if sidecar is not None:
+        sc_counts, sc_dim = sidecar
+        if all(int(s) in sc_counts for s in codebooks):
+            counts = {int(s): sc_counts[int(s)] for s in codebooks}
+            dim = sc_dim
     if chunk_shards is None:
-        # one bounded job over the (tiny-by-contract) codebook
-        # relations: n_shards rows of (count, dim) reach the driver,
-        # nothing else. Self-sizing only — a Spark job costs a fixed
-        # few-hundred-ms of scheduling even on a 20-row local relation
-        # (measured ~2s for this aggregate), which the explicit path
-        # must not pay per serve call.
-        stats = (
-            reduce(
-                DataFrame.unionByName,
-                [
-                    codebooks[s].select(
-                        F.lit(int(s)).alias("shard"), F.size("cv").alias("d")
-                    )
-                    for s in sorted(codebooks)
-                ],
-            )
-            .groupBy("shard")
-            .agg(F.count(F.lit(1)).alias("n"), F.max("d").alias("dim"))
-            .collect()
-        )
-        counts = {s: 0 for s in codebooks}  # empty codebooks count as 0
-        counts.update({int(r["shard"]): int(r["n"]) for r in stats})
-        dim = max((int(r["dim"]) for r in stats), default=1)
+        if counts is None:
+            counts, dim = _codebook_stats_job(codebooks)
         chunk_shards = select_chunk_shards(counts, dim, broadcast_budget_bytes)
-    else:
-        counts = None
     if chunk_shards < 1:
         raise ValueError(f"chunk_shards must be >= 1, got {chunk_shards}")
     shards = sorted(codebooks)
@@ -1482,11 +1652,13 @@ def ivf_topk_indexed_sharded_chunked(
         # concurrency is bounded so workers x worst_chunk_bytes stays
         # inside the one-shot serve's own 8 GiB envelope
         # (`_select_chunk_workers`): each concurrent prep holds its
-        # chunk's codebook broadcast live. Self-sized serves know the
-        # ACTUAL worst chunk bytes; explicit-chunk_shards serves use
+        # chunk's codebook broadcast live. With stats in hand (the
+        # sidecar, or the self-sizing job) the bound uses the ACTUAL
+        # worst chunk bytes on BOTH paths (ADVICE r15 #2); only a
+        # sidecar-less explicit-chunk_shards serve falls back to
         # `broadcast_budget_bytes` as the caller's declared per-chunk
         # bound (the same bound the chunking contract asks them to
-        # size chunk_shards against).
+        # size chunk_shards against — see the docstring caveat).
         if counts is not None:
             worst_chunk_bytes = max(
                 sum(counts[s] for s in chunk) * dim * 8 for chunk in chunks
@@ -1525,7 +1697,11 @@ def append_ivf_index_sharded(
     The codebook-freshness caveat compounds under sharding: appending
     under ANY shard's stale codebook silently corrupts THAT shard's
     lists, so callers snapshot the whole dict with the index (the
-    `build_ivf_index_sharded` contract).
+    `build_ivf_index_sharded` contract). The build's
+    `_codebook_stats.json` sidecar stays correct across appends by
+    construction (the codebooks are frozen); an index built before the
+    sidecar existed gets it backfilled here, so one append upgrades a
+    pre-r16 index to free serve-time self-sizing.
 
     Input-scan cost (VERDICT r13 #3 — the build's route-once option,
     inherited): with the default in-plan routing each shard's append
@@ -1582,6 +1758,15 @@ def append_ivf_index_sharded(
 
         with ThreadPoolExecutor(max_workers=min(8, n_shards)) as ex:
             list(ex.map(_append, range(n_shards)))
+    # sidecar consistency (VERDICT r15 #1): appends never change the
+    # (frozen) codebooks, so an existing sidecar stays correct by
+    # construction; an index built before the sidecar existed gets it
+    # BACKFILLED here — one bounded aggregate at append (maintenance)
+    # time buys every later serve call its free self-sizing
+    spark = df.sparkSession
+    if _read_codebook_sidecar(spark, path) is None:
+        stats = _local_codebook_stats(codebooks) or _codebook_stats_job(codebooks)
+        _write_codebook_sidecar(spark, path, *stats)
     if staging_path is not None and cleanup_staging:
         _remove_staging(df.sparkSession, staging_path)
 

@@ -976,3 +976,169 @@ def test_sharded_serve_is_one_pruned_scan(spark, tmp_path):
     assert "shard" in pf and "cluster_id" in pf, pf
     # and the result is still fully ranked
     assert df.count() == 9
+
+
+# --- the staging guard's scheme aliasing (ADVICE r15 #1) --------------------
+
+def test_staging_guard_sees_through_scheme_aliases():
+    """ADVICE r15 #1: 'file:///tmp/idx' and '/tmp/idx' are the SAME
+    location, as are s3:// vs s3a:// vs s3n:// on one bucket — a
+    scheme-aliased spelling must not escape the overwrite-then-delete
+    guard."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        _check_staging_disjoint,
+        _path_segments,
+    )
+
+    # one location, many spellings -> identical segments
+    assert (
+        _path_segments("file:///tmp/idx")
+        == _path_segments("file:/tmp/idx")
+        == _path_segments("/tmp/idx")
+    )
+    assert (
+        _path_segments("s3a://bkt/idx")
+        == _path_segments("s3n://bkt/idx")
+        == _path_segments("s3://bkt/idx/")
+    )
+    for staging, path in [
+        ("file:///tmp/idx", "/tmp/idx"),  # equal, scheme-aliased
+        ("file:/tmp/idx", "/tmp/idx/shard=0"),  # contains, single-slash URI
+        ("s3a://bkt/idx", "s3://bkt/idx/shard=0"),  # connector-aliased
+        ("s3n://bkt/idx/scratch", "s3://bkt/idx"),  # inside, aliased
+    ]:
+        with pytest.raises(ValueError, match="overlaps the index path"):
+            _check_staging_disjoint(staging, path)
+    # distinct locations still pass whatever the spelling
+    _check_staging_disjoint("file:///a/scratch", "/a/idx")
+    _check_staging_disjoint("s3a://bkt/scratch", "s3://bkt/idx")
+    _check_staging_disjoint("s3://bkt2/idx", "s3://bkt/idx")  # other bucket
+    _check_staging_disjoint("hdfs://nn/idx", "s3://nn/idx")  # other store
+
+
+# --- the codebook-stats sidecar (VERDICT r15 #1) ----------------------------
+
+def _sidecar_payload(path):
+    import json
+    import pathlib
+
+    f = pathlib.Path(path) / "_codebook_stats.json"
+    assert f.exists(), f"sidecar missing at {f}"
+    return json.loads(f.read_text())
+
+
+def test_build_persists_codebook_stats_sidecar(spark, tmp_path):
+    """`build_ivf_index_sharded` must persist {shard: n_centroids} +
+    dim next to the layout — the stats it already has — and the
+    underscore-prefixed sidecar must stay invisible to the index
+    scan's file listing."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        build_ivf_index_sharded,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    idx = str(tmp_path / "idx")
+    books = build_ivf_index_sharded(emb, idx, 3, use_arrow=True)
+
+    payload = _sidecar_payload(idx)
+    assert payload["counts"] == {str(s): books[s].count() for s in books}
+    assert payload["dim"] == len(books[0].select("cv").first()["cv"])
+    # hidden-file convention: the parquet scan never sees the sidecar
+    assert spark.read.parquet(idx).count() == emb.count()
+
+
+def test_chunked_serve_self_sizes_from_sidecar_without_a_job(
+    spark, tmp_path, monkeypatch
+):
+    """With the sidecar present, `chunk_shards=None` must NOT run the
+    ~2s stats aggregate (the r15 structural leftover) — and must still
+    serve bitwise what the one-shot serve returns. Removing the
+    sidecar falls back to the job, same rows."""
+    from redpanda_to_parquet_writer_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    queries = emb.limit(5)
+    idx = str(tmp_path / "idx")
+    books = sim.build_ivf_index_sharded(emb, idx, 4, use_arrow=True)
+    base = _served(
+        sim.ivf_topk_indexed_sharded(spark, idx, queries, books, k=3, n_probe=4)
+    )
+
+    def _boom(codebooks):
+        raise AssertionError("stats job must not run when the sidecar exists")
+
+    monkeypatch.setattr(sim, "_codebook_stats_job", _boom)
+    got = _served(
+        sim.ivf_topk_indexed_sharded_chunked(
+            spark, idx, queries, books, k=3, n_probe=4
+        )
+    )
+    assert got == base
+
+    # sidecar gone -> the bounded job takes over
+    calls = []
+    monkeypatch.undo()
+    orig = sim._codebook_stats_job
+
+    def _spy(codebooks):
+        calls.append(sorted(codebooks))
+        return orig(codebooks)
+
+    monkeypatch.setattr(sim, "_codebook_stats_job", _spy)
+    (tmp_path / "idx" / "_codebook_stats.json").unlink()
+    got_fallback = _served(
+        sim.ivf_topk_indexed_sharded_chunked(
+            spark, idx, queries, books, k=3, n_probe=4
+        )
+    )
+    assert got_fallback == base
+    assert calls == [[0, 1, 2, 3]]
+
+
+def test_append_backfills_a_missing_sidecar(spark, tmp_path):
+    """Appends never change the frozen codebooks, so an existing
+    sidecar stays correct; appending to a PRE-sidecar index must
+    backfill it with the true counts."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        append_ivf_index_sharded,
+        build_ivf_index_sharded,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    idx = str(tmp_path / "idx")
+    books = build_ivf_index_sharded(emb, idx, 2, use_arrow=True)
+    before = _sidecar_payload(idx)
+
+    batch = emb.limit(10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    # sidecar'd index: append leaves it untouched-and-correct
+    append_ivf_index_sharded(batch, books, idx, use_arrow=True)
+    assert _sidecar_payload(idx) == before
+
+    # pre-sidecar index: append backfills the same stats
+    (tmp_path / "idx" / "_codebook_stats.json").unlink()
+    batch2 = emb.limit(10).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
+    )
+    append_ivf_index_sharded(batch2, books, idx, use_arrow=True)
+    assert _sidecar_payload(idx) == before
+
+
+def test_stats_job_names_shards_with_null_centroids(spark):
+    """ADVICE r15 #3: a NULL centroid vector must raise a targeted
+    error naming the bad shard, not let F.size(NULL) drive a confusing
+    'dim must be >= 1' out of select_chunk_shards."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        _codebook_stats_job,
+    )
+
+    ok = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cluster_id int, cv array<double>"
+    )
+    bad = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None)], "cluster_id int, cv array<double>"
+    )
+    assert _codebook_stats_job({0: ok}) == ({0: 2}, 2)
+    with pytest.raises(ValueError, match=r"shards \[1\] contain NULL"):
+        _codebook_stats_job({0: ok, 1: bad})
