@@ -512,6 +512,21 @@ HEADLINE = [
     # serve...") carries only the +150-line test file. Future lineage
     # audits (git log --stat zero-lineage arguments) should treat the
     # PAIR as one changeset; both halves landed and both are gated.
+    #
+    # r16 settled docs_incremental_neardup_filter's repeatable 1.17x
+    # (VERDICT r15 #3: 0.746->0.894s across BOTH quiet r14/r15 driver
+    # artifacts) with the same interleaved fresh-session A/B that
+    # settled ann_ivf_append_topk: HEAD vs the r14 revision (1f1d4f7
+    # in a worktree), six alternating processes (3 per side),
+    # construct-once + warm + min-of-3, pricing_summary frozen
+    # control. Control: 0.57-0.62 on five processes (one r14 process
+    # read 2.04 — an inflated session, its rows discounted). neardup:
+    # HEAD {1.223, 1.117, 1.402} vs r14 {1.516, 1.138, 1.164} — HEAD's
+    # best BELOW r14's best, and the within-revision spread (0.29s)
+    # exceeds the between-revision delta. Verdict: zero lineage (text
+    # paths untouched in r15; PLANS.md proved plan identity) and zero
+    # measured residual — the artifact delta is sub-second host wobble
+    # on a ~0.8s row, the same signature as every prior adjudication.
 ]
 
 #: Calibration anchors (VERDICT r8 #3): three lineage-frozen queries
