@@ -195,6 +195,49 @@ def main() -> None:
             flush=True,
         )
 
+    # 6. CHUNKED serve on the same hot-list index (VERDICT r15 #6):
+    # the chunked path inherits the sharded serve's salted two-level
+    # rank, but each CHUNK runs its own pruned-scan verify — exactly
+    # where the hot list lands — so the open question was whether
+    # `verify_parallelism` passes through to the per-chunk verify (it
+    # does, by signature) and what it buys ON this corpus. 2-shard
+    # chunks over the 4-shard index (2 chunks), rows asserted
+    # identical to the one-shot sharded serve, min-of-3 interleaved.
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        ivf_topk_indexed_sharded_chunked,
+    )
+
+    one_shot_rows = sorted(
+        tuple(r)
+        for r in ivf_topk_indexed_sharded(
+            spark, f"{tmp}/idx", queries, books, k=3, n_probe=4
+        ).collect()
+    )
+    chunk_variants = {"default": None, "verify_parallelism=32": 32}
+    chunk_times = {lbl: [] for lbl in chunk_variants}
+    for lbl, vp in chunk_variants.items():
+        got = sorted(
+            tuple(r)
+            for r in ivf_topk_indexed_sharded_chunked(
+                spark, f"{tmp}/idx", queries, books, 2, k=3, n_probe=4,
+                verify_parallelism=vp,
+            ).collect()
+        )
+        assert got == one_shot_rows, lbl
+    for _ in range(3):
+        for lbl, vp in chunk_variants.items():
+            t0 = time.perf_counter()
+            ivf_topk_indexed_sharded_chunked(
+                spark, f"{tmp}/idx", queries, books, 2, k=3, n_probe=4,
+                verify_parallelism=vp,
+            ).write.mode("overwrite").format("noop").save()
+            chunk_times[lbl].append(time.perf_counter() - t0)
+    for lbl, runs in chunk_times.items():
+        print(
+            f"chunked serve (2 chunks) over hot lists [{lbl}]: min={min(runs):.2f}s runs={[round(t, 2) for t in runs]}",
+            flush=True,
+        )
+
 
 if __name__ == "__main__":
     main()
