@@ -1142,3 +1142,74 @@ def test_stats_job_names_shards_with_null_centroids(spark):
     assert _codebook_stats_job({0: ok}) == ({0: 2}, 2)
     with pytest.raises(ValueError, match=r"shards \[1\] contain NULL"):
         _codebook_stats_job({0: ok, 1: bad})
+
+
+def test_explicit_chunking_feeds_actual_bytes_to_the_worker_bound(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r15 #2: with the sidecar present, the fan-out width bound
+    must see ACTUAL worst-chunk bytes on the explicit-chunk_shards path
+    too — not the caller's declared budget."""
+    from redpanda_to_parquet_writer_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    queries = emb.limit(3)
+    idx = str(tmp_path / "idx")
+    books = sim.build_ivf_index_sharded(emb, idx, 4, use_arrow=True)
+    payload = _sidecar_payload(idx)
+    dim = payload["dim"]
+    counts = {int(s): n for s, n in payload["counts"].items()}
+
+    seen = []
+    orig = sim._select_chunk_workers
+
+    def _spy(worst_chunk_bytes, n_chunks, cap=8):
+        seen.append((worst_chunk_bytes, n_chunks))
+        return orig(worst_chunk_bytes, n_chunks, cap)
+
+    monkeypatch.setattr(sim, "_select_chunk_workers", _spy)
+    declared = 123_456_789  # a budget bearing no relation to the chunks
+    sim.ivf_topk_indexed_sharded_chunked(
+        spark, idx, queries, books, 2, k=3, n_probe=4,
+        broadcast_budget_bytes=declared,
+    ).write.mode("overwrite").format("noop").save()
+    # chunks of 2 shards each over 4 shards -> worst chunk = the larger
+    # 2-shard codebook sum, from the SIDECAR's counts, never `declared`
+    expect = max(
+        (counts[0] + counts[1]) * dim * 8, (counts[2] + counts[3]) * dim * 8
+    )
+    assert seen == [(expect, 2)]
+
+    # sidecar-less explicit serve: the declared budget is all it has
+    seen.clear()
+    (tmp_path / "idx" / "_codebook_stats.json").unlink()
+    sim.ivf_topk_indexed_sharded_chunked(
+        spark, idx, queries, books, 2, k=3, n_probe=4,
+        broadcast_budget_bytes=declared,
+    ).write.mode("overwrite").format("noop").save()
+    assert seen == [(declared, 2)]
+
+
+def test_corrupt_sidecar_falls_back_to_the_stats_job(spark, tmp_path):
+    """A corrupt or truncated sidecar must never fail a serve — the
+    reader returns None and the bounded aggregate takes over, rows
+    unchanged."""
+    from redpanda_to_parquet_writer_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    queries = emb.limit(3)
+    idx = str(tmp_path / "idx")
+    books = sim.build_ivf_index_sharded(emb, idx, 2, use_arrow=True)
+    base = _served(
+        sim.ivf_topk_indexed_sharded(spark, idx, queries, books, k=3, n_probe=4)
+    )
+    for garbage in ["not json {", '{"dim": 0, "counts": {"0": 5}}',
+                    '{"dim": 4, "counts": {"0": -1}}']:
+        (tmp_path / "idx" / "_codebook_stats.json").write_text(garbage)
+        assert sim._read_codebook_sidecar(spark, idx) is None
+        got = _served(
+            sim.ivf_topk_indexed_sharded_chunked(
+                spark, idx, queries, books, k=3, n_probe=4
+            )
+        )
+        assert got == base
