@@ -1451,12 +1451,25 @@ def _sharded_scored(
     n_probe: int,
     reliable: bool,
     verify_parallelism: int | None,
+    index_df: DataFrame | None = None,
 ) -> DataFrame:
     """Steps 1-6 of the collapsed sharded serve, returning the UNROUNDED
     (query_id, neighbor_id, sim) verify frame — shared by the one-shot
     serve (`ivf_topk_indexed_sharded`) and the chunked escalation
     (`ivf_topk_indexed_sharded_chunked`), whose global re-rank must see
-    unrounded sims to stay bitwise-equal to the unchunked plan."""
+    unrounded sims to stay bitwise-equal to the unchunked plan.
+
+    `index_df` (r16): the chunked serve passes ONE pre-resolved index
+    relation shared by every chunk, so the file LISTING of the whole
+    shard=/cluster_id= tree happens once per serve instead of once per
+    chunk — per-chunk `spark.read.parquet` re-lists every partition
+    directory, a cost that grows with the index (measured as part of
+    the 2M decade probe's per-chunk overhead) and that an object store
+    turns into thousands of LIST calls per chunk. Filtering a shared
+    relation prunes partitions identically (the FileIndex is resolved
+    once, each chunk's OR-of-conjunctions predicate prunes against it),
+    so the plan per chunk is unchanged — gated bitwise by the
+    chunked-serve equality tests and fuzz family #13."""
     # 1. combined (shard, cluster_id, cv) codebook relation: union the
     # per-shard local relations JVM-side with a lit(shard) tag — no
     # collect, no re-createDataFrame, no driver round-trip
@@ -1501,7 +1514,9 @@ def _sharded_scored(
         cond = cond | (
             (F.col("shard") == s) & F.col("cluster_id").isin(sorted(probed[s]))
         )
-    index = spark.read.parquet(index_path).filter(cond)
+    index = (
+        index_df if index_df is not None else spark.read.parquet(index_path)
+    ).filter(cond)
     if verify_parallelism is not None:
         index = index.repartition(verify_parallelism)
 
@@ -1556,7 +1571,17 @@ def ivf_topk_indexed_sharded_chunked(
     thread-safe, each thread builds its own lazy plan, nothing mutates
     shared state) as `build_ivf_index_sharded` and
     `append_ivf_index_sharded`. `ex.map` keeps chunk order, so the
-    unioned plan is the same plan the serial loop built. The fan-out's
+    unioned plan is the same plan the serial loop built. Since r16 the
+    two per-chunk costs that SCALE WITH THE CORPUS are also paid once
+    per serve, not once per chunk (found by the 2M decade probe, where
+    they dominated): the bounded query batch materializes once (each
+    chunk's eager probe job used to re-evaluate the caller's `queries`
+    lineage — a parquet scan per chunk), and ONE shared index relation
+    is resolved so every chunk prunes the same FileIndex instead of
+    re-LISTING the whole shard=/cluster_id= tree (thousands of
+    object-store LIST calls per chunk at scale) — measured at 2M/8
+    shards: 4 chunks dropped from 2.1-2.25x the one-shot serve to
+    1.02x (SCALING.md, SCALING_CURVE_r16.jsonl). The fan-out's
     WIDTH is itself budgeted (`_select_chunk_workers`): each concurrent
     prep's probe job holds its chunk's codebook broadcast live, so
     naive 8-way overlap of budget-sized chunks would put up to 8 ×
@@ -1628,6 +1653,8 @@ def ivf_topk_indexed_sharded_chunked(
         for i in range(0, len(shards), chunk_shards)
     ]
 
+    shared_index: DataFrame | None = None
+
     def _chunk_top(chunk: dict[int, DataFrame]) -> DataFrame:
         return _topk_unrounded(
             _sharded_scored(
@@ -1640,6 +1667,7 @@ def ivf_topk_indexed_sharded_chunked(
                 n_probe,
                 reliable,
                 verify_parallelism,
+                index_df=shared_index,
             ),
             k,
         )
@@ -1648,6 +1676,27 @@ def ivf_topk_indexed_sharded_chunked(
         tops = [_chunk_top(chunks[0])]
     else:
         from concurrent.futures import ThreadPoolExecutor
+
+        # r16 (found by the 2M decade probe — per-chunk overhead grew
+        # with the CORPUS, not just the chunk count): pay the two
+        # corpus-scaled per-chunk costs ONCE per serve. (a) Every
+        # chunk's eager probe job re-evaluated the caller's `queries`
+        # lineage — a parquet scan at minimum, at 2M ~a row group of
+        # decode per chunk — so the bounded query batch materializes
+        # once here (same blocks-and-failure contract as the probe
+        # materialization: executor-side, ContextCleaner-freed,
+        # `reliable=True` for the durable tier). (b) Every chunk's
+        # `spark.read.parquet(index_path)` re-LISTED the whole
+        # shard=/cluster_id= tree (thousands of directories at scale;
+        # thousands of object-store LIST calls per chunk) — the
+        # relation resolves once and every chunk prunes the shared
+        # FileIndex with its own partition predicate, an identical
+        # per-chunk plan. Both gated bitwise (chunked-equality tests,
+        # near-tie fixture, fuzz family #13).
+        queries = _materialize_probes(
+            queries.select(F.col(id_col), F.col(vec_col)), reliable
+        )
+        shared_index = spark.read.parquet(index_path)
 
         # concurrency is bounded so workers x worst_chunk_bytes stays
         # inside the one-shot serve's own 8 GiB envelope
