@@ -304,8 +304,10 @@ def materialize_centroids(centroids: DataFrame) -> DataFrame:
     # stats ride along (rows just passed through the driver anyway) so
     # the sharded build can write its stats sidecar with ZERO extra
     # jobs (VERDICT r15 #1) — an implementation detail, not API: every
-    # consumer falls back to a bounded aggregate when absent
-    out._codebook_stats = (len(rows), len(rows[0][1]) if rows else 0)
+    # consumer falls back to a bounded aggregate when absent. dim is
+    # the MAX over rows (matching `_codebook_stats_job`'s max(size)),
+    # so a malformed short first vector cannot understate the sidecar
+    out._codebook_stats = (len(rows), max((len(r[1]) for r in rows), default=0))
     return out
 
 
@@ -1016,13 +1018,23 @@ def _path_segments(p: str) -> list[str]:
     import os as _os
 
     if p.lower().startswith("file:"):
-        # authority-less file URI: file:/x, file://x, file:///x — the
-        # path part begins at the last leading slash
-        p = "/" + p[len("file:") :].lstrip("/")
+        rest = p[len("file:") :]
+        if rest.startswith("//") and not rest.startswith("///"):
+            # authority-bearing file URI (file://A/p): Hadoop's Path
+            # treats A as the AUTHORITY and resolves the path to /p —
+            # folding A into the path would let the two-slash typo
+            # 'file://tmp/idx' (Hadoop path: /idx) slip past a guard
+            # comparing against '/idx'
+            rest = rest[2:]
+            rest = rest[rest.find("/") :] if "/" in rest else "/"
+        p = "/" + rest.lstrip("/")
     elif "://" in p:
         scheme, rest = p.split("://", 1)
         scheme = scheme.lower()
-        return [_SCHEME_ALIASES.get(scheme, scheme)] + [
+        # the scheme token keeps its '://' so it can never equal a
+        # LOCAL path segment (a real '/s3/bkt' scratch dir must not
+        # collide with 's3://bkt')
+        return [_SCHEME_ALIASES.get(scheme, scheme) + "://"] + [
             s for s in rest.rstrip("/").split("/") if s
         ]
     return [s for s in _os.path.normpath(_os.path.abspath(p)).split(_os.sep) if s]
@@ -1077,20 +1089,31 @@ def _write_codebook_sidecar(
     self-sizing FREE — without the sidecar every `chunk_shards=None`
     serve call pays a ~2s fixed-scheduling aggregate job to re-measure
     what the build already knew. Storage-agnostic (Hadoop FileSystem,
-    same as `_remove_staging`); overwritten on rebuild."""
+    same as `_remove_staging`); overwritten on rebuild.
+
+    BEST-EFFORT by contract: the sidecar is an optimization whose read
+    side already treats absent/corrupt as 'run the fallback job', so a
+    transient failure of this small driver-side PUT must not fail an
+    otherwise-complete multi-minute build/append (nor skip its staging
+    cleanup) — the only cost of a missing sidecar is the ~2s job."""
     import json
 
-    jpath = _sidecar_jpath(spark, index_path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(jpath, True)
     try:
-        payload = {
-            "dim": int(dim),
-            "counts": {str(int(s)): int(n) for s, n in sorted(counts.items())},
-        }
-        out.write(bytearray(json.dumps(payload).encode("utf-8")))
-    finally:
-        out.close()
+        jpath = _sidecar_jpath(spark, index_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        out = fs.create(jpath, True)
+        try:
+            payload = {
+                "dim": int(dim),
+                "counts": {
+                    str(int(s)): int(n) for s, n in sorted(counts.items())
+                },
+            }
+            out.write(bytearray(json.dumps(payload).encode("utf-8")))
+        finally:
+            out.close()
+    except Exception:
+        pass
 
 
 def _read_codebook_sidecar(spark, index_path: str):
@@ -1178,8 +1201,11 @@ def _codebook_stats_job(codebooks: dict[int, DataFrame]):
             f"codebook shards {null_shards} contain NULL centroid vectors "
             "(cv) — rebuild those shards' codebooks before serving"
         )
-    counts = {int(s): 0 for s in codebooks}  # empty codebooks count as 0
-    counts.update({int(r["shard"]): int(r["n"]) for r in stats})
+    measured = {int(r["shard"]): int(r["n"]) for r in stats}
+    # counts keyed by the CALLER's original codebook keys (an int-like
+    # str key from a JSON-round-tripped snapshot manifest must index
+    # back into this dict downstream); empty codebooks count as 0
+    counts = {s: measured.get(int(s), 0) for s in codebooks}
     dim = max(
         (int(r["dim"]) for r in stats if r["dim"] is not None), default=1
     )
@@ -1639,7 +1665,9 @@ def ivf_topk_indexed_sharded_chunked(
     if sidecar is not None:
         sc_counts, sc_dim = sidecar
         if all(int(s) in sc_counts for s in codebooks):
-            counts = {int(s): sc_counts[int(s)] for s in codebooks}
+            # keyed by the caller's ORIGINAL keys — the chunk dicts
+            # below index with them (int-like str keys must keep working)
+            counts = {s: sc_counts[int(s)] for s in codebooks}
             dim = sc_dim
     if chunk_shards is None:
         if counts is None:

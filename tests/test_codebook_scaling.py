@@ -1213,3 +1213,105 @@ def test_corrupt_sidecar_falls_back_to_the_stats_job(spark, tmp_path):
             )
         )
         assert got == base
+
+
+# --- r16 code-review hardening ----------------------------------------------
+
+def test_guard_resolves_authority_bearing_file_uris_like_hadoop():
+    """'file://tmp/idx' (the two-slash typo) has AUTHORITY 'tmp' and
+    Hadoop path '/idx' — the guard must compare the path Hadoop will
+    actually write to, or the typo slips past and the cleanup deletes
+    the index."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        _check_staging_disjoint,
+        _path_segments,
+    )
+
+    assert _path_segments("file://tmp/idx") == ["idx"]
+    assert _path_segments("file://host/tmp/idx") == ["tmp", "idx"]
+    with pytest.raises(ValueError, match="overlaps the index path"):
+        _check_staging_disjoint("file://tmp/idx", "/idx")
+    # and a local directory literally named after a scheme must NOT
+    # collide with the scheme'd URI (they are different locations)
+    _check_staging_disjoint("/s3/bkt/idx", "s3://bkt/idx")
+    _check_staging_disjoint("/hdfs/nn/idx", "hdfs://nn/idx")
+
+
+def test_sidecar_write_failure_does_not_fail_the_build(
+    spark, tmp_path, monkeypatch
+):
+    """The sidecar is an optimization: a transient failure of its small
+    driver-side write must not fail an otherwise-complete build (nor
+    skip staging cleanup) — serving just pays the fallback job."""
+    from redpanda_to_parquet_writer_spark.operators import similarity as sim
+
+    def _boom(spark_, index_path):
+        raise OSError("simulated transient FS failure")
+
+    monkeypatch.setattr(sim, "_sidecar_jpath", _boom)
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    idx = str(tmp_path / "idx")
+    staging = str(tmp_path / "staging")
+    books = sim.build_ivf_index_sharded(
+        emb, idx, 2, use_arrow=True, staging_path=staging
+    )
+    assert sorted(books) == [0, 1]
+    import os
+    assert not os.path.exists(staging), "staging cleanup must still run"
+    assert not os.path.exists(f"{idx}/_codebook_stats.json")
+    # the serve works regardless (fallback job path)
+    queries = emb.limit(3)
+    monkeypatch.undo()
+    assert (
+        sim.ivf_topk_indexed_sharded_chunked(
+            spark, idx, queries, books, k=3, n_probe=4
+        ).count()
+        == 9
+    )
+
+
+def test_chunked_serve_accepts_str_shard_keys(spark, tmp_path):
+    """A codebook snapshot round-tripped through JSON metadata comes
+    back with str keys ('0', '1', ...). The serve's stats plumbing must
+    index by the caller's ORIGINAL keys on every path (sidecar,
+    fallback job, worst-chunk bytes) instead of KeyError'ing."""
+    from redpanda_to_parquet_writer_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    queries = emb.limit(5)
+    idx = str(tmp_path / "idx")
+    books = sim.build_ivf_index_sharded(emb, idx, 4, use_arrow=True)
+    base = _served(
+        sim.ivf_topk_indexed_sharded(spark, idx, queries, books, k=3, n_probe=4)
+    )
+    str_books = {str(s): df for s, df in books.items()}
+    # explicit multi-chunk with the sidecar present (the r16 regression
+    # shape), self-sized with sidecar, and self-sized via the fallback job
+    for kwargs in ({"chunk_shards": 2}, {}):
+        got = _served(
+            sim.ivf_topk_indexed_sharded_chunked(
+                spark, idx, queries, str_books, k=3, n_probe=4, **kwargs
+            )
+        )
+        assert got == base, kwargs
+    (tmp_path / "idx" / "_codebook_stats.json").unlink()
+    got = _served(
+        sim.ivf_topk_indexed_sharded_chunked(
+            spark, idx, queries, str_books, k=3, n_probe=4
+        )
+    )
+    assert got == base
+
+
+def test_codebook_stats_dim_is_max_over_rows(spark):
+    """materialize_centroids' stashed dim must be the MAX over rows
+    (matching the fallback job's max(size)) so a short first vector
+    cannot understate the sidecar's bytes."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        materialize_centroids,
+    )
+
+    cb = spark.createDataFrame(
+        [(0, [1.0]), (1, [0.0, 1.0, 2.0])], "cluster_id int, cv array<double>"
+    )
+    assert materialize_centroids(cb)._codebook_stats == (2, 3)
