@@ -50,8 +50,14 @@ sys.path.insert(0, ROOT)
 from redpanda_to_parquet_writer_spark.config import EngineConfig  # noqa: E402
 from redpanda_to_parquet_writer_spark.session import get_spark  # noqa: E402
 
+#: `--decade20` runs the NEXT decade: 20M vectors synthesized as 10
+#: replicas of the 2M corpus (transform-of-transform — still a distinct
+#: orthogonal map per replica), probe row tagged chunked_serve_20m.
+DECADE20 = "--decade20" in sys.argv
 SF10_DIR = os.path.join(ROOT, ".scaling_sf10")
-SF2M_DIR = os.path.join(ROOT, ".scaling_sf2m")
+SRC_DIR = os.path.join(ROOT, ".scaling_sf2m" if DECADE20 else ".scaling_sf10")
+OUT_DIR = os.path.join(ROOT, ".scaling_sf20m" if DECADE20 else ".scaling_sf2m")
+PROBE_TAG = "chunked_serve_20m" if DECADE20 else "chunked_serve_2m"
 REPLICAS = 10
 N_SHARDS = 8
 N_QUERIES = 8
@@ -59,16 +65,16 @@ K = 3
 N_PROBE = 8
 
 
-def synthesize_2m() -> None:
-    """10 disjoint-key orthogonally-transformed replicas of the 200k
+def synthesize_decade() -> None:
+    """10 disjoint-key orthogonally-transformed replicas of the source
     corpus — the sf10 synthesis recipe, one decade up."""
     import duckdb
 
-    os.makedirs(SF2M_DIR, exist_ok=True)
+    os.makedirs(OUT_DIR, exist_ok=True)
     con = duckdb.connect()
     con.execute(
         "CREATE OR REPLACE VIEW embeddings AS "
-        f"SELECT * FROM '{SF10_DIR}/embeddings.parquet'"
+        f"SELECT * FROM '{SRC_DIR}/embeddings.parquet'"
     )
     dim = int(
         con.execute("SELECT len(embedding) FROM embeddings LIMIT 1").fetchone()[0]
@@ -95,16 +101,19 @@ def synthesize_2m() -> None:
         for i in range(REPLICAS)
     )
     con.execute(
-        f"COPY ({union}) TO '{SF2M_DIR}/embeddings.parquet' (FORMAT PARQUET)"
+        f"COPY ({union}) TO '{OUT_DIR}/embeddings.parquet' (FORMAT PARQUET)"
     )
-    print("synthesized 2M embeddings", flush=True)
+    print(f"synthesized {OUT_DIR} embeddings", flush=True)
 
 
 def main() -> None:
-    if not os.path.exists(os.path.join(SF10_DIR, "embeddings.parquet")):
-        raise SystemExit("run scripts/scaling_sf10_probe.py first (needs .scaling_sf10)")
-    if not os.path.exists(os.path.join(SF2M_DIR, "embeddings.parquet")):
-        synthesize_2m()
+    if not os.path.exists(os.path.join(SRC_DIR, "embeddings.parquet")):
+        raise SystemExit(
+            f"{SRC_DIR} missing — run scripts/scaling_sf10_probe.py first"
+            + (" then this script without --decade20" if DECADE20 else "")
+        )
+    if not os.path.exists(os.path.join(OUT_DIR, "embeddings.parquet")):
+        synthesize_decade()
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
@@ -127,7 +136,7 @@ def main() -> None:
     )
 
     tmp = tempfile.mkdtemp(prefix="chunked_2m_")
-    emb = spark.read.parquet(f"{SF2M_DIR}/embeddings.parquet")
+    emb = spark.read.parquet(f"{OUT_DIR}/embeddings.parquet")
     n = emb.count()
     queries = emb.limit(N_QUERIES)
     print(f"corpus={n} vectors; building {N_SHARDS}-shard index…", flush=True)
@@ -192,7 +201,7 @@ def main() -> None:
             flush=True,
         )
     row = {
-        "probe": "chunked_serve_2m",
+        "probe": PROBE_TAG,
         "corpus": n,
         "n_shards": N_SHARDS,
         "n_queries": N_QUERIES,
