@@ -141,7 +141,17 @@ def main() -> None:
     queries = emb.limit(N_QUERIES)
     print(f"corpus={n} vectors; building {N_SHARDS}-shard index…", flush=True)
     t0 = time.perf_counter()
-    books = build_ivf_index_sharded(emb, f"{tmp}/sh", N_SHARDS, use_arrow=True)
+    # --decade20 builds with n_updates=0 (init-only codebook): this is
+    # a SERVE-cost probe, so list geometry is what matters, not recall
+    # — the default Lloyd update trains through the JVM join assignment
+    # (n x k joined rows per pass; at 20M with per-shard k=2000 that is
+    # ~40 BILLION joined rows, hours of build for zero serve-cost
+    # signal). Same convention as the degenerate probe and the
+    # candidate-volume decade test.
+    books = build_ivf_index_sharded(
+        emb, f"{tmp}/sh", N_SHARDS, use_arrow=True,
+        n_updates=0 if DECADE20 else 1,
+    )
     t_build = time.perf_counter() - t0
     print(f"build {t_build:.1f}s", flush=True)
 
