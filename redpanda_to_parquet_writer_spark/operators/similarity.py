@@ -1095,13 +1095,32 @@ def _write_codebook_sidecar(
     side already treats absent/corrupt as 'run the fallback job', so a
     transient failure of this small driver-side PUT must not fail an
     otherwise-complete multi-minute build/append (nor skip its staging
-    cleanup) — the only cost of a missing sidecar is the ~2s job."""
-    import json
+    cleanup) — the only cost of a missing sidecar is the ~2s job. The
+    degradation is OBSERVABLE (VERDICT r16 #3): a persistent FS failure
+    (permissions, quota) would otherwise silently reintroduce that job
+    on every serve forever with nothing in any log to say why, so the
+    except path warns with the path and cause.
 
+    ATOMIC (ADVICE r16 #3): the payload lands under a dot-prefixed temp
+    name and is renamed over the final path — rename is atomic on
+    HDFS/local and good-enough on object stores — so a driver crash
+    mid-write can never leave a truncated sidecar for a concurrent
+    serve to trip the fallback on. And a FAILED overwrite can never
+    leave the OLD sidecar describing a REBUILT index (ADVICE r16 #2 —
+    stale counts would mis-size chunk_shards and the fan-out's memory
+    envelope): the previous sidecar is deleted before the rename slot,
+    and the failure path best-effort deletes whatever remains."""
+    import json
+    import warnings
+
+    jpath = tmp = fs = None
     try:
         jpath = _sidecar_jpath(spark, index_path)
+        tmp = spark._jvm.org.apache.hadoop.fs.Path(
+            f"{index_path.rstrip('/')}/.{_CODEBOOK_STATS_SIDECAR}.tmp"
+        )
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        out = fs.create(jpath, True)
+        out = fs.create(tmp, True)
         try:
             payload = {
                 "dim": int(dim),
@@ -1112,8 +1131,27 @@ def _write_codebook_sidecar(
             out.write(bytearray(json.dumps(payload).encode("utf-8")))
         finally:
             out.close()
-    except Exception:
-        pass
+        # HDFS rename does not overwrite: clear the old sidecar first.
+        # Readers racing this window see 'absent' -> bounded fallback
+        # job, never a stale or partial file.
+        fs.delete(jpath, False)
+        if not fs.rename(tmp, jpath):
+            raise IOError(f"rename {tmp} -> {jpath} returned false")
+    except Exception as e:
+        warnings.warn(
+            f"codebook-stats sidecar write failed for {index_path!r} "
+            f"({e!r}); index is complete and correct, but self-sized "
+            "serves pay the bounded stats job (~2s) until a later "
+            "build/append rewrites the sidecar",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        for leftover in (tmp, jpath):
+            if leftover is not None and fs is not None:
+                try:
+                    fs.delete(leftover, False)
+                except Exception:
+                    pass
 
 
 def _read_codebook_sidecar(spark, index_path: str):
@@ -1835,17 +1873,37 @@ def append_ivf_index_sharded(
 
         with ThreadPoolExecutor(max_workers=min(8, n_shards)) as ex:
             list(ex.map(_append, range(n_shards)))
+    if staging_path is not None and cleanup_staging:
+        _remove_staging(df.sparkSession, staging_path)
     # sidecar consistency (VERDICT r15 #1): appends never change the
     # (frozen) codebooks, so an existing sidecar stays correct by
     # construction; an index built before the sidecar existed gets it
     # BACKFILLED here — one bounded aggregate at append (maintenance)
-    # time buys every later serve call its free self-sizing
+    # time buys every later serve call its free self-sizing.
+    # BEST-EFFORT end to end, AFTER staging cleanup (ADVICE r16 #1):
+    # by this line the append has durably completed, so nothing in the
+    # backfill — the sidecar probe, the fallback stats job's transient
+    # Spark failures or its targeted NULL-centroid error, the write —
+    # may make the call raise (a caller retrying a 'failed' append
+    # would double-append the batch) or skip the cleanup above.
     spark = df.sparkSession
-    if _read_codebook_sidecar(spark, path) is None:
-        stats = _local_codebook_stats(codebooks) or _codebook_stats_job(codebooks)
-        _write_codebook_sidecar(spark, path, *stats)
-    if staging_path is not None and cleanup_staging:
-        _remove_staging(df.sparkSession, staging_path)
+    try:
+        if _read_codebook_sidecar(spark, path) is None:
+            stats = _local_codebook_stats(codebooks) or _codebook_stats_job(
+                codebooks
+            )
+            _write_codebook_sidecar(spark, path, *stats)
+    except Exception as e:
+        import warnings
+
+        warnings.warn(
+            f"codebook-stats sidecar backfill failed for {path!r} "
+            f"({e!r}); the append itself completed — self-sized serves "
+            "pay the bounded stats job (~2s) until a later append "
+            "backfills the sidecar",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
 def deterministic_centroids(

@@ -1252,9 +1252,13 @@ def test_sidecar_write_failure_does_not_fail_the_build(
     emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
     idx = str(tmp_path / "idx")
     staging = str(tmp_path / "staging")
-    books = sim.build_ivf_index_sharded(
-        emb, idx, 2, use_arrow=True, staging_path=staging
-    )
+    # the degradation must be OBSERVABLE (VERDICT r16 #3): a persistent
+    # FS failure otherwise silently costs every self-sized serve ~2s
+    # forever with nothing in any log to say why
+    with pytest.warns(RuntimeWarning, match="sidecar write failed"):
+        books = sim.build_ivf_index_sharded(
+            emb, idx, 2, use_arrow=True, staging_path=staging
+        )
     assert sorted(books) == [0, 1]
     import os
     assert not os.path.exists(staging), "staging cleanup must still run"
@@ -1268,6 +1272,84 @@ def test_sidecar_write_failure_does_not_fail_the_build(
         ).count()
         == 9
     )
+
+
+def test_sidecar_write_is_atomic_and_overwrites_cleanly(spark, tmp_path):
+    """ADVICE r16 #3: the sidecar lands via temp-name + rename, so no
+    .tmp residue survives a successful write, and a rebuild's write
+    replaces an existing (stale) sidecar with the new payload."""
+    from redpanda_to_parquet_writer_spark.operators import similarity as sim
+
+    idx = tmp_path / "idx"
+    idx.mkdir()
+    final = idx / "_codebook_stats.json"
+    final.write_text('{"dim": 99, "counts": {"0": 99}}')  # stale rebuild victim
+    sim._write_codebook_sidecar(spark, str(idx), {0: 5, 1: 7}, 4)
+    assert _sidecar_payload(str(idx)) == {
+        "dim": 4,
+        "counts": {"0": 5, "1": 7},
+    }
+    assert not (idx / "._codebook_stats.json.tmp").exists()
+
+
+def test_failed_sidecar_overwrite_removes_the_stale_sidecar(spark, tmp_path):
+    """ADVICE r16 #2: a rebuild whose sidecar write fails must not
+    leave the OLD sidecar describing the NEW index — stale counts would
+    mis-size chunk_shards and the fan-out's broadcast envelope. The
+    failure path deletes whatever sidecar remains (serves fall back to
+    the bounded stats job, which is always correct)."""
+    from redpanda_to_parquet_writer_spark.operators import similarity as sim
+
+    idx = tmp_path / "idx"
+    idx.mkdir()
+    final = idx / "_codebook_stats.json"
+    final.write_text('{"dim": 2, "counts": {"0": 4}}')  # the pre-rebuild sidecar
+    # natural failure injection: a non-empty DIRECTORY squatting on the
+    # temp name makes fs.create(tmp, overwrite) throw
+    (idx / "._codebook_stats.json.tmp" / "blocker").mkdir(parents=True)
+    with pytest.warns(RuntimeWarning, match="sidecar write failed"):
+        sim._write_codebook_sidecar(spark, str(idx), {0: 5}, 4)
+    assert not final.exists(), "stale sidecar must not survive a failed overwrite"
+    assert sim._read_codebook_sidecar(spark, str(idx)) is None
+
+
+def test_append_backfill_failure_does_not_fail_the_append(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r16 #1: on a sidecar-less index with caller-reconstructed
+    codebooks, the backfill's stats JOB runs after the per-shard
+    appends have durably completed — a failure there (transient Spark,
+    or the targeted NULL-centroid error) must neither fail the append
+    (a retry would double-append the batch) nor skip staging cleanup."""
+    import os
+
+    from redpanda_to_parquet_writer_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    idx = str(tmp_path / "idx")
+    books = sim.build_ivf_index_sharded(emb, idx, 2, use_arrow=True)
+    n_built = spark.read.parquet(idx).count()
+    (tmp_path / "idx" / "_codebook_stats.json").unlink()  # pre-sidecar index
+
+    def _boom(codebooks):
+        raise RuntimeError("simulated stats-job failure")
+
+    monkeypatch.setattr(sim, "_codebook_stats_job", _boom)
+    # caller-reconstructed codebooks (e.g. reloaded from a snapshot):
+    # no _codebook_stats attribute, so the backfill needs the job
+    rebuilt = {s: b.select("cluster_id", "cv") for s, b in books.items()}
+    assert sim._local_codebook_stats(rebuilt) is None
+    batch = emb.limit(10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    staging = str(tmp_path / "staging")
+    with pytest.warns(RuntimeWarning, match="sidecar backfill failed"):
+        sim.append_ivf_index_sharded(
+            batch, rebuilt, idx, use_arrow=True, staging_path=staging
+        )
+    assert not os.path.exists(staging), "staging cleanup must still run"
+    assert spark.read.parquet(idx).count() == n_built + 10
+    assert sim._read_codebook_sidecar(spark, idx) is None
 
 
 def test_chunked_serve_accepts_str_shard_keys(spark, tmp_path):
