@@ -837,6 +837,8 @@ def build_ivf_index_auto(
     target_list_len: int = IVF_TARGET_LIST_LEN,
     n_updates: int = 1,
     use_arrow: bool = False,
+    max_train_rows: int | None = None,
+    train_use_arrow: bool = False,
 ) -> DataFrame:
     """Production index build with the codebook sized BY the corpus:
     counts the corpus once, selects k via `select_n_centroids`, trains
@@ -850,9 +852,33 @@ def build_ivf_index_auto(
     callers with a known n can call `select_n_centroids` +
     `kmeans_lloyd_centroids` + `build_ivf_index` directly — this
     wrapper just makes the scaling contract the default path.
+
+    Codebook TRAINING is sample-bounded (VERDICT r16 #4): at most
+    `max_train_rows` vectors (None -> 256 * k) feed the Lloyd updates,
+    so training cost stays flat as the corpus grows — and because the
+    count is already in hand here, a corpus that fits the cap skips the
+    sample plan node entirely (byte-identical plan AND centroids to the
+    pre-cap build). `train_use_arrow` picks the vectorized assignment
+    for the TRAINING passes independently of `use_arrow` (which governs
+    the index-write assignment), because the two have different
+    correctness contracts: the write assignment is served-top-k-gated,
+    the trainer is centroid-fixture-gated.
     """
-    k = select_n_centroids(df.count(), target_list_len)
-    cents = kmeans_lloyd_centroids(df, id_col, vec_col, k=k, n_updates=n_updates)
+    n_rows = df.count()
+    k = select_n_centroids(n_rows, target_list_len)
+    cap = _resolve_train_cap(k, max_train_rows)
+    cents = kmeans_lloyd_centroids(
+        df,
+        id_col,
+        vec_col,
+        k=k,
+        n_updates=n_updates,
+        # count in hand: a corpus inside the cap trains unbounded (0),
+        # keeping the plan and centroids byte-identical to the pre-cap
+        # build instead of adding an identity top-N node
+        max_train_rows=0 if (cap is None or n_rows <= cap) else cap,
+        use_arrow=train_use_arrow,
+    )
     build_ivf_index(df, cents, path, id_col, vec_col, use_arrow=use_arrow)
     return cents
 
@@ -1261,6 +1287,8 @@ def build_ivf_index_sharded(
     use_arrow: bool = False,
     staging_path: str | None = None,
     cleanup_staging: bool = True,
+    max_train_rows: int | None = None,
+    train_use_arrow: bool = False,
 ) -> dict[int, DataFrame]:
     """The scale path PAST the codebook clamp (`select_n_centroids`
     k_max): past ~k_max * target_list_len rows (~82M at the defaults) a
@@ -1314,6 +1342,14 @@ def build_ivf_index_sharded(
     deleted (pass `cleanup_staging=False` to keep the routed layout —
     e.g. to inspect it or reuse it for an immediate re-build). A failed
     build leaves the staging in place for retry.
+
+    Each shard's codebook TRAINS on a bounded sample (VERDICT r16 #4 —
+    `max_train_rows`, None -> 256 x that shard's k; `train_use_arrow`
+    picks the vectorized training assignment): see
+    `kmeans_lloyd_centroids`. This is what makes TRAINED codebooks
+    affordable at sharding scale — without the cap each shard's every
+    Lloyd update joins its full slice against its codebook (~40 billion
+    joined rows per pass at 20M vectors x per-shard k=2000).
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
@@ -1340,6 +1376,8 @@ def build_ivf_index_sharded(
             target_list_len=target_list_len,
             n_updates=n_updates,
             use_arrow=use_arrow,
+            max_train_rows=max_train_rows,
+            train_use_arrow=train_use_arrow,
         )
 
     if n_shards == 1:
@@ -1371,6 +1409,8 @@ def build_ivf_index_auto_sharded(
     use_arrow: bool = False,
     staging_path: str | None = None,
     cleanup_staging: bool = True,
+    max_train_rows: int | None = None,
+    train_use_arrow: bool = False,
 ) -> dict[int, DataFrame]:
     """The fully-automatic index build (VERDICT r12 #5): counts the
     corpus once, picks the shard count from the sharding contract
@@ -1400,6 +1440,8 @@ def build_ivf_index_auto_sharded(
         use_arrow=use_arrow,
         staging_path=staging_path,
         cleanup_staging=cleanup_staging,
+        max_train_rows=max_train_rows,
+        train_use_arrow=train_use_arrow,
     )
 
 
@@ -2615,17 +2657,135 @@ def _lloyd_update(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _resolve_train_cap(k: int, max_train_rows: int | None) -> int | None:
+    """The training-sample cap contract (VERDICT r16 #4): None ->
+    256 * k (the FAISS convention for 'enough points per centroid to
+    train a quantizer'), 0 -> unbounded (train on the whole corpus —
+    the explicit escape hatch and the bitwise-gate baseline), n >= 1 ->
+    cap at n. Returns the resolved cap or None for unbounded."""
+    if max_train_rows is None:
+        return 256 * k
+    if max_train_rows < 0:
+        raise ValueError(
+            f"max_train_rows must be >= 0 (0 = unbounded), got {max_train_rows}"
+        )
+    return max_train_rows if max_train_rows > 0 else None
+
+
+def _train_sample(v: DataFrame, id_col: str, cap: int) -> DataFrame:
+    """Deterministic bounded training sample: the `cap` lowest rows by
+    (xxhash64(id), id) — a uniform-ish, seedless, ORACLE-REPLAYABLE
+    draw (the same hash family as `_shard_router`, expressible in SQL
+    as ORDER BY hash LIMIT n). The id tiebreak pins the boundary row
+    when two ids collide on the hash.
+
+    Identity by construction when cap >= corpus: a top-N over <= N rows
+    passes every row through, and the Lloyd trainer downstream is
+    order-independent (init re-sorts by id; updates are rounded
+    aggregates), so capping at-or-above the corpus reproduces the
+    unbounded centroids — the bitwise gate in
+    tests/test_retrieval_clustering.py.
+
+    Scale shape: plans as TakeOrderedAndProject (per-partition top-N,
+    one merge of cap rows — never a global sort), so the sample costs
+    one corpus scan regardless of corpus size; the caller repartitions
+    and persists the cap-bounded result so every training pass after
+    the first reads cached sample bytes, not the corpus."""
+    return v.orderBy(
+        F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc()
+    ).limit(cap)
+
+
+def _lloyd_assign_arrow(v: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """`_lloyd_assign_once`'s Arrow-batched numpy twin — the TRAINING
+    accelerator that makes bounded-sample codebook training minutes
+    instead of hours at real k (the JVM broadcast-join + fold evaluates
+    ~100k joined rows/s; one (batch x dim) @ (dim x k) matmul covers
+    the same pairs per batch vectorized).
+
+    Semantics mirror the JVM pass: squared-Euclidean distance rounded
+    to 6 decimals BEFORE the argmin, ties to the lowest cluster_id
+    (argmin scans the id-sorted centroid matrix and returns the first
+    minimum), NULL / wrong-length vectors land in the LOWEST cluster id
+    (the JVM's NULL dist sorts first in the min-struct; `_batch_matrix`
+    flags those rows instead of crashing numpy). Exact equality with
+    the JVM pass is NOT guaranteed on adversarial near-ties (numpy
+    computes ||x||^2 - 2x.c + ||c||^2 with pairwise sums and half-even
+    rounding; the JVM folds (x-y)^2 left-to-right and half-up rounds
+    the decimal repr — both land on the same 1e-6 grid except at exact
+    grid-boundary / tie values): fixture equality of the TRAINED
+    CENTROIDS is pinned in tests, the same contract as
+    `ivf_assign_arrow`'s served-top-k gate. The oracle-gated default
+    path stays the JVM pass."""
+    import numpy as np
+    import pandas as pd
+
+    rows = _centroid_rows(cents)
+    ids = np.array([cid for cid, _ in rows], dtype=np.int64)
+    cmat = np.array([cv for _, cv in rows], dtype=np.float64)  # k x dim
+    c2 = (cmat * cmat).sum(axis=1)  # k
+
+    def batches(it):
+        for pdf in it:
+            vecs, bad = _batch_matrix(pdf, "v", cmat.shape[1])  # n x dim
+            dist = (
+                (vecs * vecs).sum(axis=1)[:, None]
+                - 2.0 * (vecs @ cmat.T)
+                + c2[None, :]
+            )
+            dist = np.round(dist, 6)
+            best = np.argmin(dist, axis=1)
+            best[bad] = 0
+            mind = dist[np.arange(len(vecs)), best]
+            mind[bad] = np.nan
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "cluster_id": ids[best].astype("int32"),
+                    "dist": mind,
+                    "v": pdf["v"].values,
+                }
+            )
+
+    return v.select(id_col, "v").mapInPandas(
+        batches, f"{id_col} long, cluster_id int, dist double, v array<double>"
+    )
+
+
 def kmeans_lloyd_centroids(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 8,
     n_updates: int = 1,
+    max_train_rows: int | None = None,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """Centroids after `n_updates` deterministic Lloyd updates from the
     lowest-id-vector init — the oracle-replayable PRODUCTION quantizer
     feed for IVF index builds (`ann_kmeans_recall_audit` gates that the
     resulting inverted lists reach at-least-deterministic recall).
+
+    Training reads at most `max_train_rows` vectors (VERDICT r16 #4 —
+    None -> the FAISS-convention 256 * k; 0 -> unbounded), drawn as the
+    deterministic hash-ordered top-N (`_train_sample`). This caps the
+    assignment join at O(k * max_train_rows) per update REGARDLESS of
+    corpus size — without it each update joins EVERY corpus row against
+    the codebook (~40 BILLION joined rows per pass at 20M vectors x
+    per-shard k=2000, the build path's scale wall), which is why a
+    100-TB build could never afford a trained codebook. A cap at or
+    above the corpus size reproduces the unbounded centroids exactly
+    (the top-N passes every row through and the trainer is
+    order-independent) — bitwise-gated in tests, so the frozen registry
+    queries are unchanged at every test scale.
+
+    `use_arrow=True` swaps each update's assignment pass for the
+    vectorized numpy twin (`_lloyd_assign_arrow` — one matmul per Arrow
+    batch instead of ~100k joined rows/s through the JVM fold); with
+    the default cap that makes trained codebooks at real per-shard k
+    (2000+) a minutes-scale build step. The JVM pass stays the default:
+    it is the oracle-gated path, and the twins can differ on exact
+    1e-6-grid-boundary ties (see `_lloyd_assign_arrow`).
 
     Returns a LOCAL (cluster_id, cv) relation (`materialize_centroids`),
     ready to broadcast into `ivf_topk`/`build_ivf_index`; per-update
@@ -2634,12 +2794,29 @@ def kmeans_lloyd_centroids(
     """
     if n_updates < 0:
         raise ValueError(f"n_updates must be >= 0, got {n_updates}")
+    cap = _resolve_train_cap(k, max_train_rows)
     v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    cents = materialize_centroids(
-        deterministic_centroids(df, k, id_col, vec_col)
-    )
-    for _ in range(n_updates):
-        cents = materialize_centroids(_lloyd_update(_lloyd_assign_once(v, cents, id_col)))
+    train = v if cap is None else _train_sample(v, id_col, cap)
+    cached = None
+    if cap is not None and n_updates > 0:
+        # the top-N merge lands on ONE partition; spread the (bounded)
+        # sample back out and cache it so the init pass and every
+        # update's assignment read cached sample bytes, not the corpus
+        cached = train = train.repartition(
+            df.sparkSession.sparkContext.defaultParallelism
+        ).persist()
+    try:
+        cents = materialize_centroids(
+            deterministic_centroids(train, k, id_col, "v")
+        )
+        assign = _lloyd_assign_arrow if use_arrow else _lloyd_assign_once
+        for _ in range(n_updates):
+            cents = materialize_centroids(
+                _lloyd_update(assign(train, cents, id_col))
+            )
+    finally:
+        if cached is not None:
+            cached.unpersist()
     return cents
 
 
@@ -2649,6 +2826,8 @@ def kmeans_lloyd_assign(
     vec_col: str = "embedding",
     k: int = 8,
     n_iter: int = 2,
+    max_train_rows: int | None = None,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """Distributed Lloyd k-means over an embedding column — the semantic
     clustering step of cluster-based data curation (balance / prune a
@@ -2675,15 +2854,26 @@ def kmeans_lloyd_assign(
         partial-aggregates map-side, so the per-iteration shuffle
         carries one (sum, count) per (cluster, dim) per input partition
         — independent of corpus row count;
-      - per-iteration driver traffic is k x dim doubles, never rows.
+      - per-iteration driver traffic is k x dim doubles, never rows;
+      - TRAINING (the n_iter - 1 updates) reads at most `max_train_rows`
+        vectors (None -> 256 * k, 0 -> unbounded — the
+        `kmeans_lloyd_centroids` cap contract); only the one FINAL
+        assignment pass touches the full corpus, so the per-row cost at
+        100 TB is one broadcast argmin, not n_iter of them.
+        `use_arrow=True` runs both the training and the final
+        assignment through the vectorized numpy twin (fixture-gated
+        against the JVM pass; the oracle-gated default stays JVM).
     Returns (id_col, cluster_id, dist) after `n_iter` assignment passes
     (i.e. n_iter - 1 centroid updates then one final assignment).
     """
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    cents = kmeans_lloyd_centroids(df, id_col, vec_col, k, n_iter - 1)
-    assigned = _lloyd_assign_once(v, cents, id_col)
+    cents = kmeans_lloyd_centroids(
+        df, id_col, vec_col, k, n_iter - 1, max_train_rows, use_arrow
+    )
+    assign = _lloyd_assign_arrow if use_arrow else _lloyd_assign_once
+    assigned = assign(v, cents, id_col)
     return assigned.select(id_col, "cluster_id", "dist")
 
 

@@ -210,3 +210,178 @@ def test_kmeans_quantizer_recall_not_worse_aggregate(spark, sf_dir):
         r["n_matched_det"] for r in rows
     )
     assert all(r["n_exact"] == 3 for r in rows)
+
+
+# --- bounded-sample codebook training (VERDICT r16 #4) ----------------------
+
+def test_resolve_train_cap_contract():
+    """None -> the FAISS-convention 256*k, 0 -> unbounded (None),
+    n -> n, negative -> error."""
+    import pytest
+
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        _resolve_train_cap,
+    )
+
+    assert _resolve_train_cap(8, None) == 2048
+    assert _resolve_train_cap(2000, None) == 512_000
+    assert _resolve_train_cap(8, 0) is None
+    assert _resolve_train_cap(8, 100) == 100
+    with pytest.raises(ValueError, match="max_train_rows"):
+        _resolve_train_cap(8, -1)
+
+
+def test_train_cap_at_or_above_corpus_is_bitwise_identity(spark):
+    """THE bitwise gate: a cap at or above the corpus size must
+    reproduce the unbounded centroids exactly (the hash-ordered top-N
+    passes every row through and the trainer is order-independent), so
+    the default 256*k cap cannot move any frozen registry query at any
+    test scale (2,048 >= the 2,000-vector sf0.1 fixture)."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        kmeans_lloyd_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full = sorted(
+        tuple(r)
+        for r in kmeans_lloyd_centroids(
+            emb, k=8, n_updates=2, max_train_rows=0
+        ).collect()
+    )
+    for cap in (None, 500, 501):  # default 2048; == corpus; corpus + 1
+        got = sorted(
+            tuple(r)
+            for r in kmeans_lloyd_centroids(
+                emb, k=8, n_updates=2, max_train_rows=cap
+            ).collect()
+        )
+        assert got == full, f"cap={cap}"
+
+
+def test_sampled_training_trains_on_exactly_the_hash_ordered_sample(spark):
+    """With cap < corpus the trainer must see exactly the cap lowest
+    rows by (xxhash64(id), id): training the full frame capped equals
+    training the independently-materialized sample unbounded — and is
+    deterministic across calls."""
+    from pyspark.sql import functions as F
+
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        kmeans_lloyd_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    capped = sorted(
+        tuple(r)
+        for r in kmeans_lloyd_centroids(
+            emb, k=8, n_updates=2, max_train_rows=100
+        ).collect()
+    )
+    again = sorted(
+        tuple(r)
+        for r in kmeans_lloyd_centroids(
+            emb, k=8, n_updates=2, max_train_rows=100
+        ).collect()
+    )
+    assert capped == again
+    sample_ids = [
+        r["vec_id"]
+        for r in emb.select("vec_id")
+        .orderBy(F.xxhash64("vec_id").asc(), F.col("vec_id").asc())
+        .limit(100)
+        .collect()
+    ]
+    subset = emb.filter(F.col("vec_id").isin(sample_ids))
+    on_subset = sorted(
+        tuple(r)
+        for r in kmeans_lloyd_centroids(
+            subset, k=8, n_updates=2, max_train_rows=0
+        ).collect()
+    )
+    assert capped == on_subset
+
+
+def test_arrow_trainer_matches_jvm_on_fixture(spark):
+    """`use_arrow=True` (the matmul training assignment) must reproduce
+    the JVM fold's centroids on the fixture, capped and uncapped — the
+    same fixture-equality contract as `ivf_assign_arrow`'s served
+    top-k. Ditto the full `kmeans_lloyd_assign` surface."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        kmeans_lloyd_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for cap in (0, 100):
+        jvm = sorted(
+            tuple(r)
+            for r in kmeans_lloyd_centroids(
+                emb, k=8, n_updates=2, max_train_rows=cap
+            ).collect()
+        )
+        arrow = sorted(
+            tuple(r)
+            for r in kmeans_lloyd_centroids(
+                emb, k=8, n_updates=2, max_train_rows=cap, use_arrow=True
+            ).collect()
+        )
+        assert arrow == jvm, f"cap={cap}"
+    j = sorted(
+        tuple(r)
+        for r in kmeans_lloyd_assign(emb, k=8, n_iter=2).collect()
+    )
+    a = sorted(
+        tuple(r)
+        for r in kmeans_lloyd_assign(emb, k=8, n_iter=2, use_arrow=True).collect()
+    )
+    assert a == j
+
+
+def test_sampled_trained_lists_hit_the_deterministic_recall_floor(spark):
+    """Property over a blob-corpus family (three seeds): inverted lists
+    from a SAMPLE-trained codebook (cap < corpus) must still reach at
+    least the deterministic (lowest-id) quantizer's aggregate recall
+    against exact brute force — the sampled twin of the
+    `ann_kmeans_recall_audit` floor."""
+    import numpy as np
+
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        brute_force_topk,
+        deterministic_centroids,
+        ivf_topk,
+        kmeans_lloyd_centroids,
+        materialize_centroids,
+    )
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        centers = rng.normal(0, 10, size=(4, 8))
+        vecs = np.concatenate(
+            [c + rng.normal(0, 1, size=(100, 8)) for c in centers]
+        )
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        queries = df.filter((df.vec_id >= 200) & (df.vec_id < 210))
+        kcents = kmeans_lloyd_centroids(
+            df, k=4, n_updates=2, max_train_rows=128
+        )
+        dcents = materialize_centroids(
+            deterministic_centroids(df, 4, "vec_id", "embedding")
+        )
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(
+                df, queries, "vec_id", "embedding", 3
+            ).collect()
+        }
+        hits = {}
+        for name, cents in (("kmeans", kcents), ("det", dcents)):
+            got = {
+                (r["query_id"], r["neighbor_id"])
+                for r in ivf_topk(
+                    df, queries, cents, "vec_id", "embedding", 3, 2
+                ).collect()
+            }
+            hits[name] = len(got & exact)
+        assert hits["kmeans"] >= hits["det"], (seed, hits)
+        assert hits["kmeans"] >= int(0.9 * len(exact)), (seed, hits)
