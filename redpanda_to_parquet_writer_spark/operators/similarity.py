@@ -2720,7 +2720,21 @@ def _lloyd_assign_arrow(v: DataFrame, cents: DataFrame, id_col: str) -> DataFram
     import numpy as np
     import pandas as pd
 
+    out_schema = f"{id_col} long, cluster_id int, dist double, v array<double>"
     rows = _centroid_rows(cents)
+    if not rows:
+        # every cluster died (degenerate corpus): the JVM pass's join
+        # against an empty codebook yields no assignments — match it
+        return (
+            v.select(id_col, "v")
+            .limit(0)
+            .select(
+                F.col(id_col),
+                F.lit(None).cast("int").alias("cluster_id"),
+                F.lit(None).cast("double").alias("dist"),
+                "v",
+            )
+        )
     ids = np.array([cid for cid, _ in rows], dtype=np.int64)
     cmat = np.array([cv for _, cv in rows], dtype=np.float64)  # k x dim
     c2 = (cmat * cmat).sum(axis=1)  # k
@@ -2737,7 +2751,11 @@ def _lloyd_assign_arrow(v: DataFrame, cents: DataFrame, id_col: str) -> DataFram
             best = np.argmin(dist, axis=1)
             best[bad] = 0
             mind = dist[np.arange(len(vecs)), best]
-            mind[bad] = np.nan
+            if bad.any():
+                # JVM parity: a NULL/ragged vector's dist is NULL (the
+                # fold over a padded pair), not NaN
+                mind = mind.astype(object)
+                mind[bad] = None
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
@@ -2747,9 +2765,7 @@ def _lloyd_assign_arrow(v: DataFrame, cents: DataFrame, id_col: str) -> DataFram
                 }
             )
 
-    return v.select(id_col, "v").mapInPandas(
-        batches, f"{id_col} long, cluster_id int, dist double, v array<double>"
-    )
+    return v.select(id_col, "v").mapInPandas(batches, out_schema)
 
 
 def kmeans_lloyd_centroids(

@@ -385,3 +385,42 @@ def test_sampled_trained_lists_hit_the_deterministic_recall_floor(spark):
             hits[name] = len(got & exact)
         assert hits["kmeans"] >= hits["det"], (seed, hits)
         assert hits["kmeans"] >= int(0.9 * len(exact)), (seed, hits)
+
+
+def test_arrow_lloyd_assign_edge_rows_match_jvm(spark):
+    """NULL, ragged, and zero vectors must land where the JVM pass puts
+    them (lowest cluster id, NULL dist for NULL/ragged), and an empty
+    codebook (every cluster died) must yield zero assignments on both
+    paths."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        _lloyd_assign_arrow,
+        _lloyd_assign_once,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0])], "cluster_id int, cv array<double>"
+    )
+    v = spark.createDataFrame(
+        [
+            (1, [0.5, 0.5]),
+            (2, [9.0, 9.0]),
+            (3, None),
+            (4, [1.0]),  # ragged
+            (5, [0.0, 0.0]),  # exact centroid hit
+        ],
+        "vec_id long, v array<double>",
+    )
+    jvm = {
+        r["vec_id"]: (r["cluster_id"], r["dist"])
+        for r in _lloyd_assign_once(v, cents, "vec_id").collect()
+    }
+    arrow = {
+        r["vec_id"]: (r["cluster_id"], r["dist"])
+        for r in _lloyd_assign_arrow(v, cents, "vec_id").collect()
+    }
+    assert arrow == jvm
+    assert jvm[3] == (0, None) and jvm[4] == (0, None)
+
+    empty = cents.limit(0)
+    assert _lloyd_assign_arrow(v, empty, "vec_id").count() == 0
+    assert _lloyd_assign_once(v, empty, "vec_id").count() == 0
