@@ -513,6 +513,21 @@ HEADLINE = [
     # audits (git log --stat zero-lineage arguments) should treat the
     # PAIR as one changeset; both halves landed and both are gated.
     #
+    # r17 watch item ann_pq_adc_topk (VERDICT r16 #2: two driver
+    # artifacts moving the same way, r15 0.971 -> r16 1.148s raw,
+    # ~1.41x anchor-normalized but under the 1.5x flag line, zero
+    # lineage both rounds): the r17 end-of-round sweep reads it at
+    # 0.9465s — below BOTH prior artifacts and below the 1.1s
+    # escalation threshold — in a 62.30s/136 full sweep (vs r16's
+    # 62.74s) whose bench_diff vs the r16 driver artifact shows zero
+    # flags >= 1.5x at anchor factor 1.057. The two-round climb did
+    # not continue and never had lineage (the r17 diff is the
+    # bounded-sample trainer + sidecar hardening, neither on the
+    # PQ-ADC path; PLANS.md regenerated byte-identical after expr-id
+    # normalization). Verdict: host character across the r15/r16
+    # driver sessions, self-cleared — no A/B needed under the
+    # escalation rule (threshold not met at r17).
+    #
     # r16 settled docs_incremental_neardup_filter's repeatable 1.17x
     # (VERDICT r15 #3: 0.746->0.894s across BOTH quiet r14/r15 driver
     # artifacts) with the same interleaved fresh-session A/B that
