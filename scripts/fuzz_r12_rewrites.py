@@ -614,10 +614,53 @@ def fuzz_chunked_serve(rng, spark) -> bool:
     return True
 
 
+def fuzz_sampled_lloyd_trainer(rng, spark) -> bool:
+    """r17 family #14 (VERDICT r16 #4): the bounded-sample Lloyd
+    trainer on random corpora — random dims, k, update counts, and
+    duplicate vectors (tie-break path). Two contracts per round:
+    (a) IDENTITY — a cap at or above the corpus size must reproduce
+    the unbounded centroids EXACTLY (the hash-ordered top-N passes
+    every row through and the trainer is order-independent);
+    (b) TWIN EQUALITY — with the cap genuinely engaged (cap < n), the
+    Arrow matmul training assignment must land on the same centroids
+    as the JVM fold (both round distances to the 1e-6 grid before the
+    argmin, ties to the lowest cluster id)."""
+    from redpanda_to_parquet_writer_spark.operators.similarity import (
+        kmeans_lloyd_centroids,
+    )
+
+    dim = rng.choice([2, 4, 8])
+    n = rng.randint(40, 120)
+    rows = []
+    for i in range(n):
+        if rng.random() < 0.15 and rows:
+            vec = list(rng.choice(rows)[1])  # duplicate vector, new id
+        else:
+            vec = [rng.uniform(-2.0, 2.0) for _ in range(dim)]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    k = rng.randint(2, 6)
+    n_updates = rng.randint(0, 3)
+
+    def cents(**kw):
+        return _rows_sorted(
+            kmeans_lloyd_centroids(df, k=k, n_updates=n_updates, **kw)
+        )
+
+    unbounded = cents(max_train_rows=0)
+    if cents(max_train_rows=n + rng.randint(0, 20)) != unbounded:
+        return False
+    cap = rng.randint(max(k, n // 4), max(k, n // 2))
+    if cents(max_train_rows=cap) != cents(max_train_rows=cap, use_arrow=True):
+        return False
+    return True
+
+
 FUZZERS = {
     "line_dedup": fuzz_line_dedup,
     "salted_topk": fuzz_salted_topk,
     "chunked_serve": fuzz_chunked_serve,
+    "sampled_lloyd_trainer": fuzz_sampled_lloyd_trainer,
     "normalized_fingerprint": fuzz_normalized_fingerprint,
     "keep_first": fuzz_keep_first,
     "offset_gaps": fuzz_offset_gaps,

@@ -152,33 +152,28 @@ def stage1_recall_200k(spark):
     print(json.dumps(row), flush=True)
 
 
-def stage2_build_20m(spark):
+def stage_sharded(spark, tag, fixture_dir, stride, builds, per_replica):
+    """Sharded-build decade stage: time each build variant, serve it,
+    and measure recall@K against ONE exact brute-force pass with
+    replica-spread queries."""
     from redpanda_to_parquet_writer_spark.operators import similarity as S
 
     import tempfile
 
     n_shards = 8
-    emb = spark.read.parquet(f"{SF20M_DIR}/embeddings.parquet")
+    emb = spark.read.parquet(f"{fixture_dir}/embeddings.parquet")
     n = emb.count()
-    qids = _spread_query_ids(2_000_000, 8, 2)  # 16 queries, bounded brute force
+    qids = _spread_query_ids(stride, 8, per_replica)
     queries = emb.filter(F.col("vec_id").isin(qids))
-    print(f"[20M] corpus={n}; one exact brute-force pass…", flush=True)
+    print(f"[{tag}] corpus={n}; one exact brute-force pass…", flush=True)
     t0 = time.perf_counter()
     exact = _pairs(S.brute_force_topk(emb, queries, k=K))
     t_exact = time.perf_counter() - t0
-    print(f"[20M] brute force {t_exact:.1f}s ({len(exact)} pairs)", flush=True)
+    print(f"[{tag}] brute force {t_exact:.1f}s ({len(exact)} pairs)", flush=True)
 
-    builds = {
-        # the r16 baseline convention: init-only codebook (the serve
-        # probes shipped this because training was the scale wall)
-        "init_only": dict(n_updates=0),
-        # what this round makes affordable: one sampled Lloyd update
-        # per shard through the Arrow matmul assignment
-        "sampled_trained": dict(n_updates=1, train_use_arrow=True),
-    }
     out = {}
     for name, kwargs in builds.items():
-        path = tempfile.mkdtemp(prefix=f"b20m_{name}_")
+        path = tempfile.mkdtemp(prefix=f"b_{tag}_{name}_")
         t0 = time.perf_counter()
         books = S.build_ivf_index_sharded(
             emb, path, n_shards, use_arrow=True, **kwargs
@@ -197,9 +192,9 @@ def stage2_build_20m(spark):
             "serve_sec": round(t_serve, 3),
             "recall_at_k": _recall(got, exact),
         }
-        print(f"[20M] {name}: {out[name]}", flush=True)
+        print(f"[{tag}] {name}: {out[name]}", flush=True)
     row = {
-        "probe": "trained_build_20m",
+        "probe": f"trained_build_{tag}",
         "corpus": n,
         "n_shards": n_shards,
         "n_queries": len(qids),
@@ -227,9 +222,36 @@ def main():
         app_name="probe_trained_build",
     )
     spark.sparkContext.setLogLevel("ERROR")
+    builds_20m = {
+        # the r16 baseline convention: init-only codebook (the serve
+        # probes shipped this because training was the scale wall)
+        "init_only": dict(n_updates=0),
+        # what this round makes affordable: one sampled Lloyd update
+        # per shard through the Arrow matmul assignment
+        "sampled_trained": dict(n_updates=1, train_use_arrow=True),
+    }
+    if "--2m" in sys.argv:
+        # the middle decade: full training is still affordable here
+        # (250k rows/shard x k=200), so all THREE codebooks compare
+        stage_sharded(
+            spark,
+            "2m",
+            os.path.join(ROOT, ".scaling_sf2m"),
+            200_000,
+            {
+                **builds_20m,
+                "full_trained": dict(
+                    n_updates=1, max_train_rows=0, train_use_arrow=True
+                ),
+            },
+            per_replica=8,  # 64 queries, 192 exact pairs
+        )
+        return
     stage1_recall_200k(spark)
     if "--skip-20m" not in sys.argv:
-        stage2_build_20m(spark)
+        stage_sharded(
+            spark, "20m", SF20M_DIR, 2_000_000, builds_20m, per_replica=2
+        )
 
 
 if __name__ == "__main__":
