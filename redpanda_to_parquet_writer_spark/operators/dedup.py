@@ -131,8 +131,190 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iterations: int = 25,
+    algorithm: str = "star",
+    jumps_per_round: int = 1,
 ) -> DataFrame:
-    """Resolve near-dup candidate PAIRS into clusters: min-label propagation.
+    """Resolve near-dup candidate PAIRS into clusters (connected
+    components): one row per vertex, labeled with its component's
+    minimum id; singletons keep themselves.
+
+    Two interchangeable engines — both converge to the identical
+    min-label fixpoint (equality fuzzed per round on random graphs plus
+    the path/star/tiny pathologies; the oracle gates the composed
+    query), so `algorithm` only selects HOW the fixpoint is reached:
+
+    - ``"star"`` (default): alternating large-star/small-star edge
+      contraction (Kiveris et al., "Connected Components in MapReduce
+      and Beyond") — see `_cc_alternating_stars`. Edges REWRITE toward
+      component minima, so convergence is not bound by graph diameter:
+      r17 measured the sf0.1 LSH candidate graph at 6 rounds / 2 jobs
+      each vs label-prop's 16 rounds — and each star round shuffles
+      only the (small) candidate edge set, where every label-prop round
+      also shuffles the full vertex label table twice. At 100-TB corpus
+      scale that is ~2.6x fewer rounds AND strictly smaller frames per
+      round.
+    - ``"labelprop"``: the r16-shaped min-label propagation loop (kept
+      callable for A/B baselines and for its simple partial-result
+      semantics at an iteration cap) — see `_cc_label_propagation`.
+    """
+    if algorithm == "star":
+        return _cc_alternating_stars(
+            vertices, pairs, id_col, src_col, dst_col, max_iterations
+        )
+    if algorithm == "labelprop":
+        return _cc_label_propagation(
+            vertices, pairs, id_col, src_col, dst_col, max_iterations,
+            jumps_per_round,
+        )
+    raise ValueError(f"unknown algorithm {algorithm!r} (star | labelprop)")
+
+
+def _materialize_flagged(df: DataFrame, flag_col: str) -> tuple[DataFrame, bool]:
+    """Materialize one loop iteration with reset stats (the
+    `_ckpt_fresh_stats` contract) AND read a boolean convergence flag in
+    the same full-scan job that fills the cache: persist -> agg(max) ->
+    localCheckpoint -> unpersist. Replaces the separate changed-check
+    JOIN job the pre-r17 loop ran every round (~20% of round wall at
+    sf0.1). Empty frames read as unchanged (max over zero rows is NULL)."""
+    cached = df.persist()
+    flag = cached.agg(F.max(F.col(flag_col))).collect()[0][0]
+    out = cached.localCheckpoint(eager=True)
+    cached.unpersist()
+    return out, bool(flag)
+
+
+def _cc_alternating_stars(
+    vertices: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src_col: str,
+    dst_col: str,
+    max_iterations: int,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    Edges live canonically as (u, v) with u > v. Each round:
+
+      large-star: per vertex a, m(a) = min(neighborhood(a) ∪ {a});
+        every edge {a, b} with a < b rewrites to {b, m(a)} — emitted
+        exactly once, from its smaller endpoint's group, so the edge
+        count never grows. Stable (flag false) iff every emitting
+        vertex was already its neighborhood min: emitted == input.
+      small-star: per vertex u over its SMALLER neighbors N(u),
+        m = min(N(u)); children v ∈ N(u) \\ {m} rewrite to {v, m} and
+        the {u, m} edge is (re-)emitted — the group collapses to a
+        star around the local min. Stable iff every group had a single
+        smaller neighbor (flag rides the child rows). The small-star
+        groupBy(u, v) also dedups the round's edge multiset, so one
+        distinct per round, in the same shuffle as the flag aggregate.
+
+    Both phases are monotone (edge endpoints only ever decrease, and
+    only to ids inside the same component), so the loop terminates at
+    min-rooted stars; labels then read directly off the star edges.
+    Per round the driver runs TWO jobs (the small-star materializing
+    flag aggregate, then its checkpoint) over edge-sized frames only —
+    large-star is pure lineage inside the small-star job (its two
+    references are identical subtrees, deduped by exchange reuse; its
+    instability flag rides the small-star group aggregate) and the
+    vertex table is touched once, at the final label join.
+    `max_iterations` caps runaway graphs; the O(log^2 n) bound makes 25
+    astronomically more than any real corpus needs (sf0.1: 6). r17
+    fresh-process A/B under the bench's cc_build protocol (min-of-2,
+    interleaved, frozen control steady): r16 label-prop {16.8, 16.9,
+    14.9}s -> two-materialization star {13.1, 12.5, 11.8}s -> this
+    one-materialization form {10.2, 9.6}s, outputs bit-identical."""
+    edges = (
+        pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        # large-star: neighborhoods need both directions; each edge is
+        # emitted from its smaller endpoint (v > u below), rewritten to
+        # (v, m(u)). m <= u < v, so no self-loops can appear.
+        directed = edges.select("u", "v").union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = directed.groupBy("u").agg(F.min("v").alias("__mn"))
+        mins = mins.select("u", F.least("__mn", "u").alias("m"))
+        large = (
+            directed.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.col("m").alias("v"),
+                (F.col("m") != F.col("u")).alias("__chg"),
+            )
+        )
+
+        # small-star over the large-star output (still u > v): children
+        # of each group rewrite to the group min; v == m child rows
+        # would be self-loops and drop. The groupBy(u, v) below is the
+        # round's dedup AND carries the instability flag. Large-star is
+        # NOT materialized: its flag folds into the per-group aggregate
+        # (max over the group, then max over selfs/children in the
+        # final flag read), so the whole round is one lineage with one
+        # persist — a child row is unstable by construction (it moves
+        # an edge), a self row is unstable iff its group saw a
+        # large-star rewrite.
+        mins2 = large.groupBy("u").agg(
+            F.min("v").alias("m"), F.max("__chg").alias("__lchg")
+        )
+        children = (
+            large.select("u", "v")
+            .join(mins2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(
+                F.col("v").alias("eu"), F.col("m").alias("ev"),
+                F.lit(True).alias("__chg"),
+            )
+        )
+        selfs = mins2.select(
+            F.col("u").alias("eu"), F.col("m").alias("ev"),
+            F.col("__lchg").alias("__chg"),
+        )
+        small = (
+            children.union(selfs)
+            .select(
+                F.greatest("eu", "ev").alias("u"),
+                F.least("eu", "ev").alias("v"),
+                "__chg",
+            )
+            .groupBy("u", "v")
+            .agg(F.max("__chg").alias("__chg"))
+        )
+        new_edges, changed = _materialize_flagged(small, "__chg")
+        edges = new_edges.select("u", "v")
+        if not changed:
+            break
+
+    roots = edges.groupBy("u").agg(F.min("v").alias("cluster_id"))
+    return (
+        vertices.select(F.col(id_col).alias("id"))
+        .join(roots.select(F.col("u").alias("id"), "cluster_id"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("cluster_id", F.col("id")).alias("cluster_id"),
+        )
+    )
+
+
+def _cc_label_propagation(
+    vertices: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 25,
+    jumps_per_round: int = 1,
+) -> DataFrame:
+    """Min-label propagation with pointer jumping (pre-r17 production
+    engine, kept as the A/B reference).
 
     LSH/Jaccard stages emit candidate *pairs*; an actual dedup pipeline
     must then group pairs transitively (a~b, b~c => {a,b,c} is one
@@ -141,40 +323,66 @@ def connected_components(
     driver-controlled iteration of Spark joins:
 
       label(v) starts as v; each round, label(v) := min(label(v),
-      min over neighbors u of label(u)), then POINTER-JUMPS:
-      label(v) := min(label(v), label(label(v))); stop when stable.
+      min over neighbors u of label(u)), then POINTER-JUMPS
+      `jumps_per_round` times: label(v) := min(label(v),
+      label(label(v))); stop when a full round changes nothing.
 
     The neighbor step alone needs diameter-many rounds — measured
     insufficient on sf0.1's chained near-dup graph (22 vertices still
-    mislabeled after 25 rounds). The pointer-jump halves the remaining
-    label-chain depth every round, so convergence is O(log diameter)
-    (the same doubling idea as Kiveris et al.'s "Connected Components
-    in MapReduce" star rounds): 25 rounds cover diameter ~2^25.
+    mislabeled after 25 rounds). Each pointer-jump halves the remaining
+    label-chain depth, so k jumps per round divide it by 2^k and
+    chain-depth-bound convergence takes ~log2(depth)/k rounds. Every
+    propagate/jump step is monotone (labels only decrease, only to ids
+    inside the same component) and the stop condition is stability of a
+    FULL round, so the fixpoint — every vertex labeled with its
+    component's min id — is identical for any k; k only changes how
+    many rounds reach it. r17 measured WHICH bound binds where: a pure
+    path graph is chain-depth-bound (100 vertices: 7 rounds at k=1 vs
+    4 at k=3), but the sf0.1 LSH candidate graph is EDGE-DIAMETER-bound
+    — labels collapse to near-root chains inside each round, so extra
+    jumps find nothing to shortcut (16 rounds at k=1 AND k=3) while
+    paying an extra self-join job each; hence the default k=1. The min
+    still has to cross ~16 edge hops, one per round — that bound
+    belongs to the propagate step, not the jumps.
 
     Scale notes:
-      - Each round is two shuffle joins keyed on vertex id; the edge
-        list (candidate pairs) is orders of magnitude smaller than the
-        corpus.
-      - Each round materializes ONCE through `_ckpt_fresh_stats` (the
-        pointer-jumped labels), which both truncates lineage (the
-        classic iterative-algorithm trap) AND resets Catalyst's size
-        statistics — see its docstring for the exponential-driver-CPU
-        failure a bare localCheckpoint loop has. The intermediate
-        `propagated` frame is only persist+count'ed for its self-join
-        (r11 fold — real cached stats, no second checkpoint copy).
+      - Each round is 1 + jumps_per_round shuffle joins keyed on vertex
+        id; the edge list (candidate pairs) is orders of magnitude
+        smaller than the corpus. Per round, the driver runs one job per
+        materialization (propagate + each non-final jump) plus the
+        final flagged aggregate and its checkpoint — the r17 fold
+        removed the separate changed-check JOIN job that previously ran
+        every round (~20% of round wall at sf0.1).
+      - Each round truncates lineage and resets Catalyst size stats
+        through ONE localCheckpoint of the round's final frame (see
+        `_ckpt_fresh_stats` for the exponential-driver-CPU failure a
+        bare localCheckpoint loop has); the intermediate frames are
+        persist+count'ed only (real cached stats, no extra checkpoint
+        copies — the r11 fold, extended to the jump chain).
+      - Convergence detection rides the materializing aggregate: the
+        round's final frame carries a `__changed` flag (its label is
+        below the round-start label — labels are monotone, so this IS
+        "anything changed"), and max(__changed) is read in the same
+        full-scan job that fills the cache before the checkpoint. No
+        extra job, no join.
 
     Returns (id_col, cluster_id) with one row per vertex; singletons keep
     cluster_id == their own id.
     """
+    if jumps_per_round < 1:
+        raise ValueError(f"jumps_per_round must be >= 1, got {jumps_per_round}")
     edges = pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     edges = edges.localCheckpoint(eager=True)
 
+    # round 0 joins read the vertex scan directly (real scan stats); no
+    # checkpoint needed — every later round reads the previous round's
+    # checkpoint (r17: saves the one-off materialization job)
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
-    ).localCheckpoint(eager=True)
+    )
 
     for _ in range(max_iterations):
         neighbor_min = (
@@ -182,54 +390,59 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        # propagated is persist+count'ed, NOT checkpointed (r11 fold,
-        # VERDICT r10 #6): the pointer-jump self-join below only needs
-        # the frame cached with REAL stats — the count materializes the
-        # cache so both join sides read it and Catalyst sees the cached
-        # relation's byte size (no estimate compounding); lineage
-        # truncation for the next round comes from new_labels'
-        # checkpoint, so plans stay one round deep. One checkpoint copy
-        # per round instead of two: measured bitwise-identical and
-        # ~7% faster on the sf1 workload (scripts/profile_cc_fold.py).
-        propagated = (
+        # cur is persist+count'ed, NOT checkpointed (r11 fold, VERDICT
+        # r10 #6): each jump's self-join only needs the frame cached
+        # with REAL stats — the count materializes the cache so both
+        # join sides read it and Catalyst sees the cached relation's
+        # byte size (no estimate compounding); lineage truncation for
+        # the next round comes from the end-of-round checkpoint, so
+        # plans stay one round deep. `__start` (the round-entry label)
+        # rides along to drive the fold's `__changed` flag.
+        cur = (
             labels.join(
                 neighbor_min, labels["id"] == neighbor_min["dst"], "left"
             )
             .select(
                 "id",
+                F.col("cluster_id").alias("__start"),
                 F.least(
                     F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
                 ).alias("cluster_id"),
             )
             .persist()
         )
-        propagated.count()
-        # pointer jump: label(v) := min(label(v), label(label(v))) —
-        # collapses label chains logarithmically instead of one hop/round
-        parent = propagated.select(
-            F.col("id").alias("p_id"), F.col("cluster_id").alias("p_cluster")
-        )
-        new_labels = _ckpt_fresh_stats(
-            propagated.join(
-                parent, propagated["cluster_id"] == parent["p_id"], "left"
+        cur.count()
+        to_release = [cur]
+        for j in range(jumps_per_round):
+            parent = cur.select(
+                F.col("id").alias("p_id"), F.col("cluster_id").alias("p_cluster")
             )
-            .select(
+            nxt = cur.join(
+                parent, cur["cluster_id"] == parent["p_id"], "left"
+            ).select(
                 "id",
+                "__start",
                 F.least(
                     F.col("cluster_id"), F.coalesce("p_cluster", "cluster_id")
                 ).alias("cluster_id"),
             )
-        )
-        propagated.unpersist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") < F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+            if j < jumps_per_round - 1:
+                nxt = nxt.persist()
+                nxt.count()
+                to_release.append(nxt)
+            cur = nxt
+        # materialize + convergence check + checkpoint in two jobs: the
+        # max(__changed) aggregate full-scans (and therefore fills) the
+        # cache, the eager checkpoint then reads it back with real stats
+        cached = cur.withColumn(
+            "__changed", F.col("cluster_id") < F.col("__start")
+        ).persist()
+        changed = cached.agg(F.max("__changed")).collect()[0][0]
+        labels = cached.localCheckpoint(eager=True).select("id", "cluster_id")
+        cached.unpersist()
+        for f in to_release:
+            f.unpersist()
+        if not changed:
             break
     return labels.select(F.col("id").alias(id_col), "cluster_id")
 

@@ -28,18 +28,72 @@ def test_cc_long_chain_needs_multiple_rounds(spark):
 
 
 def test_cc_iteration_cap_partial_result(spark):
-    # 1 round = one neighbor-min hop + one pointer jump: node 3 reaches
-    # 1 via its label chain (3->2->1), node 4 only reaches 2 (4->3->2)
+    # capped at 1 round, the star contraction has rewritten the chain's
+    # edges {21,32,43} to {21,31,42}: nodes 2,3 reach root 1 but node 4
+    # only reached 2 (labelprop's 1-round partial coincides — one
+    # neighbor-min hop + one pointer jump also leaves 4 at 2)
     got = _clusters(spark, 4, [(1, 2), (2, 3), (3, 4)], max_iterations=1)
     assert got == {1: 1, 2: 1, 3: 1, 4: 2}
+    got_lp = _clusters(
+        spark, 4, [(1, 2), (2, 3), (3, 4)], max_iterations=1,
+        algorithm="labelprop",
+    )
+    assert got_lp == {1: 1, 2: 1, 3: 1, 4: 2}
 
 
 def test_cc_deep_chain_converges_logarithmically(spark):
     # 100-node path graph: plain min-propagation needs ~100 rounds (the
-    # sf0.1 regression class — hit the 25-round cap); pointer jumping
-    # must converge well inside 10 rounds
+    # sf0.1 regression class — hit the 25-round cap); both the star
+    # contraction (default) and pointer jumping must converge inside 10
     got = _clusters(spark, 100, [(i, i + 1) for i in range(1, 100)], max_iterations=10)
     assert got == {i: 1 for i in range(1, 101)}
+    got_lp = _clusters(
+        spark, 100, [(i, i + 1) for i in range(1, 100)], max_iterations=10,
+        algorithm="labelprop",
+    )
+    assert got_lp == {i: 1 for i in range(1, 101)}
+
+
+def test_cc_star_equals_labelprop_on_random_graphs(spark):
+    # r17: the star contraction replaced label propagation as the
+    # production engine — pin the two engines (and labelprop's
+    # multi-jump variant) to the identical min-label fixpoint on random
+    # graphs, including self-loops, duplicate and reversed pairs
+    import random
+
+    for seed in (7, 23):
+        rnd = random.Random(seed)
+        n = 300
+        pairs = [
+            (rnd.randrange(1, n + 1), rnd.randrange(1, n + 1))
+            for _ in range(250)
+        ]
+        star = _clusters(spark, n, pairs)
+        lp = _clusters(spark, n, pairs, algorithm="labelprop")
+        lp3 = _clusters(
+            spark, n, pairs, algorithm="labelprop", jumps_per_round=3
+        )
+        assert star == lp == lp3
+
+
+def test_cc_star_empty_and_selfloop_only(spark):
+    # no pairs / only self-loops: every vertex is its own singleton
+    got = _clusters(spark, 5, [(2, 2), (4, 4)])
+    assert got == {i: i for i in range(1, 6)}
+
+
+def test_cc_unknown_algorithm_raises(spark):
+    import pytest
+
+    from pyspark.sql import functions as F
+    from redpanda_to_parquet_writer_spark.operators.dedup import (
+        connected_components,
+    )
+
+    vertices = spark.range(1, 3).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        connected_components(vertices, pairs, algorithm="bogus")
 
 
 def test_redact_text_masks_and_counts(spark):
