@@ -252,6 +252,14 @@ def ivf_assign(
     Centroids broadcast (they're tiny by construction), so assignment is
     a map-side cross product + per-vector argmax — zero shuffle. Returns
     (id, v, cluster_id).
+
+    r17 note: a one-row-broadcast-array + `array_max(transform(...))`
+    rewrite (no groupBy exchange) was priced and REJECTED — Spark never
+    codegens higher-order functions, and the interpreted per-centroid
+    struct fold measured +36-62% on every ANN bench row containing the
+    assignment (scripts/ab_ann_r17.py; same finding as jaccard_pairs'
+    posting-list note). The codegen'd join fan-out + max_by collapse
+    stays.
     """
     scored = df.join(F.broadcast(centroids)).withColumn(
         "__sim", cosine(F.col(vec_col), F.col(centroid_vec_col))
@@ -2236,6 +2244,12 @@ def pq_encode(
     Scale shape: corpus scanned once, codebook broadcast, argmin via
     min(struct(dist, code)) so the shuffle carries one pre-aggregated
     row per (vector, subspace) per task — never the k candidate rows.
+
+    r17 note: a one-row `__cbs` broadcast array + per-subspace
+    `array_min(transform(...))` argmin (zero shuffle) was priced and
+    REJECTED — interpreted HOF evaluation of ksub struct folds per row
+    measured +27% on `ann_pq_adc_topk` vs this codegen'd join+aggregate
+    (scripts/ab_ann_r17.py).
     """
     _pq_check(m, dim)
     width = dim // m
@@ -2324,6 +2338,21 @@ def ivfadc_topk(
     persisted index — see build_ivf_index for the partitioned layout);
     the probe join is bounded by the probed lists, and the ADC aggregate
     partial-aggregates map-side over exact decimals (rank order-proof).
+
+    r17 note: fusing the index into one lineage (coarse-assign, then
+    the subspace explode IN-TASK carrying cluster_id, then the code
+    argmin — removing this SortMergeJoin, its re-sort Exchanges and the
+    second corpus scan) was priced and REJECTED: min-of-6 interleaved
+    A/B read 1.56-1.90s fused vs 1.37-1.54s composed
+    (scripts/ab_one_r17.py). The composition wins because BOTH groupBys
+    shuffle only narrow pre-aggregated state (the optimizer prunes the
+    unused first(v) from the assignment aggregate) and the SMJ
+    re-attaches small (id, cluster_id) rows — while the fused lineage
+    must carry the full vector THROUGH the argmax exchange to slice it
+    afterwards, i.e. it moves the heavy bytes through a shuffle the
+    composition never pays (guide §8's exact warning). Same verdict for
+    the persisted build (`_write_ivfadc_rows`), which repartitions by
+    cluster_id either way.
     """
     _pq_check(m, dim)
     centroids = materialize_centroids(centroids)
@@ -2619,7 +2648,12 @@ def _lloyd_assign_once(v: DataFrame, cents: DataFrame, id_col: str) -> DataFrame
     """One deterministic Lloyd assignment pass: squared-Euclidean argmin
     against the broadcast centroids (distance rounded to 6 decimals
     BEFORE the argmin; ties break to the lowest cluster_id). Returns
-    (id_col, cluster_id, dist, v)."""
+    (id_col, cluster_id, dist, v).
+
+    r17 note: the one-row-broadcast-array + `array_min(transform(...))`
+    rewrite (no per-update groupBy exchange) was priced and REJECTED
+    with the `ivf_assign`/`pq_encode` HOF rewrites — flat at k=8 and
+    +60% on `ann_kmeans_recall_audit` (scripts/ab_ann_r17.py)."""
     scored = v.join(F.broadcast(cents)).withColumn(
         "dist", F.round(sq_dist(F.col("v"), F.col("cv")), 6)
     )
