@@ -365,11 +365,13 @@ class _LsbBitWriter:
 
     def put(self, value: int, length: int) -> None:
         self.acc |= (value & ((1 << length) - 1)) << self.nbits
-        self.nbits += length
-        while self.nbits >= 8:
-            self.out.append(self.acc & 0xFF)
-            self.acc >>= 8
-            self.nbits -= 8
+        nbits = self.nbits + length
+        if nbits >= 8:
+            k = nbits >> 3
+            self.out += (self.acc & ((1 << (8 * k)) - 1)).to_bytes(k, "little")
+            self.acc >>= 8 * k
+            nbits -= 8 * k
+        self.nbits = nbits
 
     def put_code(self, code: int, length: int) -> None:
         """Prefix codes are written MSB-of-code first (DEFLATE rule):
@@ -392,13 +394,23 @@ class _LsbBitReader:
         self.acc = 0
         self.nbits = 0
 
+    def _fill(self) -> bool:
+        """Prefetch up to 8 bytes in one int.from_bytes (r17: the
+        one-byte-per-iteration fills were the decode profile's hottest
+        frames; VP8L has no byte stuffing or markers, so batch filling
+        is unconditionally safe). Consumed bit order is identical."""
+        chunk = self.data[self.pos : self.pos + 8]
+        if not chunk:
+            return False
+        self.pos += len(chunk)
+        self.acc |= int.from_bytes(chunk, "little") << self.nbits
+        self.nbits += 8 * len(chunk)
+        return True
+
     def bits(self, n: int) -> int:
         while self.nbits < n:
-            if self.pos >= len(self.data):
+            if not self._fill():
                 raise ValueError("truncated VP8L bitstream")
-            self.acc |= self.data[self.pos] << self.nbits
-            self.pos += 1
-            self.nbits += 8
         v = self.acc & ((1 << n) - 1)
         self.acc >>= n
         self.nbits -= n
@@ -409,10 +421,8 @@ class _LsbBitReader:
         actually available — the fast-path feed for the prefix-code LUT.
         Never raises at end of stream: the caller checks availability
         and falls back to the bit-walk, which owns the truncation error."""
-        while self.nbits < 8 and self.pos < len(self.data):
-            self.acc |= self.data[self.pos] << self.nbits
-            self.pos += 1
-            self.nbits += 8
+        if self.nbits < 8:
+            self._fill()
         return self.acc & 0xFF, self.nbits
 
     def drop(self, n: int) -> None:
@@ -796,31 +806,37 @@ def _vp8l_write_pixels(
     benc = _write_prefix_code(w, _huffman_lengths(bf, 256))
     aenc = _write_prefix_code(w, _huffman_lengths(af, 256))
     denc = _write_prefix_code(w, _huffman_lengths(df, 40))
+    # r17 hot-loop shape (identical emitted bits): codes bit-reverse
+    # ONCE per table instead of per token (`put_code` was the encode
+    # profile's top call), and each token's consecutive LSB-first puts
+    # merge into one — v1 then v2 IS put(v1 | v2 << l1, l1 + l2).
+    grev = {s: (ln, _rev_bits(c, ln)) for s, (ln, c) in genc.items()}
+    rrev = {s: (ln, _rev_bits(c, ln)) for s, (ln, c) in renc.items()}
+    brev = {s: (ln, _rev_bits(c, ln)) for s, (ln, c) in benc.items()}
+    arev = {s: (ln, _rev_bits(c, ln)) for s, (ln, c) in aenc.items()}
+    drev = {s: (ln, _rev_bits(c, ln)) for s, (ln, c) in denc.items()}
+    put = w.put
     for t in tokens:
         if t[0] == "lit":
             px = t[1]
-            ln, code = genc[(px >> 8) & 0xFF]
-            w.put_code(code, ln)
-            ln, code = renc[(px >> 16) & 0xFF]
-            w.put_code(code, ln)
-            ln, code = benc[px & 0xFF]
-            w.put_code(code, ln)
-            ln, code = aenc[px >> 24]
-            w.put_code(code, ln)
+            gl, gc = grev[(px >> 8) & 0xFF]
+            rl, rc = rrev[(px >> 16) & 0xFF]
+            bl, bc = brev[px & 0xFF]
+            al, ac = arev[px >> 24]
+            put(
+                gc | (rc << gl) | (bc << (gl + rl)) | (ac << (gl + rl + bl)),
+                gl + rl + bl + al,
+            )
         elif t[0] == "ref":
             lc, e, x = _lz77_value_to_code(t[1])
-            ln, code = genc[256 + lc]
-            w.put_code(code, ln)
-            if e:
-                w.put(x, e)
+            ln, code = grev[256 + lc]
+            put(code | (x << ln), ln + e) if e else put(code, ln)
             dc, e2, x2 = _lz77_value_to_code(t[2] + 120)
-            ln, code = denc[dc]
-            w.put_code(code, ln)
-            if e2:
-                w.put(x2, e2)
+            ln, code = drev[dc]
+            put(code | (x2 << ln), ln + e2) if e2 else put(code, ln)
         else:
-            ln, code = genc[280 + t[1]]
-            w.put_code(code, ln)
+            ln, code = grev[280 + t[1]]
+            put(code, ln)
 
 
 def _vp8l_read_pixels(
@@ -3031,15 +3047,47 @@ def _unfilter_scanlines(raw: bytes, h: int, rw: int, bpp: int):
         elif ft == 2:  # Up
             rec = (line + prev) & 0xFF
         elif ft in (3, 4):  # Average / Paeth: sequential left-dependency
-            rec = np.zeros(rw, dtype=np.int16)
-            for x in range(rw):
-                a = int(rec[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                if ft == 3:
-                    rec[x] = (int(line[x]) + (a + b) // 2) & 0xFF
-                else:
-                    c = int(prev[x - bpp]) if x >= bpp else 0
-                    rec[x] = (int(line[x]) + _paeth(a, b, c)) & 0xFF
+            # r17: plain-list loop with the Paeth predictor inlined —
+            # numpy SCALAR indexing in this per-byte recurrence was
+            # 55-82% of the whole PNG decode (cProfile); identical
+            # arithmetic on the identical ints, ~5x faster. For the
+            # first bpp bytes a == c == 0, so Average reduces to b//2
+            # and Paeth's predictor reduces to b (pb == 0 wins unless
+            # b == 0, where a == b == 0 — same value).
+            ln = line.tolist()
+            pv = prev.tolist()
+            rc: list[int] = []
+            ap = rc.append
+            if ft == 3:
+                for x in range(bpp):
+                    ap((ln[x] + (pv[x] >> 1)) & 0xFF)
+                for x in range(bpp, rw):
+                    ap((ln[x] + ((rc[x - bpp] + pv[x]) >> 1)) & 0xFF)
+            else:
+                for x in range(bpp):
+                    ap((ln[x] + pv[x]) & 0xFF)
+                for x in range(bpp, rw):
+                    a = rc[x - bpp]
+                    b = pv[x]
+                    c = pv[x - bpp]
+                    p = a + b - c
+                    pa = p - a
+                    if pa < 0:
+                        pa = -pa
+                    pb = p - b
+                    if pb < 0:
+                        pb = -pb
+                    pc = p - c
+                    if pc < 0:
+                        pc = -pc
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                    ap((ln[x] + pred) & 0xFF)
+            rec = rc
         else:
             raise ValueError(f"bad filter type {ft}")
         out[y] = rec
@@ -3558,21 +3606,31 @@ def _idct_blocks(zzarr, q, d):
 def _entropy_encode_block(w, zz, dc_codes, ac_codes, prev_dc: int) -> int:
     """Huffman entropy coding of ONE pre-quantized zigzag block;
     returns the new DC predictor. Shared by the gray and color
-    encoders so their entropy coding cannot drift apart."""
-    diff = int(zz[0]) - prev_dc
-    s = _category(diff)
+    encoders so their entropy coding cannot drift apart.
+
+    r17 hot-loop shape (identical emitted bits): the block converts to
+    a plain int list once (numpy scalar indexing was the profile's top
+    cost), the category is computed inline via bit_length, and each
+    (huffman code, magnitude) pair is emitted as ONE concatenated
+    `put` — (code << s) | mag over ln + s bits IS the two back-to-back
+    puts, bit for bit."""
+    zzl = zz.tolist() if not isinstance(zz, list) else zz
+    dc = zzl[0]
+    diff = dc - prev_dc
+    s = diff.bit_length() if diff >= 0 else (-diff).bit_length()
     ln, code = dc_codes[s]
-    w.put(code, ln)
     if s:
-        w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        w.put((code << s) | ((diff if diff > 0 else diff + (1 << s) - 1) & ((1 << s) - 1)), ln + s)
+    else:
+        w.put(code, ln)
     run = 0
     last_nz = 0
     for i in range(63, 0, -1):
-        if zz[i]:
+        if zzl[i]:
             last_nz = i
             break
     for i in range(1, last_nz + 1):
-        v = int(zz[i])
+        v = zzl[i]
         if v == 0:
             run += 1
             continue
@@ -3580,15 +3638,14 @@ def _entropy_encode_block(w, zz, dc_codes, ac_codes, prev_dc: int) -> int:
             ln, code = ac_codes[0xF0]  # ZRL
             w.put(code, ln)
             run -= 16
-        s = _category(v)
+        s = v.bit_length() if v > 0 else (-v).bit_length()
         ln, code = ac_codes[(run << 4) | s]
-        w.put(code, ln)
-        w.put(v if v > 0 else v + (1 << s) - 1, s)
+        w.put((code << s) | ((v if v > 0 else v + (1 << s) - 1) & ((1 << s) - 1)), ln + s)
         run = 0
     if last_nz < 63:
         ln, code = ac_codes[0x00]  # EOB
         w.put(code, ln)
-    return int(zz[0])
+    return dc
 
 
 def _read_symbol(r, t: _HuffLUT) -> int:
@@ -3705,9 +3762,15 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> bool:
-        """Prefetch one byte; False when blocked (end of data or a raw
-        marker next) WITHOUT consuming, so the error site can tell the
-        two apart and restart markers stay readable."""
+        """Prefetch entropy bytes; False when blocked (end of data or a
+        raw marker next) WITHOUT consuming, so the error site can tell
+        the two apart and restart markers stay readable.
+
+        r17: a clean (stuffing/marker-free) run prefetches up to 8
+        bytes in ONE int.from_bytes — `_fill` was the decode profile's
+        hottest frame at one byte per call. Never crosses an 0xFF, so
+        the marker invariants (and `expect_restart`'s discard logic)
+        are unchanged; consumed bit order is identical."""
         pos, data = self.pos, self.data
         if pos >= len(data):
             return False
@@ -3716,10 +3779,19 @@ class _BitReader:
             if pos + 1 >= len(data) or data[pos + 1] != 0x00:
                 return False
             self.pos = pos + 2  # unstuff
-        else:
-            self.pos = pos + 1
-        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | b
-        self.nbits += 8
+            self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | b
+            self.nbits += 8
+            return True
+        end = data.find(0xFF, pos, pos + 8)
+        if end < 0:
+            end = min(pos + 8, len(data))
+        chunk = data[pos:end]
+        self.pos = end
+        k = len(chunk)
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << (8 * k)) | int.from_bytes(
+            chunk, "big"
+        )
+        self.nbits += 8 * k
         return True
 
     def _blocked(self) -> ValueError:
@@ -3758,7 +3830,23 @@ class _BitReader:
     def expect_restart(self) -> None:
         """Byte-align and consume the next RSTn marker (raw, unstuffed).
         Discards every unconsumed prefetched bit: `_fill` cannot cross a
-        marker, so those bits are exactly the pre-marker 1-padding."""
+        marker, so those bits are exactly the pre-marker 1-padding.
+
+        A full unconsumed prefetched BYTE means extra entropy bytes sat
+        between the interval's last symbol and the marker — corrupt by
+        spec, so reject explicitly. On VALID streams this never fires:
+        `_fill` cannot cross the 0xFF of the marker, so the only
+        unconsumed bits at a restart are the <8 pre-marker padding bits.
+        (Pre-r17 the rejection was accidental and position-dependent:
+        the position check below caught extra bytes UNLESS the final
+        symbol's speculative `peek16` had already prefetched one, in
+        which case the corrupt byte was silently discarded and decode
+        produced garbage. This guard makes the rejection uniform —
+        strictly fewer corrupt streams are accepted, valid streams are
+        byte-for-byte unchanged; pinned in
+        test_reader_api.py::test_jpeg_restart_extra_entropy_byte_rejected.)"""
+        if self.nbits >= 8:
+            raise ValueError("expected restart marker in entropy data")
         self.nbits = 0
         if (
             self.pos + 2 > len(self.data)

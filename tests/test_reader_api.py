@@ -566,6 +566,42 @@ def test_jpeg_restart_markers_roundtrip():
         decode_jpeg_gray8(broken)
 
 
+def test_jpeg_restart_extra_entropy_byte_rejected():
+    """Extra entropy bytes between an interval's last symbol and its
+    RSTn marker are corrupt by spec and must raise — uniformly. Pre-r17
+    this depended on whether the final symbol's speculative peek16 had
+    prefetched the stray byte (if so it was silently discarded and the
+    decode produced garbage); the r17 batched `_fill` guards it
+    explicitly in `expect_restart` (nbits >= 8 -> ValueError)."""
+    import pytest
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_jpeg_color,
+        decode_jpeg_gray8,
+        encode_jpeg_color,
+        encode_jpeg_gray8,
+        synth_gray_image,
+        synth_rgb_image,
+    )
+
+    w, h, img = synth_gray_image(7)
+    blob = encode_jpeg_gray8(w, h, img, restart_interval=2)
+    i = blob.find(b"\xff\xd0")
+    assert i > 0
+    for ins in (b"\x12", b"\x12\x34", b"\x00" * 3):
+        with pytest.raises(ValueError, match="restart"):
+            decode_jpeg_gray8(blob[:i] + ins + blob[i:])
+    cw, ch, rgb = synth_rgb_image(7)
+    cblob = encode_jpeg_color(cw, ch, rgb, restart_interval=3)
+    j = cblob.find(b"\xff\xd0")
+    assert j > 0
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg_color(cblob[:j] + b"\x12" + cblob[j:])
+    # and the guard never fires on the valid stream
+    assert decode_jpeg_gray8(blob)[:2] == (w, h)
+    assert decode_jpeg_color(cblob)[:2] == (cw, ch)
+
+
 def test_jpeg_bitreader_prefetch_contracts():
     """The r8 multi-byte prefetch must (a) never consume a raw marker,
     (b) zero-pad peek8 at stream end without raising, and (c) leave
