@@ -30,6 +30,46 @@ class MsgpackError(ValueError):
     """Malformed or unsupported MessagePack data."""
 
 
+# r17 hot-loop shape (identical bytes/objects): the decode chain built a
+# fresh dict literal per scalar and re-parsed a format string per struct
+# call — both hoisted to module level, with `struct.Struct` unpackers
+# precompiled once. Driver-side profile of the tiny-event roundtrip
+# (profile_codecs_r17.py msgpack_roundtrip) put the per-call dict
+# allocations and struct format parsing inside `_unpack`/`_pack_int`.
+_P_BB = struct.Struct(">BB").pack
+_P_BH = struct.Struct(">BH").pack
+_P_BI = struct.Struct(">BI").pack
+_P_BQ = struct.Struct(">BQ").pack
+_P_Bb = struct.Struct(">Bb").pack
+_P_Bh = struct.Struct(">Bh").pack
+_P_Bi = struct.Struct(">Bi").pack
+_P_Bq = struct.Struct(">Bq").pack
+_P_D = struct.Struct(">d").pack
+_U_F32 = struct.Struct(">f").unpack_from
+_U_F64 = struct.Struct(">d").unpack_from
+_BIN_W = {0xC4: 1, 0xC5: 2, 0xC6: 4}
+_STR_W = {0xD9: 1, 0xDA: 2, 0xDB: 4}
+_ARR_W = {0xDC: 2, 0xDD: 4}
+_MAP_W = {0xDE: 2, 0xDF: 4}
+_UINT_U = {
+    0xCC: (struct.Struct(">B").unpack_from, 1),
+    0xCD: (struct.Struct(">H").unpack_from, 2),
+    0xCE: (struct.Struct(">I").unpack_from, 4),
+    0xCF: (struct.Struct(">Q").unpack_from, 8),
+}
+_SINT_U = {
+    0xD0: (struct.Struct(">b").unpack_from, 1),
+    0xD1: (struct.Struct(">h").unpack_from, 2),
+    0xD2: (struct.Struct(">i").unpack_from, 4),
+    0xD3: (struct.Struct(">q").unpack_from, 8),
+}
+_LEN_U = {
+    1: struct.Struct(">B").unpack_from,
+    2: struct.Struct(">H").unpack_from,
+    4: struct.Struct(">I").unpack_from,
+}
+
+
 def packb(obj: Any) -> bytes:
     out = bytearray()
     _pack(obj, out)
@@ -47,36 +87,36 @@ def _pack(obj: Any, out: bytearray) -> None:
         _pack_int(obj, out)
     elif isinstance(obj, float):
         out.append(0xCB)
-        out += struct.pack(">d", obj)
+        out += _P_D(obj)
     elif isinstance(obj, str):
         b = obj.encode("utf-8")
         n = len(b)
         if n <= 31:
             out.append(0xA0 | n)
         elif n <= 0xFF:
-            out += struct.pack(">BB", 0xD9, n)
+            out += _P_BB(0xD9, n)
         elif n <= 0xFFFF:
-            out += struct.pack(">BH", 0xDA, n)
+            out += _P_BH(0xDA, n)
         else:
-            out += struct.pack(">BI", 0xDB, n)
+            out += _P_BI(0xDB, n)
         out += b
     elif isinstance(obj, (bytes, bytearray)):
         n = len(obj)
         if n <= 0xFF:
-            out += struct.pack(">BB", 0xC4, n)
+            out += _P_BB(0xC4, n)
         elif n <= 0xFFFF:
-            out += struct.pack(">BH", 0xC5, n)
+            out += _P_BH(0xC5, n)
         else:
-            out += struct.pack(">BI", 0xC6, n)
+            out += _P_BI(0xC6, n)
         out += obj
     elif isinstance(obj, (list, tuple)):
         n = len(obj)
         if n <= 15:
             out.append(0x90 | n)
         elif n <= 0xFFFF:
-            out += struct.pack(">BH", 0xDC, n)
+            out += _P_BH(0xDC, n)
         else:
-            out += struct.pack(">BI", 0xDD, n)
+            out += _P_BI(0xDD, n)
         for v in obj:
             _pack(v, out)
     elif isinstance(obj, dict):
@@ -84,9 +124,9 @@ def _pack(obj: Any, out: bytearray) -> None:
         if n <= 15:
             out.append(0x80 | n)
         elif n <= 0xFFFF:
-            out += struct.pack(">BH", 0xDE, n)
+            out += _P_BH(0xDE, n)
         else:
-            out += struct.pack(">BI", 0xDF, n)
+            out += _P_BI(0xDF, n)
         for k, v in obj.items():
             _pack(k, out)
             _pack(v, out)
@@ -100,21 +140,22 @@ def _pack_int(v: int, out: bytearray) -> None:
     elif -32 <= v < 0:
         out.append(v & 0xFF)
     elif 0 <= v <= 0xFF:
-        out += struct.pack(">BB", 0xCC, v)
+        out.append(0xCC)
+        out.append(v)
     elif 0 <= v <= 0xFFFF:
-        out += struct.pack(">BH", 0xCD, v)
+        out += _P_BH(0xCD, v)
     elif 0 <= v <= 0xFFFFFFFF:
-        out += struct.pack(">BI", 0xCE, v)
+        out += _P_BI(0xCE, v)
     elif 0 <= v <= 0xFFFFFFFFFFFFFFFF:
-        out += struct.pack(">BQ", 0xCF, v)
+        out += _P_BQ(0xCF, v)
     elif -0x80 <= v < 0:
-        out += struct.pack(">Bb", 0xD0, v)
+        out += _P_Bb(0xD0, v)
     elif -0x8000 <= v < 0:
-        out += struct.pack(">Bh", 0xD1, v)
+        out += _P_Bh(0xD1, v)
     elif -0x80000000 <= v < 0:
-        out += struct.pack(">Bi", 0xD2, v)
+        out += _P_Bi(0xD2, v)
     elif -0x8000000000000000 <= v < 0:
-        out += struct.pack(">Bq", 0xD3, v)
+        out += _P_Bq(0xD3, v)
     else:
         raise MsgpackError("integer out of 64-bit range")
 
@@ -153,39 +194,38 @@ def _unpack(b: bytes, i: int) -> tuple[Any, int]:
     if t == 0xC3:
         return True, i
     if t in (0xC4, 0xC5, 0xC6):
-        n, i = _take_len(b, i, {0xC4: 1, 0xC5: 2, 0xC6: 4}[t])
+        n, i = _take_len(b, i, _BIN_W[t])
         _need(b, i, n)
         return b[i : i + n], i + n
     if t == 0xCA:
         _need(b, i, 4)
-        return struct.unpack_from(">f", b, i)[0], i + 4
+        return _U_F32(b, i)[0], i + 4
     if t == 0xCB:
         _need(b, i, 8)
-        return struct.unpack_from(">d", b, i)[0], i + 8
+        return _U_F64(b, i)[0], i + 8
     if t in (0xCC, 0xCD, 0xCE, 0xCF):
-        fmt, n = {0xCC: (">B", 1), 0xCD: (">H", 2), 0xCE: (">I", 4), 0xCF: (">Q", 8)}[t]
+        u, n = _UINT_U[t]
         _need(b, i, n)
-        return struct.unpack_from(fmt, b, i)[0], i + n
+        return u(b, i)[0], i + n
     if t in (0xD0, 0xD1, 0xD2, 0xD3):
-        fmt, n = {0xD0: (">b", 1), 0xD1: (">h", 2), 0xD2: (">i", 4), 0xD3: (">q", 8)}[t]
+        u, n = _SINT_U[t]
         _need(b, i, n)
-        return struct.unpack_from(fmt, b, i)[0], i + n
+        return u(b, i)[0], i + n
     if t in (0xD9, 0xDA, 0xDB):
-        n, i = _take_len(b, i, {0xD9: 1, 0xDA: 2, 0xDB: 4}[t])
+        n, i = _take_len(b, i, _STR_W[t])
         return _take_str(b, i, n)
     if t in (0xDC, 0xDD):
-        n, i = _take_len(b, i, {0xDC: 2, 0xDD: 4}[t])
+        n, i = _take_len(b, i, _ARR_W[t])
         return _unpack_arr(b, i, n)
     if t in (0xDE, 0xDF):
-        n, i = _take_len(b, i, {0xDE: 2, 0xDF: 4}[t])
+        n, i = _take_len(b, i, _MAP_W[t])
         return _unpack_map(b, i, n)
     raise MsgpackError(f"unsupported type byte 0x{t:02x} (ext types rejected)")
 
 
 def _take_len(b: bytes, i: int, width: int) -> tuple[int, int]:
     _need(b, i, width)
-    fmt = {1: ">B", 2: ">H", 4: ">I"}[width]
-    return struct.unpack_from(fmt, b, i)[0], i + width
+    return _LEN_U[width](b, i)[0], i + width
 
 
 def _take_str(b: bytes, i: int, n: int) -> tuple[str, int]:
