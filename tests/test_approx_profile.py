@@ -24,3 +24,28 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
     exact_q50 = events.agg(F.expr("percentile(value, 0.5)")).collect()[0][0]
     assert abs(row["value_q50"] - exact_q50) <= 0.05 * (abs(exact_q50) + 1)
     assert row["value_q50"] <= row["value_q95"]
+
+
+def test_hll_registers_duplicate_insensitive(spark, sf_dir):
+    """events_sketch_audit's r17 split plan computes approx_count_distinct
+    over pre-deduplicated (event_type, user_id) pairs instead of raw rows
+    (so the sketch no longer rides Spark's multi-stage distinct-agg plan).
+    That is only sound because HLL++ registers depend on the SET of
+    inserted values: the estimate over deduped pairs must equal the
+    estimate over the raw rows, bitwise, per group."""
+    events = load_table(spark, sf_dir, "events")
+    raw = (
+        events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("est"))
+        .collect()
+    )
+    deduped = (
+        events.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("est"))
+        .collect()
+    )
+    assert {r["event_type"]: r["est"] for r in raw} == {
+        r["event_type"]: r["est"] for r in deduped
+    }
