@@ -358,3 +358,37 @@ def test_hourly_avg_exact_tie_rounds_half_away(spark, tmp_path):
     oracle = con.execute(ORACLES["hourly_event_stats"]).fetchall()
     assert len(oracle) == 1
     assert float(oracle[0][3]).hex() == (0.000313).hex()
+
+
+def test_exploded_ngrams_matches_array_path(spark):
+    """exploded_ngrams (codegen Generate build, r17) must produce exactly
+    the rows of with_ngrams + explode: same gram text (space-join), same
+    multiplicities, short docs (< n tokens) absent, whitespace runs and
+    leading/trailing space normalized identically."""
+    from pyspark.sql import functions as F
+
+    from redpanda_to_parquet_writer_spark.operators.text import (
+        exploded_ngrams,
+        with_ngrams,
+    )
+
+    rows = [
+        (1, "a b c d e f g"),
+        (2, "a b"),                      # shorter than n: no grams
+        (3, ""),                         # empty
+        (4, "  x   y\tz  w v  "),        # whitespace runs + tabs
+        (5, "t t t t t t t t"),          # repeated token -> dup grams
+        (6, "a b c d e"),                # exactly n tokens -> one gram
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    n = 5
+    old = (
+        with_ngrams(df, "text", n)
+        .select("doc_id", F.explode("ngrams").alias("__g"))
+        .groupBy("doc_id", "__g")
+        .count()
+    )
+    new = exploded_ngrams(df, "text", "doc_id", n).groupBy("doc_id", "__g").count()
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+    assert new.count() == old.count()
