@@ -542,6 +542,27 @@ HEADLINE = [
     # paths untouched in r15; PLANS.md proved plan identity) and zero
     # measured residual — the artifact delta is sub-second host wobble
     # on a ~0.8s row, the same signature as every prior adjudication.
+    #
+    # r17 optimization-round close (3 flags adjudicated HOST): the
+    # end-of-round sweep (71.3s/136, loadavg_start 0.21) ran on a host
+    # whose own intra-sweep anchor drift hit 1.446x — over bench_diff's
+    # 1.25 unstable-host line — with anchor factor 1.207 vs the
+    # session-2 baseline (64.4s). bench_diff flagged
+    # multimodal_container_probe (3.10x), multimodal_gif_roundtrip
+    # (2.26x), multimodal_webp_roundtrip (1.87x). A fresh same-host
+    # interleaved A/B (scripts/ab_media_r17.py, orderings
+    # post/pre/pre/post, warm + min-of-2 each) read all three at
+    # PARITY: probe pre {0.631, 0.666} vs post {0.683, 0.658}; gif pre
+    # {0.738, 0.670} vs post {0.684, 0.620} (post faster); webp pre
+    # {1.179, 1.295} vs post {1.334, 1.111}. The flagged bench values
+    # (probe 4.17s!) never reproduced in 16 A/B processes across the
+    # day. Verdict: in-sweep host spikes, the same disjoint-flags
+    # signature as r13-r15; the rows' code moved this round ONLY in
+    # byte-identical codec hot loops whose 12-run interleaved A/B read
+    # 1.00x family-wide. Queries with real lineage this round all read
+    # FASTER in the same sweep: events_sketch_audit 1.77->0.47,
+    # docs_dup_ngram_fraction 1.30->1.24, cc_build 13.03->12.70,
+    # ingest back at 90.8k rows/s.
 ]
 
 #: Calibration anchors (VERDICT r8 #3): three lineage-frozen queries
