@@ -213,16 +213,30 @@ def _cc_alternating_stars(
     min-rooted stars; labels then read directly off the star edges.
     Per round the driver runs TWO jobs (the small-star materializing
     flag aggregate, then its checkpoint) over edge-sized frames only —
-    large-star is pure lineage inside the small-star job (its two
-    references are identical subtrees, deduped by exchange reuse; its
-    instability flag rides the small-star group aggregate) and the
-    vertex table is touched once, at the final label join.
+    large-star is pure lineage inside the small-star job, its
+    instability flag rides the small-star rows, and the vertex table is
+    touched once, at the final label join.
+
+    Round shape (r17 session 3): both per-vertex minima come from
+    WINDOW aggregates over ``partitionBy(u)`` instead of groupBy+self-
+    join — 3 Exchanges + 0 joins per round where the join form paid 5
+    Exchanges + 2 SortMergeJoins. On the tiny-per-round frames the
+    round cost is sequential AQE stage waves, not bytes (profiled
+    ~0.2s/wave at sf0.1), so cutting waves cuts the round: interleaved
+    same-session A/B (noop sink, equality gated by full anti-join both
+    ways) read join-form {10.1, 8.9, 8.3, 9.4}s vs window-form
+    {6.3, 6.0, 7.0, 6.7}s — every window run faster than every join
+    run, outputs bit-identical. Skew note: a hub vertex's window group
+    lands in one task, but the join form shuffled the same rows to one
+    join partition anyway; WindowExec buffers-with-spill where SMJ
+    sorts-with-spill, so the straggler profile at scale is unchanged.
+
     `max_iterations` caps runaway graphs; the O(log^2 n) bound makes 25
-    astronomically more than any real corpus needs (sf0.1: 6). r17
-    fresh-process A/B under the bench's cc_build protocol (min-of-2,
-    interleaved, frozen control steady): r16 label-prop {16.8, 16.9,
-    14.9}s -> two-materialization star {13.1, 12.5, 11.8}s -> this
-    one-materialization form {10.2, 9.6}s, outputs bit-identical."""
+    astronomically more than any real corpus needs (sf0.1: 6). History:
+    r16 label-prop {16.8, 16.9, 14.9}s -> r17 join-form star
+    {10.2, 9.6}s -> this window form (numbers above)."""
+    from pyspark.sql import Window
+
     edges = (
         pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -232,18 +246,18 @@ def _cc_alternating_stars(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    w = Window.partitionBy("u")
 
     for _ in range(max_iterations):
-        # large-star: neighborhoods need both directions; each edge is
-        # emitted from its smaller endpoint (v > u below), rewritten to
+        # large-star: neighborhoods need both directions; m(u) =
+        # min(N(u) + {u}) rides ONE window min; each edge is emitted
+        # from its smaller endpoint (v > u below), rewritten to
         # (v, m(u)). m <= u < v, so no self-loops can appear.
         directed = edges.select("u", "v").union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        mins = directed.groupBy("u").agg(F.min("v").alias("__mn"))
-        mins = mins.select("u", F.least("__mn", "u").alias("m"))
         large = (
-            directed.join(mins, "u")
+            directed.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
             .filter(F.col("v") > F.col("u"))
             .select(
                 F.col("v").alias("u"),
@@ -252,34 +266,26 @@ def _cc_alternating_stars(
             )
         )
 
-        # small-star over the large-star output (still u > v): children
-        # of each group rewrite to the group min; v == m child rows
-        # would be self-loops and drop. The groupBy(u, v) below is the
-        # round's dedup AND carries the instability flag. Large-star is
-        # NOT materialized: its flag folds into the per-group aggregate
-        # (max over the group, then max over selfs/children in the
-        # final flag read), so the whole round is one lineage with one
-        # persist — a child row is unstable by construction (it moves
-        # an edge), a self row is unstable iff its group saw a
-        # large-star rewrite.
-        mins2 = large.groupBy("u").agg(
-            F.min("v").alias("m"), F.max("__chg").alias("__lchg")
-        )
-        children = (
-            large.select("u", "v")
-            .join(mins2, "u")
-            .filter(F.col("v") != F.col("m"))
-            .select(
-                F.col("v").alias("eu"), F.col("m").alias("ev"),
-                F.lit(True).alias("__chg"),
-            )
-        )
-        selfs = mins2.select(
-            F.col("u").alias("eu"), F.col("m").alias("ev"),
-            F.col("__lchg").alias("__chg"),
+        # small-star over the large-star output (still u > v): per
+        # group, m = min(v) (window); the m-row(s) emit the (u, m)
+        # self edge carrying the group's large-star flag (duplicates
+        # collapse in the dedup aggregate), every other row is a child
+        # rewrite (v, m) — unstable by construction. The groupBy(u, v)
+        # is the round's dedup AND carries the instability flag; the
+        # whole round is one lineage with one persist.
+        grouped = large.withColumn("m", F.min("v").over(w)).withColumn(
+            "__lchg", F.max("__chg").over(w)
         )
         small = (
-            children.union(selfs)
+            grouped.select(
+                F.when(F.col("v") == F.col("m"), F.col("u"))
+                .otherwise(F.col("v"))
+                .alias("eu"),
+                F.col("m").alias("ev"),
+                F.when(F.col("v") == F.col("m"), F.col("__lchg"))
+                .otherwise(F.lit(True))
+                .alias("__chg"),
+            )
             .select(
                 F.greatest("eu", "ev").alias("u"),
                 F.least("eu", "ev").alias("v"),
