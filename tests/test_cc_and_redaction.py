@@ -41,6 +41,46 @@ def test_cc_iteration_cap_partial_result(spark):
     assert got_lp == {1: 1, 2: 1, 3: 1, 4: 2}
 
 
+def _star_rounds_reference(pairs, k):
+    """Pure-Python alternating large/small-star contraction, exactly k
+    rounds — the ground truth for cap-exactness of the fused-pair loop."""
+    edges = {(max(a, b), min(a, b)) for a, b in pairs if a != b}
+    for _ in range(k):
+        nbrs: dict[int, set[int]] = {}
+        for u, v in edges:
+            nbrs.setdefault(u, set()).add(v)
+            nbrs.setdefault(v, set()).add(u)
+        m = {x: min(min(ns), x) for x, ns in nbrs.items()}
+        large = {(v, m[u]) for u, v in ((min(e), max(e)) for e in edges)}
+        out = set()
+        small_groups: dict[int, set[int]] = {}
+        for u, v in large:
+            small_groups.setdefault(u, set()).add(v)
+        for u, vs in small_groups.items():
+            mn = min(vs)
+            out.add((max(u, mn), min(u, mn)))
+            out.update((max(v, mn), min(v, mn)) for v in vs if v != mn)
+        edges = {(u, v) for u, v in out if u != v}
+    return edges
+
+
+def test_cc_fused_pair_cap_exactness(spark):
+    # the fused two-rounds-per-materialization loop must still stop at
+    # EXACTLY max_iterations contraction rounds: pin the Spark partial
+    # at caps 1..4 on a 16-chain against a pure-Python reference of the
+    # same contraction (the chain needs >4 rounds, so every cap below
+    # that has a distinct edge set and a leaked extra round would show)
+    chain = [(i, i + 1) for i in range(1, 16)]
+    for cap in (1, 2, 3, 4):
+        edges = _star_rounds_reference(chain, cap)
+        label = {}
+        for u, v in edges:
+            label[u] = min(label.get(u, u), v)
+        expect = {i: label.get(i, i) for i in range(1, 17)}
+        got = _clusters(spark, 16, chain, max_iterations=cap)
+        assert got == expect, f"cap={cap}: {got} != {expect}"
+
+
 def test_cc_deep_chain_converges_logarithmically(spark):
     # 100-node path graph: plain min-propagation needs ~100 rounds (the
     # sf0.1 regression class — hit the 25-round cap); both the star
