@@ -3523,8 +3523,23 @@ _AC_VALUES = [
 ]
 
 
+#: r18: every encoder/decoder call rebuilt its Huffman code tables,
+#: decode LUTs and the DCT basis from the same module constants (or, for
+#: MJPEG/AVI, from identical per-frame DHT bytes) — ~10% of the JPEG
+#: family's per-doc CPU in cProfile. The builders are pure functions of
+#: their byte inputs, so the memo returns the identical object with the
+#: identical contents; emitted bits cannot change.
+_HUFF_CODES_CACHE: dict = {}
+_HUFF_LUT_CACHE: dict = {}
+
+
 def _huff_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
-    """Canonical Huffman: symbol -> (code_length, code)."""
+    """Canonical Huffman: symbol -> (code_length, code). Memoized on the
+    (bits, values) spec — callers treat the table as read-only."""
+    key = (bytes(bits), bytes(values))
+    cached = _HUFF_CODES_CACHE.get(key)
+    if cached is not None:
+        return cached
     out: dict[int, tuple[int, int]] = {}
     code = 0
     k = 0
@@ -3534,6 +3549,9 @@ def _huff_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]
             code += 1
             k += 1
         code <<= 1
+    if len(_HUFF_CODES_CACHE) >= 64:
+        _HUFF_CODES_CACHE.clear()
+    _HUFF_CODES_CACHE[key] = out
     return out
 
 
@@ -3542,26 +3560,45 @@ class _HuffLUT:
     256-entry table over the next 8 stream bits resolves every code of
     length <= 8 in one lookup; longer codes fall back to the
     (length, code) bit-walk, which also owns the malformed-stream
-    errors. Valid because no Huffman code is a prefix of another."""
+    errors. Valid because no Huffman code is a prefix of another.
+
+    r18: LUT entries are packed ints `(sym << 4) | length` with -1 for
+    "no short code" (lengths here are <= 8, symbols <= 255) — the old
+    (sym, length) tuples cost an allocation-free but measurable unpack
+    per symbol in `_read_symbol`, the decode profile's hottest frame."""
 
     __slots__ = ("table", "lut")
 
     def __init__(self, table: dict[tuple[int, int], int]):
         self.table = table
-        self.lut: list = [None] * 256
+        self.lut: list = [-1] * 256
         for (ln, code), sym in table.items():
             if ln <= 8:
                 base = code << (8 - ln)
-                entry = (sym, ln)
+                entry = (sym << 4) | ln
                 for lo in range(1 << (8 - ln)):
                     self.lut[base | lo] = entry
 
 
 def _huff_decode_table(bits: list[int], values: list[int]) -> _HuffLUT:
-    return _HuffLUT({lc: sym for sym, lc in _huff_codes(bits, values).items()})
+    key = (bytes(bits), bytes(values))
+    cached = _HUFF_LUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    lut = _HuffLUT({lc: sym for sym, lc in _huff_codes(bits, values).items()})
+    if len(_HUFF_LUT_CACHE) >= 64:
+        _HUFF_LUT_CACHE.clear()
+    _HUFF_LUT_CACHE[key] = lut
+    return lut
+
+
+_DCT_MATRIX_CACHE = None
 
 
 def _dct_matrix():
+    global _DCT_MATRIX_CACHE
+    if _DCT_MATRIX_CACHE is not None:
+        return _DCT_MATRIX_CACHE
     import math
 
     import numpy as np
@@ -3571,6 +3608,8 @@ def _dct_matrix():
         c = math.sqrt(1 / 8) if k == 0 else math.sqrt(2 / 8)
         for n in range(8):
             d[k, n] = c * math.cos((2 * n + 1) * k * math.pi / 16)
+    d.setflags(write=False)  # shared across calls — callers only read it
+    _DCT_MATRIX_CACHE = d
     return d
 
 
@@ -3690,11 +3729,22 @@ def _entropy_encode_block(w, zz, dc_codes, ac_codes, prev_dc: int) -> int:
 
 
 def _read_symbol(r, t: _HuffLUT) -> int:
-    peeked, avail = r.peek8()
-    entry = t.lut[peeked]
-    if entry is not None and entry[1] <= avail:
-        r.drop(entry[1])
-        return entry[0]
+    # inlined peek8 + packed-LUT hit: this is the decode profile's
+    # hottest call pair; consumed bits are identical to the peek/drop
+    # composition (peek8 never consumes, drop only lowers nbits)
+    nb = r.nbits
+    while nb < 8 and r._fill():
+        nb = r.nbits
+    if nb >= 8:
+        entry = t.lut[(r.acc >> (nb - 8)) & 0xFF]
+        if entry >= 0:  # code length <= 8 <= avail always holds here
+            r.nbits = nb - (entry & 15)
+            return entry >> 4
+    else:
+        entry = t.lut[((r.acc & ((1 << nb) - 1)) << (8 - nb)) & 0xFF]
+        if entry >= 0 and (entry & 15) <= nb:
+            r.nbits = nb - (entry & 15)
+            return entry >> 4
     # >8-bit code, or too few bits for the LUT to be trusted: bit-walk
     # (which raises the truncation/marker error when the stream ends)
     table = t.table
@@ -3809,9 +3859,14 @@ class _BitReader:
 
         r17: a clean (stuffing/marker-free) run prefetches up to 8
         bytes in ONE int.from_bytes — `_fill` was the decode profile's
-        hottest frame at one byte per call. Never crosses an 0xFF, so
-        the marker invariants (and `expect_restart`'s discard logic)
-        are unchanged; consumed bit order is identical."""
+        hottest frame at one byte per call. r18 widens the window to 16
+        bytes (same rule: never crosses an 0xFF). The marker invariants
+        (and `expect_restart`'s discard logic) are unchanged regardless
+        of window size: on a valid stream the decoder consumes every
+        symbol bit of the interval and the fill cannot cross the
+        restart marker's 0xFF, so the unconsumed prefetched bits at a
+        restart are exactly the <8 pre-marker padding bits; consumed
+        bit order is identical."""
         pos, data = self.pos, self.data
         if pos >= len(data):
             return False
@@ -3823,9 +3878,9 @@ class _BitReader:
             self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | b
             self.nbits += 8
             return True
-        end = data.find(0xFF, pos, pos + 8)
+        end = data.find(0xFF, pos, pos + 16)
         if end < 0:
-            end = min(pos + 8, len(data))
+            end = min(pos + 16, len(data))
         chunk = data[pos:end]
         self.pos = end
         k = len(chunk)
@@ -4028,6 +4083,17 @@ def _pt_ac(v: int, al: int) -> int:
     return v >> al if v >= 0 else -((-v) >> al)
 
 
+def _put_pend(w, pend: list[int]) -> None:
+    """Emit buffered correction bits as ONE put (first bit most
+    significant — identical to the bit-at-a-time sequence)."""
+    if pend:
+        v = 0
+        for b in pend:
+            v = (v << 1) | b
+        w.put(v, len(pend))
+        pend.clear()
+
+
 def _flush_eobrun(w, ac_codes, eobrun: int, pend: list[int]) -> int:
     """Emit a pending end-of-band run (EOBn symbol + length extension
     bits) followed by any buffered correction bits; returns 0."""
@@ -4037,19 +4103,25 @@ def _flush_eobrun(w, ac_codes, eobrun: int, pend: list[int]) -> int:
         w.put(code, ln)
         if rr:
             w.put(eobrun - (1 << rr), rr)
-        for b in pend:
-            w.put(b, 1)
-        pend.clear()
+        _put_pend(w, pend)
     return 0
 
 
 def _encode_ac_first(w, blocks, ss: int, se: int, al: int, ac_codes) -> None:
     """AC first scan for band [ss..se] at point transform al (G.1.2.2):
     sequential-style run/size coding of the point-transformed
-    coefficients, with EOB generalized to EOBn runs across blocks."""
+    coefficients, with EOB generalized to EOBn runs across blocks.
+
+    r18: the whole scan's point transform runs as ONE vectorized int64
+    pass (the per-coefficient `_pt_ac(int(blk[k]))` listcomp over numpy
+    scalars was a top-4 profile frame); `v >> al` on int64 is the same
+    arithmetic shift, so the transformed values are exactly `_pt_ac`'s."""
+    import numpy as np
+
+    band = np.asarray(blocks)[:, ss : se + 1]
+    t_rows = np.where(band >= 0, band >> al, -((-band) >> al)).tolist()
     eobrun = 0
-    for blk in blocks:
-        t = [_pt_ac(int(blk[k]), al) for k in range(ss, se + 1)]
+    for t in t_rows:
         nz = [i for i, v in enumerate(t) if v]
         if not nz:
             eobrun += 1
@@ -4067,7 +4139,7 @@ def _encode_ac_first(w, blocks, ss: int, se: int, al: int, ac_codes) -> None:
                 ln, code = ac_codes[0xF0]
                 w.put(code, ln)
                 run -= 16
-            s = _category(v)
+            s = v.bit_length() if v > 0 else (-v).bit_length()
             ln, code = ac_codes[(run << 4) | s]
             w.put(code, ln)
             w.put(v if v > 0 else v + (1 << s) - 1, s)
@@ -4082,10 +4154,14 @@ def _encode_ac_refine(w, blocks, ss: int, se: int, al: int, ac_codes) -> None:
     coded as run/1 + sign, correction bits for already-nonzero
     coefficients are buffered and appended after the next emitted
     symbol (including across EOBn runs)."""
+    import numpy as np
+
+    band = np.asarray(blocks)[:, ss : se + 1]
+    absv_rows = (np.abs(band) >> al).tolist()
+    pos_rows = (band > 0).tolist()  # sign source for newly-significant bits
     eobrun = 0
     pend: list[int] = []
-    for blk in blocks:
-        absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+    for bi, absv in enumerate(absv_rows):
         newly = [i for i, a in enumerate(absv) if a == 1]
         if not newly:
             # only correction bits (if any) — the block joins the EOB run
@@ -4114,18 +4190,14 @@ def _encode_ac_refine(w, blocks, ss: int, se: int, al: int, ac_codes) -> None:
                 ln, code = ac_codes[0xF0]
                 w.put(code, ln)
                 run -= 16
-                for b in pend:
-                    w.put(b, 1)
-                pend.clear()
+                _put_pend(w, pend)
             if a > 1:
                 pend.append(a & 1)
                 continue
             ln, code = ac_codes[(run << 4) | 1]
             w.put(code, ln)
-            w.put(1 if int(blk[ss + i]) > 0 else 0, 1)
-            for b in pend:
-                w.put(b, 1)
-            pend.clear()
+            w.put(1 if pos_rows[bi][i] else 0, 1)
+            _put_pend(w, pend)
             run = 0
         # any tail beyond the last newly-significant coefficient —
         # zero-history runs AND already-nonzero correction bits alike —
@@ -4178,11 +4250,11 @@ def encode_jpeg_gray8_progressive(width: int, height: int, pixels: bytes) -> byt
         + bytes([0x10]) + bytes(_AC_BITS_PROG) + bytes(_AC_VALUES_PROG),
     )
 
-    # scan 1: DC first, Al=1 (arithmetic shift per G.1.2.1)
+    # scan 1: DC first, Al=1 (arithmetic shift per G.1.2.1; int64 >> is
+    # the same arithmetic shift, vectorized for the whole scan)
     w = _BitWriter()
     prev = 0
-    for blk in blocks:
-        v = int(blk[0]) >> 1
+    for v in (blocks[:, 0] >> 1).tolist():
         diff = v - prev
         prev = v
         s = _category(diff)
@@ -4196,10 +4268,11 @@ def encode_jpeg_gray8_progressive(width: int, height: int, pixels: bytes) -> byt
         w = _BitWriter()
         _encode_ac_first(w, blocks, ss, se, 1, ac_codes)
         out += sos(ss, se, 0, 1) + w.flush()
-    # scan 4: DC refinement — one raw bit per block
+    # scan 4: DC refinement — one raw bit per block (two's-complement
+    # & 1 matches int64's, so the emitted bit is unchanged)
     w = _BitWriter()
-    for blk in blocks:
-        w.put(int(blk[0]) & 1, 1)
+    for b in (blocks[:, 0] & 1).tolist():
+        w.put(b, 1)
     out += sos(0, 0, 1, 0) + w.flush()
     # scans 5-6: AC refinement per band
     for ss, se in ((1, 5), (6, 63)):
@@ -4253,16 +4326,27 @@ def _decode_ac_refine_scan(r, blocks, ss, se, al, act) -> None:
                         raise ValueError("refinement size must be 1")
                     val = p1 if r.bit() else -p1
                 # advance over `run` zero-history positions, correcting
-                # nonzero-history coefficients along the way
+                # nonzero-history coefficients along the way. Which
+                # positions take a correction bit depends only on the
+                # blk state, never on the bits themselves, so the walk
+                # runs first and the bits are read as ONE bits() call
+                # (same bits, same order as the bit-at-a-time read).
+                corr = []
                 while k <= se:
                     if blk[k]:
-                        if r.bit() and not (abs(int(blk[k])) & p1):
-                            blk[k] += p1 if blk[k] > 0 else -p1
+                        corr.append(k)
                     else:
                         if run == 0:
                             break
                         run -= 1
                     k += 1
+                if corr:
+                    v = r.bits(len(corr))
+                    m = 1 << (len(corr) - 1)
+                    for kk in corr:
+                        if v & m and not (abs(blk[kk]) & p1):
+                            blk[kk] += p1 if blk[kk] > 0 else -p1
+                        m >>= 1
                 if val:
                     if k > se:
                         raise ValueError("refinement run overflows band")
@@ -4270,12 +4354,19 @@ def _decode_ac_refine_scan(r, blocks, ss, se, al, act) -> None:
                 k += 1
         if eobrun:
             # inside an EOB run: only correction bits for the block's
-            # remaining nonzero-history coefficients
-            while k <= se:
-                if blk[k]:
-                    if r.bit() and not (abs(int(blk[k])) & p1):
-                        blk[k] += p1 if blk[k] > 0 else -p1
-                k += 1
+            # remaining nonzero-history coefficients. The positions are
+            # known before any bit is read, so read them as ONE bits()
+            # call (same bits, same order; a truncation raises the same
+            # error before any coefficient mutates — and the whole
+            # decode discards its state on error anyway).
+            pos = [kk for kk in range(k, se + 1) if blk[kk]]
+            if pos:
+                v = r.bits(len(pos))
+                m = 1 << (len(pos) - 1)
+                for kk in pos:
+                    if v & m and not (abs(blk[kk]) & p1):
+                        blk[kk] += p1 if blk[kk] > 0 else -p1
+                    m >>= 1
             eobrun -= 1
 
 
@@ -4381,9 +4472,21 @@ def decode_jpeg_gray8_progressive(data: bytes) -> tuple[int, int, bytes]:
                         blk[0] = prev << al
                     dc_done = True
                 else:
-                    for blk in blocks:
-                        if r.bit():
-                            blk[0] |= 1 << al
+                    # DC refinement reads exactly one raw bit per block
+                    # regardless of content — batch the reads in chunks
+                    # (same bits, same MSB-first order)
+                    p1 = 1 << al
+                    nb_total = len(blocks)
+                    i0 = 0
+                    while i0 < nb_total:
+                        cnt = min(32, nb_total - i0)
+                        v = r.bits(cnt)
+                        m = 1 << (cnt - 1)
+                        for blk in blocks[i0 : i0 + cnt]:
+                            if v & m:
+                                blk[0] |= p1
+                            m >>= 1
+                        i0 += cnt
             else:
                 if not dc_done:
                     raise ValueError("AC scan before first DC scan")
@@ -4527,14 +4630,21 @@ def _color_quant_blocks(width, height, rgb, subsample):
     d = _dct_matrix()
     ql = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
     qc = np.array(_JPEG_QTABLE_CHROMA, dtype=np.float64).reshape(8, 8)
+    # r18: Cb and Cr share dims and quant table, so one vstacked
+    # _dct_quant_plane call covers both (the DCT einsum is per-8x8-block
+    # independent, so each block's float ops are unchanged; stacking
+    # along rows keeps every block intact because the chroma height is
+    # a multiple of 8). Saves one einsum dispatch per encode.
+    zzCbCr = _dct_quant_plane(np.concatenate([Cbs, Crs], axis=0), qc, d)
+    nrows = Cbs.shape[0] // 8
     return (
         hs,
         vs,
         ph,
         pw,
         _dct_quant_plane(Yp, ql, d),
-        _dct_quant_plane(Cbs, qc, d),
-        _dct_quant_plane(Crs, qc, d),
+        zzCbCr[:nrows],
+        zzCbCr[nrows:],
     )
 
 
@@ -4727,9 +4837,24 @@ def decode_jpeg_color(data: bytes) -> tuple[int, int, bytes]:
                         )
                         zz_c[ci].append(zz)
                         pos_c[ci].append((myi * cv + by, mxi * ch + bx))
-    # batched dequant + IDCT per component, then place blocks
+    # batched dequant + IDCT per component, then place blocks. Cb/Cr
+    # share a quant table in the streams we emit — IDCT them as one
+    # stacked call (per-block float ops identical; einsum is per-block
+    # independent), falling back to per-component otherwise.
+    blocks_by_ci: list = [None] * len(comps)
+    if (
+        len(comps) == 3
+        and comps[1][3] == comps[2][3]
+        and len(zz_c[1]) == len(zz_c[2])
+    ):
+        both = _idct_blocks(zz_c[1] + zz_c[2], q_c[1], d)
+        blocks_by_ci[1], blocks_by_ci[2] = both[: len(zz_c[1])], both[len(zz_c[1]) :]
     for ci in range(len(comps)):
-        blocks = _idct_blocks(zz_c[ci], q_c[ci], d)
+        blocks = (
+            blocks_by_ci[ci]
+            if blocks_by_ci[ci] is not None
+            else _idct_blocks(zz_c[ci], q_c[ci], d)
+        )
         for (byi, bxi), block in zip(pos_c[ci], blocks):
             planes[ci][byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = block
     # upsample each component to full resolution (sample replication)
@@ -4806,22 +4931,28 @@ def encode_jpeg_color_progressive(
     dc_tables = (ldc, cdc, cdc)
     luma_offsets = [(dy, dx) for dy in range(vs) for dx in range(hs)]
 
-    def mcu_blocks():
-        """Every coefficient block in interleaved MCU order, tagged
+    # DC planes as plain int grids once (r18: both DC scans walked the
+    # full MCU traversal reading numpy scalars per block)
+    dcY = zzY[:, :, 0].tolist()
+    dcCb = zzCb[:, :, 0].tolist()
+    dcCr = zzCr[:, :, 0].tolist()
+
+    def mcu_dcs():
+        """Every block's DC coefficient in interleaved MCU order, tagged
         with its component index (the DC scan traversal)."""
         for my in range(0, ph, 8 * vs):
             for mx in range(0, pw, 8 * hs):
                 for dy, dx in luma_offsets:
-                    yield 0, zzY[my // 8 + dy, mx // 8 + dx]
+                    yield 0, dcY[my // 8 + dy][mx // 8 + dx]
                 cy, cx = my // (8 * vs), mx // (8 * hs)
-                yield 1, zzCb[cy, cx]
-                yield 2, zzCr[cy, cx]
+                yield 1, dcCb[cy][cx]
+                yield 2, dcCr[cy][cx]
 
     # scan 1: interleaved DC first, Al=1
     w = _BitWriter()
     prev = [0, 0, 0]
-    for ci, blk in mcu_blocks():
-        v = int(blk[0]) >> 1
+    for ci, dc in mcu_dcs():
+        v = dc >> 1
         diff = v - prev[ci]
         prev[ci] = v
         s = _category(diff)
@@ -4832,8 +4963,8 @@ def encode_jpeg_color_progressive(
     out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x01])) + w.flush()
     # scan 2: interleaved DC refinement — one raw bit per block
     w = _BitWriter()
-    for _ci, blk in mcu_blocks():
-        w.put(int(blk[0]) & 1, 1)
+    for _ci, dc in mcu_dcs():
+        w.put(dc & 1, 1)
     out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x10])) + w.flush()
     # per-component AC pairs over the component's spec grid
     comp_zz = (zzY, zzCb, zzCr)
@@ -4980,9 +5111,19 @@ def decode_jpeg_color_progressive(data: bytes) -> tuple[int, int, bytes]:
                         blocks_c[ci][bi][0] = prev[ci] << al
                     dc_done = True
                 else:
-                    for ci, bi in order:
-                        if r.bit():
-                            blocks_c[ci][bi][0] |= 1 << al
+                    # one raw bit per block regardless of content —
+                    # batch the reads in chunks (same bits, same order)
+                    p1 = 1 << al
+                    i0 = 0
+                    while i0 < len(order):
+                        chunk = order[i0 : i0 + 32]
+                        v = r.bits(len(chunk))
+                        m = 1 << (len(chunk) - 1)
+                        for ci, bi in chunk:
+                            if v & m:
+                                blocks_c[ci][bi][0] |= p1
+                            m >>= 1
+                        i0 += len(chunk)
             else:
                 if ns != 1:
                     raise ValueError("progressive AC scans must be single-component")
@@ -5014,12 +5155,29 @@ def decode_jpeg_color_progressive(data: bytes) -> tuple[int, int, bytes]:
     if width is None or not comps or not dc_done:
         raise ValueError("missing SOF2/DC scan")
     d = _dct_matrix()
+    # Cb/Cr share grid and quant table in the streams we emit — IDCT
+    # them as one stacked call when reached in loop order (per-block
+    # float ops identical; lazy so a missing quant table raises the
+    # same KeyError the per-component order raised)
+    can_merge = (
+        len(comps) == 3
+        and grid_c[1] == grid_c[2]
+        and comps[1][3] == comps[2][3]
+    )
+    idct_by_ci: list = [None] * len(comps)
     planes = []
     for ci, (cid, ch, cv, tq) in enumerate(comps):
         rows, cols = grid_c[ci]
-        q = np.array(qtab[tq], dtype=np.float64).reshape(8, 8)
+        if idct_by_ci[ci] is None:
+            q = np.array(qtab[tq], dtype=np.float64).reshape(8, 8)
+            if ci == 1 and can_merge:
+                both = _idct_blocks(blocks_c[1] + blocks_c[2], q, d)
+                n1 = len(blocks_c[1])
+                idct_by_ci[1], idct_by_ci[2] = both[:n1], both[n1:]
+            else:
+                idct_by_ci[ci] = _idct_blocks(blocks_c[ci], q, d)
         out = (
-            _idct_blocks(blocks_c[ci], q, d)
+            idct_by_ci[ci]
             .reshape(rows, cols, 8, 8)
             .transpose(0, 2, 1, 3)
             .reshape(rows * 8, cols * 8)
