@@ -563,6 +563,34 @@ HEADLINE = [
     # FASTER in the same sweep: events_sketch_audit 1.77->0.47,
     # docs_dup_ngram_fraction 1.30->1.24, cc_build 13.03->12.70,
     # ingest back at 90.8k rows/s.
+    #
+    # r18 watch clearances (VERDICT r17 task #3).
+    # multimodal_webp_roundtrip (driver artifact 2.37s = 0.52x vs r16;
+    # the one regression with real lineage, 0e8d85f's LZ77 rewrite):
+    # CLEARED, not reverted. (a) This round's opening idle-host sweep
+    # read the row at 1.457s with zero VP8L code change since the
+    # flagged artifact — the 2.37s never reproduced. (b) Interleaved
+    # fresh-session A/B vs a worktree at 0e8d85f~1 first read new
+    # SLOWER 3/3 (mins 1.81/2.31/1.77 vs 1.52/1.90/1.54) — but with
+    # the ORDER REVERSED (new sessions first) it read new FASTER 2/3
+    # (1.75/1.42/1.44 vs 1.80/1.46/1.37), the pure first-batch-runs-
+    # faster bias ab_media_r17 documented on this host; the
+    # pricing_summary control sat at 0.43-0.45s on both sides either
+    # way. (c) The order-free evidence — in-process interleaved
+    # pure-Python A/B on the exact query-shaped inputs (400 docs,
+    # byte-identity re-verified, 0 divergences) — reads the rewrite
+    # FASTER: roundtrip min-ratio old/new 1.10, encode-only 1.18,
+    # matching 0e8d85f's own 9/10-pairs evidence. Verdict: driver
+    # artifact = loaded-host inflation (its sweep's loadavg ran
+    # 8->11.4); code effect is positive.
+    # ann_pq_adc_topk (raw >=1.1s a fourth artifact running): code
+    # byte-identical since r16 (similarity.py AND vector_queries.py
+    # diff EMPTY vs the 0e8d85f~1 worktree), and interleaved
+    # fresh-session runs of the IDENTICAL code scatter 1.24-1.59s
+    # min-of-3 on this host (new {1.39, 1.25} vs old {1.24, 1.59}).
+    # The 1.1s escalation line from VERDICT r16 is simply below this
+    # host's floor for the row; r16's 1.148s reading was a quieter
+    # window. No revert target exists; watch closed as host-floor.
 ]
 
 #: Calibration anchors (VERDICT r8 #3): three lineage-frozen queries
