@@ -630,3 +630,41 @@ def test_jpeg_bitreader_prefetch_contracts():
     assert r2.peek8() == (0, 0)  # blocked peek never raises
     with pytest.raises(ValueError, match="unexpected marker"):
         r2.bit()
+
+
+def test_jpeg_progressive_large_image_multichunk_scans():
+    """r18 pin: the batched progressive scan I/O (chunked DC-refinement
+    bits() reads, whole-scan vectorized point transforms, batched
+    refine-scan correction bits) on an image big enough to cross the
+    32-block chunk boundary — the bench/query fixtures stay under 16
+    blocks, so this is the only coverage of the multi-chunk branch.
+    The gate is the codec's own exactness contract: a progressive
+    stream carries the sequential encoder's coefficients, so its decode
+    must be BITWISE equal to the sequential stream's decode."""
+    import random
+
+    from redpanda_to_parquet_writer_spark.operators.multimodal import (
+        decode_jpeg_color,
+        decode_jpeg_color_any,
+        decode_jpeg_gray8,
+        decode_jpeg_gray8_any,
+        encode_jpeg_color,
+        encode_jpeg_color_progressive,
+        encode_jpeg_gray8,
+        encode_jpeg_gray8_progressive,
+    )
+
+    rng = random.Random(1818)
+    w, h = 89, 97  # 12x13 = 156 blocks > 32 (several DC-refine chunks)
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    prog = encode_jpeg_gray8_progressive(w, h, px)
+    seq = encode_jpeg_gray8(w, h, px)
+    assert decode_jpeg_gray8_any(prog) == decode_jpeg_gray8(seq)
+    rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    cprog = encode_jpeg_color_progressive(w, h, rgb)
+    cseq = encode_jpeg_color(w, h, rgb)
+    assert decode_jpeg_color_any(cprog) == decode_jpeg_color(cseq)
+    # determinism across repeated calls (the r18 table memos must not
+    # leak state between encodes/decodes)
+    assert encode_jpeg_gray8_progressive(w, h, px) == prog
+    assert decode_jpeg_gray8_any(prog) == decode_jpeg_gray8_any(prog)
