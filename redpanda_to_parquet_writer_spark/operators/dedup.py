@@ -236,6 +236,17 @@ def _cc_alternating_stars(
     r16 label-prop {16.8, 16.9, 14.9}s -> r17 join-form star
     {10.2, 9.6}s -> this window form (numbers above).
 
+    r18 priced-and-rejected (VERDICT r17 #7): hash-to-min seeding — one
+    pre-loop window pass rewriting every directed edge (u, v) to
+    {v, m(u)} AND {u, m(u)} so neighborhoods hang off their min before
+    round 1. Equality held (anti-join 0/0 both ways) but the seeded
+    loop still ran the SAME 6 contraction rounds on the sf0.1 graph
+    (the alternating-star convergence here is bound by the star-chain
+    collapse pattern, not the initial hop count) and paid an extra
+    materialization + a transiently ~2x edge set: interleaved mins
+    prod 5.29s vs seeded 5.60s, prod faster in every adjacent pair.
+    Harness kept: scripts/ab_cc_seed_r18.py.
+
     Materialization cadence (r17 session 3): TWO contraction rounds run
     as one lineage per persist/flag/checkpoint when the cap allows (the
     second round's two references to the first resolve to one

@@ -444,6 +444,18 @@ def jaccard_pairs(
     blowup is bounded by shingle-bucket sizes, and in production this
     runs AFTER LSH banding restricts the pair space.
 
+    r18 priced-and-rejected (VERDICT r17 #6): hashing each shingle to
+    64 bits AFTER the explode (codegen'd xxhash64 projection, so the
+    posting exchange carries 8-byte longs instead of gram strings —
+    guide §2.3 narrower types). Outputs identical at sf0.1 (anti-join
+    0/0 both ways, 256 pairs) but interleaved fresh-process mins read a
+    WASH here (old {1.95, 2.15, 2.13}s vs new {1.98, 1.92, 2.10}s) and
+    only ~5-11% on containment — not enough to trade away the
+    documented EXACT string-keyed semantics, which 64-bit collisions
+    would silently bend at corpus scale (~10^11 distinct shingles ->
+    ~3e5 expected colliding bucket merges). Harness kept:
+    scripts/ab_hash_g_r18.py.
+
     `max_doc_freq` caps posting-list length: shingles appearing in more
     docs are dropped BEFORE their posting list is collected, bounding
     the per-shingle pair blowup at cap^2/2. Document-frequency capping
